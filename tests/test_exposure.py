@@ -1,0 +1,174 @@
+"""Exposure-kernel integration tests: fp64 oracle diff, count conservation,
+noise statistics (SURVEY.md section 4: oracle diff with noise off is the
+core validation of the TPU path)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wayne_tpu.calibration import synthetic_tables
+from wayne_tpu.config import ExposureStatic, NoiseFlags
+from wayne_tpu.ops.exposure import simulate_exposure
+from wayne_tpu.oracle.numpy_oracle import oracle_ideal_frame
+from wayne_tpu.scene import example_scene
+
+S, NL, NSAMP = 128, 64, 4
+
+
+def make(scan: bool, noise: NoiseFlags, n_sub: int = 8) -> tuple:
+    cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=n_sub, nsamp=NSAMP,
+                         samp_seq="SPARS10", scan=scan, noise=noise)
+    tables = synthetic_tables("G141", subarray=S, n_lambda=NL,
+                              samp_seq="SPARS10", nsamp=NSAMP)
+    scene = example_scene(NL, scan_speed=1.5 if scan else 0.0)
+    # keep the spectrum on-detector for conservation tests
+    scene = dataclasses.replace(scene, x_ref=jnp.float32(30.0),
+                                y_ref=jnp.float32(40.0))
+    return cfg, tables, scene
+
+
+def orbit_dict(scene):
+    o = scene.orbit
+    return dict(period_s=float(o.period_s), t0_s=float(o.t0_s),
+                sma_rs=float(o.sma_rs), inc_rad=float(o.inc_rad),
+                ecc=float(o.ecc), omega_rad=float(o.omega_rad))
+
+
+class TestIdealVsOracle:
+    @pytest.mark.parametrize("scan", [False, True])
+    def test_matches_fp64_reference_algorithm(self, scan):
+        cfg, tables, scene = make(scan, NoiseFlags.none())
+        res = simulate_exposure(scene, tables, cfg)
+        got = np.asarray(res.ideal_e, np.float64)
+        want = oracle_ideal_frame(
+            tables, cfg, x_ref=30.0, y_ref=40.0,
+            scan_speed=float(scene.scan_speed), exp_start_s=0.0,
+            stellar_flux=np.asarray(scene.stellar_flux),
+            rp_over_rs=np.asarray(scene.rp_over_rs),
+            ld=np.asarray(scene.ld), orbit=orbit_dict(scene))
+        scale = want.max()
+        np.testing.assert_allclose(got / scale, want / scale, atol=2e-4)
+
+    def test_reads_are_cumulative_with_noise_off(self, ):
+        cfg, tables, scene = make(True, NoiseFlags.none())
+        res = simulate_exposure(scene, tables, cfg)
+        reads = np.asarray(res.reads_dn, np.float64) * float(tables.gain)
+        assert np.all(np.diff(reads.sum(axis=(1, 2))) > 0)  # monotone ramp
+        np.testing.assert_allclose(reads[0], 0.0, atol=1e-3)  # zeroth read
+        # final read equals accumulated ideal signal (noise off, flat off...)
+        np.testing.assert_allclose(
+            reads[-1].sum() / np.asarray(res.ideal_e).sum(), 1.0, rtol=1e-4)
+
+
+class TestCountConservation:
+    def test_total_counts_match_input_spectrum(self):
+        cfg, tables, scene = make(False, NoiseFlags.none(), n_sub=2)
+        res = simulate_exposure(scene, tables, cfg)
+        # expected: sum over bins of F*sens*dlam * total integration time,
+        # scaled by each bin's on-detector fraction (G141's ~140px spectrum
+        # overhangs the 128px test subarray). The deposit matrix row sums
+        # are validated independently in test_dispersion.
+        from wayne_tpu.ops.dispersion import (
+            trace_params, wl_to_x, x_deposit_matrix)
+        tp = trace_params(tables, scene.x_ref, scene.y_ref)
+        X = x_deposit_matrix(wl_to_x(tables.wl_edges, tp), S)
+        on_det = np.asarray(X.sum(axis=1), np.float64)
+        dlam = np.diff(np.asarray(tables.wl_edges, np.float64))
+        rate = (np.asarray(scene.stellar_flux, np.float64)
+                * np.asarray(tables.sensitivity, np.float64) * dlam)
+        t_total = float(tables.read_times[-1])
+        expected = (rate * on_det).sum() * t_total
+        got = float(np.asarray(res.ideal_e).sum())
+        assert abs(got / expected - 1.0) < 5e-3  # PSF tails + LC variation
+
+
+class TestNoise:
+    def test_poisson_statistics(self):
+        flags = NoiseFlags.none()
+        flags = dataclasses.replace(flags, poisson=True)
+        cfg, tables, scene = make(False, flags, n_sub=2)
+        keys = jax.random.split(jax.random.PRNGKey(7), 32)
+        batched = jax.vmap(lambda k: simulate_exposure(
+            dataclasses.replace(scene, key=k), tables, cfg).reads_dn[-1])
+        reads = np.asarray(batched(keys), np.float64) * float(tables.gain)
+        mean, var = reads.mean(axis=0), reads.var(axis=0)
+        bright = mean > 500.0
+        ratio = var[bright] / mean[bright]
+        assert abs(np.median(ratio) - 1.0) < 0.35   # var ~= mean
+
+    def test_read_noise_statistics(self):
+        flags = dataclasses.replace(NoiseFlags.none(), read_noise=True)
+        cfg, tables, scene = make(False, flags, n_sub=2)
+        res = simulate_exposure(scene, tables, cfg)
+        read0_e = np.asarray(res.reads_dn[0], np.float64) * float(tables.gain)
+        assert abs(read0_e.std() - float(tables.read_noise_e)) < 1.0
+        assert abs(read0_e.mean()) < 0.5
+
+    def test_dark_accumulates_linearly(self):
+        flags = dataclasses.replace(NoiseFlags.none(), dark=True)
+        cfg, tables, scene = make(False, flags, n_sub=2)
+        scene = dataclasses.replace(scene,
+                                    stellar_flux=jnp.zeros_like(scene.stellar_flux))
+        res = simulate_exposure(scene, tables, cfg)
+        reads_e = np.asarray(res.reads_dn, np.float64) * float(tables.gain)
+        times = np.asarray(tables.read_times, np.float64)
+        dark_mean = float(np.asarray(tables.dark_map).mean())
+        got = reads_e[1:].mean(axis=(1, 2))
+        np.testing.assert_allclose(got, dark_mean * times[1:], rtol=0.05)
+
+    def test_cosmic_rays_add_charge(self):
+        flags = dataclasses.replace(NoiseFlags.none(), cosmic_rays=True)
+        cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=NSAMP,
+                             samp_seq="SPARS100", scan=False, noise=flags,
+                             max_cr_per_read=64)
+        tables = synthetic_tables("G141", subarray=S, n_lambda=NL,
+                                  samp_seq="SPARS100", nsamp=NSAMP)
+        scene = example_scene(NL, scan_speed=0.0)
+        scene = dataclasses.replace(scene,
+                                    stellar_flux=jnp.zeros_like(scene.stellar_flux))
+        res = simulate_exposure(scene, tables, cfg)
+        last = np.asarray(res.reads_dn[-1], np.float64) * float(tables.gain)
+        n_hit = (last > 100.0).sum()
+        lam = (float(tables.cr_rate_px_s) * S * S
+               * float(tables.read_times[-1]))
+        assert 0 < n_hit < 6 * max(lam, 1.0)
+
+    def test_bias_and_gain(self):
+        flags = dataclasses.replace(NoiseFlags.none(), bias=True,
+                                    gain_variations=True)
+        cfg, tables, scene = make(False, flags, n_sub=2)
+        scene = dataclasses.replace(scene,
+                                    stellar_flux=jnp.zeros_like(scene.stellar_flux))
+        res = simulate_exposure(scene, tables, cfg)
+        want = np.asarray(tables.bias_map) / np.asarray(tables.gain_map)
+        np.testing.assert_allclose(np.asarray(res.reads_dn[0]), want, rtol=1e-5)
+
+    def test_saturation_and_nonlinearity(self):
+        flags = dataclasses.replace(NoiseFlags.none(), non_linearity=True)
+        cfg, tables, scene = make(False, flags, n_sub=2)
+        bright = dataclasses.replace(
+            scene, stellar_flux=scene.stellar_flux * 1e4)
+        res = simulate_exposure(bright, tables, cfg)
+        last_e = np.asarray(res.reads_dn[-1]) * float(tables.gain)
+        fw = float(tables.full_well_e)
+        nl = float(tables.nonlin_c)
+        assert last_e.max() <= fw * (1 - nl) * (1 + 1e-5)
+        assert float(res.saturated_frac) > 0.0
+
+
+class TestDeterminism:
+    def test_same_key_same_frame(self):
+        cfg, tables, scene = make(True, NoiseFlags.all())
+        a = simulate_exposure(scene, tables, cfg).reads_dn
+        b = simulate_exposure(scene, tables, cfg).reads_dn
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_different_key_different_noise(self):
+        cfg, tables, scene = make(True, NoiseFlags.all())
+        b = dataclasses.replace(scene, key=jax.random.PRNGKey(99))
+        a = simulate_exposure(scene, tables, cfg).reads_dn
+        c = simulate_exposure(b, tables, cfg).reads_dn
+        assert float(jnp.abs(a - c).max()) > 0.0

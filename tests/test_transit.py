@@ -1,0 +1,133 @@
+"""Transit light-curve golden tests (SURVEY.md section 4 test strategy:
+analytic limits + fp64 oracle diff for each physics stage)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wayne_tpu.ops.kepler import OrbitParams, eccentric_anomaly, projected_separation
+from wayne_tpu.ops.transit import (
+    claret_total_flux, transit_depth_curve, transit_light_curve,
+)
+from wayne_tpu.oracle.numpy_oracle import oracle_transit_flux
+
+LD = jnp.array([0.65, -0.25, 0.45, -0.2], jnp.float32)
+UNIFORM = jnp.zeros(4, jnp.float32)
+
+
+def uniform_exact(z, p):
+    """Exact uniform-disk occultation (Mandel & Agol 2002, lambda^e)."""
+    z = np.asarray(z, np.float64)
+    out = np.zeros_like(z)
+    full = z <= 1.0 - p
+    out[full] = p**2
+    partial = (np.abs(1.0 - p) < z) & (z < 1.0 + p)
+    zp = z[partial]
+    k0 = np.arccos((p**2 + zp**2 - 1.0) / (2.0 * p * zp))
+    k1 = np.arccos((1.0 - p**2 + zp**2) / (2.0 * zp))
+    out[partial] = (p**2 * k0 + k1
+                    - np.sqrt(np.maximum(0.0, zp**2 - 0.25 * (1 + zp**2 - p**2)**2))
+                    ) / np.pi
+    return 1.0 - out
+
+
+class TestAnalyticLimits:
+    def test_no_overlap_is_unity(self):
+        f = transit_depth_curve(jnp.array([1.2, 2.0, 10.0]), 0.15, LD)
+        np.testing.assert_allclose(np.asarray(f), 1.0, rtol=0, atol=1e-7)
+
+    def test_uniform_disk_matches_mandel_agol(self):
+        z = jnp.linspace(0.0, 1.3, 201)
+        f = transit_depth_curve(z, 0.1, UNIFORM, n_quad=64)
+        np.testing.assert_allclose(np.asarray(f), uniform_exact(z, 0.1), atol=2e-6)
+
+    def test_uniform_center_depth_is_p_squared(self):
+        f = transit_depth_curve(jnp.array([0.0]), 0.15, UNIFORM)
+        np.testing.assert_allclose(float(f[0]), 1.0 - 0.15**2, atol=1e-7)
+
+    def test_total_flux_closed_form(self):
+        # integral of I(r) 2r dr via dense trapezoid
+        r = np.linspace(0, 1, 200001)
+        mu = np.sqrt(1 - r**2)
+        ld = np.asarray(LD, np.float64)
+        I = 1 - np.sum(ld * (1 - mu[:, None] ** (np.arange(1, 5) / 2)), axis=1)
+        num = np.trapezoid(I * 2 * r, r)
+        np.testing.assert_allclose(float(claret_total_flux(LD)), num, rtol=1e-5)
+
+
+class TestOracleAgreement:
+    @pytest.mark.parametrize("p", [0.05, 0.1595])
+    def test_claret_vs_fp64_oracle(self, p):
+        z = jnp.linspace(0.0, 1.0 + p + 0.1, 301)
+        f32 = np.asarray(transit_depth_curve(z, p, LD, n_quad=64), np.float64)
+        f64 = oracle_transit_flux(np.asarray(z), p, np.asarray(LD))
+        # channel-depth accuracy target ~1e-5 absolute (10 ppm)
+        np.testing.assert_allclose(f32, f64, atol=1.5e-5)
+
+    def test_quadrature_converged_at_64_nodes(self):
+        z = np.linspace(0.0, 1.2, 101)
+        f64_64 = oracle_transit_flux(z, 0.12, np.asarray(LD), n_quad=64)
+        f64_hi = oracle_transit_flux(z, 0.12, np.asarray(LD), n_quad=4096)
+        np.testing.assert_allclose(f64_64, f64_hi, atol=2e-7)
+
+
+class TestKepler:
+    def test_circular_identity(self):
+        M = jnp.linspace(-3.0, 3.0, 11)
+        np.testing.assert_allclose(np.asarray(eccentric_anomaly(M, jnp.float32(0.0))),
+                                   np.asarray(M), atol=1e-6)
+
+    def test_kepler_residual(self):
+        M = jnp.linspace(-3.0, 3.0, 101)
+        for e in (0.1, 0.5, 0.9):
+            E = eccentric_anomaly(M, jnp.float32(e))
+            resid = np.asarray(E - e * jnp.sin(E) - M)
+            np.testing.assert_allclose(resid, 0.0, atol=5e-6)
+
+    def test_midtransit_impact_parameter(self):
+        orbit = OrbitParams.create(period_s=86400.0, t0_s=0.0, sma_rs=8.0,
+                                   inc_rad=np.deg2rad(87.0))
+        z, front = projected_separation(jnp.array([0.0]), orbit)
+        np.testing.assert_allclose(float(z[0]), 8.0 * np.cos(np.deg2rad(87.0)),
+                                   rtol=1e-5)
+        assert float(front[0]) == 1.0
+
+    def test_secondary_eclipse_masked(self):
+        orbit = OrbitParams.create(period_s=86400.0, t0_s=0.0, sma_rs=8.0,
+                                   inc_rad=np.deg2rad(90.0))
+        lc = transit_light_curve(jnp.array([43200.0]), orbit,
+                                 jnp.array([0.15]), LD)
+        np.testing.assert_allclose(float(lc[0, 0]), 1.0, atol=1e-7)
+
+    def test_eccentric_vs_circular_consistency(self):
+        # e -> 0 limit must reproduce the circular curve.
+        t = jnp.linspace(-5000.0, 5000.0, 41)
+        circ = OrbitParams.create(86400.0, 0.0, 8.0, np.deg2rad(88.0), 0.0)
+        ecc = OrbitParams.create(86400.0, 0.0, 8.0, np.deg2rad(88.0), 1e-5)
+        z1, _ = projected_separation(t, circ)
+        z2, _ = projected_separation(t, ecc)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestLightCurve:
+    def test_shape_and_depth(self):
+        orbit = OrbitParams.create(0.813475 * 86400.0, 0.0, 4.855,
+                                   np.deg2rad(82.1))
+        rp = jnp.full((16,), 0.1595)
+        t = jnp.linspace(-7000.0, 7000.0, 33)
+        lc = transit_light_curve(t, orbit, rp, LD)
+        assert lc.shape == (33, 16)
+        assert float(lc.min()) < 1.0 - 0.8 * 0.1595**2  # in-transit depth
+        np.testing.assert_allclose(np.asarray(lc[0]), 1.0, atol=1e-6)  # pre-ingress
+
+    def test_per_channel_ld(self):
+        orbit = OrbitParams.create(0.813475 * 86400.0, 0.0, 4.855,
+                                   np.deg2rad(82.1))
+        rp = jnp.full((4,), 0.1595)
+        ld2 = jnp.stack([LD, UNIFORM, LD, UNIFORM])
+        t = jnp.array([0.0])
+        lc = transit_light_curve(t, orbit, rp, ld2)
+        assert lc.shape == (1, 4)
+        assert abs(float(lc[0, 0] - lc[0, 2])) < 1e-7
+        assert abs(float(lc[0, 0] - lc[0, 1])) > 1e-4  # LD changes the depth

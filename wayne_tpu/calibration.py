@@ -1,0 +1,350 @@
+"""Calibration tables for the WFC3 IR grisms and detector.
+
+The reference loads STScI calibration products at object construction
+(reference: wayne/grism.py — aXe ``.conf`` field-dependent polynomials,
+sensitivity FITS, wavelength-dependent flat-field cube, master sky frame;
+wayne/detector.py — sample-sequence read-time tables, noise constants).
+
+None of those files exist in this environment, so this module provides
+
+1. :func:`synthetic_grism_tables` / :func:`synthetic_detector_tables` —
+   deterministic synthetic-but-realistic tables built from public WFC3
+   handbook / aXe values (documented per-quantity below), and
+2. loader seams (:func:`load_axe_conf`, :func:`load_sensitivity_ascii`)
+   that accept real STScI products when available.
+
+Everything an exposure kernel needs on-device is packed into a single
+:class:`Tables` pytree of ``jnp`` arrays so the whole visit is one traced
+program with no host round-trips.
+
+Unit conventions: see :mod:`wayne_tpu.config`. One subtlety — counts are
+computed as ``F[erg/s/cm^2/um] * S * dlambda[um]``; because the um<->Angstrom
+factors cancel between flux density and bin width, the sensitivity values
+``S`` are numerically identical to STScI's per-Angstrom convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FULL_FRAME = 1024          # WFC3 IR detector edge (incl. 5-px reference border)
+PIXEL_AREA_CM2 = (18e-4) ** 2  # 18 um HgCdTe pixels
+J_ZERO_POINT_FLAM_UM = 3.13e-6  # erg/s/cm^2/um at 1.25 um for m_J = 0
+
+
+def _register(cls):
+    """Register a dataclass whose every field is a pytree leaf."""
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+# ---------------------------------------------------------------------------
+# Grism geometry: aXe-style field-dependent 2D polynomials
+# ---------------------------------------------------------------------------
+#
+# aXe convention (reference: wayne/grism.py trace construction): for a source
+# at direct-image position (x_ref, y_ref) in full-frame pixels, the +1st order
+# spectrum follows
+#     dy(x)   = DYDX_A_0(x_ref, y_ref) + DYDX_A_1(x_ref, y_ref) * (x - x_ref)
+#     lambda  = DLDP_A_0(x_ref, y_ref) + DLDP_A_1(x_ref, y_ref) * d
+# with d the path length along the trace from the reference point, and each
+# coefficient a 2D polynomial in (x_ref, y_ref):
+#     c(x, y) = a0 + a1*x + a2*y + a3*x^2 + a4*x*y + a5*y^2
+# We carry all coefficients as 6-vectors in that ordering.
+
+_POLY2D_NTERMS = 6
+
+
+def eval_field_poly(coeffs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate an aXe field-dependent coefficient at (x, y) [full-frame px]."""
+    return (coeffs[0] + coeffs[1] * x + coeffs[2] * y
+            + coeffs[3] * x * x + coeffs[4] * x * y + coeffs[5] * y * y)
+
+
+# Synthetic defaults approximating the public aXe WFC3 IR calibration
+# (G141: WFC3.IR.G141.V2.5.conf; G102: WFC3.IR.G102.V2.0.conf). Wavelengths
+# here are in MICRON (aXe files use Angstrom; loaders convert).
+_GRISM_DEFAULTS: dict[str, dict[str, Any]] = {
+    "G141": dict(
+        wl_min=1.075, wl_max=1.70,
+        dydx0=[1.96882, 9.09159e-5, -1.93260e-3, 0.0, 0.0, 0.0],
+        dydx1=[1.04275e-2, -7.96978e-6, -2.49607e-6, 0.0, 0.0, 0.0],
+        dldp0=[0.8949513, 8.6331e-8, 2.17086e-6, 0.0, 0.0, 0.0],
+        dldp1=[4.466487e-3, 4.4568e-10, -9.3373e-8, 0.0, 0.0, 0.0],
+        sens_peak=1.45e16,      # (e-/s) per (erg/s/cm^2/A); first-principles
+        sens_center=1.39, sens_width=0.29,
+        psf_fwhm_lo=1.00, psf_fwhm_hi=1.40,   # px across the bandpass
+    ),
+    "G102": dict(
+        wl_min=0.80, wl_max=1.15,
+        dydx0=[-3.55018e-1, 3.28722e-5, -1.44571e-3, 0.0, 0.0, 0.0],
+        dydx1=[1.17012e-2, -2.53734e-6, -6.34263e-7, 0.0, 0.0, 0.0],
+        dldp0=[0.6344081, 2.9426e-7, 1.2513e-6, 0.0, 0.0, 0.0],
+        dldp1=[2.382368e-3, 5.2037e-10, -5.8282e-8, 0.0, 0.0, 0.0],
+        sens_peak=1.15e16,
+        sens_center=0.98, sens_width=0.16,
+        psf_fwhm_lo=0.95, psf_fwhm_hi=1.20,
+    ),
+}
+
+GRISM_NAMES = tuple(_GRISM_DEFAULTS)
+
+
+# ---------------------------------------------------------------------------
+# Detector: sample sequences
+# ---------------------------------------------------------------------------
+
+# Minimum (RAPID) frame time per subarray, seconds (WFC3 IR handbook).
+RAPID_FRAME_TIME = {1024: 2.932, 512: 0.853, 256: 0.278, 128: 0.113, 64: 0.061}
+
+_SPARS_DT = {"SPARS5": 5.0, "SPARS10": 10.0, "SPARS25": 25.0,
+             "SPARS50": 50.0, "SPARS100": 100.0, "SPARS200": 200.0}
+_STEP_MAX = {"STEP25": 25.0, "STEP50": 50.0, "STEP100": 100.0,
+             "STEP200": 200.0, "STEP400": 400.0}
+
+
+def sample_sequence_times(samp_seq: str, nsamp: int, subarray: int) -> np.ndarray:
+    """Times of reads 0..NSAMP (s after exposure start), read 0 at t=0.
+
+    Approximates the published WFC3 IR sequence tables: RAPID spaces reads by
+    the subarray frame time; SPARSn takes one RAPID read then fixed n-second
+    spacing; STEPn ramps geometrically from RAPID spacing up to n seconds.
+    (reference: wayne/detector.py tabulated read times — exact STScI tables
+    can be loaded over this seam if available.)
+    """
+    if subarray not in RAPID_FRAME_TIME:
+        raise ValueError(f"unknown subarray {subarray}")
+    if not 1 <= nsamp <= 15:
+        raise ValueError("NSAMP must be 1..15")
+    t_frame = RAPID_FRAME_TIME[subarray]
+    seq = samp_seq.upper()
+    times = [0.0]
+    if seq == "RAPID":
+        for k in range(1, nsamp + 1):
+            times.append(k * t_frame)
+    elif seq in _SPARS_DT:
+        dt = _SPARS_DT[seq]
+        times.append(t_frame)
+        for _ in range(nsamp - 1):
+            times.append(times[-1] + dt)
+    elif seq in _STEP_MAX:
+        dt_max = _STEP_MAX[seq]
+        dt = t_frame
+        times.append(t_frame)
+        for _ in range(nsamp - 1):
+            dt = min(dt * 2.0, dt_max)
+            times.append(times[-1] + dt)
+    else:
+        raise ValueError(f"unknown sample sequence {samp_seq!r}")
+    return np.asarray(times[: nsamp + 1], dtype=np.float64)
+
+
+def exptime(samp_seq: str, nsamp: int, subarray: int) -> float:
+    """Total exposure time (reference: wayne/detector.py :: exptime)."""
+    return float(sample_sequence_times(samp_seq, nsamp, subarray)[-1])
+
+
+# ---------------------------------------------------------------------------
+# Tables pytree
+# ---------------------------------------------------------------------------
+
+
+@_register
+@dataclass
+class Tables:
+    """Every array the on-device exposure kernel needs. A single pytree.
+
+    Shapes: S = subarray edge, NL = spectral bins, NR = nsamp + 1.
+    """
+
+    # --- grism geometry / response -------------------------------------
+    wl_edges: jnp.ndarray      # (NL+1,) bin edges, micron
+    wl_centers: jnp.ndarray    # (NL,)
+    sensitivity: jnp.ndarray   # (NL,) (e-/s) per (erg/s/cm^2/A)
+    psf_sigma: jnp.ndarray     # (NL,) cross-dispersion Gaussian sigma, px
+    dydx0: jnp.ndarray         # (6,) field poly -> trace intercept offset
+    dydx1: jnp.ndarray         # (6,) field poly -> trace slope
+    dldp0: jnp.ndarray         # (6,) field poly -> wavelength zero point (um)
+    dldp1: jnp.ndarray         # (6,) field poly -> dispersion (um / px)
+    # --- detector-plane structure ---------------------------------------
+    flat_coeffs: jnp.ndarray   # (4, S, S) wavelength-dependent flat cube
+    sky_frame: jnp.ndarray     # (S, S) master sky, mean 1
+    gain_map: jnp.ndarray      # (S, S) e-/DN
+    dark_map: jnp.ndarray      # (S, S) e-/s
+    bias_map: jnp.ndarray      # (S, S) zeroth-read pedestal, e-
+    # --- scalars ---------------------------------------------------------
+    read_times: jnp.ndarray    # (NR,) s from exposure start
+    gain: jnp.ndarray          # nominal e-/DN
+    read_noise_e: jnp.ndarray  # CDS-equivalent per-read noise, e-
+    full_well_e: jnp.ndarray   # saturation, e-
+    nonlin_c: jnp.ndarray      # fractional deficit at full well
+    cr_rate_px_s: jnp.ndarray  # cosmic-ray events / px / s
+    cr_mean_e: jnp.ndarray     # mean CR deposit, e-
+    subarray_corner: jnp.ndarray  # (2,) (x0, y0) of subarray in full frame
+
+
+def subarray_corner(subarray: int) -> tuple[int, int]:
+    """Centered subarray placement in the 1024^2 full frame."""
+    c = (FULL_FRAME - subarray) // 2
+    return (c, c)
+
+
+def synthetic_tables(
+    grism: str = "G141",
+    subarray: int = 512,
+    n_lambda: int = 512,
+    samp_seq: str = "SPARS10",
+    nsamp: int = 15,
+    *,
+    calib_seed: int = 1234,
+    read_noise_e: float = 20.0,
+    dark_e_s: float = 0.048,
+    full_well_e: float = 78000.0,
+    gain: float = 2.5,
+    nonlin_frac: float = 0.04,
+    cr_rate_cm2_s: float = 11.0,
+    cr_mean_e: float = 1000.0,
+    dtype=jnp.float32,
+) -> Tables:
+    """Build a complete synthetic Tables pytree.
+
+    All pixel-level structure (flat, gain, dark maps) is generated from a
+    fixed-seed NumPy RNG so the calibration is deterministic across runs —
+    it plays the role of the reference's on-disk FITS products.
+    """
+    if grism not in _GRISM_DEFAULTS:
+        raise ValueError(f"unknown grism {grism!r}; have {GRISM_NAMES}")
+    g = _GRISM_DEFAULTS[grism]
+    rng = np.random.RandomState(calib_seed)
+    S = subarray
+
+    # Wavelength grid spanning the bandpass.
+    wl_edges = np.linspace(g["wl_min"], g["wl_max"], n_lambda + 1)
+    wl = 0.5 * (wl_edges[:-1] + wl_edges[1:])
+
+    # Sensitivity: smooth super-Gaussian bell with softened blue/red cutoffs —
+    # shape mimics the STScI first-order sensitivity curves.
+    x = (wl - g["sens_center"]) / g["sens_width"]
+    sens = g["sens_peak"] * np.exp(-0.5 * x ** 4)
+    edge = 0.02 * (g["wl_max"] - g["wl_min"])
+    sens *= 0.5 * (1 + np.tanh((wl - g["wl_min"] - 2 * edge) / edge))
+    sens *= 0.5 * (1 + np.tanh((g["wl_max"] - 2 * edge - wl) / edge))
+
+    # PSF width: linear FWHM growth across the bandpass (WFC3 ISR values).
+    frac = (wl - g["wl_min"]) / (g["wl_max"] - g["wl_min"])
+    fwhm = g["psf_fwhm_lo"] + (g["psf_fwhm_hi"] - g["psf_fwhm_lo"]) * frac
+    psf_sigma = fwhm / 2.35482
+
+    # Wavelength-dependent flat cube: smooth low-order structure + ~0.8% px RMS.
+    yy, xx = np.meshgrid(np.arange(S), np.arange(S), indexing="ij")
+    u, v = xx / S - 0.5, yy / S - 0.5
+    c0 = (1.0 + 0.02 * np.sin(2 * np.pi * u) * np.cos(np.pi * v)
+          - 0.015 * (u ** 2 + v ** 2) + 0.008 * rng.standard_normal((S, S)))
+    c1 = 0.01 * np.cos(2 * np.pi * v) + 0.002 * rng.standard_normal((S, S))
+    c2 = 0.003 * np.sin(3 * np.pi * u * v) + 5e-4 * rng.standard_normal((S, S))
+    c3 = 2e-4 * rng.standard_normal((S, S))
+    flat_coeffs = np.stack([c0, c1, c2, c3])
+
+    # Master sky: smooth gradient + faint structure, normalised to mean 1.
+    sky = 1.0 + 0.08 * u + 0.05 * v + 0.02 * np.sin(4 * np.pi * u) * np.sin(3 * np.pi * v)
+    sky /= sky.mean()
+
+    # Gain map: quadrant offsets + 0.3% pixel RMS around the nominal gain.
+    quad = (0.01 * ((xx >= S // 2).astype(float) - 0.5)
+            + 0.008 * ((yy >= S // 2).astype(float) - 0.5))
+    gain_map = gain * (1.0 + quad + 0.003 * rng.standard_normal((S, S)))
+
+    # Dark map: log-normal-ish pixel distribution around the nominal rate,
+    # with a sparse population of hot pixels.
+    dark_map = dark_e_s * np.exp(0.25 * rng.standard_normal((S, S)))
+    hot = rng.rand(S, S) < 3e-4
+    dark_map = np.where(hot, dark_map * rng.uniform(20, 200, (S, S)), dark_map)
+
+    # Bias / zeroth-read pedestal (e-): smooth plus pixel offsets.
+    bias_map = 2500.0 + 40.0 * np.sin(2 * np.pi * u) + 12.0 * rng.standard_normal((S, S))
+
+    read_times = sample_sequence_times(samp_seq, nsamp, subarray)
+
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    return Tables(
+        wl_edges=f(wl_edges), wl_centers=f(wl), sensitivity=f(sens),
+        psf_sigma=f(psf_sigma),
+        dydx0=f(np.asarray(g["dydx0"])), dydx1=f(np.asarray(g["dydx1"])),
+        dldp0=f(np.asarray(g["dldp0"])), dldp1=f(np.asarray(g["dldp1"])),
+        flat_coeffs=f(flat_coeffs), sky_frame=f(sky), gain_map=f(gain_map),
+        dark_map=f(dark_map), bias_map=f(bias_map),
+        read_times=f(read_times), gain=f(gain),
+        read_noise_e=f(read_noise_e), full_well_e=f(full_well_e),
+        nonlin_c=f(nonlin_frac),
+        cr_rate_px_s=f(cr_rate_cm2_s * PIXEL_AREA_CM2),
+        cr_mean_e=f(cr_mean_e),
+        subarray_corner=f(np.asarray(subarray_corner(subarray), dtype=np.float64)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Loader seams for real STScI products
+# ---------------------------------------------------------------------------
+
+
+def load_axe_conf(path: str) -> dict[str, np.ndarray]:
+    """Parse an aXe grism ``.conf`` file into field-poly coefficient vectors.
+
+    Returns DYDX_A_0/1 and DLDP_A_0/1 as 6-vectors (wavelengths converted
+    Angstrom -> micron). Only the +1st order (BEAM A) keys are read.
+    """
+    out: dict[str, np.ndarray] = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.split(";")[0].strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            key = parts[0]
+            if key in ("DYDX_A_0", "DYDX_A_1", "DLDP_A_0", "DLDP_A_1"):
+                vals = np.zeros(_POLY2D_NTERMS)
+                given = np.asarray([float(v) for v in parts[1:]])
+                vals[: len(given)] = given[:_POLY2D_NTERMS]
+                if key.startswith("DLDP"):
+                    vals *= 1e-4  # Angstrom -> micron
+                out[key] = vals
+    missing = {"DYDX_A_0", "DYDX_A_1", "DLDP_A_0", "DLDP_A_1"} - set(out)
+    if missing:
+        raise ValueError(f"aXe conf {path!r} missing keys: {sorted(missing)}")
+    return out
+
+
+def load_sensitivity_ascii(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load a two-column (wavelength[um or A], sensitivity) ASCII table."""
+    data = np.loadtxt(path)
+    wl, sens = data[:, 0], data[:, 1]
+    if wl.max() > 100.0:  # heuristically Angstrom
+        wl = wl * 1e-4
+    return wl, sens
+
+
+def with_loaded_grism(tables: Tables, conf_path: str | None = None,
+                      sens_path: str | None = None) -> Tables:
+    """Override synthetic grism calibration with real products."""
+    updates: dict[str, jnp.ndarray] = {}
+    if conf_path is not None:
+        conf = load_axe_conf(conf_path)
+        updates.update(
+            dydx0=jnp.asarray(conf["DYDX_A_0"], tables.dydx0.dtype),
+            dydx1=jnp.asarray(conf["DYDX_A_1"], tables.dydx1.dtype),
+            dldp0=jnp.asarray(conf["DLDP_A_0"], tables.dldp0.dtype),
+            dldp1=jnp.asarray(conf["DLDP_A_1"], tables.dldp1.dtype),
+        )
+    if sens_path is not None:
+        wl, sens = load_sensitivity_ascii(sens_path)
+        wl_c = np.asarray(tables.wl_centers)
+        updates["sensitivity"] = jnp.asarray(
+            np.interp(wl_c, wl, sens, left=0.0, right=0.0),
+            tables.sensitivity.dtype)
+    return dataclasses.replace(tables, **updates)

@@ -1,0 +1,341 @@
+"""Typed configuration for wayne_tpu.
+
+Two kinds of configuration live here:
+
+1. **Static config** (frozen, hashable dataclasses): anything that changes
+   array *shapes* or the traced program — subarray size, number of spectral
+   bins, NSAMP, noise toggles. These are closed over / passed as static
+   arguments to ``jax.jit``.
+2. **Host config** (plain dataclasses): the user-facing observation
+   description parsed from a YAML parameter file. The YAML schema accepts
+   the reference simulator's key names (reference: wayne/run_visit.py —
+   single ``-p parameter_file.yml`` entry point) alongside our canonical
+   names.
+
+Internal unit conventions (documented once, used everywhere):
+  wavelength           micron (um)
+  flux density F_lambda erg / s / cm^2 / um
+  sensitivity          (e- / s) per (erg / s / cm^2 / um)
+  time                 seconds from visit start (device); MJD on host only
+  position             detector pixels
+  charge               electrons; DN = electrons / gain
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+# ---------------------------------------------------------------------------
+# Static (shape-determining / trace-determining) configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NoiseFlags:
+    """Which physical effects are enabled. Static: toggling retraces.
+
+    Mirrors the reference's per-effect boolean switches
+    (reference: wayne/exposure_generator.py noise kwargs such as ``add_dark``,
+    ``add_flat``, ``add_gain_variations``, ``sky_background``, ``cosmic_rate``,
+    ``add_read_noise``, ``add_non_linear``, ``add_stellar_noise``).
+    """
+
+    poisson: bool = True          # photon (shot) noise on accumulated charge
+    read_noise: bool = True       # per-read Gaussian read noise
+    dark: bool = True             # dark current accumulation
+    sky: bool = True              # master-sky background accumulation
+    flat: bool = True             # wavelength-dependent flat-field structure
+    non_linearity: bool = True    # HgCdTe non-linearity near full well
+    cosmic_rays: bool = True      # Poisson-random CR hits
+    bias: bool = True             # zeroth-read / bias pedestal
+    gain_variations: bool = True  # inter-quadrant / pixel gain structure
+    ssv: bool = True              # scan-speed variations
+    visit_trend: bool = True      # orbit hook + visit-long slope
+    pointing_drift: bool = True   # x/y reference-position drift
+
+    @classmethod
+    def none(cls) -> "NoiseFlags":
+        return cls(**{f.name: False for f in dataclasses.fields(cls)})
+
+    @classmethod
+    def all(cls) -> "NoiseFlags":
+        return cls(**{f.name: True for f in dataclasses.fields(cls)})
+
+
+@dataclass(frozen=True)
+class ExposureStatic:
+    """Shape/trace-static parameters of a single exposure program.
+
+    One jitted exposure kernel is compiled per distinct ExposureStatic.
+    """
+
+    subarray: int = 512          # detector subarray edge S (frames are S x S)
+    n_lambda: int = 512          # spectral bins across the grism bandpass
+    n_sub: int = 8               # temporal subintervals per read interval
+    nsamp: int = 15              # non-destructive reads after the zeroth read
+    samp_seq: str = "SPARS10"    # WFC3 sample sequence name
+    scan: bool = True            # spatial scan (True) vs staring (False)
+    max_cr_per_read: int = 16    # static bound on cosmic-ray hits per read
+    transit_quad: int = 64       # quadrature nodes for the occultation integral
+    noise: NoiseFlags = field(default_factory=NoiseFlags)
+    dtype: str = "float32"       # on-device accumulation dtype
+
+    def __post_init__(self) -> None:
+        if self.subarray not in (64, 128, 256, 512, 1024):
+            raise ValueError(f"invalid subarray {self.subarray}")
+        if not (1 <= self.nsamp <= 15):
+            raise ValueError("NSAMP must be in 1..15 (WFC3 IR limit)")
+        if self.n_sub < 1 or self.n_lambda < 2:
+            raise ValueError("n_sub >= 1 and n_lambda >= 2 required")
+
+
+# ---------------------------------------------------------------------------
+# Host-side observation description (YAML-facing)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StarConfig:
+    """Stellar description (reference: wayne observation YAML 'target' block)."""
+
+    name: str = "star"
+    temperature_k: float = 4500.0       # blackbody fallback temperature
+    magnitude_j: float = 10.0           # J-band magnitude used for rescaling
+    radius_rsun: float = 0.67           # stellar radius (R_sun)
+    spectrum_file: str | None = None    # two-column (micron, F_lambda) file
+    flux_scale: float | None = None     # explicit scale overriding magnitude
+
+
+@dataclass
+class PlanetConfig:
+    """Planet + orbit (reference: exodata-resolved system parameters)."""
+
+    name: str = "planet"
+    period_days: float = 0.813475       # WASP-43 b defaults
+    t0_mjd: float = 56000.0             # transit mid-time
+    sma_over_rs: float = 4.855          # a / R_star
+    inclination_deg: float = 82.1
+    eccentricity: float = 0.0
+    periastron_deg: float = 90.0
+    rp_over_rs: float = 0.1595          # continuum radius ratio
+    spectrum_file: str | None = None    # transmission spectrum (micron, Rp/Rs)
+    ld_coeffs: tuple[float, float, float, float] = (
+        0.65, -0.25, 0.45, -0.2)        # Claret 4-parameter law
+
+
+@dataclass
+class TrendConfig:
+    """Systematics amplitudes (reference: wayne/trend_generators/)."""
+
+    ssv_amplitude: float = 0.015        # fractional scan-speed variation (~1.5%)
+    ssv_period_s: float = 0.7           # SSV sinusoid period
+    ssv_phase: float = 0.0
+    visit_slope_per_day: float = 0.01   # visit-long linear slope (r_a)
+    hook_amplitude: float = 0.003       # orbit ramp amplitude (r_b1)
+    hook_timescale_s: float = 300.0     # orbit ramp e-folding time (r_b2)
+    hook_orbit1_scale: float = 2.0      # stronger hook in first orbit
+    drift_x_per_exp: float = 0.002      # px drift per exposure
+    drift_y_per_exp: float = 0.005
+    drift_jitter: float = 0.005         # random per-exposure pointing jitter (px)
+
+
+@dataclass
+class ObservationConfig:
+    """Full visit description — the YAML parameter file maps onto this."""
+
+    grism: str = "G141"
+    subarray: int = 512
+    nsamp: int = 15
+    samp_seq: str = "SPARS10"
+    scan: bool = True
+    scan_speed_pix_s: float = 1.0       # spatial-scan rate in pixels / s
+    alternate_scan_direction: bool = False  # forward/reverse alternation
+    x_ref: float = 256.0                # direct-image reference position
+    y_ref: float = 128.0
+    n_orbits: int = 4
+    exposures_per_orbit: int = 0        # 0 -> fill visibility window
+    exposure_overhead_s: float = 20.0   # readout+serial overheads between exps
+    start_mjd: float = 55999.86
+    seed: int = 0
+    sky_level: float = 1.2              # mean sky rate through grism (e-/s/px)
+    cosmic_rate: float = 11.0           # CR events / s / cm^2
+    star: StarConfig = field(default_factory=StarConfig)
+    planet: PlanetConfig = field(default_factory=PlanetConfig)
+    trends: TrendConfig = field(default_factory=TrendConfig)
+    noise: NoiseFlags = field(default_factory=NoiseFlags)
+    n_lambda: int = 512
+    n_sub: int = 8
+    outdir: str = "wayne_out"
+
+    def exposure_static(self) -> ExposureStatic:
+        return ExposureStatic(
+            subarray=self.subarray,
+            n_lambda=self.n_lambda,
+            n_sub=self.n_sub,
+            nsamp=self.nsamp,
+            samp_seq=self.samp_seq,
+            scan=self.scan,
+            noise=self.noise,
+        )
+
+
+# ---------------------------------------------------------------------------
+# YAML loading — accepts reference-style key names
+# ---------------------------------------------------------------------------
+
+# Mapping from reference YAML keys (reference: wayne parameter files, e.g.
+# the repo's example `*_par.yml`) to (section, field) in ObservationConfig.
+_REF_KEY_ALIASES: dict[str, tuple[str | None, str]] = {
+    # observation block
+    "grism": (None, "grism"),
+    "subarray": (None, "subarray"),
+    "nsamp": (None, "nsamp"),
+    "NSAMP": (None, "nsamp"),
+    "samp_seq": (None, "samp_seq"),
+    "SAMPSEQ": (None, "samp_seq"),
+    "scan": (None, "scan"),
+    "spatial_scan": (None, "scan"),
+    "scan_speed": (None, "scan_speed_pix_s"),
+    "x_ref": (None, "x_ref"),
+    "y_ref": (None, "y_ref"),
+    "num_orbits": (None, "n_orbits"),
+    "n_orbits": (None, "n_orbits"),
+    "exp_start_times": (None, "start_mjd"),
+    "start_JD": (None, "start_mjd"),
+    "start_mjd": (None, "start_mjd"),
+    "seed": (None, "seed"),
+    "sky_rate": (None, "sky_level"),
+    "sky_level": (None, "sky_level"),
+    "cosmic_rate": (None, "cosmic_rate"),
+    "outdir": (None, "outdir"),
+    "save_location": (None, "outdir"),
+    # star block
+    "star_temperature": ("star", "temperature_k"),
+    "mag_J": ("star", "magnitude_j"),
+    "stellar_spectrum_file": ("star", "spectrum_file"),
+    "star_radius": ("star", "radius_rsun"),
+    # planet block
+    "planet_name": ("planet", "name"),
+    "period": ("planet", "period_days"),
+    "t0": ("planet", "t0_mjd"),
+    "sma_over_rs": ("planet", "sma_over_rs"),
+    "a_rs": ("planet", "sma_over_rs"),
+    "inclination": ("planet", "inclination_deg"),
+    "eccentricity": ("planet", "eccentricity"),
+    "periastron": ("planet", "periastron_deg"),
+    "rp_over_rs": ("planet", "rp_over_rs"),
+    "planet_spectrum_file": ("planet", "spectrum_file"),
+    "ld_coeffs": ("planet", "ld_coeffs"),
+    "limb_darkening": ("planet", "ld_coeffs"),
+    # trends block
+    "ssv_amplitude": ("trends", "ssv_amplitude"),
+    "ssv_period": ("trends", "ssv_period_s"),
+    "visit_slope": ("trends", "visit_slope_per_day"),
+    "hook_amplitude": ("trends", "hook_amplitude"),
+    "hook_timescale": ("trends", "hook_timescale_s"),
+    "x_shifts": ("trends", "drift_x_per_exp"),
+    "y_shifts": ("trends", "drift_y_per_exp"),
+}
+
+_NOISE_KEY_ALIASES: dict[str, str] = {
+    "noise": "poisson",
+    "stellar_noise": "poisson",
+    "add_read_noise": "read_noise",
+    "read_noise": "read_noise",
+    "add_dark": "dark",
+    "dark": "dark",
+    "sky_background": "sky",
+    "sky": "sky",
+    "add_flat": "flat",
+    "flat": "flat",
+    "add_non_linear": "non_linearity",
+    "non_linearity": "non_linearity",
+    "cosmic_rays": "cosmic_rays",
+    "add_gain_variations": "gain_variations",
+    "gain_variations": "gain_variations",
+    "bias": "bias",
+    "add_initial_bias": "bias",
+    "ssv": "ssv",
+    "scan_speed_var": "ssv",
+    "visit_trend": "visit_trend",
+    "x_shifts_on": "pointing_drift",
+    "pointing_drift": "pointing_drift",
+}
+
+
+def _coerce(value: Any, target: Any) -> Any:
+    if isinstance(target, bool):
+        if isinstance(value, str):
+            return value.strip().lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if isinstance(target, int) and not isinstance(target, bool):
+        return int(value)
+    if isinstance(target, float):
+        return float(value)
+    if isinstance(target, tuple):
+        return tuple(float(v) for v in value)
+    return value
+
+
+def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
+    """Build an ObservationConfig from a (possibly reference-style) dict.
+
+    Accepts either nested sections (observation/star/planet/trends/noise)
+    or the reference's flat key layout.
+    """
+    cfg = ObservationConfig()
+    flat: dict[str, Any] = {}
+    noise_kv: dict[str, Any] = {}
+    for key, value in params.items():
+        if key in ("observation", "star", "target", "planet", "trends",
+                   "systematics") and isinstance(value, Mapping):
+            flat.update(value)
+        elif key == "noise" and isinstance(value, Mapping):
+            noise_kv.update(value)
+        else:
+            flat[key] = value
+
+    noise_fields = {f.name for f in dataclasses.fields(NoiseFlags)}
+    noise_updates: dict[str, bool] = {}
+    for key, value in list(flat.items()):
+        if key in _NOISE_KEY_ALIASES and isinstance(value, bool):
+            noise_updates[_NOISE_KEY_ALIASES[key]] = value
+            del flat[key]
+    for key, value in noise_kv.items():
+        name = _NOISE_KEY_ALIASES.get(key, key)
+        if name in noise_fields:
+            noise_updates[name] = bool(value)
+    if noise_updates:
+        cfg.noise = dataclasses.replace(cfg.noise, **noise_updates)
+
+    for key, value in flat.items():
+        section_field = _REF_KEY_ALIASES.get(key)
+        if section_field is None:
+            # Accept canonical field names directly on any section.
+            if hasattr(cfg, key):
+                section_field = (None, key)
+            elif hasattr(cfg.star, key):
+                section_field = ("star", key)
+            elif hasattr(cfg.planet, key):
+                section_field = ("planet", key)
+            elif hasattr(cfg.trends, key):
+                section_field = ("trends", key)
+            else:
+                continue  # unknown keys are ignored, like the reference
+        section, name = section_field
+        obj = cfg if section is None else getattr(cfg, section)
+        setattr(obj, name, _coerce(value, getattr(obj, name)))
+    return cfg
+
+
+def load_yaml(path: str) -> ObservationConfig:
+    """Load a parameter file (reference: ``wayne -p parfile.yml``)."""
+    import yaml
+
+    with open(path) as fh:
+        params = yaml.safe_load(fh) or {}
+    if not isinstance(params, Mapping):
+        raise ValueError(f"parameter file {path!r} must contain a mapping")
+    return config_from_dict(params)

@@ -1,0 +1,103 @@
+"""WFC3 ``ima``-style multi-read FITS product (reference: wayne/exposure.py
+:: Exposure.add_read / generate_fits).
+
+Layout matches the real instrument product so standard WFC3 reduction
+pipelines (Iraclis et al.) accept the files:
+
+  - Primary HDU: no data, full WFC3 keyword block (TARGNAME, EXPSTART,
+    NSAMP, SAMP_SEQ, SUBTYPE, APERTURE, FILTER, SCAN_RAT, ...).
+  - Per read, stored in REVERSE time order (last read first, EXTVER 1 =
+    final read): SCI, ERR, DQ, SAMP, TIME image extensions.
+
+Units: SCI planes are detector DN (the simulator's raw output). ERR is the
+propagated shot+read-noise estimate, DQ is 0 (no flags simulated into DQ
+yet), SAMP holds the read index, TIME the sample time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+from wayne_tpu.io.fits import FitsHDU, read_fits, write_fits
+
+
+def default_primary_header(
+    *, targname: str, grism: str, nsamp: int, samp_seq: str, subarray: int,
+    expstart_mjd: float, exptime_s: float, scan: bool, scan_rate_pix_s: float,
+    plate_scale: float = 0.121, extra: Mapping[str, Any] | None = None,
+) -> dict[str, Any]:
+    """The WFC3 keyword block downstream pipelines key off."""
+    scan_rate_arcsec = abs(scan_rate_pix_s) * plate_scale
+    hdr: dict[str, Any] = {
+        "TELESCOP": "HST", "INSTRUME": "WFC3", "DETECTOR": "IR",
+        "FILTER": grism, "TARGNAME": targname,
+        "OBSTYPE": "SPECTROSCOPIC", "OBSMODE": "MULTIACCUM",
+        "EXPSTART": expstart_mjd,
+        "EXPEND": expstart_mjd + exptime_s / 86400.0,
+        "EXPTIME": exptime_s,
+        "NSAMP": nsamp + 1,                 # WFC3 counts the zeroth read
+        "SAMP_SEQ": samp_seq,
+        "SUBARRAY": subarray != 1024,
+        "SUBTYPE": f"SQ{subarray}SUB" if subarray != 1024 else "FULLIMAG",
+        "APERTURE": f"IRSUB{subarray}" if subarray != 1024 else "IR",
+        "SCAN_TYP": "C" if scan else "N",
+        "SCAN_RAT": scan_rate_arcsec,
+        "SCAN_LEN": scan_rate_arcsec * exptime_s,
+        "SCAN_ANG": 0.0,
+        "POSTARG1": 0.0, "POSTARG2": 0.0,
+        "PROPOSID": 0, "UNITCORR": "OMIT",
+        "BUNIT": "COUNTS",
+        "ORIGIN": "wayne_tpu simulator",
+    }
+    if extra:
+        hdr.update(extra)
+    return hdr
+
+
+def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
+              primary: dict[str, Any], *, err: np.ndarray | None = None,
+              dq: np.ndarray | None = None, gain: float = 2.5,
+              read_noise_e: float = 20.0) -> None:
+    """Write one exposure as an ima-style FITS file.
+
+    Args:
+      reads_dn: (NR, S, S) sampled reads in TIME order (read 0 first).
+      read_times: (NR,) seconds from exposure start.
+      err: optional (NR, S, S); default: sqrt(max(signal_e,0) + rn^2)/gain.
+    """
+    reads_dn = np.asarray(reads_dn, np.float32)
+    nr = reads_dn.shape[0]
+    hdus = [FitsHDU(name="", data=None, header=primary)]
+    for ver, k in enumerate(range(nr - 1, -1, -1), start=1):
+        sci = reads_dn[k]
+        if err is not None:
+            e = np.asarray(err[k], np.float32)
+        else:
+            sig_e = np.maximum(sci, 0.0) * gain
+            e = (np.sqrt(sig_e + read_noise_e**2) / gain).astype(np.float32)
+        d = (np.zeros_like(sci, np.int16) if dq is None
+             else np.asarray(dq[k], np.int16))
+        samp = np.full_like(d, k, dtype=np.int16)
+        t = np.full_like(sci, np.float32(read_times[k]), dtype=np.float32)
+        meta = {"SAMPNUM": k, "SAMPTIME": float(read_times[k]),
+                "DELTATIM": float(read_times[k] - read_times[k - 1]) if k else 0.0}
+        hdus.append(FitsHDU("SCI", ver, sci, dict(meta, BUNIT="COUNTS")))
+        hdus.append(FitsHDU("ERR", ver, e, dict(meta)))
+        hdus.append(FitsHDU("DQ", ver, d, dict(meta)))
+        hdus.append(FitsHDU("SAMP", ver, samp, dict(meta)))
+        hdus.append(FitsHDU("TIME", ver, t, dict(meta)))
+    write_fits(path, hdus)
+
+
+def read_ima(path: str) -> tuple[dict[str, Any], np.ndarray, np.ndarray]:
+    """Read an ima file back: (primary_header, reads_dn time-ordered, times)."""
+    hdus = read_fits(path)
+    primary = hdus[0][0]
+    sci = [(h, d) for h, d in hdus[1:] if h.get("EXTNAME") == "SCI"]
+    # stored reverse-time; sort by SAMPNUM ascending
+    sci.sort(key=lambda hd: int(hd[0].get("SAMPNUM", 0)))
+    reads = np.stack([d for _, d in sci])
+    times = np.asarray([float(h.get("SAMPTIME", 0.0)) for h, _ in sci])
+    return primary, reads, times

@@ -1,0 +1,79 @@
+"""Grism models: G102 / G141 (reference: wayne/grism.py :: Grism, G141, G102).
+
+The reference's Grism object owns the aXe trace/dispersion polynomials,
+sensitivity curve, PSF-width table and wavelength-dependent flat field,
+and exposes get_trace()/flux_to_psf()/get_sensitivity(). Here the same
+data lives in the Tables pytree (device-side); this class is the host
+handle that builds those tables, optionally from real STScI products,
+and offers the reference-style query API for tests and tooling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from wayne_tpu import calibration as cal
+from wayne_tpu.ops import dispersion as disp
+
+import jax.numpy as jnp
+
+
+class Grism:
+    """Host handle for one WFC3 IR grism."""
+
+    name: str = "G141"
+
+    def __init__(self, subarray: int = 512, n_lambda: int = 512,
+                 samp_seq: str = "SPARS10", nsamp: int = 15,
+                 conf_file: str | None = None, sens_file: str | None = None,
+                 **detector_kwargs):
+        self.subarray = subarray
+        self.n_lambda = n_lambda
+        self.tables = cal.synthetic_tables(
+            self.name, subarray=subarray, n_lambda=n_lambda,
+            samp_seq=samp_seq, nsamp=nsamp, **detector_kwargs)
+        if conf_file or sens_file:
+            self.tables = cal.with_loaded_grism(self.tables, conf_file, sens_file)
+        defaults = cal._GRISM_DEFAULTS[self.name]
+        self.wl_min = defaults["wl_min"]
+        self.wl_max = defaults["wl_max"]
+
+    # -- reference-style query API (host, for tests/diagnostics) ---------
+
+    def get_trace(self, x_ref: float, y_ref: float) -> disp.TraceParams:
+        """Trace solution at a reference position (reference: Grism.get_trace)."""
+        return disp.trace_params(self.tables, jnp.float32(x_ref),
+                                 jnp.float32(y_ref))
+
+    def wl_to_x(self, wl, x_ref: float, y_ref: float):
+        return np.asarray(disp.wl_to_x(jnp.asarray(wl, jnp.float32),
+                                       self.get_trace(x_ref, y_ref)))
+
+    def x_to_wl(self, x, x_ref: float, y_ref: float):
+        return np.asarray(disp.x_to_wl(jnp.asarray(x, jnp.float32),
+                                       self.get_trace(x_ref, y_ref)))
+
+    def get_sensitivity(self, wl) -> np.ndarray:
+        """Sensitivity interpolated at wl (reference: Grism.get_sensitivity)."""
+        return np.interp(np.asarray(wl), np.asarray(self.tables.wl_centers),
+                         np.asarray(self.tables.sensitivity))
+
+    def psf_sigma(self, wl) -> np.ndarray:
+        """Cross-dispersion Gaussian sigma (reference: Grism.flux_to_psf width)."""
+        return np.interp(np.asarray(wl), np.asarray(self.tables.wl_centers),
+                         np.asarray(self.tables.psf_sigma))
+
+
+class G141(Grism):
+    name = "G141"
+
+
+class G102(Grism):
+    name = "G102"
+
+
+def make_grism(name: str, **kwargs) -> Grism:
+    try:
+        return {"G141": G141, "G102": G102}[name.upper()](**kwargs)
+    except KeyError:
+        raise ValueError(f"unknown grism {name!r}") from None

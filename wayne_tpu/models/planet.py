@@ -1,0 +1,79 @@
+"""Planet + orbit handling (reference: exodata system resolution +
+transmission-spectrum file loading in wayne/observation.py).
+
+The reference resolves named systems from the Open Exoplanet Catalogue via
+the exodata package; with no catalog in this environment the same surface
+is provided by explicit PlanetConfig parameters plus a tiny built-in table
+of well-known benchmark systems (values from the published literature).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from wayne_tpu.config import PlanetConfig
+from wayne_tpu.ops.kepler import OrbitParams
+from wayne_tpu.utils.spectra import interp_to_grid
+
+# Built-in catalog of benchmark transiting systems (literature values):
+# period [d], a/Rs, inc [deg], Rp/Rs, Teff [K], J mag of host.
+KNOWN_SYSTEMS: dict[str, dict] = {
+    "WASP-43 b": dict(period_days=0.813475, sma_over_rs=4.855,
+                      inclination_deg=82.1, rp_over_rs=0.1595,
+                      star_teff=4520.0, star_j=9.995),
+    "HD 209458 b": dict(period_days=3.52474859, sma_over_rs=8.76,
+                        inclination_deg=86.71, rp_over_rs=0.12086,
+                        star_teff=6065.0, star_j=6.591),
+    "GJ 1214 b": dict(period_days=1.58040464, sma_over_rs=14.85,
+                      inclination_deg=89.1, rp_over_rs=0.1160,
+                      star_teff=3026.0, star_j=9.750),
+    "WASP-18 b": dict(period_days=0.94145299, sma_over_rs=3.57,
+                      inclination_deg=84.9, rp_over_rs=0.0958,
+                      star_teff=6400.0, star_j=8.413),
+}
+
+
+def resolve_system(name: str) -> dict:
+    """Catalog lookup by name (exodata-equivalent seam)."""
+    key = name.strip()
+    if key in KNOWN_SYSTEMS:
+        return KNOWN_SYSTEMS[key]
+    raise KeyError(
+        f"unknown system {name!r}; provide explicit PlanetConfig parameters "
+        f"or one of {sorted(KNOWN_SYSTEMS)}")
+
+
+class Planet:
+    """Host-side planet: orbit params + transmission spectrum on the grid."""
+
+    def __init__(self, cfg: PlanetConfig, visit_start_mjd: float = 0.0):
+        self.cfg = cfg
+        self.visit_start_mjd = visit_start_mjd
+        if cfg.spectrum_file:
+            data = np.loadtxt(cfg.spectrum_file)
+            wl, rp = data[:, 0], data[:, 1]
+            if wl.max() > 100.0:
+                wl = wl * 1e-4
+            if np.median(rp) > 1.0:      # given as depth in (Rp/Rs)^2 ppm?
+                raise ValueError("planet spectrum must be Rp/Rs (got values > 1)")
+            self._wl, self._rp = wl, rp
+        else:
+            self._wl = None
+            self._rp = None
+
+    def rp_on_grid(self, wl_centers: np.ndarray) -> np.ndarray:
+        if self._wl is None:
+            return np.full(np.asarray(wl_centers).shape, self.cfg.rp_over_rs)
+        return interp_to_grid(self._wl, self._rp, np.asarray(wl_centers))
+
+    def orbit_params(self) -> OrbitParams:
+        """OrbitParams on the visit clock (seconds since visit start)."""
+        t0_s = (self.cfg.t0_mjd - self.visit_start_mjd) * 86400.0
+        return OrbitParams.create(
+            period_s=self.cfg.period_days * 86400.0,
+            t0_s=t0_s,
+            sma_rs=self.cfg.sma_over_rs,
+            inc_rad=np.deg2rad(self.cfg.inclination_deg),
+            ecc=self.cfg.eccentricity,
+            omega_rad=np.deg2rad(self.cfg.periastron_deg),
+        )

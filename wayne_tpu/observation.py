@@ -1,0 +1,231 @@
+"""Visit orchestration (reference: wayne/observation.py :: Observation).
+
+Builds every host-side input (calibration tables, stellar/planet spectra
+on the instrument grid, visit plan, per-exposure pointing drift and scan
+direction, RNG keys), stacks them into a batched Scene, runs the device
+visit program in chunks, and streams ima-style FITS files to disk.
+
+Device/host boundary (BASELINE north_star): everything from the dispersed
+spectrum to the sampled reads happens on-device in one jitted program;
+FITS assembly and file writes stay host-side, overlapped with the next
+chunk's device compute (JAX dispatch is asynchronous).
+
+Checkpoint/resume: each exposure lands in its own file, so an interrupted
+visit resumes by skipping exposures whose outputs already exist — the same
+incremental property the reference gets from its per-exposure writes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wayne_tpu.calibration import Tables
+from wayne_tpu.config import ExposureStatic, ObservationConfig
+from wayne_tpu.io.ima import default_primary_header, write_ima
+from wayne_tpu.io.fits import FitsHDU, write_fits
+from wayne_tpu.models.grism import make_grism
+from wayne_tpu.models.planet import Planet
+from wayne_tpu.models.stellar import Star
+from wayne_tpu.ops.visit import pad_scenes, simulate_visit
+from wayne_tpu.scene import Scene
+from wayne_tpu.trends import TrendParams
+from wayne_tpu.visit_plan import VisitPlan, plan_visit
+
+log = logging.getLogger("wayne_tpu")
+
+
+class Observation:
+    """One simulated WFC3 IR grism visit."""
+
+    def __init__(self, cfg: ObservationConfig):
+        self.cfg = cfg
+        self.static = cfg.exposure_static()
+        self.grism = make_grism(cfg.grism, subarray=cfg.subarray,
+                                n_lambda=cfg.n_lambda, samp_seq=cfg.samp_seq,
+                                nsamp=cfg.nsamp)
+        self.tables: Tables = self.grism.tables
+        self.detector_exptime = float(self.tables.read_times[-1])
+        self.plan: VisitPlan = plan_visit(
+            cfg.n_orbits, self.detector_exptime, cfg.exposure_overhead_s,
+            cfg.start_mjd, cfg.exposures_per_orbit,
+            first_orbit_trim=5 * 60.0)
+        self.star = Star(cfg.star)
+        self.planet = Planet(cfg.planet, visit_start_mjd=cfg.start_mjd)
+        self.scenes = self._build_scenes()
+
+    # ------------------------------------------------------------------
+    def _build_scenes(self) -> Scene:
+        cfg, plan = self.cfg, self.plan
+        n = plan.n_exposures
+        rng = np.random.RandomState(cfg.seed)
+        tr = cfg.trends
+
+        # Pointing drift: slow linear drift + per-exposure jitter
+        # (reference: wayne/trend_generators x/y shift classes).
+        idx = np.arange(n)
+        if cfg.noise.pointing_drift:
+            x_ref = (cfg.x_ref + tr.drift_x_per_exp * idx
+                     + tr.drift_jitter * rng.standard_normal(n))
+            y_ref = (cfg.y_ref + tr.drift_y_per_exp * idx
+                     + tr.drift_jitter * rng.standard_normal(n))
+        else:
+            x_ref = np.full(n, cfg.x_ref)
+            y_ref = np.full(n, cfg.y_ref)
+
+        # Scan direction alternation: reverse scans start at the far end
+        # and sweep back (real WFC3 forward/reverse visits).
+        speed = np.full(n, cfg.scan_speed_pix_s if cfg.scan else 0.0)
+        if cfg.scan and cfg.alternate_scan_direction:
+            reverse = idx % 2 == 1
+            speed[reverse] *= -1.0
+            y_ref = y_ref + np.where(
+                reverse, abs(cfg.scan_speed_pix_s) * self.detector_exptime, 0.0)
+
+        wl_edges = np.asarray(self.tables.wl_edges, np.float64)
+        wl_centers = np.asarray(self.tables.wl_centers, np.float64)
+        stellar = self.star.flux_on_grid(wl_edges)
+        rp = self.planet.rp_on_grid(wl_centers)
+
+        ssv_phases = rng.uniform(0, 2 * np.pi, n)  # SSV phase varies per exp
+        trends = TrendParams.create(
+            ssv_amp=tr.ssv_amplitude, ssv_period_s=tr.ssv_period_s,
+            visit_slope_per_s=tr.visit_slope_per_day / 86400.0,
+            hook_amp=tr.hook_amplitude, hook_tau_s=tr.hook_timescale_s,
+            hook_orbit1_scale=tr.hook_orbit1_scale)
+        trends_b = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n,)), trends)
+        trends_b = dataclasses.replace(
+            trends_b, ssv_phase=jnp.asarray(ssv_phases, jnp.float32))
+
+        orbit = self.planet.orbit_params()
+        orbit_b = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n,)), orbit)
+
+        keys = jax.vmap(lambda i: jax.random.fold_in(
+            jax.random.PRNGKey(cfg.seed), i))(jnp.arange(n))
+
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        bcast = lambda v: jnp.broadcast_to(f32(v), (n,) + np.shape(v)[1:])
+        return Scene(
+            x_ref=f32(x_ref), y_ref=f32(y_ref),
+            exp_start_s=f32(plan.exp_start_s),
+            orbit_start_s=f32(plan.orbit_start_s),
+            is_first_orbit=f32(plan.orbit_index == 0),
+            scan_speed=f32(speed),
+            stellar_flux=jnp.broadcast_to(f32(stellar), (n, stellar.size)),
+            rp_over_rs=jnp.broadcast_to(f32(rp), (n, rp.size)),
+            ld=jnp.broadcast_to(f32(np.asarray(self.cfg.planet.ld_coeffs)), (n, 4)),
+            orbit=orbit_b, trends=trends_b,
+            sky_level=bcast(np.full(n, cfg.sky_level)),
+            key=keys,
+        )
+
+    # ------------------------------------------------------------------
+    def simulate(self, chunk: int = 8):
+        """Run the entire visit on-device; returns batched ExposureResult."""
+        scenes, n = pad_scenes(self.scenes, chunk)
+        out = simulate_visit(scenes, self.tables, self.static, chunk)
+        return jax.tree_util.tree_map(lambda x: x[:n], out)
+
+    # ------------------------------------------------------------------
+    def generate(self, outdir: str | None = None, chunk: int = 8,
+                 progress: Callable[[str], None] | None = None,
+                 resume: bool = True) -> list[str]:
+        """Simulate and write the visit to ima-style FITS files.
+
+        Overlaps host FITS writing of chunk i with device compute of
+        chunk i+1 via JAX's async dispatch. Returns written paths.
+        """
+        cfg = self.cfg
+        outdir = outdir or cfg.outdir
+        os.makedirs(outdir, exist_ok=True)
+        say = progress or (lambda s: log.info("%s", s))
+
+        self._write_direct_image(outdir)
+
+        scenes, n = pad_scenes(self.scenes, chunk)
+        n_padded = jax.tree_util.tree_leaves(scenes)[0].shape[0]
+        read_times = np.asarray(self.tables.read_times, np.float64)
+        gain = float(self.tables.gain)
+        rn = float(self.tables.read_noise_e)
+        paths: list[str] = []
+        t_start = time.time()
+
+        pending: list[tuple[int, object]] = []
+        for c0 in range(0, n_padded, chunk):
+            sl = jax.tree_util.tree_map(lambda x: x[c0: c0 + chunk], scenes)
+            res = simulate_visit(sl, self.tables, self.static, chunk)
+            pending.append((c0, res))
+            # Write the previous chunk while this one computes.
+            if len(pending) > 1:
+                paths += self._write_chunk(pending.pop(0), outdir, n,
+                                           read_times, gain, rn, chunk,
+                                           resume, say)
+        while pending:
+            paths += self._write_chunk(pending.pop(0), outdir, n, read_times,
+                                       gain, rn, chunk, resume, say)
+        say(f"visit complete: {len(paths)} exposures in "
+            f"{time.time() - t_start:.2f}s -> {outdir}")
+        return paths
+
+    # ------------------------------------------------------------------
+    def _write_chunk(self, item, outdir, n, read_times, gain, rn, chunk,
+                     resume, say) -> list[str]:
+        c0, res = item
+        reads = np.asarray(res.reads_dn)   # (chunk, NR, S, S) device->host
+        cfg = self.cfg
+        paths = []
+        for j in range(reads.shape[0]):
+            i = c0 + j
+            if i >= n:
+                break
+            path = os.path.join(outdir, f"{cfg.star.name}_{i:04d}_ima.fits")
+            if resume and os.path.exists(path):
+                continue
+            primary = default_primary_header(
+                targname=cfg.star.name, grism=cfg.grism, nsamp=cfg.nsamp,
+                samp_seq=cfg.samp_seq, subarray=cfg.subarray,
+                expstart_mjd=float(self.plan.exp_start_mjd()[i]),
+                exptime_s=self.detector_exptime, scan=cfg.scan,
+                scan_rate_pix_s=float(np.asarray(self.scenes.scan_speed)[i]),
+                extra={"SIMSEED": cfg.seed, "EXPINDEX": i,
+                       "SAT_FRAC": float(np.asarray(res.saturated_frac)[j])})
+            write_ima(path, reads[j], read_times, primary, gain=gain,
+                      read_noise_e=rn)
+            paths.append(path)
+            say(f"exposure {i + 1}/{n} written")
+        return paths
+
+    # ------------------------------------------------------------------
+    def _write_direct_image(self, outdir: str) -> None:
+        """Direct image through the imaging filter at visit start
+        (reference: real WFC3 grism visits open with a direct image so
+        reduction pipelines can fix the wavelength zero point)."""
+        S = self.cfg.subarray
+        x0 = float(np.asarray(self.scenes.x_ref)[0])
+        y0 = float(np.asarray(self.scenes.y_ref)[0])
+        # Total F140W-ish counts: band-integrated flux * mean sensitivity * 1s
+        stellar = np.asarray(self.scenes.stellar_flux)[0]
+        sens = np.asarray(self.tables.sensitivity)
+        dlam = np.diff(np.asarray(self.tables.wl_edges))
+        total = float((stellar * sens * dlam).sum() * 0.5)  # imaging throughput
+        yy, xx = np.mgrid[0:S, 0:S].astype(np.float64)
+        sig = 1.1
+        img = total * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * sig**2))
+        img /= 2 * np.pi * sig**2
+        hdr = default_primary_header(
+            targname=self.cfg.star.name, grism="F140W", nsamp=1,
+            samp_seq="RAPID", subarray=S, expstart_mjd=self.plan.start_mjd,
+            exptime_s=1.0, scan=False, scan_rate_pix_s=0.0,
+            extra={"OBSTYPE": "IMAGING", "XREF": x0, "YREF": y0})
+        write_fits(os.path.join(outdir, f"{self.cfg.star.name}_direct.fits"),
+                   [FitsHDU(header=hdr),
+                    FitsHDU("SCI", 1, img.astype(np.float32))])

@@ -1,0 +1,205 @@
+"""The fused per-exposure kernel: disperse -> splat -> scan -> up-the-ramp.
+
+This is the TPU rebuild of the reference's hot loop
+(reference: wayne/exposure_generator.py :: ExposureGenerator.scanning_frame
+/ staring_frame): where the reference runs Python loops over wavelength
+bins x temporal subsamples x reads, here one traced program
+
+  1. evaluates the field-dependent trace/dispersion for this pointing,
+  2. builds the wavelength->column deposit matrix X (NL, S),
+  3. per read interval (lax.scan over NSAMP): evaluates the transit light
+     curve and systematics on K coarse subsegments, computes exact
+     time-integrated moving-Gaussian row profiles Y (closed form — no
+     move-by-less-than-a-pixel subsampling), and forms the frame as
+     Y^T @ (counts * X): a single (S, NL) x (NL, S) MXU matmul,
+  4. applies the detector chain per read: flat, sky, dark, Poisson,
+     cosmic rays, non-linearity, saturation, gain, bias, read noise,
+  5. emits the NSAMP+1 up-the-ramp reads in DN (time order).
+
+Everything is static-shaped; one compilation per ExposureStatic config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from wayne_tpu.calibration import Tables
+from wayne_tpu.config import ExposureStatic
+from wayne_tpu.ops.dispersion import (
+    flat_plane, trace_params, trace_y, wl_to_x, x_deposit_matrix,
+)
+from wayne_tpu.ops.psf import pixel_fractions_moving, pixel_fractions_static
+from wayne_tpu.ops.transit import transit_light_curve
+from wayne_tpu.scene import Scene
+from wayne_tpu.trends import ssv_factor, visit_trend_factor
+
+
+def _register(cls):
+    names = [f.name for f in fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=names, meta_fields=[])
+
+
+@_register
+@dataclass
+class ExposureResult:
+    """Per-exposure outputs."""
+
+    reads_dn: jnp.ndarray       # (NSAMP+1, S, S) sampled reads, DN, time order
+    ideal_e: jnp.ndarray        # (S, S) noise-free accumulated source e-
+    saturated_frac: jnp.ndarray  # fraction of pixels at full well in last read
+
+
+def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
+                    t_mid: jnp.ndarray, dt_seg: jnp.ndarray) -> jnp.ndarray:
+    """Source electrons per (subsegment, wavelength bin): (K, NL).
+
+    counts = F_lambda * sensitivity * dlambda * dt * LC(t, lambda)
+             * SSV(t) * visit_trend(t).
+    """
+    dlam = jnp.diff(tables.wl_edges)
+    rate0 = scene.stellar_flux * tables.sensitivity * dlam   # e-/s per bin
+    times_abs = scene.exp_start_s + t_mid
+    lc = transit_light_curve(times_abs, scene.orbit, scene.rp_over_rs,
+                             scene.ld, cfg.transit_quad)     # (K, NL)
+    factor = jnp.ones_like(t_mid)
+    if cfg.noise.ssv and cfg.scan:
+        factor = factor * ssv_factor(t_mid, scene.trends)
+    if cfg.noise.visit_trend:
+        factor = factor * visit_trend_factor(
+            scene.exp_start_s + t_mid,
+            scene.exp_start_s - scene.orbit_start_s + t_mid,
+            scene.is_first_orbit, scene.trends)
+    return rate0[None, :] * lc * (factor * dt_seg)[:, None]
+
+
+def _row_profiles(scene: Scene, cfg: ExposureStatic, y_base: jnp.ndarray,
+                  sigma: jnp.ndarray, t_edges: jnp.ndarray) -> jnp.ndarray:
+    """Time-integrated row deposit profiles per subsegment: (K, NL, S).
+
+    Scanning: exact moving-Gaussian path average per subsegment.
+    Staring: static pixel-integrated Gaussian (same for all subsegments).
+    """
+    S = cfg.subarray
+    y_edges = jnp.arange(S + 1, dtype=y_base.dtype) - 0.5
+    y_edges_b = jnp.broadcast_to(y_edges, (y_base.shape[0], S + 1))
+    if not cfg.scan:
+        frac = pixel_fractions_static(y_edges_b, y_base, sigma)
+        return jnp.broadcast_to(frac[None], (cfg.n_sub,) + frac.shape)
+
+    offsets = scene.scan_speed * t_edges                     # (K+1,)
+
+    def seg(o0, o1):
+        return pixel_fractions_moving(y_edges_b, y_base + o0, y_base + o1, sigma)
+
+    return jax.vmap(seg)(offsets[:-1], offsets[1:])
+
+
+def _cosmic_rays(key: jnp.ndarray, tables: Tables, cfg: ExposureStatic,
+                 dt: jnp.ndarray) -> jnp.ndarray:
+    """Cosmic-ray charge frame for one read interval (S, S).
+
+    Static-shaped: MAX_CR candidate hits are drawn, the Poisson-distributed
+    actual count masks the excess (reference: wayne/detector.py cosmic-ray
+    injection; rate scales with interval time and detector area).
+    """
+    S = cfg.subarray
+    n_max = cfg.max_cr_per_read
+    k_n, k_pos, k_q = jax.random.split(key, 3)
+    lam = tables.cr_rate_px_s * (S * S) * dt
+    n = jax.random.poisson(k_n, lam)
+    pos = jax.random.randint(k_pos, (2, n_max), 0, S)
+    charge = tables.cr_mean_e * jax.random.exponential(k_q, (n_max,))
+    mask = (jnp.arange(n_max) < n).astype(charge.dtype)
+    frame = jnp.zeros((S, S), charge.dtype)
+    return frame.at[pos[0], pos[1]].add(charge * mask)
+
+
+def _apply_nonlinearity(cum_e: jnp.ndarray, tables: Tables) -> jnp.ndarray:
+    """HgCdTe non-linearity: measured deficit growing to nonlin_c at full well."""
+    fw = tables.full_well_e
+    return cum_e * (1.0 - tables.nonlin_c * jnp.minimum(cum_e, fw) / fw)
+
+
+@partial(jax.jit, static_argnames="cfg")
+def simulate_exposure(scene: Scene, tables: Tables,
+                      cfg: ExposureStatic) -> ExposureResult:
+    """Simulate one full exposure. See module docstring for the pipeline."""
+    S, K, NR = cfg.subarray, cfg.n_sub, cfg.nsamp + 1
+    flags = cfg.noise
+    dtype = jnp.dtype(cfg.dtype)
+
+    tp = trace_params(tables, scene.x_ref, scene.y_ref)
+    x_edges = wl_to_x(tables.wl_edges, tp)
+    X = x_deposit_matrix(x_edges, S).astype(dtype)           # (NL, S)
+    x_centers = wl_to_x(tables.wl_centers, tp)
+    y_base = trace_y(x_centers, tp)                          # (NL,)
+    sigma = tables.psf_sigma
+
+    flatp = flat_plane(tables, tp) if flags.flat else None
+    gain_div = tables.gain_map if flags.gain_variations else tables.gain
+    read_times = tables.read_times                           # (NR,)
+
+    bg_rate = jnp.zeros((S, S), dtype)
+    if flags.sky:
+        bg_rate = bg_rate + scene.sky_level * tables.sky_frame
+    if flags.dark:
+        bg_rate = bg_rate + tables.dark_map
+
+    def emit_read(cum_e: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
+        # Saturation + non-linearity model the same physical effect
+        # (charge capacity); both are gated by the non_linearity flag so
+        # the noise-off chain is exactly linear for oracle diffs.
+        sig = cum_e
+        if flags.non_linearity:
+            sig = _apply_nonlinearity(jnp.minimum(cum_e, tables.full_well_e),
+                                      tables)
+        if flags.bias:
+            sig = sig + tables.bias_map
+        if flags.read_noise:
+            sig = sig + tables.read_noise_e * jax.random.normal(key, (S, S), dtype)
+        return sig / gain_div
+
+    def step(carry, k):
+        cum_e, ideal_e = carry
+        t_a, t_b = read_times[k], read_times[k + 1]
+        dt = t_b - t_a
+        t_seg_edges = t_a + (dt / K) * jnp.arange(K + 1, dtype=dtype)
+        t_mid = 0.5 * (t_seg_edges[:-1] + t_seg_edges[1:])
+
+        counts = _segment_counts(scene, tables, cfg, t_mid, dt / K)  # (K, NL)
+        Y = _row_profiles(scene, cfg, y_base, sigma, t_seg_edges)    # (K, NL, S)
+        Yw = jnp.einsum("kl,kls->ls", counts, Y).astype(dtype)
+        # The splat: frame[y, x] = sum_l Yw[l, y] X[l, x] — one MXU matmul.
+        frame = jax.lax.dot_general(
+            Yw, X, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)
+        if flatp is not None:
+            frame = frame * flatp
+
+        interval = frame + bg_rate * dt
+        key_k = jax.random.fold_in(scene.key, k)
+        k_poisson, k_cr, k_read = jax.random.split(key_k, 3)
+        if flags.poisson:
+            interval = jax.random.poisson(
+                k_poisson, jnp.maximum(interval, 0.0)).astype(dtype)
+        if flags.cosmic_rays:
+            interval = interval + _cosmic_rays(k_cr, tables, cfg, dt)
+
+        cum_e = cum_e + interval
+        ideal_e = ideal_e + frame
+        return (cum_e, ideal_e), emit_read(cum_e, k_read)
+
+    zero = jnp.zeros((S, S), dtype)
+    k0 = jax.random.fold_in(scene.key, cfg.nsamp + 1)
+    read0 = emit_read(zero, k0)
+    (cum_e, ideal_e), reads = jax.lax.scan(
+        step, (zero, zero), jnp.arange(cfg.nsamp))
+    reads_dn = jnp.concatenate([read0[None], reads], axis=0)  # (NR, S, S)
+
+    sat = jnp.mean((cum_e >= tables.full_well_e).astype(dtype))
+    return ExposureResult(reads_dn=reads_dn, ideal_e=ideal_e,
+                          saturated_frac=sat)

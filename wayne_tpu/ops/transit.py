@@ -1,0 +1,137 @@
+"""Limb-darkened transit light curve (pylightcurve-equivalent) in JAX.
+
+The reference computes per-wavelength transit flux drops with
+pylightcurve's ``transit_flux_drop`` using the Claret 4-parameter
+non-linear limb-darkening law (reference: wayne/exposure_generator.py,
+per (lambda-channel, subsample-time) call). Here the occultation integral
+is evaluated with a fixed-node quadrature that is exact in the fully
+occulted core and spectrally smooth at the contact points, so a single
+program vmaps over (time, wavelength) grids on the VPU.
+
+Math
+----
+Stellar intensity profile (Claret 2000):
+    I(mu) = 1 - sum_{n=1..4} c_n (1 - mu^(n/2)),   mu = sqrt(1 - r^2).
+
+Total disk flux (closed form):
+    F_tot = pi * [1 - sum c_n * n / (n + 4)]       (we drop the common pi)
+
+Flux blocked by a planet of radius p at projected separation z splits into
+ - a fully covered inner disk r < r_in = max(0, p - z): closed form, and
+ - a partially covered annulus r in [|z-p|, min(1, z+p)] where the covered
+   azimuth fraction is kappa(r)/pi, kappa = acos((z^2 + r^2 - p^2)/(2 z r)):
+   integrated with Gauss-Legendre nodes under the substitution
+   r = r_lo + (r_hi - r_lo) * sin^2(pi s / 2), which absorbs the sqrt
+   behaviour of kappa at both contact points (and of mu at the limb).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+from wayne_tpu.ops.kepler import OrbitParams, projected_separation
+
+_N = jnp.arange(1, 5, dtype=jnp.float32)        # Claret exponents n = 1..4
+
+
+def claret_intensity(mu: jnp.ndarray, ld: jnp.ndarray) -> jnp.ndarray:
+    """I(mu)/I(1) for the Claret 4-parameter law."""
+    mu = jnp.clip(mu, 0.0, 1.0)
+    powers = mu[..., None] ** (_N / 2.0)
+    return 1.0 - jnp.sum(ld * (1.0 - powers), axis=-1)
+
+
+def claret_total_flux(ld: jnp.ndarray) -> jnp.ndarray:
+    """integral_0^1 I(r) 2 r dr (disk-integrated flux, normalised units)."""
+    return 1.0 - jnp.sum(ld * _N / (_N + 4.0), axis=-1)
+
+
+def _covered_core_flux(r_in: jnp.ndarray, ld: jnp.ndarray) -> jnp.ndarray:
+    """integral_0^{r_in} I(r) 2 r dr, closed form via mu-substitution."""
+    mu_in = jnp.sqrt(jnp.clip(1.0 - r_in * r_in, 0.0, 1.0))
+    base = (1.0 - jnp.sum(ld, axis=-1)) * (1.0 - mu_in * mu_in)
+    terms = jnp.sum(ld * 4.0 / (_N + 4.0) * (1.0 - mu_in[..., None] ** ((_N + 4.0) / 2.0)),
+                    axis=-1)
+    return base + terms
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _gl_nodes(n: int) -> tuple[np.ndarray, np.ndarray]:
+    x, w = np.polynomial.legendre.leggauss(n)      # on [-1, 1]
+    return (0.5 * (x + 1.0)).astype(np.float32), (0.5 * w).astype(np.float32)
+
+
+@partial(jnp.vectorize, excluded=(2, 3), signature="(),()->()")
+def _occulted_flux(z, p, ld, n_quad):
+    """Flux blocked by the planet: scalar core, vectorized over leading dims."""
+    s, w = _gl_nodes(n_quad)
+    s = jnp.asarray(s)
+    w = jnp.asarray(w)
+
+    z = jnp.maximum(z, 1e-7)
+    r_in = jnp.clip(p - z, 0.0, 1.0)
+    core = _covered_core_flux(r_in, ld)
+
+    r_lo = jnp.clip(jnp.abs(z - p), 0.0, 1.0)
+    r_hi = jnp.clip(z + p, 0.0, 1.0)
+    span = jnp.maximum(r_hi - r_lo, 0.0)
+
+    u = jnp.sin(0.5 * jnp.pi * s) ** 2             # node positions in [0, 1]
+    du = 0.5 * jnp.pi * jnp.sin(jnp.pi * s)        # d(u)/d(s)
+    r = r_lo + span * u
+    safe_r = jnp.maximum(r, 1e-7)
+    cos_k = (z * z + safe_r * safe_r - p * p) / (2.0 * z * safe_r)
+    kappa = jnp.arccos(jnp.clip(cos_k, -1.0, 1.0))
+    mu = jnp.sqrt(jnp.clip(1.0 - r * r, 0.0, 1.0))
+    integrand = claret_intensity(mu, ld) * (kappa / jnp.pi) * 2.0 * r
+    annulus = span * jnp.sum(w * du * integrand)
+
+    occ = core + annulus
+    return jnp.where((p <= 0.0) | (z >= 1.0 + p), 0.0, occ)
+
+
+def transit_depth_curve(z: jnp.ndarray, rp_over_rs: jnp.ndarray,
+                        ld: jnp.ndarray, n_quad: int = 64) -> jnp.ndarray:
+    """Relative flux F(z, p)/F_star for broadcastable ``z`` and ``rp_over_rs``.
+
+    This is the pylightcurve ``transit_flux_drop`` equivalent.
+    """
+    z, p = jnp.broadcast_arrays(jnp.asarray(z, jnp.float32),
+                                jnp.asarray(rp_over_rs, jnp.float32))
+    ld = jnp.asarray(ld, jnp.float32)
+    occ = _occulted_flux(z, p, ld, n_quad)
+    return 1.0 - occ / claret_total_flux(ld)
+
+
+def transit_light_curve(times: jnp.ndarray, orbit: OrbitParams,
+                        rp_over_rs: jnp.ndarray, ld: jnp.ndarray,
+                        n_quad: int = 64) -> jnp.ndarray:
+    """Light curve on a (time, wavelength) grid.
+
+    Args:
+      times: (NT,) seconds (same clock as ``orbit.t0_s``).
+      rp_over_rs: (NL,) per-channel radius ratio.
+      ld: (4,) Claret coefficients (per-channel (NL, 4) also accepted).
+
+    Returns:
+      (NT, NL) relative flux in (1 - depth, 1].
+    """
+    import jax
+
+    z, in_front = projected_separation(times, orbit)
+    shape = (times.shape[0], rp_over_rs.shape[0])
+    z_grid = jnp.broadcast_to(z[:, None], shape)
+    p_grid = jnp.broadcast_to(rp_over_rs[None, :], shape)
+    if ld.ndim == 2:
+        flux = jax.vmap(
+            lambda zc, pc, ldc: transit_depth_curve(zc, pc, ldc, n_quad),
+            in_axes=(1, 1, 0), out_axes=1)(z_grid, p_grid, ld)
+    else:
+        flux = transit_depth_curve(z_grid, p_grid, ld, n_quad)
+    return 1.0 - (1.0 - flux) * in_front[:, None]

@@ -1,0 +1,66 @@
+"""Scene: the dynamic (traced) inputs of one exposure.
+
+Everything that varies exposure-to-exposure (pointing after drift, start
+time, scan speed/direction, RNG key) or visit-to-visit (spectra, orbit,
+systematics amplitudes) lives in this pytree; stacking Scenes along a
+leading axis gives a whole visit that a single vmapped kernel consumes.
+This replaces the reference's per-exposure Python call
+(reference: wayne/observation.py :: Observation.generate loop passing
+per-exposure x_ref/y_ref/time into ExposureGenerator).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+import jax
+import jax.numpy as jnp
+
+from wayne_tpu.ops.kepler import OrbitParams
+from wayne_tpu.trends import TrendParams
+
+
+def _register(cls):
+    names = [f.name for f in fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=names, meta_fields=[])
+
+
+@_register
+@dataclass
+class Scene:
+    """Dynamic inputs of one exposure. All leaves are jnp arrays."""
+
+    x_ref: jnp.ndarray            # direct-image reference col (subarray px)
+    y_ref: jnp.ndarray            # reference row at exposure start
+    exp_start_s: jnp.ndarray      # exposure start on the visit clock (s)
+    orbit_start_s: jnp.ndarray    # start of the current HST orbit (s)
+    is_first_orbit: jnp.ndarray   # 1.0 in the first orbit (stronger hook)
+    scan_speed: jnp.ndarray       # signed scan rate (px/s); 0 for staring
+    stellar_flux: jnp.ndarray     # (NL,) F_lambda, erg/s/cm^2/um on wl grid
+    rp_over_rs: jnp.ndarray       # (NL,) transmission spectrum
+    ld: jnp.ndarray               # (4,) Claret coefficients
+    orbit: OrbitParams
+    trends: TrendParams
+    sky_level: jnp.ndarray        # mean sky rate (e-/s/px)
+    key: jnp.ndarray              # jax.random key
+
+
+def example_scene(n_lambda: int, *, seed: int = 0,
+                  scan_speed: float = 1.0) -> Scene:
+    """A synthetic WASP-43b-like scene, mainly for tests and benchmarks."""
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    wl = jnp.linspace(1.075, 1.7, n_lambda)
+    stellar = 3.13e-10 * (wl / 1.25) ** -2        # ~J=10 mag, smooth red slope
+    rp = 0.1595 + 0.002 * jnp.sin(8.0 * wl)       # wiggly transmission spectrum
+    orbit = OrbitParams.create(
+        period_s=0.813475 * 86400.0, t0_s=2.0 * 3600.0,
+        sma_rs=4.855, inc_rad=jnp.deg2rad(82.1))
+    return Scene(
+        x_ref=f32(180.0), y_ref=f32(120.0), exp_start_s=f32(0.0),
+        orbit_start_s=f32(0.0), is_first_orbit=f32(1.0),
+        scan_speed=f32(scan_speed),
+        stellar_flux=f32(stellar), rp_over_rs=f32(rp),
+        ld=f32(jnp.array([0.65, -0.25, 0.45, -0.2])),
+        orbit=orbit, trends=TrendParams.create(),
+        sky_level=f32(1.2), key=jax.random.PRNGKey(seed),
+    )
