@@ -1,0 +1,70 @@
+"""Config/YAML tests (reference key compatibility)."""
+
+import os
+import tempfile
+
+import pytest
+
+from wayne_tpu.config import (
+    ExposureStatic, NoiseFlags, ObservationConfig, config_from_dict, load_yaml,
+)
+
+
+def test_defaults_roundtrip_static():
+    cfg = ObservationConfig()
+    st = cfg.exposure_static()
+    assert st.subarray == 512 and st.nsamp == 15 and st.scan
+    hash(st)  # static config must be hashable for jit
+
+
+def test_reference_style_flat_keys():
+    cfg = config_from_dict({
+        "grism": "g102".upper(), "NSAMP": 7, "SAMPSEQ": "SPARS25",
+        "subarray": 256, "scan_speed": 0.5, "num_orbits": 3,
+        "mag_J": 11.2, "planet_name": "X b", "period": 2.0, "t0": 56001.0,
+        "rp_over_rs": 0.08, "x_shifts": 0.01,
+    })
+    assert cfg.grism == "G102" and cfg.nsamp == 7
+    assert cfg.samp_seq == "SPARS25" and cfg.subarray == 256
+    assert cfg.scan_speed_pix_s == 0.5 and cfg.n_orbits == 3
+    assert cfg.star.magnitude_j == 11.2
+    assert cfg.planet.period_days == 2.0 and cfg.planet.rp_over_rs == 0.08
+    assert cfg.trends.drift_x_per_exp == 0.01
+
+
+def test_nested_sections_and_noise_block():
+    cfg = config_from_dict({
+        "observation": {"grism": "G141", "nsamp": 3},
+        "target": {"star_temperature": 5000.0},
+        "planet": {"inclination": 85.0},
+        "noise": {"read_noise": False, "cosmic_rays": False, "ssv": True},
+    })
+    assert cfg.nsamp == 3
+    assert cfg.star.temperature_k == 5000.0
+    assert cfg.planet.inclination_deg == 85.0
+    assert not cfg.noise.read_noise and not cfg.noise.cosmic_rays
+    assert cfg.noise.ssv
+
+
+def test_yaml_file_loading():
+    with tempfile.NamedTemporaryFile("w", suffix=".yml", delete=False) as fh:
+        fh.write("grism: G141\nNSAMP: 4\nld_coeffs: [0.1, 0.2, 0.3, 0.4]\n")
+        path = fh.name
+    try:
+        cfg = load_yaml(path)
+        assert cfg.nsamp == 4
+        assert cfg.planet.ld_coeffs == (0.1, 0.2, 0.3, 0.4)
+    finally:
+        os.unlink(path)
+
+
+def test_invalid_values_raise():
+    with pytest.raises(ValueError):
+        ExposureStatic(subarray=100)
+    with pytest.raises(ValueError):
+        ExposureStatic(nsamp=16)
+
+
+def test_noise_flag_factories():
+    assert not any(vars(NoiseFlags.none()).values())
+    assert all(vars(NoiseFlags.all()).values())

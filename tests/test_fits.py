@@ -1,0 +1,100 @@
+"""FITS layer tests: round-trips, ima structure, native/python parity."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from wayne_tpu.io.fits import FitsHDU, read_fits, write_fits
+from wayne_tpu.io.ima import default_primary_header, read_ima, write_ima
+from wayne_tpu.io.native import native_available
+
+
+def test_fits_roundtrip_types():
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.fits")
+        f32 = np.arange(12, dtype=np.float32).reshape(3, 4) * 1.5
+        i16 = np.arange(12, dtype=np.int16).reshape(3, 4)
+        write_fits(path, [
+            FitsHDU(header={"FOO": 1, "BAR": "baz", "PI": 3.25, "OK": True}),
+            FitsHDU("SCI", 1, f32, {"SAMPNUM": 2}),
+            FitsHDU("DQ", 1, i16),
+        ])
+        hdus = read_fits(path)
+        assert len(hdus) == 3
+        hdr0, d0 = hdus[0]
+        assert d0 is None
+        assert hdr0["FOO"] == 1 and hdr0["BAR"] == "baz"
+        assert hdr0["PI"] == 3.25 and hdr0["OK"] is True
+        np.testing.assert_array_equal(hdus[1][1], f32)
+        assert hdus[1][0]["EXTNAME"] == "SCI"
+        np.testing.assert_array_equal(hdus[2][1], i16)
+        assert os.path.getsize(path) % 2880 == 0
+
+
+def _make_reads(nr=4, s=32, seed=0):
+    rng = np.random.RandomState(seed)
+    reads = np.cumsum(rng.uniform(0, 100, (nr, s, s)).astype(np.float32), axis=0)
+    times = np.array([0.0, 0.3, 10.3, 20.3])[:nr]
+    return reads, times
+
+
+def _primary(nr):
+    return default_primary_header(
+        targname="T", grism="G141", nsamp=nr - 1, samp_seq="SPARS10",
+        subarray=32, expstart_mjd=56000.0, exptime_s=20.3, scan=True,
+        scan_rate_pix_s=1.0)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_ima_roundtrip(use_native):
+    if use_native and not native_available():
+        pytest.skip("native backend unavailable")
+    reads, times = _make_reads()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x_ima.fits")
+        write_ima(path, reads, times, _primary(4), use_native=use_native)
+        hdr, got, got_times = read_ima(path)
+        np.testing.assert_array_equal(got, reads)
+        np.testing.assert_allclose(got_times, times)
+        assert hdr["NSAMP"] == 4 and hdr["FILTER"] == "G141"
+        assert hdr["SCAN_TYP"] == "C"
+
+
+def test_ima_reverse_order_and_extensions():
+    reads, times = _make_reads()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x_ima.fits")
+        write_ima(path, reads, times, _primary(4), use_native=False)
+        hdus = read_fits(path)
+        # primary + 4 reads x (SCI, ERR, DQ, SAMP, TIME)
+        assert len(hdus) == 1 + 4 * 5
+        names = [h.get("EXTNAME") for h, _ in hdus[1:6]]
+        assert names == ["SCI", "ERR", "DQ", "SAMP", "TIME"]
+        # reverse time order: first SCI is the LAST read
+        assert hdus[1][0]["SAMPNUM"] == 3
+        np.testing.assert_array_equal(hdus[1][1], reads[-1])
+        assert hdus[1 + 3 * 5][0]["SAMPNUM"] == 0
+
+
+@pytest.mark.skipif(not native_available(), reason="native backend unavailable")
+def test_native_matches_python_bytes():
+    reads, times = _make_reads()
+    with tempfile.TemporaryDirectory() as d:
+        p_py = os.path.join(d, "py.fits")
+        p_nat = os.path.join(d, "nat.fits")
+        write_ima(p_py, reads, times, _primary(4), use_native=False,
+                  gain=2.5, read_noise_e=20.0)
+        write_ima(p_nat, reads, times, _primary(4), use_native=True,
+                  gain=2.5, read_noise_e=20.0)
+        a, b = read_fits(p_py), read_fits(p_nat)
+        assert len(a) == len(b)
+        for (ha, da), (hb, db) in zip(a, b):
+            assert ha.get("EXTNAME") == hb.get("EXTNAME")
+            if da is None:
+                assert db is None
+            elif ha.get("EXTNAME") == "ERR":
+                np.testing.assert_allclose(da, db, rtol=1e-6)
+            else:
+                np.testing.assert_array_equal(da, db)

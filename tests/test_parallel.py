@@ -1,0 +1,76 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wayne_tpu.calibration import synthetic_tables
+from wayne_tpu.config import ExposureStatic, NoiseFlags
+from wayne_tpu.ops.exposure import simulate_exposure
+from wayne_tpu.parallel.ensemble import (
+    extract_spectra, mc_scenes, simulate_ensemble_spectra,
+)
+from wayne_tpu.parallel.mesh import make_mesh, shard_scenes
+from wayne_tpu.scene import example_scene
+
+S, NL, NSAMP = 64, 32, 2
+CFG = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=NSAMP,
+                     samp_seq="RAPID", scan=True, max_cr_per_read=4,
+                     transit_quad=16)
+TABLES = synthetic_tables("G141", subarray=S, n_lambda=NL, samp_seq="RAPID",
+                          nsamp=NSAMP)
+
+
+def _visit(n_exp):
+    base = example_scene(NL, scan_speed=1.0)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_exp,) + x.shape), base)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_factorisation():
+    mesh = make_mesh(jax.devices())
+    assert mesh.shape["mc"] * mesh.shape["exp"] == 8
+    assert mesh.shape["mc"] > 1 and mesh.shape["exp"] > 1
+
+
+def test_sharded_ensemble_matches_single_device():
+    mesh = make_mesh(jax.devices())
+    n_mc, n_exp = mesh.shape["mc"] * 2, mesh.shape["exp"] * 2
+    ens = mc_scenes(_visit(n_exp), n_mc, seed=3)
+
+    sharded = shard_scenes(ens, mesh, n_batch_axes=2)
+    got = np.asarray(simulate_ensemble_spectra(sharded, TABLES, CFG, mesh))
+
+    # single-device truth: plain nested vmap of the same scenes
+    def one(s):
+        return extract_spectra(simulate_exposure(s, TABLES, CFG).reads_dn)
+    want = np.asarray(jax.vmap(jax.vmap(one))(ens))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+def test_ensemble_realisations_differ_only_by_noise():
+    mesh = make_mesh(jax.devices())
+    n_mc, n_exp = mesh.shape["mc"], mesh.shape["exp"]
+    noise_off = dataclasses.replace(CFG, noise=NoiseFlags.none())
+    ens = mc_scenes(_visit(n_exp), n_mc, seed=5)
+    sharded = shard_scenes(ens, mesh, n_batch_axes=2)
+    spectra = np.asarray(
+        simulate_ensemble_spectra(sharded, TABLES, noise_off, mesh))
+    # noise off -> every realisation identical
+    for m in range(1, n_mc):
+        np.testing.assert_allclose(spectra[m], spectra[0], rtol=1e-6)
+
+
+def test_sharding_layout_is_2d():
+    mesh = make_mesh(jax.devices())
+    ens = mc_scenes(_visit(mesh.shape["exp"]), mesh.shape["mc"])
+    sharded = shard_scenes(ens, mesh, n_batch_axes=2)
+    sharding = sharded.stellar_flux.sharding
+    assert len(sharding.device_set) == 8

@@ -1,0 +1,53 @@
+"""fast_poisson statistical validation against exact samplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wayne_tpu.ops.random import fast_poisson
+
+
+@pytest.mark.parametrize("lam", [0.05, 0.5, 3.0, 12.0, 24.0, 60.0, 5000.0])
+def test_moments(lam):
+    n = 200_000
+    x = np.asarray(fast_poisson(jax.random.PRNGKey(1), jnp.float32(lam),
+                                shape=(n,)))
+    assert abs(x.mean() - lam) < 5 * np.sqrt(lam / n) + 1e-3
+    assert abs(x.var() / lam - 1.0) < 0.05
+    assert x.min() >= 0
+    np.testing.assert_allclose(x, np.round(x))  # integer-valued
+
+
+def test_small_lam_distribution_exact():
+    # Inverse-transform regime must match the exact pmf, not just moments.
+    lam = 2.5
+    n = 400_000
+    x = np.asarray(fast_poisson(jax.random.PRNGKey(7), jnp.float32(lam),
+                                shape=(n,)))
+    from scipy.stats import poisson as sp_poisson
+    ks = np.arange(0, 12)
+    emp = np.array([(x == k).mean() for k in ks])
+    pmf = sp_poisson.pmf(ks, lam)
+    np.testing.assert_allclose(emp, pmf, atol=4 * np.sqrt(pmf.max() / n) + 5e-4)
+
+
+def test_zero_lam_gives_zero():
+    x = np.asarray(fast_poisson(jax.random.PRNGKey(0), jnp.zeros((100,))))
+    np.testing.assert_array_equal(x, 0.0)
+
+
+def test_deterministic_per_key():
+    lam = jnp.full((64,), 7.0)
+    a = fast_poisson(jax.random.PRNGKey(3), lam)
+    b = fast_poisson(jax.random.PRNGKey(3), lam)
+    assert jnp.array_equal(a, b)
+    c = fast_poisson(jax.random.PRNGKey(4), lam)
+    assert not jnp.array_equal(a, c)
+
+
+def test_mixed_lam_array():
+    lam = jnp.array([0.1, 1.0, 30.0, 1e4])
+    x = np.asarray(fast_poisson(jax.random.PRNGKey(5), lam, shape=(1000, 4)))
+    means = x.mean(axis=0)
+    np.testing.assert_allclose(means, np.asarray(lam), rtol=0.2, atol=0.05)

@@ -81,6 +81,10 @@ class ExposureStatic:
     transit_quad: int = 64       # quadrature nodes for the occultation integral
     noise: NoiseFlags = field(default_factory=NoiseFlags)
     dtype: str = "float32"       # on-device accumulation dtype
+    band_px: int = 0             # row-band width for the splat (0 = full frame);
+    #                              must cover scan-per-read + PSF tails + trace
+    #                              spread — Observation computes it automatically
+    exact_poisson: bool = False  # jax.random.poisson instead of fast_poisson
 
     def __post_init__(self) -> None:
         if self.subarray not in (64, 128, 256, 512, 1024):
@@ -178,7 +182,22 @@ class ObservationConfig:
             samp_seq=self.samp_seq,
             scan=self.scan,
             noise=self.noise,
+            band_px=self.auto_band_px(),
         )
+
+    def auto_band_px(self) -> int:
+        """Row-band width covering scan-per-read + PSF tails + trace spread.
+
+        The band only accelerates the splat; correctness is kept by a
+        conservative margin (PSF sigma < 1 px on WFC3 IR, trace spread
+        < 3 px across the bandpass, +safety)."""
+        from wayne_tpu.calibration import sample_sequence_times
+
+        times = sample_sequence_times(self.samp_seq, self.nsamp, self.subarray)
+        max_dt = float(max(b - a for a, b in zip(times[:-1], times[1:])))
+        span = abs(self.scan_speed_pix_s) * max_dt if self.scan else 0.0
+        band = int(-(-(span + 20.0) // 16) * 16)
+        return band if band < self.subarray else 0
 
 
 # ---------------------------------------------------------------------------

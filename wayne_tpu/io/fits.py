@@ -109,6 +109,34 @@ class FitsHDU:
         return out
 
 
+def header_only_bytes(*, primary: bool, name: str = "", ver: int = 1,
+                      shape: tuple[int, ...] = (), bitpix: int = -32,
+                      header: dict[str, Any] | None = None) -> bytes:
+    """Render just the (padded) header block for an HDU of known shape.
+
+    Used by the native writer, which streams the data section itself.
+    """
+    cards: list[bytes] = []
+    if primary:
+        cards.append(card("SIMPLE", True, "conforms to FITS standard"))
+    else:
+        cards.append(card("XTENSION", "IMAGE", "image extension"))
+    cards.append(card("BITPIX", bitpix if shape else 8))
+    cards.append(card("NAXIS", len(shape)))
+    for i, n in enumerate(reversed(shape)):
+        cards.append(card(f"NAXIS{i + 1}", int(n)))
+    if not primary:
+        cards.append(card("PCOUNT", 0))
+        cards.append(card("GCOUNT", 1))
+        if name:
+            cards.append(card("EXTNAME", name))
+            cards.append(card("EXTVER", ver))
+    for key, value in (header or {}).items():
+        cards.append(card(key, value))
+    cards.append(card("END"))
+    return _pad(b"".join(cards))
+
+
 def write_fits(path: str, hdus: list[FitsHDU]) -> None:
     """Write HDUs to ``path`` (first HDU is primary)."""
     with open(path, "wb") as fh:

@@ -20,7 +20,7 @@ from typing import Any, Mapping
 
 import numpy as np
 
-from wayne_tpu.io.fits import FitsHDU, read_fits, write_fits
+from wayne_tpu.io.fits import FitsHDU, header_only_bytes, read_fits, write_fits
 
 
 def default_primary_header(
@@ -56,11 +56,32 @@ def default_primary_header(
     return hdr
 
 
+def _ima_ext_headers(reads_shape: tuple[int, ...],
+                     read_times: np.ndarray) -> list[bytes]:
+    """Pre-rendered extension headers in file order (reverse time,
+    SCI/ERR/DQ/SAMP/TIME per read) for the native writer."""
+    nr, h, w = reads_shape
+    out: list[bytes] = []
+    for ver, k in enumerate(range(nr - 1, -1, -1), start=1):
+        meta = {"SAMPNUM": k, "SAMPTIME": float(read_times[k]),
+                "DELTATIM": float(read_times[k] - read_times[k - 1]) if k else 0.0}
+        for name, bitpix, extra in (("SCI", -32, {"BUNIT": "COUNTS"}),
+                                    ("ERR", -32, {}), ("DQ", 16, {}),
+                                    ("SAMP", 16, {}), ("TIME", -32, {})):
+            out.append(header_only_bytes(
+                primary=False, name=name, ver=ver, shape=(h, w),
+                bitpix=bitpix, header=dict(meta, **extra)))
+    return out
+
+
 def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
               primary: dict[str, Any], *, err: np.ndarray | None = None,
               dq: np.ndarray | None = None, gain: float = 2.5,
-              read_noise_e: float = 20.0) -> None:
+              read_noise_e: float = 20.0, use_native: bool = True) -> None:
     """Write one exposure as an ima-style FITS file.
+
+    Uses the native C++ backend (wayne_tpu/native) when available and the
+    per-plane inputs are defaults; otherwise the pure-Python path.
 
     Args:
       reads_dn: (NR, S, S) sampled reads in TIME order (read 0 first).
@@ -68,6 +89,13 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
       err: optional (NR, S, S); default: sqrt(max(signal_e,0) + rn^2)/gain.
     """
     reads_dn = np.asarray(reads_dn, np.float32)
+    if use_native and err is None and dq is None:
+        from wayne_tpu.io.native import write_ima_native
+        primary_bytes = header_only_bytes(primary=True, header=primary)
+        ext_bytes = _ima_ext_headers(reads_dn.shape, read_times)
+        if write_ima_native(path, reads_dn, read_times, primary_bytes,
+                            ext_bytes, gain, read_noise_e):
+            return
     nr = reads_dn.shape[0]
     hdus = [FitsHDU(name="", data=None, header=primary)]
     for ver, k in enumerate(range(nr - 1, -1, -1), start=1):

@@ -1,0 +1,87 @@
+"""ctypes bindings to the native FITS backend (libwaynefits.so).
+
+Builds the library on first use (g++ is in the image; pybind11 is not,
+so the boundary is a plain C ABI). Falls back silently to the pure-Python
+writer in wayne_tpu/io/fits.py when a compiler is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libwaynefits.so"))
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.wayne_write_ima.restype = ctypes.c_int
+        lib.wayne_write_ima.argtypes = [
+            ctypes.c_char_p,                      # path
+            ctypes.c_char_p, ctypes.c_long,       # primary hdr
+            ctypes.POINTER(ctypes.c_char_p),      # ext hdrs
+            ctypes.POINTER(ctypes.c_long),        # ext hdr lens
+            ctypes.POINTER(ctypes.c_float),       # reads
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),      # read times
+            ctypes.c_float, ctypes.c_float,       # gain, read noise
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def write_ima_native(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
+                     primary_bytes: bytes, ext_header_bytes: list[bytes],
+                     gain: float, read_noise_e: float) -> bool:
+    """Write one ima file through the native backend. Returns success."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    reads = np.ascontiguousarray(reads_dn, np.float32)
+    nr, h, w = reads.shape
+    if len(ext_header_bytes) != 5 * nr:
+        raise ValueError("need 5 extension headers per read")
+    times = np.ascontiguousarray(read_times, np.float64)
+    HdrArray = ctypes.c_char_p * len(ext_header_bytes)
+    LenArray = ctypes.c_long * len(ext_header_bytes)
+    hdrs = HdrArray(*ext_header_bytes)
+    lens = LenArray(*[len(b) for b in ext_header_bytes])
+    rc = lib.wayne_write_ima(
+        path.encode(), primary_bytes, len(primary_bytes), hdrs, lens,
+        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nr, h, w, times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_float(gain), ctypes.c_float(read_noise_e))
+    return rc == 0

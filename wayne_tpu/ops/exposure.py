@@ -9,13 +9,18 @@ bins x temporal subsamples x reads, here one traced program
   2. builds the wavelength->column deposit matrix X (NL, S),
   3. per read interval (lax.scan over NSAMP): evaluates the transit light
      curve and systematics on K coarse subsegments, computes exact
-     time-integrated moving-Gaussian row profiles Y (closed form — no
-     move-by-less-than-a-pixel subsampling), and forms the frame as
-     Y^T @ (counts * X): a single (S, NL) x (NL, S) MXU matmul,
-  4. applies the detector chain per read: flat, sky, dark, Poisson,
-     cosmic rays, non-linearity, saturation, gain, bias, read noise,
+     time-integrated moving-Gaussian row profiles (closed form — no
+     move-by-less-than-a-pixel subsampling) inside a narrow dynamic row
+     BAND around the scan position, and deposits the band as
+     Y^T @ (counts * X): an MXU matmul,
+  4. applies the detector chain per read: flat, sky, dark, Poisson
+     (branch-free two-regime sampler), cosmic rays, non-linearity,
+     saturation, gain, bias, read noise,
   5. emits the NSAMP+1 up-the-ramp reads in DN (time order).
 
+Performance notes (v5e measurements): the row-profile transcendentals and
+the Poisson sampler dominate; banding cuts erf work ~(S/band) ~ 10-30x
+and fast_poisson replaces jax.random.poisson's rejection while_loops.
 Everything is static-shaped; one compilation per ExposureStatic config.
 """
 
@@ -33,6 +38,7 @@ from wayne_tpu.ops.dispersion import (
     flat_plane, trace_params, trace_y, wl_to_x, x_deposit_matrix,
 )
 from wayne_tpu.ops.psf import pixel_fractions_moving, pixel_fractions_static
+from wayne_tpu.ops.random import fast_poisson
 from wayne_tpu.ops.transit import transit_light_curve
 from wayne_tpu.scene import Scene
 from wayne_tpu.trends import ssv_factor, visit_trend_factor
@@ -77,15 +83,15 @@ def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
 
 
 def _row_profiles(scene: Scene, cfg: ExposureStatic, y_base: jnp.ndarray,
-                  sigma: jnp.ndarray, t_edges: jnp.ndarray) -> jnp.ndarray:
-    """Time-integrated row deposit profiles per subsegment: (K, NL, S).
+                  sigma: jnp.ndarray, t_edges: jnp.ndarray,
+                  y_edges: jnp.ndarray) -> jnp.ndarray:
+    """Time-integrated row deposit profiles per subsegment: (K, NL, W).
 
+    ``y_edges``: (W+1,) absolute row-edge coordinates (the band window).
     Scanning: exact moving-Gaussian path average per subsegment.
     Staring: static pixel-integrated Gaussian (same for all subsegments).
     """
-    S = cfg.subarray
-    y_edges = jnp.arange(S + 1, dtype=y_base.dtype) - 0.5
-    y_edges_b = jnp.broadcast_to(y_edges, (y_base.shape[0], S + 1))
+    y_edges_b = jnp.broadcast_to(y_edges, (y_base.shape[0], y_edges.shape[0]))
     if not cfg.scan:
         frac = pixel_fractions_static(y_edges_b, y_base, sigma)
         return jnp.broadcast_to(frac[None], (cfg.n_sub,) + frac.shape)
@@ -110,7 +116,7 @@ def _cosmic_rays(key: jnp.ndarray, tables: Tables, cfg: ExposureStatic,
     n_max = cfg.max_cr_per_read
     k_n, k_pos, k_q = jax.random.split(key, 3)
     lam = tables.cr_rate_px_s * (S * S) * dt
-    n = jax.random.poisson(k_n, lam)
+    n = fast_poisson(k_n, lam, shape=())
     pos = jax.random.randint(k_pos, (2, n_max), 0, S)
     charge = tables.cr_mean_e * jax.random.exponential(k_q, (n_max,))
     mask = (jnp.arange(n_max) < n).astype(charge.dtype)
@@ -124,13 +130,20 @@ def _apply_nonlinearity(cum_e: jnp.ndarray, tables: Tables) -> jnp.ndarray:
     return cum_e * (1.0 - tables.nonlin_c * jnp.minimum(cum_e, fw) / fw)
 
 
+def _poisson(key, lam, cfg: ExposureStatic):
+    if cfg.exact_poisson:
+        return jax.random.poisson(key, jnp.maximum(lam, 0.0)).astype(lam.dtype)
+    return fast_poisson(key, jnp.maximum(lam, 0.0))
+
+
 @partial(jax.jit, static_argnames="cfg")
 def simulate_exposure(scene: Scene, tables: Tables,
                       cfg: ExposureStatic) -> ExposureResult:
     """Simulate one full exposure. See module docstring for the pipeline."""
-    S, K, NR = cfg.subarray, cfg.n_sub, cfg.nsamp + 1
+    S, K = cfg.subarray, cfg.n_sub
     flags = cfg.noise
     dtype = jnp.dtype(cfg.dtype)
+    band = cfg.band_px if (0 < cfg.band_px < S) else 0     # 0 = full frame
 
     tp = trace_params(tables, scene.x_ref, scene.y_ref)
     x_edges = wl_to_x(tables.wl_edges, tp)
@@ -149,10 +162,16 @@ def simulate_exposure(scene: Scene, tables: Tables,
     if flags.dark:
         bg_rate = bg_rate + tables.dark_map
 
+    # Band bookkeeping: window [y0, y0 + band) must cover the trace rows,
+    # PSF tails and this read's scan motion. y0 is dynamic (per read).
+    if band:
+        margin = 5.0 * jnp.max(sigma) + 1.0
+        y_band_lo = jnp.min(y_base) - margin                 # scalar, scan off_lo added per read
+
     def emit_read(cum_e: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
         # Saturation + non-linearity model the same physical effect
-        # (charge capacity); both are gated by the non_linearity flag so
-        # the noise-off chain is exactly linear for oracle diffs.
+        # (charge capacity); both gated by the non_linearity flag so the
+        # noise-off chain stays exactly linear for oracle diffs.
         sig = cum_e
         if flags.non_linearity:
             sig = _apply_nonlinearity(jnp.minimum(cum_e, tables.full_well_e),
@@ -163,34 +182,64 @@ def simulate_exposure(scene: Scene, tables: Tables,
             sig = sig + tables.read_noise_e * jax.random.normal(key, (S, S), dtype)
         return sig / gain_div
 
-    def step(carry, k):
-        cum_e, ideal_e = carry
-        t_a, t_b = read_times[k], read_times[k + 1]
-        dt = t_b - t_a
+    def source_band(k, t_a, dt):
+        """(band_or_S, S) source electrons laid down this interval + row0."""
         t_seg_edges = t_a + (dt / K) * jnp.arange(K + 1, dtype=dtype)
         t_mid = 0.5 * (t_seg_edges[:-1] + t_seg_edges[1:])
-
         counts = _segment_counts(scene, tables, cfg, t_mid, dt / K)  # (K, NL)
-        Y = _row_profiles(scene, cfg, y_base, sigma, t_seg_edges)    # (K, NL, S)
-        Yw = jnp.einsum("kl,kls->ls", counts, Y).astype(dtype)
-        # The splat: frame[y, x] = sum_l Yw[l, y] X[l, x] — one MXU matmul.
+
+        if band:
+            off = scene.scan_speed * t_seg_edges
+            off_lo = jnp.minimum(off[0], off[-1]) if cfg.scan else 0.0
+            y0f = jnp.floor(y_band_lo + off_lo)
+            y0 = jnp.clip(y0f, 0.0, float(S - band)).astype(jnp.int32)
+            W = band
+        else:
+            y0 = jnp.int32(0)
+            W = S
+        y_edges = (jnp.arange(W + 1, dtype=dtype) - 0.5) + y0.astype(dtype)
+
+        Y = _row_profiles(scene, cfg, y_base, sigma, t_seg_edges, y_edges)
+        Yw = jnp.einsum("kl,kls->ls", counts, Y).astype(dtype)   # (NL, W)
+        # The splat: band[y, x] = sum_l Yw[l, y] X[l, x] — one MXU matmul.
         frame = jax.lax.dot_general(
             Yw, X, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype)
         if flatp is not None:
-            frame = frame * flatp
+            fl = jax.lax.dynamic_slice(flatp, (y0, 0), (W, S)) if band else flatp
+            frame = frame * fl
+        return frame, y0
 
-        interval = frame + bg_rate * dt
+    def add_band(full: jnp.ndarray, band_frame: jnp.ndarray,
+                 y0: jnp.ndarray) -> jnp.ndarray:
+        if not band:
+            return full + band_frame
+        W = band_frame.shape[0]
+        window = jax.lax.dynamic_slice(full, (y0, 0), (W, S))
+        return jax.lax.dynamic_update_slice(full, window + band_frame, (y0, 0))
+
+    def step(carry, k):
+        cum_e, ideal_e = carry
+        t_a = read_times[k]
+        dt = read_times[k + 1] - t_a
+        frame, y0 = source_band(k, t_a, dt)
+
+        ideal_e = add_band(ideal_e, frame, y0)
+
         key_k = jax.random.fold_in(scene.key, k)
-        k_poisson, k_cr, k_read = jax.random.split(key_k, 3)
+        k_sig, k_bg, k_cr, k_read = jax.random.split(key_k, 4)
+        # Poisson(signal) + Poisson(background) ~ Poisson(signal+background):
+        # sampling the band and the full-frame background separately is
+        # exact and keeps the signal sampling on the narrow band.
+        bg = bg_rate * dt
         if flags.poisson:
-            interval = jax.random.poisson(
-                k_poisson, jnp.maximum(interval, 0.0)).astype(dtype)
+            frame = _poisson(k_sig, frame, cfg)
+            bg = _poisson(k_bg, bg, cfg)
+        interval = add_band(bg, frame, y0)
         if flags.cosmic_rays:
             interval = interval + _cosmic_rays(k_cr, tables, cfg, dt)
 
         cum_e = cum_e + interval
-        ideal_e = ideal_e + frame
         return (cum_e, ideal_e), emit_read(cum_e, k_read)
 
     zero = jnp.zeros((S, S), dtype)

@@ -1,0 +1,88 @@
+"""Monte-Carlo visit ensembles, sharded over the device mesh.
+
+BASELINE config 5: "Batched ensemble: 10k Monte-Carlo visits vmapped over
+G102+G141 on a v5p slice". Ensembles differ only in their RNG keys (and
+optionally scene parameters); frames are reduced to extracted 1D spectra
+ON DEVICE so a 10k-visit run returns (n_mc, n_exp, S) numbers — not
+terabytes of frames — and the host transfer stays tiny.
+
+Partitioning: `shard_map` over the ('mc', 'exp') mesh — each device owns
+an (mc/D_mc, exp/D_exp) block and runs it independently (no collectives;
+the workload is embarrassingly parallel, SURVEY.md section 5.8). Within a
+device, a `lax.map` over local MC realisations bounds peak memory while
+`vmap` over local exposures keeps the MXU fed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from wayne_tpu.calibration import Tables
+from wayne_tpu.config import ExposureStatic
+from wayne_tpu.ops.exposure import simulate_exposure
+from wayne_tpu.scene import Scene
+
+
+def mc_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0) -> Scene:
+    """Stack a visit's Scene (exp axis) into an (mc, exp) ensemble.
+
+    All physics parameters are shared; only the RNG keys differ, giving
+    independent noise realisations of the same visit. Keys derive per
+    (realisation, exposure) from one root seed (counter-based, splittable
+    — the reproducibility upgrade over the reference's global NumPy RNG).
+    """
+    n_exp = jax.tree_util.tree_leaves(visit_scenes)[0].shape[0]
+    root = jax.random.PRNGKey(seed)
+    keys = jax.vmap(
+        lambda m: jax.vmap(
+            lambda e: jax.random.fold_in(jax.random.fold_in(root, m), e)
+        )(jnp.arange(n_exp))
+    )(jnp.arange(n_mc))
+    tiled = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_mc,) + x.shape), visit_scenes)
+    return dataclasses.replace(tiled, key=keys)
+
+
+def extract_spectra(reads_dn: jnp.ndarray) -> jnp.ndarray:
+    """On-device box extraction: net counts per column.
+
+    CDS net signal (last read - zeroth read) summed over rows — the
+    simplest spectral product a reduction pipeline would form, adequate
+    for MC depth-recovery statistics.
+    """
+    net = reads_dn[..., -1, :, :] - reads_dn[..., 0, :, :]
+    return net.sum(axis=-2)
+
+
+def _batch_spec(leaf, n_batch_axes: int) -> P:
+    names = ("mc", "exp")[:n_batch_axes]
+    return P(*names, *([None] * (leaf.ndim - n_batch_axes)))
+
+
+def simulate_ensemble_spectra(scenes: Scene, tables: Tables,
+                              cfg: ExposureStatic, mesh: Mesh) -> jnp.ndarray:
+    """Extracted spectra for an (mc, exp)-batched Scene -> (mc, exp, S).
+
+    Requires n_mc % mesh.shape['mc'] == 0 and n_exp % mesh.shape['exp'] == 0.
+    """
+    scene_specs = jax.tree_util.tree_map(lambda x: _batch_spec(x, 2), scenes)
+    table_specs = jax.tree_util.tree_map(lambda _: P(), tables)
+
+    # check_vma=False: jax.random.poisson's internal while_loop carries
+    # unvarying leaves that the varying-manual-axes checker rejects; the
+    # computation is per-shard independent so the check is vacuous here.
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(scene_specs, table_specs),
+             out_specs=P("mc", "exp", None), check_vma=False)
+    def run(local_scenes: Scene, local_tables: Tables) -> jnp.ndarray:
+        def per_mc(sc: Scene) -> jnp.ndarray:
+            return jax.vmap(lambda s: extract_spectra(
+                simulate_exposure(s, local_tables, cfg).reads_dn))(sc)
+        return jax.lax.map(per_mc, local_scenes)
+
+    return jax.jit(run)(scenes, tables)

@@ -1,0 +1,45 @@
+"""Mesh + sharding helpers for the (monte-carlo, exposure) axes."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, mc_shards: int | None = None) -> Mesh:
+    """A 2D ('mc', 'exp') mesh over the given (or all) devices.
+
+    The factorisation is chosen so both axes exist whenever more than one
+    device is available: MC realisations shard on 'mc', exposures within
+    a visit shard on 'exp'. On a single device both axes are 1 and the
+    program is identical (SPMD-by-construction).
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if mc_shards is None:
+        mc_shards = n
+        for cand in (int(np.sqrt(n)), 2):
+            if n % cand == 0 and cand > 1 and n // cand > 1:
+                mc_shards = n // cand
+                break
+    if n % mc_shards != 0:
+        raise ValueError(f"{n} devices not divisible into mc_shards={mc_shards}")
+    return Mesh(devices.reshape(mc_shards, n // mc_shards), ("mc", "exp"))
+
+
+def _leaf_spec(leaf, n_batch_axes: int) -> P:
+    names = ("mc", "exp")[:n_batch_axes]
+    return P(*names, *([None] * (leaf.ndim - n_batch_axes)))
+
+
+def shard_scenes(scenes, mesh: Mesh, n_batch_axes: int = 2):
+    """Place a batched Scene pytree onto the mesh.
+
+    Leaves are sharded along their leading batch axes ((mc, exp) for
+    ensembles, (exp,) for a single visit) and replicated elsewhere.
+    """
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, _leaf_spec(x, n_batch_axes))), scenes)
