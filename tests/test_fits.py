@@ -98,3 +98,35 @@ def test_native_matches_python_bytes():
                 np.testing.assert_allclose(da, db, rtol=1e-6)
             else:
                 np.testing.assert_array_equal(da, db)
+
+
+def test_cr_dq_planes_cumulative():
+    from wayne_tpu.io.ima import cr_dq_planes, DQ_COSMIC_RAY
+    cr_pos = np.zeros((3, 2, 4), np.int32)
+    cr_pos[0, :, 0] = [5, 7]      # hit at (5,7) in interval 0
+    cr_pos[2, :, 0] = [1, 2]      # hit at (1,2) in interval 2
+    cr_count = np.array([1, 0, 1])
+    dq = cr_dq_planes(cr_pos, cr_count, nr=4, s=16)
+    assert dq[0].sum() == 0                       # zeroth read clean
+    assert dq[1][5, 7] == DQ_COSMIC_RAY           # flagged from read 1 on
+    assert dq[2][5, 7] == DQ_COSMIC_RAY and dq[2][1, 2] == 0
+    assert dq[3][1, 2] == DQ_COSMIC_RAY and dq[3][5, 7] == DQ_COSMIC_RAY
+
+
+def test_ima_with_dq_planes_roundtrip():
+    from wayne_tpu.io.ima import DQ_COSMIC_RAY
+    reads, times = _make_reads()
+    dq = np.zeros(reads.shape, np.int16)
+    dq[2:, 4, 9] = DQ_COSMIC_RAY
+    with tempfile.TemporaryDirectory() as d:
+        for native in (False, True):
+            if native and not native_available():
+                continue
+            path = os.path.join(d, f"dq{native}.fits")
+            write_ima(path, reads, times, _primary(4), dq=dq,
+                      use_native=native)
+            hdus = read_fits(path)
+            dq_planes = {h["SAMPNUM"]: arr for h, arr in hdus[1:]
+                         if h.get("EXTNAME") == "DQ"}
+            assert dq_planes[3][4, 9] == DQ_COSMIC_RAY
+            assert dq_planes[0][4, 9] == 0

@@ -183,7 +183,21 @@ class ObservationConfig:
             scan=self.scan,
             noise=self.noise,
             band_px=self.auto_band_px(),
+            max_cr_per_read=self.auto_max_cr(),
         )
+
+    def auto_max_cr(self) -> int:
+        """Static cosmic-ray bound: expected hits per read + 6 sigma.
+
+        (18 um pixels; rate in events/s/cm^2.) Undersizing would silently
+        truncate hits, so this is computed from the actual config."""
+        from wayne_tpu.calibration import PIXEL_AREA_CM2, sample_sequence_times
+
+        times = sample_sequence_times(self.samp_seq, self.nsamp, self.subarray)
+        max_dt = float(max(b - a for a, b in zip(times[:-1], times[1:])))
+        lam = self.cosmic_rate * PIXEL_AREA_CM2 * self.subarray**2 * max_dt
+        need = lam + 6.0 * lam**0.5 + 4.0
+        return int(-(-need // 8) * 8)
 
     def auto_band_px(self) -> int:
         """Row-band width covering scan-per-read + PSF tails + trace spread.

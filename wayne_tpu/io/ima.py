@@ -89,12 +89,12 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
       err: optional (NR, S, S); default: sqrt(max(signal_e,0) + rn^2)/gain.
     """
     reads_dn = np.asarray(reads_dn, np.float32)
-    if use_native and err is None and dq is None:
+    if use_native and err is None:
         from wayne_tpu.io.native import write_ima_native
         primary_bytes = header_only_bytes(primary=True, header=primary)
         ext_bytes = _ima_ext_headers(reads_dn.shape, read_times)
         if write_ima_native(path, reads_dn, read_times, primary_bytes,
-                            ext_bytes, gain, read_noise_e):
+                            ext_bytes, gain, read_noise_e, dq=dq):
             return
     nr = reads_dn.shape[0]
     hdus = [FitsHDU(name="", data=None, header=primary)]
@@ -117,6 +117,28 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
         hdus.append(FitsHDU("SAMP", ver, samp, dict(meta)))
         hdus.append(FitsHDU("TIME", ver, t, dict(meta)))
     write_fits(path, hdus)
+
+
+DQ_COSMIC_RAY = 8192   # WFC3 DQ bit for cosmic-ray hits
+
+
+def cr_dq_planes(cr_pos: np.ndarray, cr_count: np.ndarray, nr: int,
+                 s: int) -> np.ndarray:
+    """DQ planes (nr, S, S) flagging cosmic-ray hits cumulatively.
+
+    A hit during interval k corrupts every subsequent read, so read j > k
+    carries the flag (WFC3 convention: DQ bit 8192). Read 0 is clean.
+    """
+    dq = np.zeros((nr, s, s), np.int16)
+    acc = np.zeros((s, s), np.int16)
+    for k in range(nr - 1):
+        n = int(cr_count[k])
+        if n > 0:
+            ys = np.asarray(cr_pos[k, 0, :n])
+            xs = np.asarray(cr_pos[k, 1, :n])
+            acc[ys, xs] |= DQ_COSMIC_RAY
+        dq[k + 1] = acc
+    return dq
 
 
 def read_ima(path: str) -> tuple[dict[str, Any], np.ndarray, np.ndarray]:

@@ -51,6 +51,7 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_char_p),      # ext hdrs
             ctypes.POINTER(ctypes.c_long),        # ext hdr lens
             ctypes.POINTER(ctypes.c_float),       # reads
+            ctypes.POINTER(ctypes.c_int16),       # dq planes (nullable)
             ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.POINTER(ctypes.c_double),      # read times
             ctypes.c_float, ctypes.c_float,       # gain, read noise
@@ -65,7 +66,8 @@ def native_available() -> bool:
 
 def write_ima_native(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
                      primary_bytes: bytes, ext_header_bytes: list[bytes],
-                     gain: float, read_noise_e: float) -> bool:
+                     gain: float, read_noise_e: float,
+                     dq: np.ndarray | None = None) -> bool:
     """Write one ima file through the native backend. Returns success."""
     lib = get_lib()
     if lib is None:
@@ -79,9 +81,16 @@ def write_ima_native(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
     LenArray = ctypes.c_long * len(ext_header_bytes)
     hdrs = HdrArray(*ext_header_bytes)
     lens = LenArray(*[len(b) for b in ext_header_bytes])
+    if dq is not None:
+        dq = np.ascontiguousarray(dq, np.int16)
+        if dq.shape != reads.shape:
+            raise ValueError("dq shape must match reads")
+        dq_ptr = dq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+    else:
+        dq_ptr = None
     rc = lib.wayne_write_ima(
         path.encode(), primary_bytes, len(primary_bytes), hdrs, lens,
-        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dq_ptr,
         nr, h, w, times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_float(gain), ctypes.c_float(read_noise_e))
     return rc == 0

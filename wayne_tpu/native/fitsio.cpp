@@ -64,6 +64,13 @@ int write_const_i16_be(FILE* f, int16_t value, long n, std::vector<uint16_t>& bu
   return write_padded(f, buf16.data(), n * 2);
 }
 
+int write_i16_be(FILE* f, const int16_t* src, long n, std::vector<uint16_t>& buf16) {
+  buf16.resize((size_t)n);
+  const uint16_t* raw = reinterpret_cast<const uint16_t*>(src);
+  for (long i = 0; i < n; ++i) buf16[(size_t)i] = bswap16(raw[i]);
+  return write_padded(f, buf16.data(), n * 2);
+}
+
 }  // namespace
 
 extern "C" {
@@ -81,10 +88,13 @@ extern "C" {
 //   gain          e-/DN; read_noise in e-.
 //
 // Returns 0 on success, negative errno-style code on failure.
+// ``dq`` is optional: (nr, h, w) int16 planes in TIME order, or NULL for
+// all-zero DQ.
 int wayne_write_ima(const char* path, const uint8_t* primary_hdr,
                     long primary_len, const uint8_t* const* ext_hdrs,
-                    const long* ext_hdr_lens, const float* reads, long nr,
-                    long h, long w, const double* read_times, float gain,
+                    const long* ext_hdr_lens, const float* reads,
+                    const int16_t* dq, long nr, long h, long w,
+                    const double* read_times, float gain,
                     float read_noise) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
@@ -118,11 +128,12 @@ int wayne_write_ima(const char* path, const uint8_t* primary_hdr,
         (size_t)ext_hdr_lens[ext]) { rc = -5; break; }
     ++ext;
     if (write_f32_be(f, err.data(), n, buf)) { rc = -6; break; }
-    // DQ (int16 zeros)
+    // DQ
     if (fwrite(ext_hdrs[ext], 1, (size_t)ext_hdr_lens[ext], f) !=
         (size_t)ext_hdr_lens[ext]) { rc = -7; break; }
     ++ext;
-    if (write_const_i16_be(f, 0, n, buf16)) { rc = -8; break; }
+    if (dq ? write_i16_be(f, dq + k * n, n, buf16)
+           : write_const_i16_be(f, 0, n, buf16)) { rc = -8; break; }
     // SAMP (int16, read index)
     if (fwrite(ext_hdrs[ext], 1, (size_t)ext_hdr_lens[ext], f) !=
         (size_t)ext_hdr_lens[ext]) { rc = -9; break; }
@@ -154,8 +165,8 @@ int wayne_write_ima_batch(const char* paths_joined, const uint8_t* const* primar
     int rc = wayne_write_ima(p, primary_hdrs[i], primary_lens[i],
                              all_ext_hdrs + i * n_ext,
                              all_ext_hdr_lens + i * n_ext,
-                             all_reads + i * nr * h * w, nr, h, w, read_times,
-                             gain, read_noise);
+                             all_reads + i * nr * h * w, nullptr, nr, h, w,
+                             read_times, gain, read_noise);
     if (rc) return rc;
     p += std::strlen(p) + 1;
   }

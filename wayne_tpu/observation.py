@@ -138,16 +138,20 @@ class Observation:
     # ------------------------------------------------------------------
     def generate(self, outdir: str | None = None, chunk: int = 8,
                  progress: Callable[[str], None] | None = None,
-                 resume: bool = True) -> list[str]:
+                 resume: bool = True, debug: bool = False) -> list[str]:
         """Simulate and write the visit to ima-style FITS files.
 
         Overlaps host FITS writing of chunk i with device compute of
         chunk i+1 via JAX's async dispatch. Returns written paths.
+        ``debug=True`` runs NaN/range guards on every chunk and writes a
+        structured visit summary (SURVEY.md section 5.5).
         """
         cfg = self.cfg
         outdir = outdir or cfg.outdir
         os.makedirs(outdir, exist_ok=True)
         say = progress or (lambda s: log.info("%s", s))
+        self._debug = debug
+        self._summary: dict = {"exposures": [], "config": cfg.grism}
 
         self._write_direct_image(outdir)
 
@@ -172,15 +176,33 @@ class Observation:
         while pending:
             paths += self._write_chunk(pending.pop(0), outdir, n, read_times,
                                        gain, rn, chunk, resume, say)
+        wall = time.time() - t_start
         say(f"visit complete: {len(paths)} exposures in "
-            f"{time.time() - t_start:.2f}s -> {outdir}")
+            f"{wall:.2f}s -> {outdir}")
+        if self._debug:
+            import json
+            self._summary.update(
+                n_exposures=n, wallclock_s=round(wall, 3),
+                exptime_s=self.detector_exptime, grism=cfg.grism,
+                nsamp=cfg.nsamp, samp_seq=cfg.samp_seq, scan=cfg.scan)
+            with open(os.path.join(outdir, "visit_summary.json"), "w") as fh:
+                json.dump(self._summary, fh, indent=2)
         return paths
 
     # ------------------------------------------------------------------
     def _write_chunk(self, item, outdir, n, read_times, gain, rn, chunk,
                      resume, say) -> list[str]:
+        from wayne_tpu.io.ima import cr_dq_planes
+
         c0, res = item
         reads = np.asarray(res.reads_dn)   # (chunk, NR, S, S) device->host
+        if getattr(self, "_debug", False):
+            from wayne_tpu.utils.guards import check_exposure_result
+            stats = check_exposure_result(res, context=f"chunk@{c0}")
+            self._summary["exposures"].append(dict(chunk=c0, **stats))
+        cr_pos = np.asarray(res.cr_pos)
+        cr_count = np.asarray(res.cr_count)
+        nr, s = reads.shape[1], reads.shape[2]
         cfg = self.cfg
         paths = []
         for j in range(reads.shape[0]):
@@ -190,6 +212,8 @@ class Observation:
             path = os.path.join(outdir, f"{cfg.star.name}_{i:04d}_ima.fits")
             if resume and os.path.exists(path):
                 continue
+            dq = (cr_dq_planes(cr_pos[j], cr_count[j], nr, s)
+                  if cfg.noise.cosmic_rays else None)
             primary = default_primary_header(
                 targname=cfg.star.name, grism=cfg.grism, nsamp=cfg.nsamp,
                 samp_seq=cfg.samp_seq, subarray=cfg.subarray,
@@ -199,7 +223,7 @@ class Observation:
                 extra={"SIMSEED": cfg.seed, "EXPINDEX": i,
                        "SAT_FRAC": float(np.asarray(res.saturated_frac)[j])})
             write_ima(path, reads[j], read_times, primary, gain=gain,
-                      read_noise_e=rn)
+                      read_noise_e=rn, dq=dq)
             paths.append(path)
             say(f"exposure {i + 1}/{n} written")
         return paths

@@ -57,6 +57,8 @@ class ExposureResult:
     reads_dn: jnp.ndarray       # (NSAMP+1, S, S) sampled reads, DN, time order
     ideal_e: jnp.ndarray        # (S, S) noise-free accumulated source e-
     saturated_frac: jnp.ndarray  # fraction of pixels at full well in last read
+    cr_pos: jnp.ndarray         # (NSAMP, 2, MAX_CR) int32 hit rows/cols
+    cr_count: jnp.ndarray       # (NSAMP,) int32 actual hits per interval
 
 
 def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
@@ -105,12 +107,15 @@ def _row_profiles(scene: Scene, cfg: ExposureStatic, y_base: jnp.ndarray,
 
 
 def _cosmic_rays(key: jnp.ndarray, tables: Tables, cfg: ExposureStatic,
-                 dt: jnp.ndarray) -> jnp.ndarray:
-    """Cosmic-ray charge frame for one read interval (S, S).
+                 dt: jnp.ndarray):
+    """Cosmic-ray hits for one read interval.
 
     Static-shaped: MAX_CR candidate hits are drawn, the Poisson-distributed
     actual count masks the excess (reference: wayne/detector.py cosmic-ray
     injection; rate scales with interval time and detector area).
+
+    Returns (charge frame (S, S), positions (2, MAX_CR), count) — the
+    positions feed the DQ planes of the ima product (flag 8192).
     """
     S = cfg.subarray
     n_max = cfg.max_cr_per_read
@@ -121,7 +126,8 @@ def _cosmic_rays(key: jnp.ndarray, tables: Tables, cfg: ExposureStatic,
     charge = tables.cr_mean_e * jax.random.exponential(k_q, (n_max,))
     mask = (jnp.arange(n_max) < n).astype(charge.dtype)
     frame = jnp.zeros((S, S), charge.dtype)
-    return frame.at[pos[0], pos[1]].add(charge * mask)
+    frame = frame.at[pos[0], pos[1]].add(charge * mask)
+    return frame, pos.astype(jnp.int32), n.astype(jnp.int32)
 
 
 def _apply_nonlinearity(cum_e: jnp.ndarray, tables: Tables) -> jnp.ndarray:
@@ -237,18 +243,23 @@ def simulate_exposure(scene: Scene, tables: Tables,
             bg = _poisson(k_bg, bg, cfg)
         interval = add_band(bg, frame, y0)
         if flags.cosmic_rays:
-            interval = interval + _cosmic_rays(k_cr, tables, cfg, dt)
+            cr_frame, cr_pos, cr_n = _cosmic_rays(k_cr, tables, cfg, dt)
+            interval = interval + cr_frame
+        else:
+            cr_pos = jnp.zeros((2, cfg.max_cr_per_read), jnp.int32)
+            cr_n = jnp.int32(0)
 
         cum_e = cum_e + interval
-        return (cum_e, ideal_e), emit_read(cum_e, k_read)
+        return (cum_e, ideal_e), (emit_read(cum_e, k_read), cr_pos, cr_n)
 
     zero = jnp.zeros((S, S), dtype)
     k0 = jax.random.fold_in(scene.key, cfg.nsamp + 1)
     read0 = emit_read(zero, k0)
-    (cum_e, ideal_e), reads = jax.lax.scan(
+    (cum_e, ideal_e), (reads, cr_pos, cr_count) = jax.lax.scan(
         step, (zero, zero), jnp.arange(cfg.nsamp))
     reads_dn = jnp.concatenate([read0[None], reads], axis=0)  # (NR, S, S)
 
     sat = jnp.mean((cum_e >= tables.full_well_e).astype(dtype))
     return ExposureResult(reads_dn=reads_dn, ideal_e=ideal_e,
-                          saturated_frac=sat)
+                          saturated_frac=sat, cr_pos=cr_pos,
+                          cr_count=cr_count)

@@ -1,0 +1,43 @@
+"""Numerical guards (SURVEY.md section 5.2: the JAX-purity analogue of
+sanitizers — NaN/Inf and physical-range checks on simulation outputs).
+
+Host-side validation of ExposureResult batches; cheap (runs on summary
+statistics, not per-pixel Python loops) and used by Observation.generate
+when ``debug=True``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SimulationError(RuntimeError):
+    pass
+
+
+def check_exposure_result(res, *, context: str = "") -> dict:
+    """Validate a (possibly batched) ExposureResult; returns summary stats.
+
+    Raises SimulationError on NaN/Inf reads, negative ideal charge, or a
+    fully saturated frame (almost always a mis-set magnitude/scan config).
+    """
+    reads = np.asarray(res.reads_dn)
+    ideal = np.asarray(res.ideal_e)
+    sat = np.asarray(res.saturated_frac)
+    prefix = f"{context}: " if context else ""
+    if not np.isfinite(reads).all():
+        bad = (~np.isfinite(reads)).sum()
+        raise SimulationError(f"{prefix}{bad} non-finite values in reads")
+    if ideal.min() < -1e-3:
+        raise SimulationError(
+            f"{prefix}negative ideal charge (min {ideal.min():.3g} e-)")
+    if sat.max() > 0.9:
+        raise SimulationError(
+            f"{prefix}frame >90% saturated (sat_frac={sat.max():.2f}) — "
+            "check stellar magnitude / scan speed / NSAMP")
+    return {
+        "reads_min_dn": float(reads.min()),
+        "reads_max_dn": float(reads.max()),
+        "ideal_total_e": float(ideal.sum()),
+        "saturated_frac_max": float(sat.max()),
+    }
