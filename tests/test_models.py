@@ -140,3 +140,28 @@ class TestVisitPlan:
         assert mjd[0] >= 56000.0
         assert mjd[-1] - mjd[0] == pytest.approx(
             (plan.exp_start_s[-1] - plan.exp_start_s[0]) / 86400.0)
+
+
+class TestLimbDarkeningTable:
+    def test_ld_file_interpolation(self, tmp_path):
+        import numpy as np
+        from wayne_tpu.config import PlanetConfig
+        from wayne_tpu.models.planet import Planet
+        path = tmp_path / "ld.txt"
+        wl = np.linspace(1.0, 1.8, 9)
+        cols = np.stack([wl, 0.6 + 0.1 * wl, -0.2 * np.ones(9),
+                         0.4 * np.ones(9), -0.15 * np.ones(9)], axis=1)
+        np.savetxt(path, cols)
+        p = Planet(PlanetConfig(ld_file=str(path)))
+        ld = p.ld_on_grid(np.array([1.2, 1.6]))
+        assert ld.shape == (2, 4)
+        np.testing.assert_allclose(ld[:, 0], [0.72, 0.76], rtol=1e-6)
+        np.testing.assert_allclose(ld[:, 1], -0.2)
+
+    def test_scalar_ld_without_file(self):
+        import numpy as np
+        from wayne_tpu.config import PlanetConfig
+        from wayne_tpu.models.planet import Planet
+        p = Planet(PlanetConfig())
+        ld = p.ld_on_grid(np.array([1.2, 1.6]))
+        assert ld.shape == (4,)

@@ -1,0 +1,83 @@
+"""Pallas fused-readout kernel tests.
+
+CPU (TPU interpret mode) covers the deterministic datapath exactly; the
+hardware-PRNG statistics can only run on a real TPU (interpret mode does
+not emulate the TPU PRNG) — those run in the TPU probe scripts and are
+marked skip here unless a TPU is present.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from wayne_tpu.ops.pallas_readout import fused_read_step
+
+S = 128
+CONSTS = jnp.array([20.0, 78000.0, 0.04, 2.5], jnp.float32)
+
+
+def _inputs():
+    rng = np.random.RandomState(0)
+    cum = jnp.asarray(rng.uniform(0, 5e4, (S, S)), jnp.float32)
+    add = jnp.asarray(rng.uniform(0, 1e3, (S, S)), jnp.float32)
+    bg = jnp.asarray(rng.uniform(0, 20, (S, S)), jnp.float32)
+    bias = jnp.asarray(1000.0 + rng.standard_normal((S, S)), jnp.float32)
+    gain = jnp.asarray(2.5 * (1 + 0.01 * rng.standard_normal((S, S))),
+                       jnp.float32)
+    return cum, add, bg, bias, gain
+
+
+def test_deterministic_path_matches_reference_math():
+    cum, add, bg, bias, gain = _inputs()
+    with pltpu.force_tpu_interpret_mode():
+        cum2, dn = fused_read_step(
+            jnp.array([1, 2], jnp.int32), cum, add, bg, bias, gain, CONSTS,
+            poisson=False, read_noise=False, non_linearity=True, bias=True,
+            scalar_gain=False, tile=64)
+    cum_np = np.asarray(cum) + np.asarray(add) + np.asarray(bg)
+    fw, nl = 78000.0, 0.04
+    sig = np.minimum(cum_np, fw)
+    sig = sig * (1 - nl * np.minimum(sig, fw) / fw)
+    dn_np = (sig + np.asarray(bias)) / np.asarray(gain)
+    np.testing.assert_allclose(np.asarray(cum2), cum_np, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dn), dn_np, rtol=1e-5)
+
+
+def test_flags_off_passthrough():
+    cum, add, bg, bias, gain = _inputs()
+    with pltpu.force_tpu_interpret_mode():
+        cum2, dn = fused_read_step(
+            jnp.array([1, 2], jnp.int32), cum, add, bg, bias, gain, CONSTS,
+            poisson=False, read_noise=False, non_linearity=False, bias=False,
+            scalar_gain=True, tile=64)
+    want = np.asarray(cum) + np.asarray(add) + np.asarray(bg)
+    np.testing.assert_allclose(np.asarray(cum2), want, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dn), want / 2.5, rtol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG statistics need a real TPU")
+def test_rng_statistics_on_tpu():
+    cum = jnp.zeros((512, 512), jnp.float32)
+    zero = jnp.zeros_like(cum)
+    bg = jnp.full((512, 512), 12.0)
+    bias = jnp.zeros_like(cum)
+    gain = jnp.ones_like(cum)
+    cum2, dn = fused_read_step(
+        jnp.array([7, 3], jnp.int32), cum, zero, bg, bias, gain,
+        jnp.array([20.0, 78000.0, 0.0, 1.0], jnp.float32),
+        poisson=True, read_noise=True, non_linearity=False, bias=False,
+        scalar_gain=True)
+    cum2, dn = np.asarray(cum2), np.asarray(dn)
+    assert abs(cum2.mean() - 12.0) < 0.1          # Poisson mean
+    assert abs(cum2.var() / 12.0 - 1.0) < 0.05    # Poisson variance
+    resid = dn - cum2
+    assert abs(resid.std() - 20.0) < 0.5          # read noise sigma
+    a, _ = fused_read_step(
+        jnp.array([7, 3], jnp.int32), cum, zero, bg, bias, gain,
+        jnp.array([20.0, 78000.0, 0.0, 1.0], jnp.float32),
+        poisson=True, read_noise=True, non_linearity=False, bias=False,
+        scalar_gain=True)
+    np.testing.assert_array_equal(np.asarray(a), cum2)  # deterministic

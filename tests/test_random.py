@@ -8,7 +8,7 @@ import pytest
 from wayne_tpu.ops.random import fast_poisson
 
 
-@pytest.mark.parametrize("lam", [0.05, 0.5, 3.0, 12.0, 24.0, 60.0, 5000.0])
+@pytest.mark.parametrize("lam", [0.05, 0.5, 2.9, 12.0, 24.0, 60.0, 5000.0])
 def test_moments(lam):
     n = 200_000
     x = np.asarray(fast_poisson(jax.random.PRNGKey(1), jnp.float32(lam),
@@ -30,6 +30,16 @@ def test_small_lam_distribution_exact():
     emp = np.array([(x == k).mean() for k in ks])
     pmf = sp_poisson.pmf(ks, lam)
     np.testing.assert_allclose(emp, pmf, atol=4 * np.sqrt(pmf.max() / n) + 5e-4)
+
+
+def test_cornish_fisher_skewness():
+    # The mid regime must reproduce Poisson's third moment (skew 1/sqrt(lam)).
+    lam = 10.0
+    n = 400_000
+    x = np.asarray(fast_poisson(jax.random.PRNGKey(11), jnp.float32(lam),
+                                shape=(n,)))
+    skew = np.mean(((x - x.mean()) / x.std()) ** 3)
+    assert abs(skew - 1.0 / np.sqrt(lam)) < 0.03
 
 
 def test_zero_lam_gives_zero():

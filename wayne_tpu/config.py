@@ -85,6 +85,9 @@ class ExposureStatic:
     #                              must cover scan-per-read + PSF tails + trace
     #                              spread — Observation computes it automatically
     exact_poisson: bool = False  # jax.random.poisson instead of fast_poisson
+    use_pallas: bool = False     # fused Pallas readout kernel (TPU hot path);
+    #                              hardware-PRNG randomness (same law,
+    #                              different bits than the XLA path)
 
     def __post_init__(self) -> None:
         if self.subarray not in (64, 128, 256, 512, 1024):
@@ -127,6 +130,9 @@ class PlanetConfig:
     spectrum_file: str | None = None    # transmission spectrum (micron, Rp/Rs)
     ld_coeffs: tuple[float, float, float, float] = (
         0.65, -0.25, 0.45, -0.2)        # Claret 4-parameter law
+    ld_file: str | None = None          # per-wavelength Claret coefficients
+    #                                     (5 columns: micron, c1..c4) —
+    #                                     clablimb-style table seam
 
 
 @dataclass

@@ -66,6 +66,19 @@ class Planet:
             return np.full(np.asarray(wl_centers).shape, self.cfg.rp_over_rs)
         return interp_to_grid(self._wl, self._rp, np.asarray(wl_centers))
 
+    def ld_on_grid(self, wl_centers: np.ndarray) -> np.ndarray:
+        """Claret coefficients: (4,) scalar set, or (NL, 4) when an
+        ld_file (clablimb-style table: micron, c1..c4) is configured."""
+        if not self.cfg.ld_file:
+            return np.asarray(self.cfg.ld_coeffs, np.float64)
+        data = np.loadtxt(self.cfg.ld_file)
+        if data.ndim != 2 or data.shape[1] < 5:
+            raise ValueError("ld_file needs 5 columns: wavelength, c1..c4")
+        wl = data[:, 0] * (1e-4 if data[:, 0].max() > 100.0 else 1.0)
+        wl_c = np.asarray(wl_centers)
+        return np.stack([interp_to_grid(wl, data[:, 1 + i], wl_c)
+                         for i in range(4)], axis=1)
+
     def orbit_params(self) -> OrbitParams:
         """OrbitParams on the visit clock (seconds since visit start)."""
         t0_s = (self.cfg.t0_mjd - self.visit_start_mjd) * 86400.0

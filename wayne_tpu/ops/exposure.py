@@ -224,6 +224,16 @@ def simulate_exposure(scene: Scene, tables: Tables,
         window = jax.lax.dynamic_slice(full, (y0, 0), (W, S))
         return jax.lax.dynamic_update_slice(full, window + band_frame, (y0, 0))
 
+    if cfg.use_pallas:
+        from wayne_tpu.ops.pallas_readout import fused_read_step
+        pallas_consts = jnp.stack([
+            tables.read_noise_e, tables.full_well_e, tables.nonlin_c,
+            tables.gain]).astype(jnp.float32)
+        raw_key = scene.key
+        if raw_key.dtype != jnp.uint32:
+            raw_key = jax.random.key_data(raw_key)
+        exp_seed = raw_key.reshape(-1)[-1].astype(jnp.int32)
+
     def step(carry, k):
         cum_e, ideal_e = carry
         t_a = read_times[k]
@@ -237,17 +247,36 @@ def simulate_exposure(scene: Scene, tables: Tables,
         # Poisson(signal) + Poisson(background) ~ Poisson(signal+background):
         # sampling the band and the full-frame background separately is
         # exact and keeps the signal sampling on the narrow band.
-        bg = bg_rate * dt
         if flags.poisson:
             frame = _poisson(k_sig, frame, cfg)
-            bg = _poisson(k_bg, bg, cfg)
-        interval = add_band(bg, frame, y0)
         if flags.cosmic_rays:
             cr_frame, cr_pos, cr_n = _cosmic_rays(k_cr, tables, cfg, dt)
-            interval = interval + cr_frame
         else:
+            cr_frame = None
             cr_pos = jnp.zeros((2, cfg.max_cr_per_read), jnp.int32)
             cr_n = jnp.int32(0)
+
+        if cfg.use_pallas:
+            # Fused: bg Poisson + accumulate + non-linearity + bias +
+            # read noise + gain in one VMEM pass (hardware PRNG).
+            add = add_band(jnp.zeros((S, S), dtype), frame, y0)
+            if cr_frame is not None:
+                add = add + cr_frame
+            cum_e, dn = fused_read_step(
+                jnp.stack([exp_seed, k.astype(jnp.int32)]),
+                cum_e, add, bg_rate * dt, tables.bias_map, tables.gain_map,
+                pallas_consts, poisson=flags.poisson,
+                read_noise=flags.read_noise,
+                non_linearity=flags.non_linearity, bias=flags.bias,
+                scalar_gain=not flags.gain_variations)
+            return (cum_e, ideal_e), (dn, cr_pos, cr_n)
+
+        bg = bg_rate * dt
+        if flags.poisson:
+            bg = _poisson(k_bg, bg, cfg)
+        interval = add_band(bg, frame, y0)
+        if cr_frame is not None:
+            interval = interval + cr_frame
 
         cum_e = cum_e + interval
         return (cum_e, ideal_e), (emit_read(cum_e, k_read), cr_pos, cr_n)

@@ -1,0 +1,148 @@
+"""Pallas TPU kernel: fused per-read detector sampling + readout.
+
+The up-the-ramp step's full-frame work — Poisson-sampling the background,
+adding the (already-sampled) signal band + cosmic rays, accumulating
+charge, and emitting the read (non-linearity, bias, read noise, gain) —
+is memory-bound and RNG-heavy. The XLA path makes several passes over the
+frame with counter-based Philox draws; this kernel does ONE pass per row
+tile in VMEM using the TPU's hardware PRNG (pltpu.prng_random_bits),
+fusing:
+
+    bg ~ Poisson(bg_lam)                       (three-regime sampler)
+    cum_out = cum_in + add + bg
+    sig = nonlin(min(cum_out, fw)) + bias + rn * N(0,1)
+    dn = sig / gain
+
+Grid: row tiles of TILE rows x S cols. Each tile seeds the PRNG with
+(seed, read index, tile index) so draws are independent and reproducible.
+Randomness differs bit-wise from the XLA path (different generator), but
+the distributions are identical — validated statistically in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 6.283185307179586
+_J_STEPS = 12
+_T_EXACT = 3.0
+_T_GAUSS = 100.0
+
+
+def _uniform(shape):
+    """U(0,1) in (tiny, 1] from hardware PRNG bits (never exactly 0)."""
+    bits = pltpu.prng_random_bits(shape)
+    # 24 mantissa-safe bits -> (0, 1]
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    return jnp.maximum(u, 1e-7)
+
+
+def _poisson_tile(lam, u, z):
+    """Three-regime Poisson given uniform u and normal z (see ops/random.py)."""
+    skew = jnp.where(lam < _T_GAUSS, (z * z - 1.0) / 6.0, 0.0)
+    gauss = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z + skew), 0.0)
+
+    lam_c = jnp.minimum(lam, _T_EXACT)
+    p0 = jnp.exp(-lam_c)
+
+    def body(j, carry):
+        p, cum, k = carry
+        cum_new = cum + p
+        k = k + (u > cum_new).astype(jnp.float32)
+        p = p * lam_c / (j + 1.0)
+        return (p, cum_new, k)
+
+    _, _, k_small = jax.lax.fori_loop(
+        0, _J_STEPS, body,
+        (p0, jnp.zeros_like(lam), jnp.zeros_like(lam)))
+    return jnp.where(lam < _T_EXACT, k_small, gauss)
+
+
+def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref,
+            consts_ref, cum_out_ref, dn_ref, *, poisson, read_noise,
+            non_linearity, bias, scalar_gain):
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * 131071
+                    + pl.program_id(0) * 100003)
+    shape = cum_ref.shape
+
+    # Box-Muller pairs: z_bg for the Poisson regimes, z_rn for read noise.
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    z_bg = r * jnp.cos(theta)
+    z_rn = r * jnp.sin(theta)          # independent of z_bg
+    u_pois = _uniform(shape)
+
+    cum = cum_ref[:] + add_ref[:]
+    if poisson:
+        cum = cum + _poisson_tile(bg_ref[:], u_pois, z_bg)
+    else:
+        cum = cum + bg_ref[:]
+    cum_out_ref[:] = cum
+
+    rn = consts_ref[0]
+    fw = consts_ref[1]
+    nl = consts_ref[2]
+    g0 = consts_ref[3]
+    sig = cum
+    if non_linearity:
+        sig = jnp.minimum(sig, fw)
+        sig = sig * (1.0 - nl * jnp.minimum(sig, fw) / fw)
+    if bias:
+        sig = sig + bias_ref[:]
+    if read_noise:
+        sig = sig + rn * z_rn
+    dn_ref[:] = sig / (g0 if scalar_gain else gain_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "poisson", "read_noise", "non_linearity", "bias", "scalar_gain", "tile",
+    "interpret"))
+def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
+                    add_frame: jnp.ndarray, bg_lam: jnp.ndarray,
+                    bias_map: jnp.ndarray, gain_map: jnp.ndarray,
+                    consts: jnp.ndarray, *, poisson: bool = True,
+                    read_noise: bool = True, non_linearity: bool = True,
+                    bias: bool = True, scalar_gain: bool = False,
+                    tile: int = 256,
+                    interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused detector read step.
+
+    Args:
+      seed2: (2,) int32 — (exposure seed, read index).
+      cum_e: (S, S) accumulated charge before this interval.
+      add_frame: (S, S) already-sampled signal band + cosmic rays.
+      bg_lam: (S, S) expected background electrons this interval.
+      bias_map, gain_map: (S, S) detector maps.
+      consts: (4,) f32 — (read_noise_e, full_well_e, nonlin_c, gain_scalar).
+
+    Returns: (new cum_e, read DN frame).
+    """
+    S = cum_e.shape[0]
+    tile = min(tile, S)
+    grid = (S // tile,)
+    # index_map receives the scalar-prefetch refs after the grid indices.
+    row_spec = pl.BlockSpec((tile, S), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel, poisson=poisson, read_noise=read_noise,
+        non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[row_spec, row_spec, row_spec, row_spec, row_spec,
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[row_spec, row_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((S, S), jnp.float32),
+                   jax.ShapeDtypeStruct((S, S), jnp.float32)],
+        interpret=interpret,
+    )(seed2, cum_e, add_frame, bg_lam, bias_map, gain_map, consts)

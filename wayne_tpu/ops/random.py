@@ -1,20 +1,23 @@
 """TPU-fast random sampling primitives.
 
 ``jax.random.poisson`` lowers to data-dependent rejection loops
-(while_loop) that serialise terribly on the VPU — measured ~4 ms per
-512^2 frame on a v5e, which would dominate a full visit (4500 frames).
-:func:`fast_poisson` replaces it with a branch-free two-regime sampler:
+(while_loop) that serialise terribly on the VPU, and a naive
+inverse-transform needs ~50 cumulative terms to cover lam up to ~25 —
+measured at ~60% of the whole exposure kernel. :func:`fast_poisson` is a
+branch-free three-regime sampler (all regimes computed everywhere —
+SPMD-friendly — with the loop kept short):
 
-  - lam < threshold: fixed-iteration inverse-transform sampling
-    (cumulative Poisson probabilities vs one uniform; J static steps).
-    Exact up to the J-term truncation, P(K > J | lam < 25) < 1e-9 at J=48.
-  - lam >= threshold: Gaussian approximation round(lam + sqrt(lam) z)
-    clipped at 0 (relative skewness error < 1/sqrt(25) on moments that
-    are invisible under subsequent detector noise).
+  - lam < 3: exact fixed-iteration inverse-transform sampling, J=12
+    cumulative terms (truncation P(K > 12 | lam < 3) < 1e-5);
+  - 3 <= lam < 100: Cornish-Fisher corrected Gaussian
+    round(lam + sqrt(lam) z + (z^2 - 1)/6) — matches mean, variance AND
+    skewness of the Poisson law (the residual error is invisible under
+    the detector's >=12 e- read noise);
+  - lam >= 100: plain Gaussian.
 
-Both regimes are computed for every element (SPMD-friendly, no gather);
-cost is ~5 ops/step * J + ~30 ops, fully vectorised, no loops with
-data-dependent trip counts. Bit-exact determinism per (key, shape).
+Cost ~100 ops/element, fully vectorised. Bit-exact determinism per
+(key, shape). The exact sampler remains available via
+ExposureStatic(exact_poisson=True) -> jax.random.poisson.
 """
 
 from __future__ import annotations
@@ -24,14 +27,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_J_STEPS = 48          # inverse-transform terms
-_DEFAULT_THRESHOLD = 25.0
+_J_STEPS = 12          # inverse-transform terms (covers lam < 3)
+_T_EXACT = 3.0         # below: exact inverse transform
+_T_GAUSS = 100.0       # above: plain Gaussian; between: Cornish-Fisher
 
 
 @partial(jax.jit, static_argnames=("shape",))
 def fast_poisson(key: jax.Array, lam: jnp.ndarray,
-                 shape: tuple[int, ...] | None = None,
-                 threshold: float = _DEFAULT_THRESHOLD) -> jnp.ndarray:
+                 shape: tuple[int, ...] | None = None) -> jnp.ndarray:
     """Poisson(lam) samples as float32, branch-free on TPU. lam >= 0."""
     if shape is None:
         shape = lam.shape
@@ -40,12 +43,15 @@ def fast_poisson(key: jax.Array, lam: jnp.ndarray,
     u = jax.random.uniform(k_u, shape, jnp.float32)
     z = jax.random.normal(k_n, shape, jnp.float32)
 
-    # Gaussian regime.
-    gauss = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z), 0.0)
+    # Cornish-Fisher regime (also covers the plain-Gaussian tail: the
+    # (z^2-1)/6 term is lam-independent and harmless at large lam).
+    skew = jnp.where(lam < _T_GAUSS, (z * z - 1.0) / 6.0, 0.0)
+    gauss = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z + skew), 0.0)
 
-    # Inverse-transform regime on clamped lam (keeps both branches finite).
-    lam_c = jnp.minimum(lam, threshold + 1.0)
-    # p_0 = e^-lam; p_j = p_{j-1} * lam / j; k = #{j : cum_j < u}
+    # Exact inverse-transform regime on clamped lam.
+    lam_c = jnp.minimum(lam, _T_EXACT)
+    p0 = jnp.exp(-lam_c)
+
     def body(j, carry):
         p, cum, k = carry
         cum_new = cum + p
@@ -53,9 +59,8 @@ def fast_poisson(key: jax.Array, lam: jnp.ndarray,
         p = p * lam_c / (j + 1.0)
         return (p, cum_new, k)
 
-    p0 = jnp.exp(-lam_c)
     _, _, k_small = jax.lax.fori_loop(
         0, _J_STEPS, body, (p0, jnp.zeros(shape, jnp.float32),
                             jnp.zeros(shape, jnp.float32)))
 
-    return jnp.where(lam < threshold, k_small, gauss)
+    return jnp.where(lam < _T_EXACT, k_small, gauss)
