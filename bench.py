@@ -55,6 +55,10 @@ def main() -> None:
                             scan=True, scan_speed_pix_s=1.0,
                             n_lambda=512, n_sub=8)
     cfg = obs.exposure_static()
+    if jax.default_backend() == "tpu":
+        # Pallas fused readout (hardware-PRNG path, validated statistically
+        # on-device; ~25% faster than the XLA noise chain).
+        cfg = dataclasses.replace(cfg, use_pallas=True)
     tables = synthetic_tables("G141", subarray=512, n_lambda=512,
                               samp_seq="SPARS10", nsamp=15)
     base = example_scene(512, scan_speed=1.0)

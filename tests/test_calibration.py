@@ -1,0 +1,64 @@
+"""Calibration loader-seam tests: aXe conf, sensitivity, flat cube, sky."""
+
+import numpy as np
+
+from wayne_tpu.calibration import (
+    load_axe_conf, load_sensitivity_ascii, synthetic_tables, with_loaded_grism,
+)
+from wayne_tpu.io.fits import FitsHDU, write_fits
+
+
+def test_axe_conf_parsing(tmp_path):
+    conf = tmp_path / "g141.conf"
+    conf.write_text(
+        "# aXe configuration\n"
+        "DYDX_ORDER_A 1\n"
+        "DYDX_A_0 1.96882 9.09159E-5 -1.93260E-3\n"
+        "DYDX_A_1 1.04275E-2 -7.96978E-6 -2.49607E-6\n"
+        "DLDP_A_0 8949.40742 0.08044033 -0.00927970 ; comment\n"
+        "DLDP_A_1 44.97227 0.0004927891 0.0035782416\n")
+    out = load_axe_conf(str(conf))
+    assert out["DYDX_A_0"][0] == 1.96882
+    # Angstrom -> micron conversion on DLDP only
+    np.testing.assert_allclose(out["DLDP_A_0"][0], 0.894940742)
+    np.testing.assert_allclose(out["DLDP_A_1"][0], 4.497227e-3)
+    assert out["DYDX_A_1"].shape == (6,)
+
+
+def test_sensitivity_ascii_angstrom_detection(tmp_path):
+    p = tmp_path / "sens.txt"
+    wl_a = np.linspace(10750, 17000, 50)
+    np.savetxt(p, np.stack([wl_a, np.full(50, 1.5e16)], axis=1))
+    wl, sens = load_sensitivity_ascii(str(p))
+    assert wl.max() < 2.0   # converted to micron
+
+
+def test_with_loaded_flat_and_sky(tmp_path):
+    tables = synthetic_tables("G141", subarray=64, n_lambda=16, nsamp=2)
+    # full-frame-ish (128) products, cut to the 64 subarray
+    cube = np.ones((4, 128, 128), np.float32)
+    cube[0] += 0.01
+    cube[1] *= 0.0
+    flat_path = tmp_path / "flat.fits"
+    write_fits(str(flat_path), [FitsHDU(data=cube)])
+    sky = np.ones((128, 128), np.float32) * 3.0
+    sky[0, 0] = 4.0
+    sky_path = tmp_path / "sky.fits"
+    write_fits(str(sky_path), [FitsHDU(header={}), FitsHDU("SKY", 1, sky)])
+
+    out = with_loaded_grism(tables, flat_path=str(flat_path),
+                            sky_path=str(sky_path))
+    assert out.flat_coeffs.shape == (4, 64, 64)
+    np.testing.assert_allclose(np.asarray(out.flat_coeffs[0]), 1.01)
+    np.testing.assert_allclose(float(np.asarray(out.sky_frame).mean()), 1.0,
+                               rtol=1e-5)
+
+
+def test_with_loaded_conf_changes_trace(tmp_path):
+    conf = tmp_path / "g141.conf"
+    conf.write_text("DYDX_A_0 5.0\nDYDX_A_1 0.0\nDLDP_A_0 9000.0\n"
+                    "DLDP_A_1 46.0\n")
+    tables = synthetic_tables("G141", subarray=64, n_lambda=16, nsamp=2)
+    out = with_loaded_grism(tables, conf_path=str(conf))
+    assert float(out.dydx0[0]) == 5.0
+    np.testing.assert_allclose(float(out.dldp1[0]), 4.6e-3)

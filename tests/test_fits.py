@@ -130,3 +130,24 @@ def test_ima_with_dq_planes_roundtrip():
                          if h.get("EXTNAME") == "DQ"}
             assert dq_planes[3][4, 9] == DQ_COSMIC_RAY
             assert dq_planes[0][4, 9] == 0
+
+
+def test_exposure_product_api():
+    from wayne_tpu.exposure_product import Exposure
+    import tempfile
+    rng = np.random.RandomState(1)
+    exp = Exposure(targname="X", grism="G141", samp_seq="SPARS10",
+                   subarray=32, expstart_mjd=56000.0, scan=True,
+                   scan_rate_pix_s=0.5)
+    frame = np.zeros((32, 32), np.float32)
+    exp.add_read(frame, 0.0)
+    for k in range(1, 4):
+        frame = frame + rng.uniform(0, 50, (32, 32)).astype(np.float32)
+        exp.add_read(frame, 0.1 + 10.0 * k)
+    assert exp.nsamp == 3
+    with tempfile.TemporaryDirectory() as d:
+        path = exp.generate_fits(os.path.join(d, "x_ima.fits"))
+        hdr, reads, times = read_ima(path)
+        assert hdr["NSAMP"] == 4 and reads.shape == (4, 32, 32)
+    with pytest.raises(ValueError):
+        exp.add_read(frame, 1.0)   # non-increasing time

@@ -329,10 +329,53 @@ def load_sensitivity_ascii(path: str) -> tuple[np.ndarray, np.ndarray]:
     return wl, sens
 
 
+def _subarray_cutout(plane: np.ndarray, subarray: int) -> np.ndarray:
+    """Centered subarray cutout of a full-frame calibration plane."""
+    if plane.shape[0] == subarray:
+        return plane
+    if plane.shape[0] < subarray:
+        raise ValueError(
+            f"calibration plane {plane.shape} smaller than subarray {subarray}")
+    c0 = (plane.shape[0] - subarray) // 2
+    return plane[c0: c0 + subarray, c0: c0 + subarray]
+
+
+def load_flat_cube_fits(path: str, subarray: int) -> np.ndarray:
+    """Load a wavelength-dependent flat-field cube FITS (4 coefficient
+    planes, reference: WFC3 G141 flat cube a la WFC3.IR.G141.flat.2.fits).
+
+    Accepts either one 3D (4, N, N) primary array or 4 image HDUs.
+    """
+    from wayne_tpu.io.fits import read_fits
+
+    hdus = read_fits(path)
+    arrays = [d for _, d in hdus if d is not None]
+    if len(arrays) == 1 and arrays[0].ndim == 3:
+        planes = [arrays[0][i] for i in range(arrays[0].shape[0])]
+    else:
+        planes = arrays
+    planes = (planes + [np.zeros_like(planes[0])] * 4)[:4]
+    return np.stack([_subarray_cutout(np.asarray(p, np.float64), subarray)
+                     for p in planes])
+
+
+def load_master_sky_fits(path: str, subarray: int) -> np.ndarray:
+    """Load a master-sky frame FITS, normalised to mean 1."""
+    from wayne_tpu.io.fits import read_fits
+
+    hdus = read_fits(path)
+    plane = next(d for _, d in hdus if d is not None and d.ndim == 2)
+    sky = _subarray_cutout(np.asarray(plane, np.float64), subarray)
+    return sky / sky.mean()
+
+
 def with_loaded_grism(tables: Tables, conf_path: str | None = None,
-                      sens_path: str | None = None) -> Tables:
-    """Override synthetic grism calibration with real products."""
+                      sens_path: str | None = None,
+                      flat_path: str | None = None,
+                      sky_path: str | None = None) -> Tables:
+    """Override synthetic grism calibration with real STScI products."""
     updates: dict[str, jnp.ndarray] = {}
+    subarray = tables.flat_coeffs.shape[-1]
     if conf_path is not None:
         conf = load_axe_conf(conf_path)
         updates.update(
@@ -347,4 +390,10 @@ def with_loaded_grism(tables: Tables, conf_path: str | None = None,
         updates["sensitivity"] = jnp.asarray(
             np.interp(wl_c, wl, sens, left=0.0, right=0.0),
             tables.sensitivity.dtype)
+    if flat_path is not None:
+        updates["flat_coeffs"] = jnp.asarray(
+            load_flat_cube_fits(flat_path, subarray), tables.flat_coeffs.dtype)
+    if sky_path is not None:
+        updates["sky_frame"] = jnp.asarray(
+            load_master_sky_fits(sky_path, subarray), tables.sky_frame.dtype)
     return dataclasses.replace(tables, **updates)

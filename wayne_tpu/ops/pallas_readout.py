@@ -36,9 +36,12 @@ _T_GAUSS = 100.0
 
 def _uniform(shape):
     """U(0,1) in (tiny, 1] from hardware PRNG bits (never exactly 0)."""
-    bits = pltpu.prng_random_bits(shape)
-    # 24 mantissa-safe bits -> (0, 1]
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    # prng_random_bits may come back as signed int32 on hardware — bitcast
+    # before shifting, or the sign bit sign-extends through >>.
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # 24 mantissa-safe bits; via int32 (Mosaic lacks a uint32->f32 cast)
+    bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    u = bits24.astype(jnp.float32) * (1.0 / 16777216.0)
     return jnp.maximum(u, 1e-7)
 
 
