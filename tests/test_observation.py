@@ -1,0 +1,75 @@
+"""Observation orchestration tests: planning, drift, scan alternation,
+generate/resume, debug guards."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from wayne_tpu.config import ObservationConfig, config_from_dict
+from wayne_tpu.observation import Observation
+
+
+def small_cfg(**kw) -> ObservationConfig:
+    base = dict(grism="G141", subarray=128, nsamp=3, samp_seq="SPARS10",
+                scan=True, scan_speed_pix_s=1.0, x_ref=30.0, y_ref=30.0,
+                n_orbits=1, exposures_per_orbit=4, n_lambda=64, n_sub=4)
+    base.update(kw)
+    return config_from_dict(base)
+
+
+class TestScenes:
+    def test_pointing_drift_applied(self):
+        obs = Observation(small_cfg())
+        x = np.asarray(obs.scenes.x_ref)
+        assert x.std() > 0                      # jitter + drift
+        obs2 = Observation(small_cfg(noise={"pointing_drift": False}))
+        np.testing.assert_allclose(np.asarray(obs2.scenes.x_ref), 30.0)
+
+    def test_alternating_scan_direction(self):
+        obs = Observation(small_cfg(alternate_scan_direction=True))
+        speeds = np.asarray(obs.scenes.scan_speed)
+        assert np.all(speeds[::2] > 0) and np.all(speeds[1::2] < 0)
+        # reverse scans start at the far end of the swept strip
+        y = np.asarray(obs.scenes.y_ref)
+        assert np.all(y[1::2] > y[::2] + 10)
+
+    def test_per_exposure_keys_unique(self):
+        obs = Observation(small_cfg())
+        keys = np.asarray(obs.scenes.key)
+        assert len(np.unique(keys, axis=0)) == keys.shape[0]
+
+    def test_first_orbit_flag(self):
+        obs = Observation(small_cfg(n_orbits=2))
+        flag = np.asarray(obs.scenes.is_first_orbit)
+        orbits = obs.plan.orbit_index
+        np.testing.assert_array_equal(flag, (orbits == 0).astype(np.float32))
+
+
+class TestGenerate:
+    def test_generate_resume_and_summary(self):
+        obs = Observation(small_cfg())
+        with tempfile.TemporaryDirectory() as d:
+            paths = obs.generate(d, chunk=4, progress=lambda s: None,
+                                 debug=True)
+            assert len(paths) == obs.plan.n_exposures
+            assert os.path.exists(os.path.join(d, "visit_summary.json"))
+            # direct image present
+            assert any("direct" in f for f in os.listdir(d))
+            again = obs.generate(d, chunk=4, progress=lambda s: None)
+            assert again == []                   # resume skips everything
+
+    def test_simulate_returns_batched_results(self):
+        obs = Observation(small_cfg())
+        res = obs.simulate(chunk=4)
+        n = obs.plan.n_exposures
+        assert res.reads_dn.shape[0] == n
+        assert res.reads_dn.shape[1] == obs.cfg.nsamp + 1
+
+    def test_guards_catch_saturation(self):
+        from wayne_tpu.utils.guards import SimulationError, check_exposure_result
+        obs = Observation(small_cfg(mag_J=2.0))   # absurdly bright
+        res = obs.simulate(chunk=4)
+        with pytest.raises(SimulationError):
+            check_exposure_result(res)

@@ -15,7 +15,8 @@ class SimulationError(RuntimeError):
     pass
 
 
-def check_exposure_result(res, *, context: str = "") -> dict:
+def check_exposure_result(res, *, context: str = "",
+                          sat_limit: float = 0.05) -> dict:
     """Validate a (possibly batched) ExposureResult; returns summary stats.
 
     Raises SimulationError on NaN/Inf reads, negative ideal charge, or a
@@ -28,13 +29,17 @@ def check_exposure_result(res, *, context: str = "") -> dict:
     if not np.isfinite(reads).all():
         bad = (~np.isfinite(reads)).sum()
         raise SimulationError(f"{prefix}{bad} non-finite values in reads")
-    if ideal.min() < -1e-3:
+    # fp32 erf-difference tails legitimately dip ~-1e-6 of peak; only a
+    # physically meaningful negative excursion is an error.
+    if ideal.min() < -max(1.0, 1e-5 * float(ideal.max())):
         raise SimulationError(
             f"{prefix}negative ideal charge (min {ideal.min():.3g} e-)")
-    if sat.max() > 0.9:
+    # A spectrum footprint is a few % of the frame; saturating more than
+    # sat_limit of ALL pixels means the source is flooding the detector.
+    if sat.max() > sat_limit:
         raise SimulationError(
-            f"{prefix}frame >90% saturated (sat_frac={sat.max():.2f}) — "
-            "check stellar magnitude / scan speed / NSAMP")
+            f"{prefix}saturated fraction {sat.max():.3f} exceeds "
+            f"{sat_limit} — check stellar magnitude / scan speed / NSAMP")
     return {
         "reads_min_dn": float(reads.min()),
         "reads_max_dn": float(reads.max()),
