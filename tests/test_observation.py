@@ -73,3 +73,15 @@ class TestGenerate:
         res = obs.simulate(chunk=4)
         with pytest.raises(SimulationError):
             check_exposure_result(res)
+
+
+class TestDiagnostics:
+    def test_quicklooks_written(self):
+        from wayne_tpu.diagnostics import visit_quicklooks
+        obs = Observation(small_cfg())
+        res = obs.simulate(chunk=4)
+        with tempfile.TemporaryDirectory() as d:
+            paths = visit_quicklooks(obs, res, d)
+            assert len(paths) == 2
+            for p in paths:
+                assert os.path.getsize(p) > 5000
