@@ -1,0 +1,79 @@
+"""Dataset generation: parameter sweeps, chunked resume, label round-trip."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wayne_tpu.calibration import synthetic_tables
+from wayne_tpu.config import ExposureStatic, NoiseFlags
+from wayne_tpu.parallel.dataset import generate_dataset, load_dataset, sweep_scenes
+from wayne_tpu.parallel.mesh import make_mesh
+from wayne_tpu.scene import example_scene
+
+S, NL = 64, 32
+CFG = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=2,
+                     samp_seq="RAPID", scan=True, max_cr_per_read=4,
+                     transit_quad=16, band_px=32)
+TABLES = synthetic_tables("G141", subarray=S, n_lambda=NL, samp_seq="RAPID",
+                          nsamp=2)
+
+
+def _visit(n_exp=4):
+    base = example_scene(NL, scan_speed=1.0)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_exp,) + x.shape), base)
+
+
+class TestSweep:
+    def test_override_broadcast_over_exposures(self):
+        rp = jnp.linspace(0.1, 0.2, 6)[:, None] * jnp.ones((6, NL))
+        ens = sweep_scenes(_visit(), 6, overrides={"rp_over_rs": rp})
+        got = np.asarray(ens.rp_over_rs)
+        assert got.shape == (6, 4, NL)
+        np.testing.assert_allclose(got[3, 2], np.asarray(rp[3]))
+
+    def test_override_scalar_field(self):
+        speeds = jnp.array([0.5, 1.0, 1.5, 2.0])
+        ens = sweep_scenes(_visit(), 4, overrides={"scan_speed": speeds})
+        np.testing.assert_allclose(np.asarray(ens.scan_speed)[:, 0],
+                                   np.asarray(speeds))
+
+    def test_bad_override_shape_raises(self):
+        with pytest.raises(ValueError):
+            sweep_scenes(_visit(), 4, overrides={"scan_speed": jnp.ones(3)})
+
+
+class TestGenerateDataset:
+    def test_chunked_write_resume_and_load(self):
+        mesh = make_mesh(jax.devices()[:2])
+        rp_scale = np.linspace(0.9, 1.1, 8)
+        overrides = {"scan_speed": jnp.full((8,), 1.0)}
+        with tempfile.TemporaryDirectory() as d:
+            log = []
+            m = generate_dataset(_visit(), TABLES, CFG, d, n_mc=8,
+                                 chunk_mc=4, overrides=overrides,
+                                 labels={"rp_scale": rp_scale}, mesh=mesh,
+                                 progress=log.append)
+            assert len(m["chunks"]) == 2
+            # resume: second call skips all chunks
+            log2 = []
+            generate_dataset(_visit(), TABLES, CFG, d, n_mc=8, chunk_mc=4,
+                             overrides=overrides,
+                             labels={"rp_scale": rp_scale}, mesh=mesh,
+                             progress=log2.append)
+            assert all("skipping" in s for s in log2)
+            data = load_dataset(d)
+            assert data["spectra_e"].shape == (8, 4, S)
+            np.testing.assert_allclose(data["label_rp_scale"], rp_scale)
+            assert np.isfinite(data["spectra_e"]).all()
+
+    def test_validation_errors(self):
+        mesh = make_mesh(jax.devices()[:2])
+        with tempfile.TemporaryDirectory() as d:
+            with pytest.raises(ValueError):
+                generate_dataset(_visit(), TABLES, CFG, d, n_mc=6,
+                                 chunk_mc=4, mesh=mesh)

@@ -30,9 +30,30 @@ def default_primary_header(
 ) -> dict[str, Any]:
     """The WFC3 keyword block downstream pipelines key off."""
     scan_rate_arcsec = abs(scan_rate_pix_s) * plate_scale
+    mjd0 = int(expstart_mjd)
+    frac = expstart_mjd - mjd0
+    # MJD -> calendar date (Fliegel-Van Flandern), for DATE-OBS realism
+    jd = mjd0 + 2400001
+    l = jd + 68569
+    n = 4 * l // 146097
+    l -= (146097 * n + 3) // 4
+    i = 4000 * (l + 1) // 1461001
+    l -= 1461 * i // 4 - 31
+    j = 80 * l // 2447
+    day = l - 2447 * j // 80
+    l = j // 11
+    month = j + 2 - 12 * l
+    year = 100 * (n - 49) + i + l
+    sec = frac * 86400.0
+    hh, mm, ss = int(sec // 3600), int(sec % 3600 // 60), sec % 60
     hdr: dict[str, Any] = {
         "TELESCOP": "HST", "INSTRUME": "WFC3", "DETECTOR": "IR",
         "FILTER": grism, "TARGNAME": targname,
+        "RA_TARG": 0.0, "DEC_TARG": 0.0,
+        "DATE-OBS": f"{year:04d}-{month:02d}-{day:02d}",
+        "TIME-OBS": f"{hh:02d}:{mm:02d}:{ss:06.3f}",
+        "ROOTNAME": targname.lower().replace(" ", ""),
+        "IMAGETYP": "EXT",
         "OBSTYPE": "SPECTROSCOPIC", "OBSMODE": "MULTIACCUM",
         "EXPSTART": expstart_mjd,
         "EXPEND": expstart_mjd + exptime_s / 86400.0,

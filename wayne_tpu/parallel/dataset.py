@@ -1,0 +1,135 @@
+"""Large-scale dataset generation: parameter sweeps + resumable chunks.
+
+The BASELINE north star calls for batching visits "across Monte-Carlo
+noise realizations for dataset generation". This module adds the two
+pieces an ML-dataset producer needs on top of parallel/ensemble.py:
+
+  - :func:`sweep_scenes` — vary *physics* across the ensemble axis
+    (transmission spectra, mid-times, systematics amplitudes, ...), not
+    just RNG keys;
+  - :func:`generate_dataset` — run an (mc, exp) ensemble in chunks,
+    writing each chunk's extracted spectra + labels to disk immediately:
+    a crashed run resumes at the first missing chunk (the same
+    incremental-checkpoint property the per-exposure FITS writes give a
+    single visit — SURVEY.md section 5.3/5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wayne_tpu.calibration import Tables
+from wayne_tpu.config import ExposureStatic
+from wayne_tpu.parallel.ensemble import mc_scenes, simulate_ensemble_spectra
+from wayne_tpu.parallel.mesh import make_mesh, shard_scenes
+from wayne_tpu.scene import Scene
+
+
+def sweep_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0,
+                 overrides: Mapping[str, jnp.ndarray] | None = None) -> Scene:
+    """An (mc, exp) ensemble whose realisations differ in physics.
+
+    Args:
+      visit_scenes: Scene batched over exposures (exp axis).
+      overrides: per-field arrays with leading axis n_mc. A field of
+        shape (n_mc, ...) broadcasts over exposures; (n_mc, n_exp, ...)
+        is taken verbatim. Example:
+        ``{"rp_over_rs": rp_samples}`` with rp_samples (n_mc, NL).
+
+    RNG keys always differ per (realisation, exposure).
+    """
+    ens = mc_scenes(visit_scenes, n_mc, seed)
+    if not overrides:
+        return ens
+    n_exp = jax.tree_util.tree_leaves(visit_scenes)[0].shape[0]
+    updates: dict[str, jnp.ndarray] = {}
+    for name, value in overrides.items():
+        cur = getattr(ens, name)
+        value = jnp.asarray(value, cur.dtype)
+        if value.shape[0] != n_mc:
+            raise ValueError(f"override {name!r} must lead with n_mc={n_mc}")
+        if value.ndim == cur.ndim:          # (mc, exp, ...) verbatim
+            updates[name] = value
+        elif value.ndim == cur.ndim - 1:    # (mc, ...) -> broadcast over exp
+            updates[name] = jnp.broadcast_to(value[:, None], cur.shape)
+        else:
+            raise ValueError(f"override {name!r} has rank {value.ndim}, "
+                             f"expected {cur.ndim} or {cur.ndim - 1}")
+    return dataclasses.replace(ens, **updates)
+
+
+def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
+                     outdir: str, *, n_mc: int, chunk_mc: int = 16,
+                     seed: int = 0,
+                     overrides: Mapping[str, jnp.ndarray] | None = None,
+                     labels: Mapping[str, np.ndarray] | None = None,
+                     mesh=None, progress=None) -> dict[str, Any]:
+    """Generate an n_mc-realisation spectral dataset, resumably.
+
+    Writes ``chunk_XXXX.npz`` files containing extracted spectra
+    (chunk_mc, n_exp, S) plus any per-realisation ``labels`` slices, and a
+    ``manifest.json``. Already-present chunks are skipped on re-run.
+    """
+    os.makedirs(outdir, exist_ok=True)
+    say = progress or (lambda s: None)
+    if mesh is None:
+        mesh = make_mesh(jax.devices()[:1])
+    if n_mc % chunk_mc != 0:
+        raise ValueError("n_mc must be a multiple of chunk_mc")
+    d_mc = mesh.shape["mc"]
+    if chunk_mc % d_mc != 0:
+        raise ValueError(f"chunk_mc must be a multiple of mesh mc={d_mc}")
+
+    n_exp = jax.tree_util.tree_leaves(visit_scenes)[0].shape[0]
+    written = []
+    for c0 in range(0, n_mc, chunk_mc):
+        path = os.path.join(outdir, f"chunk_{c0 // chunk_mc:04d}.npz")
+        written.append(os.path.basename(path))
+        if os.path.exists(path):
+            say(f"chunk {c0 // chunk_mc}: exists, skipping")
+            continue
+        over = None
+        if overrides:
+            over = {k: jnp.asarray(v)[c0: c0 + chunk_mc]
+                    for k, v in overrides.items()}
+        # seed folds the chunk start so realisation c0+i is identical no
+        # matter the chunking — exact resume.
+        ens = sweep_scenes(visit_scenes, chunk_mc,
+                           seed=seed + 7919 * c0, overrides=over)
+        ens = shard_scenes(ens, mesh)
+        spectra = np.asarray(simulate_ensemble_spectra(ens, tables, cfg, mesh))
+        payload = {"spectra_e": spectra}
+        if labels:
+            for k, v in labels.items():
+                payload[f"label_{k}"] = np.asarray(v)[c0: c0 + chunk_mc]
+        np.savez_compressed(path, **payload)
+        say(f"chunk {c0 // chunk_mc}: wrote {spectra.shape}")
+
+    manifest = {
+        "n_mc": n_mc, "chunk_mc": chunk_mc, "n_exp": n_exp,
+        "subarray": cfg.subarray, "seed": seed,
+        "labels": sorted(labels) if labels else [],
+        "chunks": written,
+    }
+    with open(os.path.join(outdir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
+def load_dataset(outdir: str) -> dict[str, np.ndarray]:
+    """Concatenate all chunks of a generated dataset."""
+    with open(os.path.join(outdir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    arrays: dict[str, list[np.ndarray]] = {}
+    for name in manifest["chunks"]:
+        with np.load(os.path.join(outdir, name)) as z:
+            for k in z.files:
+                arrays.setdefault(k, []).append(z[k])
+    return {k: np.concatenate(v) for k, v in arrays.items()}

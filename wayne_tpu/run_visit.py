@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
                         help="force the CPU backend")
     parser.add_argument("--no-resume", action="store_true",
                         help="rewrite exposures even if files exist")
+    parser.add_argument("--quicklook", action="store_true",
+                        help="also write diagnostic PNGs (needs matplotlib)")
+    parser.add_argument("--debug", action="store_true",
+                        help="run NaN/saturation guards + visit_summary.json")
     parser.add_argument("--example", action="store_true",
                         help="print an example parameter file and exit")
     args = parser.parse_args(argv)
@@ -93,8 +97,13 @@ def main(argv: list[str] | None = None) -> int:
           f"({obs.detector_exptime:.1f}s each) over {cfg.n_orbits} orbits")
     paths = obs.generate(cfg.outdir if not args.outdir else args.outdir,
                          chunk=args.chunk, progress=print,
-                         resume=not args.no_resume)
+                         resume=not args.no_resume, debug=args.debug)
     print(f"wrote {len(paths)} exposures to {cfg.outdir}")
+    if args.quicklook:
+        from wayne_tpu.diagnostics import visit_quicklooks
+        res = obs.simulate(chunk=args.chunk)
+        pngs = visit_quicklooks(obs, res, cfg.outdir)
+        print(f"quicklooks: {', '.join(pngs)}")
     return 0
 
 
