@@ -1,0 +1,47 @@
+"""CLI integration test: the `wayne -p parfile.yml` equivalent end to end."""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_example_flag():
+    r = subprocess.run(
+        [sys.executable, "-m", "wayne_tpu.run_visit", "--example"],
+        capture_output=True, text=True, cwd=REPO, timeout=300)
+    assert r.returncode == 0
+    assert "grism: G141" in r.stdout and "planet:" in r.stdout
+
+
+def test_cli_full_visit(tmp_path):
+    import yaml
+    pars = {
+        "observation": dict(grism="G141", subarray=128, NSAMP=3,
+                            SAMPSEQ="SPARS10", scan=True, scan_speed=1.0,
+                            x_ref=30.0, y_ref=30.0, num_orbits=1,
+                            exposures_per_orbit=3, n_lambda=64, n_sub=4,
+                            outdir=str(tmp_path / "out")),
+        "target": dict(name="T", mag_J=10.0),
+    }
+    parfile = tmp_path / "pars.yml"
+    parfile.write_text(yaml.safe_dump(pars))
+    r = subprocess.run(
+        [sys.executable, "-m", "wayne_tpu.run_visit", "-p", str(parfile),
+         "--cpu", "--chunk", "3", "--debug"],
+        capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    out = tmp_path / "out"
+    imas = sorted(f for f in os.listdir(out) if f.endswith("_ima.fits"))
+    assert len(imas) == 3
+    assert (out / "visit_summary.json").exists()
+
+    from wayne_tpu.io.ima import read_ima
+    hdr, reads, times = read_ima(str(out / imas[0]))
+    assert hdr["NSAMP"] == 4
+    assert "DATE-OBS" in hdr and hdr["INSTRUME"] == "WFC3"
+    assert np.isfinite(reads).all()

@@ -177,6 +177,7 @@ class ObservationConfig:
     noise: NoiseFlags = field(default_factory=NoiseFlags)
     n_lambda: int = 512
     n_sub: int = 8
+    transit_quad: int = 64
     outdir: str = "wayne_out"
 
     def exposure_static(self) -> ExposureStatic:
@@ -190,6 +191,7 @@ class ObservationConfig:
             noise=self.noise,
             band_px=self.auto_band_px(),
             max_cr_per_read=self.auto_max_cr(),
+            transit_quad=self.transit_quad,
         )
 
     def auto_max_cr(self) -> int:

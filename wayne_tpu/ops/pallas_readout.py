@@ -46,24 +46,34 @@ def _uniform(shape):
 
 
 def _poisson_tile(lam, u, z):
-    """Three-regime Poisson given uniform u and normal z (see ops/random.py)."""
+    """Three-regime Poisson given uniform u and normal z (see ops/random.py).
+
+    The exact inverse-transform loop is skipped entirely when the whole
+    tile sits in the Cornish-Fisher regime (sky-dominated backgrounds:
+    lam ~ 12 >> 3) — the loop result is masked out in that case anyway,
+    so the branch is bit-exact and consumes no extra randomness.
+    """
     skew = jnp.where(lam < _T_GAUSS, (z * z - 1.0) / 6.0, 0.0)
     gauss = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z + skew), 0.0)
 
-    lam_c = jnp.minimum(lam, _T_EXACT)
-    p0 = jnp.exp(-lam_c)
+    def small_branch(_):
+        lam_c = jnp.minimum(lam, _T_EXACT)
+        p0 = jnp.exp(-lam_c)
 
-    def body(j, carry):
-        p, cum, k = carry
-        cum_new = cum + p
-        k = k + (u > cum_new).astype(jnp.float32)
-        p = p * lam_c / (j + 1.0)
-        return (p, cum_new, k)
+        def body(j, carry):
+            p, cum, k = carry
+            cum_new = cum + p
+            k = k + (u > cum_new).astype(jnp.float32)
+            p = p * lam_c / (j + 1.0)
+            return (p, cum_new, k)
 
-    _, _, k_small = jax.lax.fori_loop(
-        0, _J_STEPS, body,
-        (p0, jnp.zeros_like(lam), jnp.zeros_like(lam)))
-    return jnp.where(lam < _T_EXACT, k_small, gauss)
+        _, _, k_small = jax.lax.fori_loop(
+            0, _J_STEPS, body,
+            (p0, jnp.zeros_like(lam), jnp.zeros_like(lam)))
+        return jnp.where(lam < _T_EXACT, k_small, gauss)
+
+    return jax.lax.cond(jnp.min(lam) < _T_EXACT, small_branch,
+                        lambda _: gauss, None)
 
 
 def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref,
