@@ -151,3 +151,17 @@ def test_exposure_product_api():
         assert hdr["NSAMP"] == 4 and reads.shape == (4, 32, 32)
     with pytest.raises(ValueError):
         exp.add_read(frame, 1.0)   # non-increasing time
+
+
+def test_ima_e_per_s_units():
+    reads, times = _make_reads()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "rate.fits")
+        write_ima(path, reads, times, _primary(4), units="e_per_s", gain=2.5)
+        hdus = read_fits(path)
+        assert hdus[0][0]["BUNIT"] == "ELECTRONS/S"
+        sci = {h["SAMPNUM"]: a for h, a in hdus[1:] if h.get("EXTNAME") == "SCI"}
+        np.testing.assert_allclose(sci[2], reads[2] * 2.5 / times[2], rtol=1e-5)
+        np.testing.assert_allclose(sci[0], 0.0)   # zeroth read has no rate
+    with pytest.raises(ValueError):
+        write_ima("/tmp/x.fits", reads, times, _primary(4), units="adu")

@@ -131,3 +131,28 @@ class TestLightCurve:
         assert lc.shape == (1, 4)
         assert abs(float(lc[0, 0] - lc[0, 2])) < 1e-7
         assert abs(float(lc[0, 0] - lc[0, 1])) > 1e-4  # LD changes the depth
+
+
+class TestChannelInterp:
+    def test_interp_matches_direct(self):
+        from wayne_tpu.ops.transit import transit_light_curve
+        orbit = OrbitParams.create(0.813475 * 86400.0, 0.0, 4.855,
+                                   np.deg2rad(82.1))
+        wl = np.linspace(1.1, 1.7, 256)
+        rp = jnp.asarray(0.1595 + 0.004 * np.sin(9 * wl), jnp.float32)
+        t = jnp.linspace(-4000.0, 4000.0, 9)
+        fast = transit_light_curve(t, orbit, rp, LD, interp_channels=True)
+        slow = transit_light_curve(t, orbit, rp, LD, interp_channels=False)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   atol=2e-6)
+
+    def test_constant_rp_degenerate_range(self):
+        from wayne_tpu.ops.transit import transit_light_curve
+        orbit = OrbitParams.create(0.813475 * 86400.0, 0.0, 4.855,
+                                   np.deg2rad(82.1))
+        rp = jnp.full((64,), 0.1595)
+        t = jnp.array([0.0])
+        fast = transit_light_curve(t, orbit, rp, LD, interp_channels=True)
+        slow = transit_light_curve(t, orbit, rp, LD, interp_channels=False)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   atol=2e-6)

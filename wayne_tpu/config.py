@@ -178,6 +178,7 @@ class ObservationConfig:
     n_lambda: int = 512
     n_sub: int = 8
     transit_quad: int = 64
+    output_units: str = "counts"        # 'counts' (raw DN) | 'e_per_s'
     outdir: str = "wayne_out"
 
     def exposure_static(self) -> ExposureStatic:

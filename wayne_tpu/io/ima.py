@@ -98,7 +98,8 @@ def _ima_ext_headers(reads_shape: tuple[int, ...],
 def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
               primary: dict[str, Any], *, err: np.ndarray | None = None,
               dq: np.ndarray | None = None, gain: float = 2.5,
-              read_noise_e: float = 20.0, use_native: bool = True) -> None:
+              read_noise_e: float = 20.0, use_native: bool = True,
+              units: str = "counts") -> None:
     """Write one exposure as an ima-style FITS file.
 
     Uses the native C++ backend (wayne_tpu/native) when available and the
@@ -108,8 +109,18 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
       reads_dn: (NR, S, S) sampled reads in TIME order (read 0 first).
       read_times: (NR,) seconds from exposure start.
       err: optional (NR, S, S); default: sqrt(max(signal_e,0) + rn^2)/gain.
+      units: 'counts' (raw DN, the simulator's native product) or
+        'e_per_s' (calwf3-style count-rate ima: SCI = DN*gain/SAMPTIME).
     """
     reads_dn = np.asarray(reads_dn, np.float32)
+    if units == "e_per_s":
+        t = np.asarray(read_times, np.float64)
+        scale = np.where(t > 0, gain / np.maximum(t, 1e-9), 0.0)
+        reads_dn = (reads_dn * scale[:, None, None].astype(np.float32))
+        primary = dict(primary, BUNIT="ELECTRONS/S", UNITCORR="COMPLETE")
+        use_native = False   # ERR propagation differs; take the python path
+    elif units != "counts":
+        raise ValueError(f"unknown units {units!r}")
     if use_native and err is None:
         from wayne_tpu.io.native import write_ima_native
         primary_bytes = header_only_bytes(primary=True, header=primary)

@@ -224,7 +224,7 @@ class Observation:
                 extra={"SIMSEED": cfg.seed, "EXPINDEX": i,
                        "SAT_FRAC": float(np.asarray(res.saturated_frac)[j])})
             write_ima(path, reads[j], read_times, primary, gain=gain,
-                      read_noise_e=rn, dq=dq)
+                      read_noise_e=rn, dq=dq, units=cfg.output_units)
             paths.append(path)
             say(f"exposure {i + 1}/{n} written")
         return paths
