@@ -172,3 +172,33 @@ class TestDeterminism:
         a = simulate_exposure(scene, tables, cfg).reads_dn
         c = simulate_exposure(b, tables, cfg).reads_dn
         assert float(jnp.abs(a - c).max()) > 0.0
+
+
+class TestReverseScan:
+    def test_reverse_scan_matches_oracle(self):
+        cfg, tables, scene = make(True, NoiseFlags.none())
+        scene = dataclasses.replace(scene, y_ref=jnp.float32(90.0),
+                                    scan_speed=jnp.float32(-1.5))
+        res = simulate_exposure(scene, tables, cfg)
+        got = np.asarray(res.ideal_e, np.float64)
+        want = oracle_ideal_frame(
+            tables, cfg, x_ref=30.0, y_ref=90.0, scan_speed=-1.5,
+            exp_start_s=0.0, stellar_flux=np.asarray(scene.stellar_flux),
+            rp_over_rs=np.asarray(scene.rp_over_rs),
+            ld=np.asarray(scene.ld), orbit=orbit_dict(scene))
+        scale = want.max()
+        np.testing.assert_allclose(got / scale, want / scale, atol=2e-4)
+
+    def test_forward_reverse_symmetric_totals(self):
+        cfg, tables, scene = make(True, NoiseFlags.none())
+        fwd = simulate_exposure(
+            dataclasses.replace(scene, y_ref=jnp.float32(40.0),
+                                scan_speed=jnp.float32(1.0)), tables, cfg)
+        rev = simulate_exposure(
+            dataclasses.replace(scene, y_ref=jnp.float32(80.0),
+                                scan_speed=jnp.float32(-1.0)), tables, cfg)
+        # totals differ by ~0.1%: the aXe dispersion is field-dependent, so
+        # a different y_ref puts a slightly different wavelength span on
+        # the (half-overhung) test detector — real physics, not an error.
+        np.testing.assert_allclose(float(fwd.ideal_e.sum()),
+                                   float(rev.ideal_e.sum()), rtol=3e-3)

@@ -1,0 +1,40 @@
+"""Systematics generators unit tests (reference: wayne/trend_generators/)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from wayne_tpu.trends import TrendParams, ssv_factor, visit_trend_factor
+
+
+def test_ssv_amplitude_and_period():
+    p = TrendParams.create(ssv_amp=0.02, ssv_period_s=0.5, ssv_phase=0.0)
+    t = jnp.linspace(0.0, 5.0, 10001)
+    f = np.asarray(ssv_factor(t, p))
+    np.testing.assert_allclose(f.max(), 1.02, atol=1e-4)
+    np.testing.assert_allclose(f.min(), 0.98, atol=1e-4)
+    np.testing.assert_allclose(f.mean(), 1.0, atol=1e-4)
+    # period: f(t) == f(t + period)
+    np.testing.assert_allclose(np.asarray(ssv_factor(jnp.array([0.1]), p)),
+                               np.asarray(ssv_factor(jnp.array([0.6]), p)),
+                               atol=1e-6)
+
+
+def test_hook_recovers_within_orbit():
+    p = TrendParams.create(hook_amp=0.004, hook_tau_s=200.0,
+                           visit_slope_per_s=0.0, hook_orbit1_scale=2.0)
+    t = jnp.array([0.0, 200.0, 2000.0])
+    later = np.asarray(visit_trend_factor(t, t, jnp.float32(0.0), p))
+    np.testing.assert_allclose(later[0], 1.0 - 0.004, atol=1e-6)
+    assert later[1] > later[0]          # exponential recovery
+    np.testing.assert_allclose(later[2], 1.0, atol=2e-4)
+    # first orbit has a deeper hook
+    first = np.asarray(visit_trend_factor(t, t, jnp.float32(1.0), p))
+    assert first[0] < later[0]
+
+
+def test_visit_slope():
+    p = TrendParams.create(hook_amp=0.0, visit_slope_per_s=1e-6)
+    f = np.asarray(visit_trend_factor(jnp.array([0.0, 1e4]),
+                                      jnp.array([1e9, 1e9]),
+                                      jnp.float32(0.0), p))
+    np.testing.assert_allclose(f[0] - f[1], 1e-2, rtol=1e-4)
