@@ -165,3 +165,32 @@ class TestLimbDarkeningTable:
         p = Planet(PlanetConfig())
         ld = p.ld_on_grid(np.array([1.2, 1.6]))
         assert ld.shape == (4,)
+
+
+class TestProfilingUtils:
+    def test_stage_timers(self):
+        import time as _time
+        from wayne_tpu.utils.profiling import StageTimers
+        t = StageTimers()
+        with t.stage("a"):
+            _time.sleep(0.01)
+        with t.stage("a"):
+            _time.sleep(0.01)
+        s = t.summary()
+        assert s["a"]["count"] == 2
+        assert s["a"]["total_s"] >= 0.02
+        assert "a" in t.report()
+
+
+class TestMeshEdgeCases:
+    def test_single_device_mesh(self):
+        import jax
+        from wayne_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(jax.devices()[:1])
+        assert mesh.shape["mc"] * mesh.shape["exp"] == 1
+
+    def test_two_device_mesh(self):
+        import jax
+        from wayne_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(jax.devices()[:2])
+        assert mesh.shape["mc"] * mesh.shape["exp"] == 2
