@@ -61,3 +61,23 @@ def test_mixed_lam_array():
     x = np.asarray(fast_poisson(jax.random.PRNGKey(5), lam, shape=(1000, 4)))
     means = x.mean(axis=0)
     np.testing.assert_allclose(means, np.asarray(lam), rtol=0.2, atol=0.05)
+
+
+def test_exact_poisson_config_path():
+    # ExposureStatic(exact_poisson=True) routes through jax.random.poisson.
+    import dataclasses
+    from wayne_tpu.calibration import synthetic_tables
+    from wayne_tpu.config import ExposureStatic, NoiseFlags
+    from wayne_tpu.ops.exposure import simulate_exposure
+    from wayne_tpu.scene import example_scene
+    flags = dataclasses.replace(NoiseFlags.none(), poisson=True)
+    cfg = ExposureStatic(subarray=64, n_lambda=32, n_sub=2, nsamp=2,
+                         samp_seq="RAPID", scan=False, noise=flags,
+                         exact_poisson=True, transit_quad=16)
+    tables = synthetic_tables("G141", subarray=64, n_lambda=32,
+                              samp_seq="RAPID", nsamp=2)
+    scene = example_scene(32, scan_speed=0.0)
+    res = simulate_exposure(scene, tables, cfg)
+    x = np.asarray(res.reads_dn)
+    assert np.isfinite(x).all()
+    np.testing.assert_allclose(x * 2.5, np.round(x * 2.5), atol=1e-3)

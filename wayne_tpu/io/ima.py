@@ -114,11 +114,16 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
     """
     reads_dn = np.asarray(reads_dn, np.float32)
     if units == "e_per_s":
+        if err is None:   # propagate in DN, then convert with the rate
+            sig_e = np.maximum(reads_dn, 0.0) * gain
+            err = (np.sqrt(sig_e + read_noise_e**2) / gain).astype(np.float32)
         t = np.asarray(read_times, np.float64)
         scale = np.where(t > 0, gain / np.maximum(t, 1e-9), 0.0)
-        reads_dn = (reads_dn * scale[:, None, None].astype(np.float32))
+        scale = scale[:, None, None].astype(np.float32)
+        reads_dn = reads_dn * scale
+        err = np.asarray(err, np.float32) * scale
         primary = dict(primary, BUNIT="ELECTRONS/S", UNITCORR="COMPLETE")
-        use_native = False   # ERR propagation differs; take the python path
+        use_native = False   # rate planes take the python path
     elif units != "counts":
         raise ValueError(f"unknown units {units!r}")
     if use_native and err is None:
