@@ -77,3 +77,28 @@ class TestGenerateDataset:
             with pytest.raises(ValueError):
                 generate_dataset(_visit(), TABLES, CFG, d, n_mc=6,
                                  chunk_mc=4, mesh=mesh)
+
+
+class TestTorchAdapter:
+    def test_dataset_and_dataloader(self):
+        from wayne_tpu.parallel.torch_data import WayneSpectraDataset
+        mesh = make_mesh(jax.devices()[:2])
+        rp_scale = np.linspace(0.9, 1.1, 8)
+        with tempfile.TemporaryDirectory() as d:
+            generate_dataset(_visit(), TABLES, CFG, d, n_mc=8, chunk_mc=4,
+                             labels={"rp_scale": rp_scale}, mesh=mesh)
+            ds = WayneSpectraDataset(d)
+            assert len(ds) == 8
+            spectra, labels = ds[5]
+            assert spectra.shape == (4, S) and spectra.dtype == np.float32
+            np.testing.assert_allclose(labels["rp_scale"], rp_scale[5])
+            with pytest.raises(IndexError):
+                ds[8]
+            # torch collation end-to-end
+            import torch
+            from torch.utils.data import DataLoader
+            tds = WayneSpectraDataset(d, as_torch=True)
+            batch = next(iter(DataLoader(tds, batch_size=4)))
+            xb, yb = batch
+            assert xb.shape == (4, 4, S)
+            assert yb["rp_scale"].shape == (4,)

@@ -202,3 +202,30 @@ class TestReverseScan:
         # the (half-overhung) test detector — real physics, not an error.
         np.testing.assert_allclose(float(fwd.ideal_e.sum()),
                                    float(rev.ideal_e.sum()), rtol=3e-3)
+
+
+class TestSSVAgainstOracle:
+    def test_ssv_scan_matches_fine_oracle(self):
+        # The kernel uses EXACT per-segment SSV means; the oracle applies
+        # the raw sinusoid at ~0.03 px steps. Pixel-level agreement here
+        # validates that segment-averaging loses nothing observable.
+        flags = dataclasses.replace(NoiseFlags.none(), ssv=True)
+        cfg, tables, scene = make(True, flags, n_sub=64)   # 20 seg/period
+        from wayne_tpu.trends import TrendParams
+        trends = TrendParams.create(ssv_amp=0.05, ssv_period_s=3.0,
+                                    ssv_phase=0.4)
+        scene = dataclasses.replace(scene, trends=trends)
+        res = simulate_exposure(scene, tables, cfg)
+        got = np.asarray(res.ideal_e, np.float64)
+
+        p = 2 * np.pi / 3.0
+        trend_fn = lambda t: 1.0 + 0.05 * np.sin(p * t + 0.4)
+        want = oracle_ideal_frame(
+            tables, cfg, x_ref=30.0, y_ref=40.0,
+            scan_speed=float(scene.scan_speed), exp_start_s=0.0,
+            stellar_flux=np.asarray(scene.stellar_flux),
+            rp_over_rs=np.asarray(scene.rp_over_rs),
+            ld=np.asarray(scene.ld), orbit=orbit_dict(scene),
+            trend_fn=trend_fn, max_step_px=0.03)
+        scale = want.max()
+        np.testing.assert_allclose(got / scale, want / scale, atol=4e-4)

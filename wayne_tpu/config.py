@@ -149,6 +149,9 @@ class TrendConfig:
     drift_x_per_exp: float = 0.002      # px drift per exposure
     drift_y_per_exp: float = 0.005
     drift_jitter: float = 0.005         # random per-exposure pointing jitter (px)
+    ssv_resolution: float = 12.0        # subsegments per SSV period when the
+    #                                     stripe pattern is super-pixel (error
+    #                                     ~(1/res)^2 of peak; 12 -> ~0.3%)
 
 
 @dataclass
@@ -176,7 +179,7 @@ class ObservationConfig:
     trends: TrendConfig = field(default_factory=TrendConfig)
     noise: NoiseFlags = field(default_factory=NoiseFlags)
     n_lambda: int = 512
-    n_sub: int = 8
+    n_sub: int = 0           # 0 -> auto from SSV period (see auto_n_sub)
     transit_quad: int = 64
     output_units: str = "counts"        # 'counts' (raw DN) | 'e_per_s'
     outdir: str = "wayne_out"
@@ -185,7 +188,7 @@ class ObservationConfig:
         return ExposureStatic(
             subarray=self.subarray,
             n_lambda=self.n_lambda,
-            n_sub=self.n_sub,
+            n_sub=self.n_sub or self.auto_n_sub(),
             nsamp=self.nsamp,
             samp_seq=self.samp_seq,
             scan=self.scan,
@@ -194,6 +197,26 @@ class ObservationConfig:
             max_cr_per_read=self.auto_max_cr(),
             transit_quad=self.transit_quad,
         )
+
+    def auto_n_sub(self) -> int:
+        """Subsegments per read. The scan *motion* is integrated in closed
+        form and the SSV modulation uses exact per-segment time averages,
+        so subsegments only need to resolve (a) light-curve curvature
+        (minutes — 8 is plenty) and (b) the *spatial* SSV stripe pattern
+        when its wavelength scan_rate * period exceeds ~2 px (sub-pixel
+        stripes wash out inside a pixel regardless)."""
+        from wayne_tpu.calibration import sample_sequence_times
+
+        n = 8
+        stripe_px = abs(self.scan_speed_pix_s) * self.trends.ssv_period_s
+        if (self.noise.ssv and self.scan and stripe_px >= 2.0
+                and self.trends.ssv_period_s > 0):
+            times = sample_sequence_times(self.samp_seq, self.nsamp,
+                                          self.subarray)
+            max_dt = float(max(b - a for a, b in zip(times[:-1], times[1:])))
+            n = max(n, int(self.trends.ssv_resolution * max_dt
+                           / self.trends.ssv_period_s) + 1)
+        return min(n, 128)
 
     def auto_max_cr(self) -> int:
         """Static cosmic-ray bound: expected hits per read + 6 sigma.

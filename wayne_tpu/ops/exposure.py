@@ -41,7 +41,7 @@ from wayne_tpu.ops.psf import pixel_fractions_moving, pixel_fractions_static
 from wayne_tpu.ops.random import fast_poisson
 from wayne_tpu.ops.transit import transit_light_curve
 from wayne_tpu.scene import Scene
-from wayne_tpu.trends import ssv_factor, visit_trend_factor
+from wayne_tpu.trends import ssv_mean_factor, visit_trend_factor
 
 
 def _register(cls):
@@ -62,12 +62,13 @@ class ExposureResult:
 
 
 def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
-                    t_mid: jnp.ndarray, dt_seg: jnp.ndarray) -> jnp.ndarray:
+                    t_seg_edges: jnp.ndarray, dt_seg: jnp.ndarray) -> jnp.ndarray:
     """Source electrons per (subsegment, wavelength bin): (K, NL).
 
     counts = F_lambda * sensitivity * dlambda * dt * LC(t, lambda)
-             * SSV(t) * visit_trend(t).
+             * SSV(segment mean, exact) * visit_trend(t).
     """
+    t_mid = 0.5 * (t_seg_edges[:-1] + t_seg_edges[1:])
     dlam = jnp.diff(tables.wl_edges)
     rate0 = scene.stellar_flux * tables.sensitivity * dlam   # e-/s per bin
     times_abs = scene.exp_start_s + t_mid
@@ -75,7 +76,8 @@ def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
                              scene.ld, cfg.transit_quad)     # (K, NL)
     factor = jnp.ones_like(t_mid)
     if cfg.noise.ssv and cfg.scan:
-        factor = factor * ssv_factor(t_mid, scene.trends)
+        factor = factor * ssv_mean_factor(t_seg_edges[:-1], t_seg_edges[1:],
+                                          scene.trends)
     if cfg.noise.visit_trend:
         factor = factor * visit_trend_factor(
             scene.exp_start_s + t_mid,
@@ -191,8 +193,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
     def source_band(k, t_a, dt):
         """(band_or_S, S) source electrons laid down this interval + row0."""
         t_seg_edges = t_a + (dt / K) * jnp.arange(K + 1, dtype=dtype)
-        t_mid = 0.5 * (t_seg_edges[:-1] + t_seg_edges[1:])
-        counts = _segment_counts(scene, tables, cfg, t_mid, dt / K)  # (K, NL)
+        counts = _segment_counts(scene, tables, cfg, t_seg_edges, dt / K)  # (K, NL)
 
         if band:
             off = scene.scan_speed * t_seg_edges
@@ -258,10 +259,10 @@ def simulate_exposure(scene: Scene, tables: Tables,
 
         if cfg.use_pallas:
             # Fused: bg Poisson + accumulate + non-linearity + bias +
-            # read noise + gain in one VMEM pass (hardware PRNG).
-            add = add_band(jnp.zeros((S, S), dtype), frame, y0)
-            if cr_frame is not None:
-                add = add + cr_frame
+            # read noise + gain in one VMEM pass (hardware PRNG). The CR
+            # frame doubles as the deposit base (one less full-frame temp).
+            base = cr_frame if cr_frame is not None else jnp.zeros((S, S), dtype)
+            add = add_band(base, frame, y0)
             cum_e, dn = fused_read_step(
                 jnp.stack([exp_seed, k.astype(jnp.int32)]),
                 cum_e, add, bg_rate * dt, tables.bias_map, tables.gain_map,

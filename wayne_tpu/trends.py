@@ -60,6 +60,26 @@ def ssv_factor(t_in_exposure: jnp.ndarray, p: TrendParams) -> jnp.ndarray:
     return 1.0 + p.ssv_amp * jnp.sin(phase)
 
 
+def ssv_mean_factor(t_a: jnp.ndarray, t_b: jnp.ndarray,
+                    p: TrendParams) -> jnp.ndarray:
+    """EXACT time-average of the SSV sinusoid over [t_a, t_b].
+
+    mean = 1 + amp * [cos(w t_a + phi) - cos(w t_b + phi)] / (w (t_b - t_a))
+
+    Using the analytic mean per subsegment removes sampling aliasing of
+    the modulation entirely: with sub-second SSV periods a midpoint
+    sample at the subsegment cadence would damp the effective amplitude
+    by sinc(pi dt/P) (~17% at 3 samples/period). The sub-pixel intra-
+    segment stripe structure (spatial wavelength = scan_rate * period
+    < 1 px) is physically washed out by pixel integration regardless.
+    """
+    w = 2.0 * jnp.pi / p.ssv_period_s
+    dt = jnp.maximum(t_b - t_a, 1e-9)
+    mean_sin = (jnp.cos(w * t_a + p.ssv_phase)
+                - jnp.cos(w * t_b + p.ssv_phase)) / (w * dt)
+    return 1.0 + p.ssv_amp * mean_sin
+
+
 def visit_trend_factor(t_since_visit: jnp.ndarray, t_since_orbit: jnp.ndarray,
                        is_first_orbit: jnp.ndarray, p: TrendParams) -> jnp.ndarray:
     """Hook + visit-long slope multiplier.
