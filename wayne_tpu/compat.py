@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wayne_tpu.config import ExposureStatic, NoiseFlags, ObservationConfig
+from wayne_tpu.config import ExposureStatic, NoiseFlags
 from wayne_tpu.models.grism import Grism, make_grism
 from wayne_tpu.ops.exposure import ExposureResult, simulate_exposure
 from wayne_tpu.ops.kepler import OrbitParams

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wayne_tpu.calibration import Tables
-from wayne_tpu.config import ExposureStatic, ObservationConfig
+from wayne_tpu.config import ObservationConfig
 from wayne_tpu.io.ima import default_primary_header, write_ima
 from wayne_tpu.io.fits import FitsHDU, write_fits
 from wayne_tpu.models.grism import make_grism
