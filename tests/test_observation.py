@@ -85,3 +85,16 @@ class TestDiagnostics:
             assert len(paths) == 2
             for p in paths:
                 assert os.path.getsize(p) > 5000
+
+
+class TestOutputUnits:
+    def test_e_per_s_through_observation(self):
+        from wayne_tpu.io.fits import read_fits
+        cfg = small_cfg()
+        cfg.output_units = "e_per_s"
+        obs = Observation(cfg)
+        with tempfile.TemporaryDirectory() as d:
+            paths = obs.generate(d, chunk=4, progress=lambda s: None)
+            hdus = read_fits(paths[0])
+            assert hdus[0][0]["BUNIT"] == "ELECTRONS/S"
+            assert hdus[0][0]["UNITCORR"] == "COMPLETE"
