@@ -81,3 +81,30 @@ def test_rng_statistics_on_tpu():
         poisson=True, read_noise=True, non_linearity=False, bias=False,
         scalar_gain=True)
     np.testing.assert_array_equal(np.asarray(a), cum2)  # deterministic
+
+
+def test_banded_deterministic_path():
+    from wayne_tpu.ops.pallas_readout import fused_read_step_banded
+    cum, _, bg, bias, gain = _inputs()
+    W = 32
+    rng = np.random.RandomState(3)
+    band = jnp.asarray(rng.uniform(0, 500, (W, S)), jnp.float32)
+    y0 = 41
+    cr_pos = jnp.asarray([[5, 100, 0], [7, 90, 0]], jnp.int32)
+    cr_q = jnp.asarray([1000.0, 2500.0, 0.0], jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        cum2, dn = fused_read_step_banded(
+            jnp.array([1, 2], jnp.int32), jnp.array([y0], jnp.int32),
+            cum, band, bg, bias, gain, cr_pos, cr_q, CONSTS,
+            poisson=False, read_noise=False, non_linearity=True, bias=True,
+            scalar_gain=False, with_cr=True)
+    want = np.asarray(cum) + np.asarray(bg)
+    want[y0:y0 + W, :] += np.asarray(band)
+    want[5, 7] += 1000.0
+    want[100, 90] += 2500.0
+    np.testing.assert_allclose(np.asarray(cum2), want, rtol=1e-6)
+    fw, nl = 78000.0, 0.04
+    sig = np.minimum(want, fw)
+    sig = sig * (1 - nl * np.minimum(sig, fw) / fw) + np.asarray(bias)
+    np.testing.assert_allclose(np.asarray(dn), sig / np.asarray(gain),
+                               rtol=1e-5)

@@ -242,7 +242,8 @@ class ObservationConfig:
         times = sample_sequence_times(self.samp_seq, self.nsamp, self.subarray)
         max_dt = float(max(b - a for a, b in zip(times[:-1], times[1:])))
         span = abs(self.scan_speed_pix_s) * max_dt if self.scan else 0.0
-        band = int(-(-(span + 20.0) // 16) * 16)
+        # margin: PSF tails + trace spread (~20 px) + 8-alignment slack
+        band = int(-(-(span + 28.0) // 16) * 16)
         return band if band < self.subarray else 0
 
 

@@ -116,8 +116,9 @@ def _cosmic_rays(key: jnp.ndarray, tables: Tables, cfg: ExposureStatic,
     actual count masks the excess (reference: wayne/detector.py cosmic-ray
     injection; rate scales with interval time and detector area).
 
-    Returns (charge frame (S, S), positions (2, MAX_CR), count) — the
-    positions feed the DQ planes of the ima product (flag 8192).
+    Returns (positions (2, MAX_CR), masked charges (MAX_CR,), count) —
+    positions feed the DQ planes of the ima product (flag 8192); charges
+    are zeroed beyond the actual hit count so scattering them is safe.
     """
     S = cfg.subarray
     n_max = cfg.max_cr_per_read
@@ -127,9 +128,7 @@ def _cosmic_rays(key: jnp.ndarray, tables: Tables, cfg: ExposureStatic,
     pos = jax.random.randint(k_pos, (2, n_max), 0, S)
     charge = tables.cr_mean_e * jax.random.exponential(k_q, (n_max,))
     mask = (jnp.arange(n_max) < n).astype(charge.dtype)
-    frame = jnp.zeros((S, S), charge.dtype)
-    frame = frame.at[pos[0], pos[1]].add(charge * mask)
-    return frame, pos.astype(jnp.int32), n.astype(jnp.int32)
+    return pos.astype(jnp.int32), charge * mask, n.astype(jnp.int32)
 
 
 def _apply_nonlinearity(cum_e: jnp.ndarray, tables: Tables) -> jnp.ndarray:
@@ -200,6 +199,9 @@ def simulate_exposure(scene: Scene, tables: Tables,
             off_lo = jnp.minimum(off[0], off[-1]) if cfg.scan else 0.0
             y0f = jnp.floor(y_band_lo + off_lo)
             y0 = jnp.clip(y0f, 0.0, float(S - band)).astype(jnp.int32)
+            # 8-align the window start (f32 sublane requirement of the
+            # fused Pallas deposit; auto_band_px budgets the extra rows).
+            y0 = (y0 // 8) * 8
             W = band
         else:
             y0 = jnp.int32(0)
@@ -226,7 +228,8 @@ def simulate_exposure(scene: Scene, tables: Tables,
         return jax.lax.dynamic_update_slice(full, window + band_frame, (y0, 0))
 
     if cfg.use_pallas:
-        from wayne_tpu.ops.pallas_readout import fused_read_step
+        from wayne_tpu.ops.pallas_readout import (
+            fused_read_step, fused_read_step_banded)
         pallas_consts = jnp.stack([
             tables.read_noise_e, tables.full_well_e, tables.nonlin_c,
             tables.gain]).astype(jnp.float32)
@@ -251,22 +254,37 @@ def simulate_exposure(scene: Scene, tables: Tables,
         if flags.poisson:
             frame = _poisson(k_sig, frame, cfg)
         if flags.cosmic_rays:
-            cr_frame, cr_pos, cr_n = _cosmic_rays(k_cr, tables, cfg, dt)
+            cr_pos, cr_q, cr_n = _cosmic_rays(k_cr, tables, cfg, dt)
         else:
-            cr_frame = None
             cr_pos = jnp.zeros((2, cfg.max_cr_per_read), jnp.int32)
+            cr_q = jnp.zeros((cfg.max_cr_per_read,), dtype)
             cr_n = jnp.int32(0)
 
-        if cfg.use_pallas:
-            # Fused: bg Poisson + accumulate + non-linearity + bias +
-            # read noise + gain in one VMEM pass (hardware PRNG). The CR
-            # frame doubles as the deposit base (one less full-frame temp).
-            base = cr_frame if cr_frame is not None else jnp.zeros((S, S), dtype)
-            add = add_band(base, frame, y0)
-            cum_e, dn = fused_read_step(
-                jnp.stack([exp_seed, k.astype(jnp.int32)]),
-                cum_e, add, bg_rate * dt, tables.bias_map, tables.gain_map,
+        seed2 = jnp.stack([exp_seed, k.astype(jnp.int32)]) if cfg.use_pallas \
+            else None
+        if cfg.use_pallas and band:
+            # Fully fused: band deposit + CR scatter + bg Poisson +
+            # accumulate + readout in one single-block VMEM pass — no
+            # full-frame staging arrays in the XLA graph at all.
+            cum_e, dn = fused_read_step_banded(
+                seed2, y0.reshape(1), cum_e, frame, bg_rate * dt,
+                tables.bias_map, tables.gain_map, cr_pos, cr_q,
                 pallas_consts, poisson=flags.poisson,
+                read_noise=flags.read_noise,
+                non_linearity=flags.non_linearity, bias=flags.bias,
+                scalar_gain=not flags.gain_variations,
+                with_cr=flags.cosmic_rays)
+            return (cum_e, ideal_e), (dn, cr_pos, cr_n)
+
+        if cfg.use_pallas:
+            # Full-frame variant (band disabled): bg Poisson + accumulate
+            # + readout in one row-tiled pass.
+            add = add_band(jnp.zeros((S, S), dtype), frame, y0)
+            if flags.cosmic_rays:
+                add = add.at[cr_pos[0], cr_pos[1]].add(cr_q)
+            cum_e, dn = fused_read_step(
+                seed2, cum_e, add, bg_rate * dt, tables.bias_map,
+                tables.gain_map, pallas_consts, poisson=flags.poisson,
                 read_noise=flags.read_noise,
                 non_linearity=flags.non_linearity, bias=flags.bias,
                 scalar_gain=not flags.gain_variations)
@@ -276,8 +294,8 @@ def simulate_exposure(scene: Scene, tables: Tables,
         if flags.poisson:
             bg = _poisson(k_bg, bg, cfg)
         interval = add_band(bg, frame, y0)
-        if cr_frame is not None:
-            interval = interval + cr_frame
+        if flags.cosmic_rays:
+            interval = interval.at[cr_pos[0], cr_pos[1]].add(cr_q)
 
         cum_e = cum_e + interval
         return (cum_e, ideal_e), (emit_read(cum_e, k_read), cr_pos, cr_n)

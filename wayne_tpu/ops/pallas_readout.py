@@ -114,6 +114,64 @@ def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref,
     dn_ref[:] = sig / (g0 if scalar_gain else gain_ref[:])
 
 
+def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
+                   gain_ref, cr_pos_ref, cr_q_ref, consts_ref, cum_out_ref,
+                   dn_ref, *, poisson, read_noise, non_linearity, bias,
+                   scalar_gain, with_cr):
+    """Single-block variant: deposits the signal band at dynamic row y0 and
+    scatters cosmic-ray charges in-kernel — no full-frame staging frames in
+    the XLA graph at all. Pallas grids are sequential per core, so one
+    (S, S) block loses no parallelism and removes tile-straddle handling.
+    """
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * 131071)
+    shape = cum_ref.shape
+    W = band_ref.shape[0]
+
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    z_bg = r * jnp.cos(theta)
+    z_rn = r * jnp.sin(theta)
+    u_pois = _uniform(shape)
+
+    if poisson:
+        base = cum_ref[:] + _poisson_tile(bg_ref[:], u_pois, z_bg)
+    else:
+        base = cum_ref[:] + bg_ref[:]
+    cum_out_ref[:] = base
+    y0 = pl.multiple_of(y0_ref[0], 8)   # caller 8-aligns the window
+    cum_out_ref[pl.ds(y0, W), :] += band_ref[:]
+    if with_cr:
+        n_cr = cr_pos_ref.shape[1]
+        S_cols = shape[1]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S_cols), 1)
+
+        def hit(i, _):
+            # Mosaic has no scalar VMEM stores — deposit via a one-hot row.
+            y, x = cr_pos_ref[0, i], cr_pos_ref[1, i]
+            row = cum_out_ref[pl.ds(y, 1), :]
+            dep = jnp.where(col_ids == x, cr_q_ref[i], 0.0)
+            cum_out_ref[pl.ds(y, 1), :] = row + dep
+            return 0
+
+        jax.lax.fori_loop(0, n_cr, hit, 0)
+
+    rn = consts_ref[0]
+    fw = consts_ref[1]
+    nl = consts_ref[2]
+    g0 = consts_ref[3]
+    sig = cum_out_ref[:]
+    if non_linearity:
+        sig = jnp.minimum(sig, fw)
+        sig = sig * (1.0 - nl * jnp.minimum(sig, fw) / fw)
+    if bias:
+        sig = sig + bias_ref[:]
+    if read_noise:
+        sig = sig + rn * z_rn
+    dn_ref[:] = sig / (g0 if scalar_gain else gain_ref[:])
+
+
 @functools.partial(jax.jit, static_argnames=(
     "poisson", "read_noise", "non_linearity", "bias", "scalar_gain", "tile",
     "interpret"))
@@ -159,3 +217,53 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
                    jax.ShapeDtypeStruct((S, S), jnp.float32)],
         interpret=interpret,
     )(seed2, cum_e, add_frame, bg_lam, bias_map, gain_map, consts)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "poisson", "read_noise", "non_linearity", "bias", "scalar_gain",
+    "with_cr", "interpret"))
+def fused_read_step_banded(
+        seed2: jnp.ndarray, y0: jnp.ndarray, cum_e: jnp.ndarray,
+        band: jnp.ndarray, bg_lam: jnp.ndarray, bias_map: jnp.ndarray,
+        gain_map: jnp.ndarray, cr_pos: jnp.ndarray, cr_q: jnp.ndarray,
+        consts: jnp.ndarray, *, poisson: bool = True,
+        read_noise: bool = True, non_linearity: bool = True,
+        bias: bool = True, scalar_gain: bool = False, with_cr: bool = True,
+        interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully fused read step: band deposit + CR scatter + background
+    Poisson + accumulate + readout, one single-block kernel.
+
+    Args:
+      seed2: (2,) int32 (exposure seed, read index).
+      y0: (1,) int32 band start row (clamped to [0, S - W]).
+      band: (W, S) already-sampled signal electrons this interval.
+      cr_pos: (2, MAX_CR) int32 hit coordinates; cr_q: (MAX_CR,) charges
+        (pre-masked: zero beyond the actual hit count).
+      consts: (4,) f32 — (read_noise_e, full_well_e, nonlin_c, gain).
+    """
+    S = cum_e.shape[0]
+    full = pl.BlockSpec((S, S), lambda *_: (0, 0), memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec(band.shape, lambda *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel_banded, poisson=poisson, read_noise=read_noise,
+        non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain,
+        with_cr=with_cr)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[full, band_spec, full, full, full,
+                      pl.BlockSpec(cr_pos.shape, lambda *_: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec(cr_q.shape, lambda *_: (0,),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[full, full],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((S, S), jnp.float32),
+                   jax.ShapeDtypeStruct((S, S), jnp.float32)],
+        interpret=interpret,
+    )(seed2, y0, cum_e, band, bg_lam, bias_map, gain_map, cr_pos, cr_q,
+      consts)
