@@ -55,3 +55,53 @@ def test_flat_plane_shape_and_range():
     arr = np.asarray(fp)
     assert 0.8 < arr.mean() < 1.2
     assert arr.std() < 0.1
+
+
+def test_gaussian_x_deposit_conserves_and_blurs():
+    from wayne_tpu.ops.dispersion import x_deposit_matrix_gaussian
+    edges = jnp.linspace(20.0, 60.0, 17)          # 16 bins, 2.5px each
+    sigma = jnp.full((16,), 0.7)
+    Xg = x_deposit_matrix_gaussian(edges, 128, sigma)
+    Xb = x_deposit_matrix(edges, 128)
+    # conserved (interior bins)
+    np.testing.assert_allclose(np.asarray(Xg.sum(axis=1)), 1.0, atol=1e-4)
+    # blurred: smaller peak, larger support than the box
+    assert float(Xg.max()) < float(Xb.max())
+    assert (np.asarray(Xg[8]) > 1e-4).sum() > (np.asarray(Xb[8]) > 1e-4).sum()
+    # brute-force check for one bin: uniform source conv Gaussian
+    lo, hi = float(edges[8]), float(edges[9])
+    cs = np.linspace(lo, hi, 3001)
+    from scipy.special import erf as serf
+    u = (np.arange(129) - 0.5 - cs[:, None]) / (np.sqrt(2) * 0.7)
+    want = 0.5 * np.diff(serf(u), axis=1).mean(axis=0)
+    # fp32 antiderivative differences leave ~7e-5 crumbs in far tails
+    np.testing.assert_allclose(np.asarray(Xg[8]), want, atol=1.5e-4)
+
+
+def test_x_psf_flag_in_kernel():
+    import dataclasses
+    from wayne_tpu.calibration import synthetic_tables
+    from wayne_tpu.config import ExposureStatic, NoiseFlags
+    from wayne_tpu.ops.exposure import simulate_exposure
+    from wayne_tpu.scene import example_scene
+    tables = synthetic_tables("G141", subarray=128, n_lambda=64, nsamp=2)
+    scene = example_scene(64, scan_speed=0.0)
+    # a strong emission-line spike makes the x blur observable
+    flux = np.asarray(scene.stellar_flux).copy()
+    flux[14] *= 50.0    # lands at x~75, on-detector
+    scene = dataclasses.replace(scene, x_ref=jnp.float32(30.0),
+                                y_ref=jnp.float32(60.0),
+                                stellar_flux=jnp.asarray(flux, jnp.float32))
+    mk = lambda xp: ExposureStatic(subarray=128, n_lambda=64, n_sub=2,
+                                   nsamp=2, samp_seq="RAPID", scan=False,
+                                   noise=NoiseFlags.none(), x_psf=xp)
+    sharp = simulate_exposure(scene, tables, mk(False)).ideal_e
+    blurred = simulate_exposure(scene, tables, mk(True)).ideal_e
+    # G141's spectrum overhangs the 128px detector; the x blur moves
+    # ~0.3% of flux across the edge cut, so totals agree only to that.
+    np.testing.assert_allclose(float(blurred.sum()), float(sharp.sum()),
+                               rtol=7e-3)
+    # the line spike's column peak drops under x blur
+    col_profile_sharp = np.asarray(sharp).sum(axis=0)
+    col_profile_blur = np.asarray(blurred).sum(axis=0)
+    assert col_profile_blur.max() < 0.95 * col_profile_sharp.max()

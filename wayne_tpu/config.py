@@ -88,6 +88,9 @@ class ExposureStatic:
     use_pallas: bool = False     # fused Pallas readout kernel (TPU hot path);
     #                              hardware-PRNG randomness (same law,
     #                              different bits than the XLA path)
+    x_psf: bool = False          # also blur the dispersion direction with the
+    #                              PSF (reference models cross-dispersion only;
+    #                              costs nothing extra — same closed form)
 
     def __post_init__(self) -> None:
         if self.subarray not in (64, 128, 256, 512, 1024):

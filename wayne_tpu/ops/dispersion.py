@@ -95,6 +95,27 @@ def x_deposit_matrix(x_edges: jnp.ndarray, n_pix: int) -> jnp.ndarray:
     return overlap / width
 
 
+def x_deposit_matrix_gaussian(x_edges: jnp.ndarray, n_pix: int,
+                              sigma_x: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian-blurred wavelength-bin -> column deposit.
+
+    Physically: each bin's counts are spread uniformly over
+    [x_lo, x_hi] AND convolved with the instrument PSF of width
+    sigma_x(lambda) in the dispersion direction. The pixel coverage of a
+    uniform source convolved with a Gaussian is the path-average of the
+    pixel-integrated Gaussian as its centre sweeps lo -> hi — exactly
+    :func:`wayne_tpu.ops.psf.pixel_fractions_moving`. sigma_x -> 0
+    recovers the pure box overlap of :func:`x_deposit_matrix`.
+    """
+    from wayne_tpu.ops.psf import pixel_fractions_moving
+
+    lo = jnp.minimum(x_edges[:-1], x_edges[1:])
+    hi = jnp.maximum(x_edges[:-1], x_edges[1:])
+    pix_edges = jnp.arange(n_pix + 1, dtype=x_edges.dtype) - 0.5
+    pix_edges_b = jnp.broadcast_to(pix_edges, (lo.shape[0], n_pix + 1))
+    return pixel_fractions_moving(pix_edges_b, lo, hi, sigma_x)
+
+
 def flat_plane(tables: Tables, tp: TraceParams) -> jnp.ndarray:
     """Wavelength-dependent flat field evaluated at each column's wavelength.
 

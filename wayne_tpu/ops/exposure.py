@@ -36,6 +36,7 @@ from wayne_tpu.calibration import Tables
 from wayne_tpu.config import ExposureStatic
 from wayne_tpu.ops.dispersion import (
     flat_plane, trace_params, trace_y, wl_to_x, x_deposit_matrix,
+    x_deposit_matrix_gaussian,
 )
 from wayne_tpu.ops.psf import pixel_fractions_moving, pixel_fractions_static
 from wayne_tpu.ops.random import fast_poisson
@@ -154,7 +155,11 @@ def simulate_exposure(scene: Scene, tables: Tables,
 
     tp = trace_params(tables, scene.x_ref, scene.y_ref)
     x_edges = wl_to_x(tables.wl_edges, tp)
-    X = x_deposit_matrix(x_edges, S).astype(dtype)           # (NL, S)
+    if cfg.x_psf:
+        X = x_deposit_matrix_gaussian(x_edges, S, tables.psf_sigma)
+    else:
+        X = x_deposit_matrix(x_edges, S)
+    X = X.astype(dtype)                                      # (NL, S)
     x_centers = wl_to_x(tables.wl_centers, tp)
     y_base = trace_y(x_centers, tp)                          # (NL,)
     sigma = tables.psf_sigma
