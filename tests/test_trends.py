@@ -38,3 +38,44 @@ def test_visit_slope():
                                       jnp.array([1e9, 1e9]),
                                       jnp.float32(0.0), p))
     np.testing.assert_allclose(f[0] - f[1], 1e-2, rtol=1e-4)
+
+
+def test_random_walk_ssv():
+    import jax
+    from wayne_tpu.trends import ssv_random_walk
+    p = TrendParams.create(ssv_rw_amp=0.02)
+    f = np.asarray(ssv_random_walk(jax.random.PRNGKey(0), 64, p))
+    assert f.shape == (64,)
+    np.testing.assert_allclose(f.mean(), 1.0, atol=1e-6)   # calibrated mean
+    assert 1e-4 < f.std() < 0.1                            # wanders
+    # off by default: exact ones
+    p0 = TrendParams.create(ssv_rw_amp=0.0)
+    f0 = np.asarray(ssv_random_walk(jax.random.PRNGKey(0), 16, p0))
+    np.testing.assert_array_equal(f0, 1.0)
+
+
+def test_random_walk_ssv_in_kernel():
+    import dataclasses
+    import jax.numpy as jnp
+    from wayne_tpu.calibration import synthetic_tables
+    from wayne_tpu.config import ExposureStatic, NoiseFlags
+    from wayne_tpu.ops.exposure import simulate_exposure
+    from wayne_tpu.scene import example_scene
+    flags = dataclasses.replace(NoiseFlags.none(), ssv=True)
+    cfg = ExposureStatic(subarray=64, n_lambda=32, n_sub=8, nsamp=2,
+                         samp_seq="SPARS10", scan=True, transit_quad=16)
+    cfg = dataclasses.replace(cfg, noise=flags)
+    tables = synthetic_tables("G141", subarray=64, n_lambda=32,
+                              samp_seq="SPARS10", nsamp=2)
+    base = example_scene(32, scan_speed=1.0)
+    base = dataclasses.replace(base, x_ref=jnp.float32(10.0),
+                               y_ref=jnp.float32(10.0))
+    quiet = dataclasses.replace(
+        base, trends=TrendParams.create(ssv_amp=0.0, ssv_rw_amp=0.0))
+    noisy = dataclasses.replace(
+        base, trends=TrendParams.create(ssv_amp=0.0, ssv_rw_amp=0.05))
+    a = simulate_exposure(quiet, tables, cfg).ideal_e
+    b = simulate_exposure(noisy, tables, cfg).ideal_e
+    # same total flux (mean-calibrated walk), different row pattern
+    np.testing.assert_allclose(float(b.sum()), float(a.sum()), rtol=2e-3)
+    assert float(jnp.abs(a - b).max()) > 0.0

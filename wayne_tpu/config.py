@@ -145,6 +145,7 @@ class TrendConfig:
     ssv_amplitude: float = 0.015        # fractional scan-speed variation (~1.5%)
     ssv_period_s: float = 0.7           # SSV sinusoid period
     ssv_phase: float = 0.0
+    ssv_rw_amplitude: float = 0.0       # stochastic (random-walk) SSV variant
     visit_slope_per_day: float = 0.01   # visit-long linear slope (r_a)
     hook_amplitude: float = 0.003       # orbit ramp amplitude (r_b1)
     hook_timescale_s: float = 300.0     # orbit ramp e-folding time (r_b2)
@@ -301,6 +302,7 @@ _REF_KEY_ALIASES: dict[str, tuple[str | None, str]] = {
     # trends block
     "ssv_amplitude": ("trends", "ssv_amplitude"),
     "ssv_period": ("trends", "ssv_period_s"),
+    "ssv_rw_amplitude": ("trends", "ssv_rw_amplitude"),
     "visit_slope": ("trends", "visit_slope_per_day"),
     "hook_amplitude": ("trends", "hook_amplitude"),
     "hook_timescale": ("trends", "hook_timescale_s"),

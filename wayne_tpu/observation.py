@@ -98,6 +98,7 @@ class Observation:
         ssv_phases = rng.uniform(0, 2 * np.pi, n)  # SSV phase varies per exp
         trends = TrendParams.create(
             ssv_amp=tr.ssv_amplitude, ssv_period_s=tr.ssv_period_s,
+            ssv_rw_amp=tr.ssv_rw_amplitude,
             visit_slope_per_s=tr.visit_slope_per_day / 86400.0,
             hook_amp=tr.hook_amplitude, hook_tau_s=tr.hook_timescale_s,
             hook_orbit1_scale=tr.hook_orbit1_scale)

@@ -42,7 +42,9 @@ from wayne_tpu.ops.psf import pixel_fractions_moving, pixel_fractions_static
 from wayne_tpu.ops.random import fast_poisson
 from wayne_tpu.ops.transit import transit_light_curve
 from wayne_tpu.scene import Scene
-from wayne_tpu.trends import ssv_mean_factor, visit_trend_factor
+from wayne_tpu.trends import (
+    ssv_mean_factor, ssv_random_walk, visit_trend_factor,
+)
 
 
 def _register(cls):
@@ -63,7 +65,8 @@ class ExposureResult:
 
 
 def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
-                    t_seg_edges: jnp.ndarray, dt_seg: jnp.ndarray) -> jnp.ndarray:
+                    t_seg_edges: jnp.ndarray, dt_seg: jnp.ndarray,
+                    ssv_key: jnp.ndarray) -> jnp.ndarray:
     """Source electrons per (subsegment, wavelength bin): (K, NL).
 
     counts = F_lambda * sensitivity * dlambda * dt * LC(t, lambda)
@@ -79,6 +82,8 @@ def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
     if cfg.noise.ssv and cfg.scan:
         factor = factor * ssv_mean_factor(t_seg_edges[:-1], t_seg_edges[1:],
                                           scene.trends)
+        # stochastic variant; exact no-op when ssv_rw_amp == 0
+        factor = factor * ssv_random_walk(ssv_key, cfg.n_sub, scene.trends)
     if cfg.noise.visit_trend:
         factor = factor * visit_trend_factor(
             scene.exp_start_s + t_mid,
@@ -197,7 +202,9 @@ def simulate_exposure(scene: Scene, tables: Tables,
     def source_band(k, t_a, dt):
         """(band_or_S, S) source electrons laid down this interval + row0."""
         t_seg_edges = t_a + (dt / K) * jnp.arange(K + 1, dtype=dtype)
-        counts = _segment_counts(scene, tables, cfg, t_seg_edges, dt / K)  # (K, NL)
+        ssv_key = jax.random.fold_in(scene.key, 500 + k)
+        counts = _segment_counts(scene, tables, cfg, t_seg_edges, dt / K,
+                                 ssv_key)                    # (K, NL)
 
         if band:
             off = scene.scan_speed * t_seg_edges

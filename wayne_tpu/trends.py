@@ -34,6 +34,7 @@ class TrendParams:
     ssv_amp: jnp.ndarray          # fractional sinusoid amplitude
     ssv_period_s: jnp.ndarray
     ssv_phase: jnp.ndarray        # radians
+    ssv_rw_amp: jnp.ndarray       # random-walk SSV amplitude (0 = off)
     visit_slope_per_s: jnp.ndarray
     hook_amp: jnp.ndarray
     hook_tau_s: jnp.ndarray
@@ -41,12 +42,12 @@ class TrendParams:
 
     @classmethod
     def create(cls, ssv_amp=0.015, ssv_period_s=0.7, ssv_phase=0.0,
-               visit_slope_per_s=0.01 / 86400.0, hook_amp=0.003,
-               hook_tau_s=300.0, hook_orbit1_scale=2.0):
+               ssv_rw_amp=0.0, visit_slope_per_s=0.01 / 86400.0,
+               hook_amp=0.003, hook_tau_s=300.0, hook_orbit1_scale=2.0):
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         return cls(f32(ssv_amp), f32(ssv_period_s), f32(ssv_phase),
-                   f32(visit_slope_per_s), f32(hook_amp), f32(hook_tau_s),
-                   f32(hook_orbit1_scale))
+                   f32(ssv_rw_amp), f32(visit_slope_per_s), f32(hook_amp),
+                   f32(hook_tau_s), f32(hook_orbit1_scale))
 
 
 def ssv_factor(t_in_exposure: jnp.ndarray, p: TrendParams) -> jnp.ndarray:
@@ -78,6 +79,23 @@ def ssv_mean_factor(t_a: jnp.ndarray, t_b: jnp.ndarray,
     mean_sin = (jnp.cos(w * t_a + p.ssv_phase)
                 - jnp.cos(w * t_b + p.ssv_phase)) / (w * dt)
     return 1.0 + p.ssv_amp * mean_sin
+
+
+def ssv_random_walk(key: jnp.ndarray, n_seg: int,
+                    p: TrendParams) -> jnp.ndarray:
+    """Random-walk scan-speed variation per subsegment (reference:
+    wayne/trend_generators — the stochastic SSV variant).
+
+    The effective scan rate wanders as a driftless random walk; returned
+    as (n_seg,) multiplicative factors with mean ~1 over the exposure so
+    total flux stays calibrated (the wander itself is the systematic).
+    """
+    import jax
+
+    steps = jax.random.normal(key, (n_seg,), jnp.float32)
+    walk = jnp.cumsum(steps) / jnp.sqrt(float(n_seg))
+    walk = walk - jnp.mean(walk)
+    return 1.0 + p.ssv_rw_amp * walk
 
 
 def visit_trend_factor(t_since_visit: jnp.ndarray, t_since_orbit: jnp.ndarray,
