@@ -62,3 +62,31 @@ def test_with_loaded_conf_changes_trace(tmp_path):
     out = with_loaded_grism(tables, conf_path=str(conf))
     assert float(out.dydx0[0]) == 5.0
     np.testing.assert_allclose(float(out.dldp1[0]), 4.6e-3)
+
+
+def test_reference_pixel_border():
+    import dataclasses
+    import jax.numpy as jnp
+    from wayne_tpu.config import ExposureStatic, NoiseFlags
+    from wayne_tpu.ops.exposure import simulate_exposure
+    from wayne_tpu.scene import example_scene
+
+    full = synthetic_tables("G141", subarray=1024, n_lambda=16, nsamp=1)
+    sub = synthetic_tables("G141", subarray=64, n_lambda=16, nsamp=1)
+    am_full = np.asarray(full.active_mask)
+    assert am_full[0, 0] == 0 and am_full[4, 500] == 0
+    assert am_full[5, 5] == 1 and am_full[512, 512] == 1
+    np.testing.assert_array_equal(np.asarray(sub.active_mask), 1.0)
+
+    # dark/sky never accumulate in the reference border
+    flags = dataclasses.replace(NoiseFlags.none(), dark=True, sky=True)
+    cfg = ExposureStatic(subarray=1024, n_lambda=16, n_sub=1, nsamp=1,
+                         samp_seq="RAPID", scan=False, noise=flags,
+                         transit_quad=16)
+    scene = example_scene(16, scan_speed=0.0)
+    scene = dataclasses.replace(
+        scene, stellar_flux=jnp.zeros_like(scene.stellar_flux))
+    res = simulate_exposure(scene, full, cfg)
+    last = np.asarray(res.reads_dn[-1])
+    assert abs(last[2, 2]) < 1e-4          # border: nothing accumulated
+    assert last[512, 512] > 0.1            # interior: sky+dark present

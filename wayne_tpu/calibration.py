@@ -175,6 +175,7 @@ class Tables:
     # --- detector-plane structure ---------------------------------------
     flat_coeffs: jnp.ndarray   # (4, S, S) wavelength-dependent flat cube
     sky_frame: jnp.ndarray     # (S, S) master sky, mean 1
+    active_mask: jnp.ndarray   # (S, S) 1 = photosensitive; 0 = reference px
     gain_map: jnp.ndarray      # (S, S) e-/DN
     dark_map: jnp.ndarray      # (S, S) e-/s
     bias_map: jnp.ndarray      # (S, S) zeroth-read pedestal, e-
@@ -269,6 +270,17 @@ def synthetic_tables(
     # Bias / zeroth-read pedestal (e-): smooth plus pixel offsets.
     bias_map = 2500.0 + 40.0 * np.sin(2 * np.pi * u) + 12.0 * rng.standard_normal((S, S))
 
+    # Reference-pixel border: the outer 5 px of the 1024^2 detector are
+    # photo-insensitive (bias/read-noise only). Centered subarrays sit in
+    # the detector interior, so the border appears only in full frame.
+    active = np.ones((S, S), np.float64)
+    if subarray == FULL_FRAME:
+        b = 5
+        active[:b, :] = 0.0
+        active[-b:, :] = 0.0
+        active[:, :b] = 0.0
+        active[:, -b:] = 0.0
+
     read_times = sample_sequence_times(samp_seq, nsamp, subarray)
 
     f = lambda a: jnp.asarray(a, dtype=dtype)
@@ -277,7 +289,8 @@ def synthetic_tables(
         psf_sigma=f(psf_sigma),
         dydx0=f(np.asarray(g["dydx0"])), dydx1=f(np.asarray(g["dydx1"])),
         dldp0=f(np.asarray(g["dldp0"])), dldp1=f(np.asarray(g["dldp1"])),
-        flat_coeffs=f(flat_coeffs), sky_frame=f(sky), gain_map=f(gain_map),
+        flat_coeffs=f(flat_coeffs), sky_frame=f(sky), active_mask=f(active),
+        gain_map=f(gain_map),
         dark_map=f(dark_map), bias_map=f(bias_map),
         read_times=f(read_times), gain=f(gain),
         read_noise_e=f(read_noise_e), full_well_e=f(full_well_e),

@@ -169,7 +169,10 @@ def simulate_exposure(scene: Scene, tables: Tables,
     y_base = trace_y(x_centers, tp)                          # (NL,)
     sigma = tables.psf_sigma
 
+    # Photon response plane: wavelength-dependent flat (optional) times the
+    # reference-pixel mask (outer 5 px of the full frame are blind).
     flatp = flat_plane(tables, tp) if flags.flat else None
+    response = tables.active_mask if flatp is None else flatp * tables.active_mask
     gain_div = tables.gain_map if flags.gain_variations else tables.gain
     read_times = tables.read_times                           # (NR,)
 
@@ -178,6 +181,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
         bg_rate = bg_rate + scene.sky_level * tables.sky_frame
     if flags.dark:
         bg_rate = bg_rate + tables.dark_map
+    bg_rate = bg_rate * tables.active_mask
 
     # Band bookkeeping: window [y0, y0 + band) must cover the trace rows,
     # PSF tails and this read's scan motion. y0 is dynamic (per read).
@@ -226,9 +230,9 @@ def simulate_exposure(scene: Scene, tables: Tables,
         frame = jax.lax.dot_general(
             Yw, X, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype)
-        if flatp is not None:
-            fl = jax.lax.dynamic_slice(flatp, (y0, 0), (W, S)) if band else flatp
-            frame = frame * fl
+        resp = (jax.lax.dynamic_slice(response, (y0, 0), (W, S))
+                if band else response)
+        frame = frame * resp
         return frame, y0
 
     def add_band(full: jnp.ndarray, band_frame: jnp.ndarray,
