@@ -185,6 +185,7 @@ class ObservationConfig:
     n_lambda: int = 512
     n_sub: int = 0           # 0 -> auto from SSV period (see auto_n_sub)
     transit_quad: int = 64
+    x_psf: bool = False                 # PSF blur in the dispersion direction
     output_units: str = "counts"        # 'counts' (raw DN) | 'e_per_s'
     outdir: str = "wayne_out"
 
@@ -200,6 +201,7 @@ class ObservationConfig:
             band_px=self.auto_band_px(),
             max_cr_per_read=self.auto_max_cr(),
             transit_quad=self.transit_quad,
+            x_psf=self.x_psf,
         )
 
     def auto_n_sub(self) -> int:
@@ -246,8 +248,9 @@ class ObservationConfig:
         times = sample_sequence_times(self.samp_seq, self.nsamp, self.subarray)
         max_dt = float(max(b - a for a, b in zip(times[:-1], times[1:])))
         span = abs(self.scan_speed_pix_s) * max_dt if self.scan else 0.0
-        # margin: PSF tails + trace spread (~20 px) + 8-alignment slack
-        band = int(-(-(span + 28.0) // 16) * 16)
+        # margin budget: 5*sigma_max below (~4) + trace spread (~3) +
+        # 5*sigma_max above (~4) + 8-px alignment slack + rounding pad
+        band = int(-(-(span + 23.0) // 16) * 16)
         return band if band < self.subarray else 0
 
 
