@@ -78,3 +78,31 @@ def test_depth_recovery_with_noise():
     tol = np.maximum(6.0 * rp_sig, 0.01 * 0.1595)
     assert np.all(np.abs(rp_hat - 0.1595) < np.maximum(tol, 0.006)), (
         rp_hat, rp_sig)
+
+
+def test_common_mode_correction_recovers_depths_under_systematics():
+    # Full systematics ON (hook ramp, visit slope, SSV, drift) + noise;
+    # the white-light common-mode template must absorb them.
+    flags = dataclasses.replace(
+        NoiseFlags.none(), poisson=True, read_noise=True, sky=True,
+        dark=True, ssv=True, visit_trend=True)
+    out, tables, base, mid, rp_inj = _simulate(flags, seed=11)
+    from wayne_tpu.reduction import common_mode_correct
+    red = reduce_visit(out.reads_dn, tables.gain, mid, base.orbit,
+                       y_window=(20, 75), x_window=(72, 126),
+                       bg_rows=(100, 126), n_chan=6)
+
+    # uncorrected fits are pulled by the ramp; corrected ones recover
+    raw_rp, _ = fit_depths(red.channel_lc, mid, base.orbit, base.ld,
+                           jnp.float32(0.15))
+    corrected = common_mode_correct(red.white_lc, red.channel_lc, mid,
+                                    base.orbit, base.ld, jnp.float32(0.15))
+    cor_rp, cor_sig = fit_depths(corrected, mid, base.orbit, base.ld,
+                                 jnp.float32(0.15))
+    cor_rp, cor_sig = np.asarray(cor_rp), np.asarray(cor_sig)
+    tol = np.maximum(6.0 * cor_sig, 0.006)
+    assert np.all(np.abs(cor_rp - 0.1595) < tol), (cor_rp, cor_sig)
+    # correction should not be worse than the raw fit on average
+    raw_err = np.abs(np.asarray(raw_rp) - 0.1595).mean()
+    cor_err = np.abs(cor_rp - 0.1595).mean()
+    assert cor_err <= raw_err + 1e-3

@@ -97,6 +97,30 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("n_quad", "n_newton"))
+def common_mode_correct(white_lc: jnp.ndarray, channel_lc: jnp.ndarray,
+                        exp_mid_s: jnp.ndarray, orbit: OrbitParams,
+                        ld: jnp.ndarray, rp_init: jnp.ndarray,
+                        n_quad: int = 32, n_newton: int = 12) -> jnp.ndarray:
+    """Divide white-light systematics out of the channel curves.
+
+    The standard WFC3 trick: instrument systematics (hook ramps,
+    scan-speed variations, drifts) are nearly wavelength-independent, so
+    the ratio white_observed / white_model(rp_white) is a per-exposure
+    common-mode systematic template; dividing it out of each channel
+    leaves (almost) pure per-channel transits.
+
+    Returns corrected channel light curves (n_exp, n_chan).
+    """
+    rp_white, _ = fit_depths(white_lc[:, None], exp_mid_s, orbit, ld,
+                             rp_init, n_quad, n_newton)
+    z, in_front = projected_separation(exp_mid_s, orbit)
+    f = transit_depth_curve(z, rp_white[0], ld, n_quad)
+    white_model = 1.0 - (1.0 - f) * in_front
+    template = white_lc / white_model                 # (n_exp,)
+    return channel_lc / template[:, None]
+
+
+@partial(jax.jit, static_argnames=("n_quad", "n_newton"))
 def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                orbit: OrbitParams, ld: jnp.ndarray, rp_init: jnp.ndarray,
                n_quad: int = 32, n_newton: int = 12) -> tuple[jnp.ndarray, jnp.ndarray]:
