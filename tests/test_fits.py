@@ -165,3 +165,18 @@ def test_ima_e_per_s_units():
         np.testing.assert_allclose(sci[0], 0.0)   # zeroth read has no rate
     with pytest.raises(ValueError):
         write_ima("/tmp/x.fits", reads, times, _primary(4), units="adu")
+
+
+def test_saturation_dq_flagging():
+    from wayne_tpu.io.ima import DQ_COSMIC_RAY, DQ_SATURATED, saturation_dq
+    reads = np.zeros((3, 8, 8), np.float32)
+    fw, nl, gain = 78000.0, 0.04, 2.5
+    ceiling = fw * (1 - nl) / gain
+    reads[2, 4, 4] = ceiling            # saturated in last read only
+    reads[1, 2, 2] = 0.5 * ceiling      # not saturated
+    dq0 = np.zeros(reads.shape, np.int16)
+    dq0[1, 2, 2] = DQ_COSMIC_RAY        # pre-existing CR flag survives
+    dq = saturation_dq(reads, gain, fw, nl, dq0)
+    assert dq[2, 4, 4] == DQ_SATURATED
+    assert dq[1, 4, 4] == 0 and dq[1, 2, 2] == DQ_COSMIC_RAY
+    assert dq[1, 2, 2] & DQ_SATURATED == 0

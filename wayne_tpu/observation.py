@@ -194,7 +194,7 @@ class Observation:
     # ------------------------------------------------------------------
     def _write_chunk(self, item, outdir, n, read_times, gain, rn, chunk,
                      resume, say) -> list[str]:
-        from wayne_tpu.io.ima import cr_dq_planes
+        from wayne_tpu.io.ima import cr_dq_planes, saturation_dq
 
         c0, res = item
         reads = np.asarray(res.reads_dn)   # (chunk, NR, S, S) device->host
@@ -216,6 +216,10 @@ class Observation:
                 continue
             dq = (cr_dq_planes(cr_pos[j], cr_count[j], nr, s)
                   if cfg.noise.cosmic_rays else None)
+            if cfg.noise.non_linearity:   # saturation exists only then
+                dq = saturation_dq(
+                    reads[j], gain, float(self.tables.full_well_e),
+                    float(self.tables.nonlin_c), dq)
             primary = default_primary_header(
                 targname=cfg.star.name, grism=cfg.grism, nsamp=cfg.nsamp,
                 samp_seq=cfg.samp_seq, subarray=cfg.subarray,
