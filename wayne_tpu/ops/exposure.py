@@ -14,7 +14,7 @@ bins x temporal subsamples x reads, here one traced program
      BAND around the scan position, and deposits the band as
      Y^T @ (counts * X): an MXU matmul,
   4. applies the detector chain per read: flat, sky, dark, Poisson
-     (branch-free two-regime sampler), cosmic rays, non-linearity,
+     (branch-free three-regime sampler), cosmic rays, non-linearity,
      saturation, gain, bias, read noise,
   5. emits the NSAMP+1 up-the-ramp reads in DN (time order).
 
