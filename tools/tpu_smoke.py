@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""On-TPU smoke + statistical cross-validation (run on real hardware).
+
+Codifies the hardware-only checks that CPU CI cannot cover:
+  1. Pallas hardware-PRNG statistics (Poisson moments/pmf, read-noise sigma);
+  2. statistical equivalence of the Pallas and XLA noise backends on a
+     full-noise exposure (means/variances agree within sampling error);
+  3. visit throughput sanity (compiles, runs, finite, > threshold exp/s).
+
+Exit code 0 = all pass. Prints one JSON line.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jnp.arange(4.0).sum().block_until_ready()
+    ok = {}
+
+    # -- 1. hardware PRNG statistics ------------------------------------
+    from wayne_tpu.ops.pallas_readout import fused_read_step
+    cum = jnp.zeros((512, 512), jnp.float32)
+    zero = jnp.zeros_like(cum)
+    bias0, gain1 = jnp.zeros_like(cum), jnp.ones_like(cum)
+    c = jnp.array([20.0, 78000.0, 0.0, 1.0], jnp.float32)
+    cum2, dn = fused_read_step(
+        jnp.array([7, 3], jnp.int32), cum, zero, jnp.full((512, 512), 12.0),
+        bias0, gain1, c, poisson=True, read_noise=True, non_linearity=False,
+        bias=False, scalar_gain=True)
+    cum2, dn = np.asarray(cum2), np.asarray(dn)
+    ok["prng_poisson_mean"] = bool(abs(cum2.mean() - 12.0) < 0.1)
+    ok["prng_poisson_var"] = bool(abs(cum2.var() / 12.0 - 1.0) < 0.05)
+    ok["prng_read_noise"] = bool(abs((dn - cum2).std() - 20.0) < 0.5)
+
+    # -- 2. Pallas vs XLA noise backend equivalence ----------------------
+    from wayne_tpu.calibration import synthetic_tables
+    from wayne_tpu.config import ObservationConfig
+    from wayne_tpu.ops.exposure import simulate_exposure
+    from wayne_tpu.scene import example_scene
+    obs = ObservationConfig(subarray=256, nsamp=5, samp_seq="SPARS10",
+                            scan=True, n_lambda=256)
+    base_cfg = obs.exposure_static()
+    tables = synthetic_tables("G141", subarray=256, n_lambda=256,
+                              samp_seq="SPARS10", nsamp=5)
+    scene = example_scene(256, scan_speed=1.0)
+
+    def stats(use_pallas, n=24):
+        cfg = dataclasses.replace(base_cfg, use_pallas=use_pallas)
+        last = []
+        for i in range(n):
+            r = simulate_exposure(
+                dataclasses.replace(scene, key=jax.random.PRNGKey(1000 + i)),
+                tables, cfg)
+            last.append(np.asarray(r.reads_dn[-1], np.float64))
+        last = np.stack(last)
+        return last.mean(axis=0), last.var(axis=0)
+
+    m_x, v_x = stats(False)
+    m_p, v_p = stats(True)
+    # means agree within combined standard errors (plus tiny abs slack)
+    se = np.sqrt((v_x + v_p) / 24.0)
+    frac_bad = float((np.abs(m_x - m_p) > 5.0 * se + 0.5).mean())
+    ok["backend_means_agree"] = bool(frac_bad < 1e-3)
+    bright = m_x > np.percentile(m_x, 90)
+    ratio = np.median(v_p[bright] / np.maximum(v_x[bright], 1e-9))
+    ok["backend_vars_agree"] = bool(0.8 < ratio < 1.25)
+
+    # -- 3. throughput sanity --------------------------------------------
+    from wayne_tpu.ops.visit import simulate_visit
+    obs512 = ObservationConfig(subarray=512, nsamp=15, samp_seq="SPARS10",
+                               scan=True, n_lambda=512)
+    cfg512 = dataclasses.replace(obs512.exposure_static(), use_pallas=True)
+    t512 = synthetic_tables("G141", subarray=512, n_lambda=512,
+                            samp_seq="SPARS10", nsamp=15)
+    s512 = example_scene(512, scan_speed=1.0)
+    n = 64
+    scenes = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (n,) + a.shape), s512)
+    scenes = dataclasses.replace(
+        scenes, key=jax.vmap(lambda i: jax.random.fold_in(
+            jax.random.PRNGKey(0), i))(jnp.arange(n)))
+    out = simulate_visit(scenes, t512, cfg512, 16)
+    out.reads_dn.block_until_ready()
+    t0 = time.time()
+    out = simulate_visit(scenes, t512, cfg512, 16)
+    out.reads_dn.block_until_ready()
+    eps = n / (time.time() - t0)
+    ok["throughput_exp_per_s"] = round(eps, 1)
+    ok["throughput_ok"] = bool(eps > 300.0)
+    ok["finite"] = bool(np.isfinite(np.asarray(out.reads_dn)).all())
+
+    passed = all(v for k, v in ok.items() if isinstance(v, bool))
+    print(json.dumps(dict(ok, all_passed=passed)))
+    sys.exit(0 if passed else 1)
+
+
+if __name__ == "__main__":
+    main()
