@@ -165,8 +165,20 @@ def _parse_header(raw: bytes) -> tuple[dict[str, Any], int]:
             body = c[10:]
             if body.lstrip().startswith("'"):
                 s = body.lstrip()[1:]
-                val = s[: s.index("'")].rstrip() if "'" in s else s.rstrip()
-                header[key] = val
+                # FITS escapes a quote inside a string as '' — scan for the
+                # first single (unpaired) closing quote.
+                out = []
+                j = 0
+                while j < len(s):
+                    if s[j] == "'":
+                        if j + 1 < len(s) and s[j + 1] == "'":
+                            out.append("'")
+                            j += 2
+                            continue
+                        break
+                    out.append(s[j])
+                    j += 1
+                header[key] = "".join(out).rstrip()
             else:
                 v = body.split("/")[0].strip()
                 if v == "T":
