@@ -41,17 +41,53 @@ class TestDetector:
         t = det.get_read_times(3, "SPARS10")
         assert t[0] == 0.0
         assert t[1] == pytest.approx(0.278)
-        np.testing.assert_allclose(np.diff(t)[1:], 10.0)
+        # Subarray interval = wait + frame time = (10 - 2.932) + 0.278.
+        np.testing.assert_allclose(np.diff(t)[1:], 7.346)
+
+    def test_published_exptime_anchors(self):
+        # Full frame: SPARSn spacing is exactly n seconds after read 1.
+        assert exptime("SPARS10", 15, 1024) == pytest.approx(142.932, abs=0.01)
+        # GRISM256 SPARS10 NSAMP=15 -> 103.129 s (the canonical WFC3 scan
+        # setup quoted across the transit literature, e.g. WASP-43 b).
+        assert exptime("SPARS10", 15, 256) == pytest.approx(103.129, abs=0.05)
+        # Full-frame RAPID NSAMP=15 -> 43.98 s (15 x 2.932).
+        assert exptime("RAPID", 15, 1024) == pytest.approx(43.98, abs=0.01)
+        # Full-frame STEP50 NSAMP=15: 4 frame reads + 12.5 + 25 + 9 x 50.
+        assert exptime("STEP50", 15, 1024) == pytest.approx(499.228, abs=0.01)
 
     def test_rapid_spacing_by_subarray(self):
         assert exptime("RAPID", 2, 1024) == pytest.approx(2 * 2.932)
         assert exptime("RAPID", 2, 64) == pytest.approx(2 * 0.061)
 
-    def test_step_sequence_geometric(self):
-        t = sample_sequence_times("STEP50", 12, 256)
-        dt = np.diff(t)[1:]
-        assert np.all(np.diff(dt) >= -1e-9)   # ramps up (fp tolerance)
-        assert dt.max() == pytest.approx(50.0)
+    def test_step_sequence_ramp(self):
+        t = sample_sequence_times("STEP50", 12, 1024)
+        dt = np.diff(t)
+        # 4 frame-time reads, then 12.5 s doubling up to the 50 s cap.
+        np.testing.assert_allclose(dt[:4], 2.932)
+        np.testing.assert_allclose(dt[4:7], [12.5, 25.0, 50.0])
+        np.testing.assert_allclose(dt[7:], 50.0)
+        # Subarray variant keeps the waits, swaps the frame time.
+        t256 = sample_sequence_times("STEP50", 12, 256)
+        np.testing.assert_allclose(np.diff(t256), dt - 2.932 + 0.278)
+
+    def test_sequence_table_override(self, tmp_path):
+        import json
+
+        from wayne_tpu.calibration import _SEQUENCE_OVERRIDES, load_sequence_table
+
+        p = tmp_path / "seq.json"
+        exact = [0.0] + [0.278649 + 7.346938 * k for k in range(15)]
+        p.write_text(json.dumps({"SPARS10/256": exact}))
+        try:
+            load_sequence_table(str(p))
+            t = sample_sequence_times("SPARS10", 15, 256)
+            assert t[1] == pytest.approx(0.278649, abs=1e-9)
+            assert t[-1] == pytest.approx(exact[-1], abs=1e-9)
+            with pytest.raises(ValueError):
+                p.write_text(json.dumps({"SPARS10/256": [0.0, 2.0, 1.0]}))
+                load_sequence_table(str(p))
+        finally:
+            _SEQUENCE_OVERRIDES.clear()
 
     def test_invalid(self):
         with pytest.raises(ValueError):

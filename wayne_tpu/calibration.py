@@ -100,49 +100,107 @@ GRISM_NAMES = tuple(_GRISM_DEFAULTS)
 # Detector: sample sequences
 # ---------------------------------------------------------------------------
 
-# Minimum (RAPID) frame time per subarray, seconds (WFC3 IR handbook).
+# Minimum (RAPID) frame time per subarray, seconds (WFC3 IR handbook §7.7).
 RAPID_FRAME_TIME = {1024: 2.932, 512: 0.853, 256: 0.278, 128: 0.113, 64: 0.061}
 
 _SPARS_DT = {"SPARS5": 5.0, "SPARS10": 10.0, "SPARS25": 25.0,
              "SPARS50": 50.0, "SPARS100": 100.0, "SPARS200": 200.0}
 _STEP_MAX = {"STEP25": 25.0, "STEP50": 50.0, "STEP100": 100.0,
              "STEP200": 200.0, "STEP400": 400.0}
+# STEP sequences take 4 frame-time reads, then one 12.5 s interval doubling
+# up to the sequence's cap, then constant-cap intervals (full-frame timing,
+# WFC3 IR Instrument Handbook appendix D sequence tables).
+_STEP_RAMP = (12.5, 25.0, 50.0, 100.0, 200.0, 400.0)
+_STEP_NRAPID = 4
+
+# Override registry populated by load_sequence_table(): maps
+# (SEQ, subarray) -> cumulative sample times for reads 0..15.
+_SEQUENCE_OVERRIDES: dict[tuple[str, int], np.ndarray] = {}
+
+
+def _full_frame_intervals(seq: str, nsamp: int) -> list[float]:
+    """Read-to-read intervals at FULL FRAME for reads 1..nsamp (seconds).
+
+    These reproduce the published WFC3 IR Instrument Handbook sequence
+    tables (§7.7 / appendix D): RAPID is uniform frame-time spacing;
+    SPARSn is one frame time then exactly n-second spacing; STEPn is four
+    frame-time reads, then 12.5 s doubling up to n, then constant n.
+    """
+    t_ff = RAPID_FRAME_TIME[FULL_FRAME]
+    if seq == "RAPID":
+        return [t_ff] * nsamp
+    if seq in _SPARS_DT:
+        return [t_ff] + [_SPARS_DT[seq]] * (nsamp - 1)
+    if seq in _STEP_MAX:
+        cap = _STEP_MAX[seq]
+        ramp = [min(r, cap) for r in _STEP_RAMP if r <= cap] or [cap]
+        out = [t_ff] * min(_STEP_NRAPID, nsamp)
+        k = 0
+        while len(out) < nsamp:
+            out.append(ramp[min(k, len(ramp) - 1)])
+            k += 1
+        return out
+    raise ValueError(f"unknown sample sequence {seq!r}")
 
 
 def sample_sequence_times(samp_seq: str, nsamp: int, subarray: int) -> np.ndarray:
     """Times of reads 0..NSAMP (s after exposure start), read 0 at t=0.
 
-    Approximates the published WFC3 IR sequence tables: RAPID spaces reads by
-    the subarray frame time; SPARSn takes one RAPID read then fixed n-second
-    spacing; STEPn ramps geometrically from RAPID spacing up to n seconds.
-    (reference: wayne/detector.py tabulated read times — exact STScI tables
-    can be loaded over this seam if available.)
+    Sequence timing follows the published WFC3 IR handbook structure
+    (reference: wayne/detector.py tabulated read times, SURVEY.md §8):
+    the sequences are DEFINED at full frame (SPARS10 = exactly 10 s
+    between full-frame reads), and the inter-read *wait* is what the
+    sequencer holds fixed — so a subarray interval is
+    ``wait + subarray_frame_time`` with ``wait = interval - 2.932``.
+    This reproduces the widely published anchor values, e.g. GRISM256
+    SPARS10 NSAMP=15 EXPTIME = 103.129 s (0.278 + 14 x 7.3465).
+
+    Exact STScI per-microsecond tables can be loaded over this seam with
+    :func:`load_sequence_table`; loaded tables take precedence.
     """
     if subarray not in RAPID_FRAME_TIME:
         raise ValueError(f"unknown subarray {subarray}")
     if not 1 <= nsamp <= 15:
         raise ValueError("NSAMP must be 1..15")
-    t_frame = RAPID_FRAME_TIME[subarray]
     seq = samp_seq.upper()
+    override = _SEQUENCE_OVERRIDES.get((seq, subarray))
+    if override is not None:
+        if len(override) < nsamp + 1:
+            raise ValueError(
+                f"loaded table for {seq}/{subarray} has only "
+                f"{len(override) - 1} reads; NSAMP={nsamp} requested")
+        return np.asarray(override[: nsamp + 1], dtype=np.float64)
+    t_frame = RAPID_FRAME_TIME[subarray]
+    t_ff = RAPID_FRAME_TIME[FULL_FRAME]
+    intervals = _full_frame_intervals(seq, nsamp)
+    # Convert full-frame intervals to this subarray: keep the wait, swap
+    # the frame-read time. (At full frame this is the identity.)
     times = [0.0]
-    if seq == "RAPID":
-        for k in range(1, nsamp + 1):
-            times.append(k * t_frame)
-    elif seq in _SPARS_DT:
-        dt = _SPARS_DT[seq]
-        times.append(t_frame)
-        for _ in range(nsamp - 1):
-            times.append(times[-1] + dt)
-    elif seq in _STEP_MAX:
-        dt_max = _STEP_MAX[seq]
-        dt = t_frame
-        times.append(t_frame)
-        for _ in range(nsamp - 1):
-            dt = min(dt * 2.0, dt_max)
-            times.append(times[-1] + dt)
-    else:
-        raise ValueError(f"unknown sample sequence {samp_seq!r}")
-    return np.asarray(times[: nsamp + 1], dtype=np.float64)
+    for dt_ff in intervals:
+        times.append(times[-1] + (dt_ff - t_ff) + t_frame)
+    return np.asarray(times, dtype=np.float64)
+
+
+def load_sequence_table(path: str) -> None:
+    """Load exact STScI sample-sequence timing tables from a JSON file.
+
+    Format: ``{"SPARS10/256": [0.0, 0.278649, 7.625587, ...], ...}`` —
+    keys are ``SEQ/subarray``, values cumulative sample times (seconds)
+    for reads 0..N. Loaded tables override the built-in handbook model
+    in :func:`sample_sequence_times` for exact per-microsecond parity
+    with real ima headers (SAMPTIME/DELTATIM).
+    """
+    import json
+
+    with open(path) as fh:
+        raw = json.load(fh)
+    for key, vals in raw.items():
+        seq, _, sub = key.partition("/")
+        arr = np.asarray(vals, dtype=np.float64)
+        if arr.ndim != 1 or len(arr) < 2 or arr[0] != 0.0 or np.any(np.diff(arr) <= 0):
+            raise ValueError(f"bad sequence table for {key!r}: need "
+                             "strictly increasing cumulative times from 0.0")
+        _SEQUENCE_OVERRIDES[(seq.upper(), int(sub))] = arr
 
 
 def exptime(samp_seq: str, nsamp: int, subarray: int) -> float:
