@@ -154,9 +154,46 @@ class TestNoise:
         res = simulate_exposure(bright, tables, cfg)
         last_e = np.asarray(res.reads_dn[-1]) * float(tables.gain)
         fw = float(tables.full_well_e)
-        nl = float(tables.nonlin_c)
-        assert last_e.max() <= fw * (1 - nl) * (1 + 1e-5)
+        deficit = np.asarray(tables.nonlin_coeffs, np.float64).sum(axis=0)
+        assert last_e.max() <= fw * (1 - deficit.min()) * (1 + 1e-5)
         assert float(res.saturated_frac) > 0.0
+
+    def test_nonlinearity_matches_oracle_cubic(self):
+        """Non-linearity as the only effect on: the last read must equal the
+        fp64 oracle cubic applied to the oracle's accumulated charge."""
+        from wayne_tpu.oracle.numpy_oracle import oracle_nonlinearity
+
+        flags = dataclasses.replace(NoiseFlags.none(), non_linearity=True)
+        cfg, tables, scene = make(True, flags)
+        res = simulate_exposure(scene, tables, cfg)
+        got_e = np.asarray(res.reads_dn[-1], np.float64) * float(tables.gain)
+        cum = oracle_ideal_frame(
+            tables, cfg, x_ref=30.0, y_ref=40.0,
+            scan_speed=float(scene.scan_speed), exp_start_s=0.0,
+            stellar_flux=np.asarray(scene.stellar_flux),
+            rp_over_rs=np.asarray(scene.rp_over_rs),
+            ld=np.asarray(scene.ld), orbit=orbit_dict(scene))
+        want = oracle_nonlinearity(cum, np.asarray(tables.nonlin_coeffs),
+                                   float(tables.full_well_e))
+        scale = want.max()
+        np.testing.assert_allclose(got_e / scale, want / scale, atol=3e-4)
+
+    def test_nonlinearity_deficit_near_full_well(self):
+        """Statistical check: pixels near full well read a few % low — the
+        synthetic planes sum to ~4% deficit at saturation (SURVEY.md §8)."""
+        flags = dataclasses.replace(NoiseFlags.none(), non_linearity=True)
+        cfg, tables, scene = make(False, flags, n_sub=2)
+        bright = dataclasses.replace(
+            scene, stellar_flux=scene.stellar_flux * 1e4)
+        res = simulate_exposure(bright, tables, cfg)
+        got_e = np.asarray(res.reads_dn[-1], np.float64) * float(tables.gain)
+        ideal = np.asarray(res.ideal_e, np.float64)
+        fw = float(tables.full_well_e)
+        at_fw = ideal >= fw          # pixels whose true charge clamps at fw
+        assert at_fw.sum() > 50
+        deficit = 1.0 - got_e[at_fw] / fw
+        assert 0.02 < deficit.mean() < 0.06
+        assert deficit.std() > 1e-4  # per-pixel structure, not a scalar
 
 
 class TestDeterminism:

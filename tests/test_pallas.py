@@ -15,7 +15,12 @@ from jax.experimental.pallas import tpu as pltpu
 from wayne_tpu.ops.pallas_readout import fused_read_step
 
 S = 128
-CONSTS = jnp.array([20.0, 78000.0, 0.04, 2.5], jnp.float32)
+CONSTS = jnp.array([20.0, 78000.0, 2.5], jnp.float32)
+# Per-pixel cubic planes with a scalar value so the reference math below
+# stays closed-form: c1=0.04, c2=c3=0 reproduces the linear-deficit model.
+NL = jnp.stack([jnp.full((S, S), 0.04, jnp.float32),
+                jnp.zeros((S, S), jnp.float32),
+                jnp.zeros((S, S), jnp.float32)])
 
 
 def _inputs():
@@ -33,7 +38,8 @@ def test_deterministic_path_matches_reference_math():
     cum, add, bg, bias, gain = _inputs()
     with pltpu.force_tpu_interpret_mode():
         cum2, dn = fused_read_step(
-            jnp.array([1, 2], jnp.int32), cum, add, bg, bias, gain, CONSTS,
+            jnp.array([1, 2], jnp.int32), cum, add, bg, bias, gain, NL,
+            CONSTS,
             poisson=False, read_noise=False, non_linearity=True, bias=True,
             scalar_gain=False, tile=64)
     cum_np = np.asarray(cum) + np.asarray(add) + np.asarray(bg)
@@ -49,7 +55,8 @@ def test_flags_off_passthrough():
     cum, add, bg, bias, gain = _inputs()
     with pltpu.force_tpu_interpret_mode():
         cum2, dn = fused_read_step(
-            jnp.array([1, 2], jnp.int32), cum, add, bg, bias, gain, CONSTS,
+            jnp.array([1, 2], jnp.int32), cum, add, bg, bias, gain, NL,
+            CONSTS,
             poisson=False, read_noise=False, non_linearity=False, bias=False,
             scalar_gain=True, tile=64)
     want = np.asarray(cum) + np.asarray(add) + np.asarray(bg)
@@ -65,9 +72,10 @@ def test_rng_statistics_on_tpu():
     bg = jnp.full((512, 512), 12.0)
     bias = jnp.zeros_like(cum)
     gain = jnp.ones_like(cum)
+    nl0 = jnp.zeros((3, 512, 512), jnp.float32)
     cum2, dn = fused_read_step(
-        jnp.array([7, 3], jnp.int32), cum, zero, bg, bias, gain,
-        jnp.array([20.0, 78000.0, 0.0, 1.0], jnp.float32),
+        jnp.array([7, 3], jnp.int32), cum, zero, bg, bias, gain, nl0,
+        jnp.array([20.0, 78000.0, 1.0], jnp.float32),
         poisson=True, read_noise=True, non_linearity=False, bias=False,
         scalar_gain=True)
     cum2, dn = np.asarray(cum2), np.asarray(dn)
@@ -76,8 +84,8 @@ def test_rng_statistics_on_tpu():
     resid = dn - cum2
     assert abs(resid.std() - 20.0) < 0.5          # read noise sigma
     a, _ = fused_read_step(
-        jnp.array([7, 3], jnp.int32), cum, zero, bg, bias, gain,
-        jnp.array([20.0, 78000.0, 0.0, 1.0], jnp.float32),
+        jnp.array([7, 3], jnp.int32), cum, zero, bg, bias, gain, nl0,
+        jnp.array([20.0, 78000.0, 1.0], jnp.float32),
         poisson=True, read_noise=True, non_linearity=False, bias=False,
         scalar_gain=True)
     np.testing.assert_array_equal(np.asarray(a), cum2)  # deterministic
@@ -95,7 +103,7 @@ def test_banded_deterministic_path():
     with pltpu.force_tpu_interpret_mode():
         cum2, dn = fused_read_step_banded(
             jnp.array([1, 2], jnp.int32), jnp.array([y0], jnp.int32),
-            cum, band, bg, bias, gain, cr_pos, cr_q, CONSTS,
+            cum, band, bg, bias, gain, NL, cr_pos, cr_q, CONSTS,
             poisson=False, read_noise=False, non_linearity=True, bias=True,
             scalar_gain=False, with_cr=True)
     want = np.asarray(cum) + np.asarray(bg)

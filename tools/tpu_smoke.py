@@ -35,11 +35,12 @@ def main() -> None:
     cum = jnp.zeros((512, 512), jnp.float32)
     zero = jnp.zeros_like(cum)
     bias0, gain1 = jnp.zeros_like(cum), jnp.ones_like(cum)
-    c = jnp.array([20.0, 78000.0, 0.0, 1.0], jnp.float32)
+    c = jnp.array([20.0, 78000.0, 1.0], jnp.float32)
+    nl0 = jnp.zeros((3, 512, 512), jnp.float32)
     cum2, dn = fused_read_step(
         jnp.array([7, 3], jnp.int32), cum, zero, jnp.full((512, 512), 12.0),
-        bias0, gain1, c, poisson=True, read_noise=True, non_linearity=False,
-        bias=False, scalar_gain=True)
+        bias0, gain1, nl0, c, poisson=True, read_noise=True,
+        non_linearity=False, bias=False, scalar_gain=True)
     cum2, dn = np.asarray(cum2), np.asarray(dn)
     ok["prng_poisson_mean"] = bool(abs(cum2.mean() - 12.0) < 0.1)
     ok["prng_poisson_var"] = bool(abs(cum2.var() / 12.0 - 1.0) < 0.05)

@@ -238,11 +238,12 @@ class Tables:
     dark_map: jnp.ndarray      # (S, S) e-/s
     bias_map: jnp.ndarray      # (S, S) zeroth-read pedestal, e-
     # --- scalars ---------------------------------------------------------
+    nonlin_coeffs: jnp.ndarray  # (3, S, S) per-pixel cubic planes (c1, c2, c3)
+    # --- scalars (continued) ---------------------------------------------
     read_times: jnp.ndarray    # (NR,) s from exposure start
     gain: jnp.ndarray          # nominal e-/DN
     read_noise_e: jnp.ndarray  # CDS-equivalent per-read noise, e-
     full_well_e: jnp.ndarray   # saturation, e-
-    nonlin_c: jnp.ndarray      # fractional deficit at full well
     cr_rate_px_s: jnp.ndarray  # cosmic-ray events / px / s
     cr_mean_e: jnp.ndarray     # mean CR deposit, e-
     subarray_corner: jnp.ndarray  # (2,) (x0, y0) of subarray in full frame
@@ -328,6 +329,17 @@ def synthetic_tables(
     # Bias / zeroth-read pedestal (e-): smooth plus pixel offsets.
     bias_map = 2500.0 + 40.0 * np.sin(2 * np.pi * u) + 12.0 * rng.standard_normal((S, S))
 
+    # Per-pixel cubic non-linearity planes (c1, c2, c3): the measured
+    # charge is Q * (1 - (c1 q + c2 q^2 + c3 q^3)), q = min(Q, fw)/fw —
+    # the forward model of the cubic-per-pixel correction calwf3 applies
+    # (reference: wayne/detector.py :: apply_non_linearity; SURVEY.md §8
+    # "non-linearity ~ few % near saturation, corrected by cubic
+    # polynomial per pixel"). Coefficients sum to ~nonlin_frac at full
+    # well with a few-% pixel-to-pixel spread.
+    base = np.array([0.30, 0.30, 0.40]) * nonlin_frac
+    nonlin_coeffs = base[:, None, None] * (
+        1.0 + 0.03 * rng.standard_normal((3, S, S)))
+
     # Reference-pixel border: the outer 5 px of the 1024^2 detector are
     # photo-insensitive (bias/read-noise only). Centered subarrays sit in
     # the detector interior, so the border appears only in full frame.
@@ -350,9 +362,9 @@ def synthetic_tables(
         flat_coeffs=f(flat_coeffs), sky_frame=f(sky), active_mask=f(active),
         gain_map=f(gain_map),
         dark_map=f(dark_map), bias_map=f(bias_map),
+        nonlin_coeffs=f(nonlin_coeffs),
         read_times=f(read_times), gain=f(gain),
         read_noise_e=f(read_noise_e), full_well_e=f(full_well_e),
-        nonlin_c=f(nonlin_frac),
         cr_rate_px_s=f(cr_rate_cm2_s * PIXEL_AREA_CM2),
         cr_mean_e=f(cr_mean_e),
         subarray_corner=f(np.asarray(subarray_corner(subarray), dtype=np.float64)),
@@ -438,6 +450,46 @@ def load_master_sky_fits(path: str, subarray: int) -> np.ndarray:
     plane = next(d for _, d in hdus if d is not None and d.ndim == 2)
     sky = _subarray_cutout(np.asarray(plane, np.float64), subarray)
     return sky / sky.mean()
+
+
+def nonlin_fw_deficit(tables: Tables) -> float:
+    """Mean fractional charge deficit at full well (scalar summary).
+
+    Used host-side for the DQ saturation ceiling; the device kernels use
+    the full per-pixel planes.
+    """
+    return float(np.asarray(tables.nonlin_coeffs, np.float64).sum(0).mean())
+
+
+def load_nonlin_cube_fits(path: str, subarray: int) -> np.ndarray:
+    """Load per-pixel non-linearity coefficient planes from a FITS cube.
+
+    Accepts a (3, N, N) primary array or 3 image HDUs: the (c1, c2, c3)
+    planes of the forward cubic deficit in normalised charge
+    (reference: calwf3 NLINFILE-style per-pixel correction polynomial).
+    """
+    from wayne_tpu.io.fits import read_fits
+
+    hdus = read_fits(path)
+    arrays = [d for _, d in hdus if d is not None]
+    if len(arrays) == 1 and arrays[0].ndim == 3:
+        planes = [arrays[0][i] for i in range(arrays[0].shape[0])]
+    else:
+        planes = arrays
+    if len(planes) != 3:
+        raise ValueError(
+            f"non-linearity cube {path!r} must carry 3 coefficient planes "
+            f"(c1, c2, c3); found {len(planes)}")
+    return np.stack([_subarray_cutout(np.asarray(p, np.float64), subarray)
+                     for p in planes])
+
+
+def with_loaded_nonlin(tables: Tables, path: str) -> Tables:
+    """Override the synthetic non-linearity planes with a real cube."""
+    subarray = tables.flat_coeffs.shape[-1]
+    return dataclasses.replace(
+        tables, nonlin_coeffs=jnp.asarray(
+            load_nonlin_cube_fits(path, subarray), tables.nonlin_coeffs.dtype))
 
 
 def with_loaded_grism(tables: Tables, conf_path: str | None = None,

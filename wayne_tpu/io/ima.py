@@ -161,17 +161,19 @@ DQ_SATURATED = 256     # WFC3 DQ bit for full-well saturation
 
 
 def saturation_dq(reads_dn: np.ndarray, gain: float, full_well_e: float,
-                  nonlin_c: float, dq: np.ndarray | None = None) -> np.ndarray:
+                  nonlin_fw_deficit: float,
+                  dq: np.ndarray | None = None) -> np.ndarray:
     """OR the saturation bit into DQ wherever a read sits at full well.
 
-    The simulator's measured signal tops out at full_well*(1 - nonlin_c)
-    electrons; pixels within 2% of that ceiling are flagged (matching how
-    calwf3 flags A-to-D saturation in real ima products).
+    The simulator's measured signal tops out near
+    full_well*(1 - nonlin_fw_deficit) electrons (mean cubic deficit at
+    full well); pixels within 2% of that ceiling are flagged (matching
+    how calwf3 flags A-to-D saturation in real ima products).
     """
     reads_dn = np.asarray(reads_dn)
     if dq is None:
         dq = np.zeros(reads_dn.shape, np.int16)
-    ceiling_dn = full_well_e * (1.0 - nonlin_c) / gain
+    ceiling_dn = full_well_e * (1.0 - nonlin_fw_deficit) / gain
     dq = dq | np.where(reads_dn >= 0.98 * ceiling_dn, DQ_SATURATED, 0
                        ).astype(np.int16)
     return dq

@@ -217,9 +217,10 @@ class Observation:
             dq = (cr_dq_planes(cr_pos[j], cr_count[j], nr, s)
                   if cfg.noise.cosmic_rays else None)
             if cfg.noise.non_linearity:   # saturation exists only then
+                from wayne_tpu.calibration import nonlin_fw_deficit
                 dq = saturation_dq(
                     reads[j], gain, float(self.tables.full_well_e),
-                    float(self.tables.nonlin_c), dq)
+                    nonlin_fw_deficit(self.tables), dq)
             primary = default_primary_header(
                 targname=cfg.star.name, grism=cfg.grism, nsamp=cfg.nsamp,
                 samp_seq=cfg.samp_seq, subarray=cfg.subarray,

@@ -138,9 +138,17 @@ def _cosmic_rays(key: jnp.ndarray, tables: Tables, cfg: ExposureStatic,
 
 
 def _apply_nonlinearity(cum_e: jnp.ndarray, tables: Tables) -> jnp.ndarray:
-    """HgCdTe non-linearity: measured deficit growing to nonlin_c at full well."""
+    """HgCdTe non-linearity: per-pixel cubic deficit in normalised charge.
+
+    measured = Q * (1 - (c1 q + c2 q^2 + c3 q^3)), q = min(Q, fw)/fw, with
+    (c1, c2, c3) per-pixel coefficient planes (reference: wayne/detector.py
+    :: apply_non_linearity — cubic polynomial per pixel, SURVEY.md §8).
+    """
     fw = tables.full_well_e
-    return cum_e * (1.0 - tables.nonlin_c * jnp.minimum(cum_e, fw) / fw)
+    c1, c2, c3 = (tables.nonlin_coeffs[0], tables.nonlin_coeffs[1],
+                  tables.nonlin_coeffs[2])
+    q = jnp.minimum(cum_e, fw) / fw
+    return cum_e * (1.0 - ((c3 * q + c2) * q + c1) * q)
 
 
 def _poisson(key, lam, cfg: ExposureStatic):
@@ -247,8 +255,9 @@ def simulate_exposure(scene: Scene, tables: Tables,
         from wayne_tpu.ops.pallas_readout import (
             fused_read_step, fused_read_step_banded)
         pallas_consts = jnp.stack([
-            tables.read_noise_e, tables.full_well_e, tables.nonlin_c,
+            tables.read_noise_e, tables.full_well_e,
             tables.gain]).astype(jnp.float32)
+        nl_coeffs = tables.nonlin_coeffs.astype(jnp.float32)
         raw_key = scene.key
         if raw_key.dtype != jnp.uint32:
             raw_key = jax.random.key_data(raw_key)
@@ -284,7 +293,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
             # full-frame staging arrays in the XLA graph at all.
             cum_e, dn = fused_read_step_banded(
                 seed2, y0.reshape(1), cum_e, frame, bg_rate * dt,
-                tables.bias_map, tables.gain_map, cr_pos, cr_q,
+                tables.bias_map, tables.gain_map, nl_coeffs, cr_pos, cr_q,
                 pallas_consts, poisson=flags.poisson,
                 read_noise=flags.read_noise,
                 non_linearity=flags.non_linearity, bias=flags.bias,
@@ -300,7 +309,8 @@ def simulate_exposure(scene: Scene, tables: Tables,
                 add = add.at[cr_pos[0], cr_pos[1]].add(cr_q)
             cum_e, dn = fused_read_step(
                 seed2, cum_e, add, bg_rate * dt, tables.bias_map,
-                tables.gain_map, pallas_consts, poisson=flags.poisson,
+                tables.gain_map, nl_coeffs, pallas_consts,
+                poisson=flags.poisson,
                 read_noise=flags.read_noise,
                 non_linearity=flags.non_linearity, bias=flags.bias,
                 scalar_gain=not flags.gain_variations)

@@ -76,7 +76,14 @@ def _poisson_tile(lam, u, z):
                         lambda _: gauss, None)
 
 
-def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref,
+def _nonlin(sig, nl_ref, fw):
+    """Per-pixel cubic deficit: sig * (1 - (c1 q + c2 q^2 + c3 q^3))."""
+    q = sig / fw
+    c1, c2, c3 = nl_ref[0], nl_ref[1], nl_ref[2]
+    return sig * (1.0 - ((c3 * q + c2) * q + c1) * q)
+
+
+def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref, nl_ref,
             consts_ref, cum_out_ref, dn_ref, *, poisson, read_noise,
             non_linearity, bias, scalar_gain):
     pltpu.prng_seed(seed_ref[0] + seed_ref[1] * 131071
@@ -101,12 +108,10 @@ def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref,
 
     rn = consts_ref[0]
     fw = consts_ref[1]
-    nl = consts_ref[2]
-    g0 = consts_ref[3]
+    g0 = consts_ref[2]
     sig = cum
     if non_linearity:
-        sig = jnp.minimum(sig, fw)
-        sig = sig * (1.0 - nl * jnp.minimum(sig, fw) / fw)
+        sig = _nonlin(jnp.minimum(sig, fw), nl_ref, fw)
     if bias:
         sig = sig + bias_ref[:]
     if read_noise:
@@ -115,9 +120,9 @@ def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref,
 
 
 def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
-                   gain_ref, cr_pos_ref, cr_q_ref, consts_ref, cum_out_ref,
-                   dn_ref, *, poisson, read_noise, non_linearity, bias,
-                   scalar_gain, with_cr):
+                   gain_ref, nl_ref, cr_pos_ref, cr_q_ref, consts_ref,
+                   cum_out_ref, dn_ref, *, poisson, read_noise,
+                   non_linearity, bias, scalar_gain, with_cr):
     """Single-block variant: deposits the signal band at dynamic row y0 and
     scatters cosmic-ray charges in-kernel — no full-frame staging frames in
     the XLA graph at all. Pallas grids are sequential per core, so one
@@ -159,12 +164,10 @@ def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
 
     rn = consts_ref[0]
     fw = consts_ref[1]
-    nl = consts_ref[2]
-    g0 = consts_ref[3]
+    g0 = consts_ref[2]
     sig = cum_out_ref[:]
     if non_linearity:
-        sig = jnp.minimum(sig, fw)
-        sig = sig * (1.0 - nl * jnp.minimum(sig, fw) / fw)
+        sig = _nonlin(jnp.minimum(sig, fw), nl_ref, fw)
     if bias:
         sig = sig + bias_ref[:]
     if read_noise:
@@ -178,6 +181,7 @@ def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
 def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
                     add_frame: jnp.ndarray, bg_lam: jnp.ndarray,
                     bias_map: jnp.ndarray, gain_map: jnp.ndarray,
+                    nl_coeffs: jnp.ndarray,
                     consts: jnp.ndarray, *, poisson: bool = True,
                     read_noise: bool = True, non_linearity: bool = True,
                     bias: bool = True, scalar_gain: bool = False,
@@ -191,7 +195,8 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
       add_frame: (S, S) already-sampled signal band + cosmic rays.
       bg_lam: (S, S) expected background electrons this interval.
       bias_map, gain_map: (S, S) detector maps.
-      consts: (4,) f32 — (read_noise_e, full_well_e, nonlin_c, gain_scalar).
+      nl_coeffs: (3, S, S) per-pixel cubic non-linearity planes (c1, c2, c3).
+      consts: (3,) f32 — (read_noise_e, full_well_e, gain_scalar).
 
     Returns: (new cum_e, read DN frame).
     """
@@ -201,6 +206,8 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
     # index_map receives the scalar-prefetch refs after the grid indices.
     row_spec = pl.BlockSpec((tile, S), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
+    nl_spec = pl.BlockSpec((3, tile, S), lambda i, *_: (0, i, 0),
+                           memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel, poisson=poisson, read_noise=read_noise,
         non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain)
@@ -210,13 +217,14 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[row_spec, row_spec, row_spec, row_spec, row_spec,
+                      nl_spec,
                       pl.BlockSpec(memory_space=pltpu.SMEM)],
             out_specs=[row_spec, row_spec],
         ),
         out_shape=[jax.ShapeDtypeStruct((S, S), jnp.float32),
                    jax.ShapeDtypeStruct((S, S), jnp.float32)],
         interpret=interpret,
-    )(seed2, cum_e, add_frame, bg_lam, bias_map, gain_map, consts)
+    )(seed2, cum_e, add_frame, bg_lam, bias_map, gain_map, nl_coeffs, consts)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -225,7 +233,8 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
 def fused_read_step_banded(
         seed2: jnp.ndarray, y0: jnp.ndarray, cum_e: jnp.ndarray,
         band: jnp.ndarray, bg_lam: jnp.ndarray, bias_map: jnp.ndarray,
-        gain_map: jnp.ndarray, cr_pos: jnp.ndarray, cr_q: jnp.ndarray,
+        gain_map: jnp.ndarray, nl_coeffs: jnp.ndarray, cr_pos: jnp.ndarray,
+        cr_q: jnp.ndarray,
         consts: jnp.ndarray, *, poisson: bool = True,
         read_noise: bool = True, non_linearity: bool = True,
         bias: bool = True, scalar_gain: bool = False, with_cr: bool = True,
@@ -237,14 +246,17 @@ def fused_read_step_banded(
       seed2: (2,) int32 (exposure seed, read index).
       y0: (1,) int32 band start row (clamped to [0, S - W]).
       band: (W, S) already-sampled signal electrons this interval.
+      nl_coeffs: (3, S, S) per-pixel cubic non-linearity planes (c1, c2, c3).
       cr_pos: (2, MAX_CR) int32 hit coordinates; cr_q: (MAX_CR,) charges
         (pre-masked: zero beyond the actual hit count).
-      consts: (4,) f32 — (read_noise_e, full_well_e, nonlin_c, gain).
+      consts: (3,) f32 — (read_noise_e, full_well_e, gain).
     """
     S = cum_e.shape[0]
     full = pl.BlockSpec((S, S), lambda *_: (0, 0), memory_space=pltpu.VMEM)
     band_spec = pl.BlockSpec(band.shape, lambda *_: (0, 0),
                              memory_space=pltpu.VMEM)
+    nl_spec = pl.BlockSpec((3, S, S), lambda *_: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel_banded, poisson=poisson, read_noise=read_noise,
         non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain,
@@ -254,7 +266,7 @@ def fused_read_step_banded(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(1,),
-            in_specs=[full, band_spec, full, full, full,
+            in_specs=[full, band_spec, full, full, full, nl_spec,
                       pl.BlockSpec(cr_pos.shape, lambda *_: (0, 0),
                                    memory_space=pltpu.SMEM),
                       pl.BlockSpec(cr_q.shape, lambda *_: (0,),
@@ -265,5 +277,5 @@ def fused_read_step_banded(
         out_shape=[jax.ShapeDtypeStruct((S, S), jnp.float32),
                    jax.ShapeDtypeStruct((S, S), jnp.float32)],
         interpret=interpret,
-    )(seed2, y0, cum_e, band, bg_lam, bias_map, gain_map, cr_pos, cr_q,
-      consts)
+    )(seed2, y0, cum_e, band, bg_lam, bias_map, gain_map, nl_coeffs, cr_pos,
+      cr_q, consts)

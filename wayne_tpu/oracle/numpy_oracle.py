@@ -79,6 +79,26 @@ def oracle_transit_flux(z, p, ld, n_quad: int = 2048) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Detector non-linearity (fp64, reference: wayne/detector.py ::
+# apply_non_linearity — per-pixel cubic polynomial)
+# ---------------------------------------------------------------------------
+
+
+def oracle_nonlinearity(cum_e: np.ndarray, coeffs: np.ndarray,
+                        full_well: float) -> np.ndarray:
+    """Measured charge under the per-pixel cubic deficit model (fp64).
+
+    measured = Qc * (1 - (c1 q + c2 q^2 + c3 q^3)), Qc = min(Q, fw),
+    q = Qc / fw — the same convention as the device kernels.
+    """
+    cum_e = np.asarray(cum_e, np.float64)
+    c1, c2, c3 = (np.asarray(c, np.float64) for c in coeffs)
+    qc = np.minimum(cum_e, full_well)
+    q = qc / full_well
+    return qc * (1.0 - ((c3 * q + c2) * q + c1) * q)
+
+
+# ---------------------------------------------------------------------------
 # Geometry (fp64 re-implementation of the aXe trace math)
 # ---------------------------------------------------------------------------
 
