@@ -44,9 +44,12 @@ def test_random_walk_ssv():
     import jax
     from wayne_tpu.trends import ssv_random_walk
     p = TrendParams.create(ssv_rw_amp=0.02)
-    f = np.asarray(ssv_random_walk(jax.random.PRNGKey(0), 64, p))
-    assert f.shape == (64,)
-    np.testing.assert_allclose(f.mean(), 1.0, atol=1e-6)   # calibrated mean
+    n = 64
+    f = np.asarray(ssv_random_walk(jax.random.PRNGKey(0), n, p))
+    assert f.shape == (n,)
+    # increments are iid N(0, amp^2/n) — a walk, not re-centered noise
+    steps = np.diff(f)
+    assert abs(steps.std() - 0.02 / np.sqrt(n)) < 0.02 / np.sqrt(n)
     assert 1e-4 < f.std() < 0.1                            # wanders
     # off by default: exact ones
     p0 = TrendParams.create(ssv_rw_amp=0.0)
@@ -54,19 +57,42 @@ def test_random_walk_ssv():
     np.testing.assert_array_equal(f0, 1.0)
 
 
+def test_random_walk_spans_read_boundaries():
+    """The walk's autocorrelation must cross read boundaries: per-read
+    factor means wander together instead of re-centering to 1 each read
+    (VERDICT round-1 weak #5)."""
+    import jax
+    from wayne_tpu.trends import ssv_random_walk
+    p = TrendParams.create(ssv_rw_amp=0.05)
+    nsamp, K = 12, 8
+    f = np.asarray(ssv_random_walk(jax.random.PRNGKey(3), nsamp * K, p))
+    per_read = f.reshape(nsamp, K)
+    read_means = per_read.mean(axis=1)
+    # Re-keyed/re-centered walks have read means == 1 exactly; a true
+    # exposure-long walk has wandering read means...
+    assert read_means.std() > 0.005
+    # ...and adjacent reads stay close (continuity): the boundary jump is
+    # a single step (~amp/sqrt(n)), far below the within-exposure wander.
+    boundary_jumps = np.abs(per_read[1:, 0] - per_read[:-1, -1])
+    assert boundary_jumps.max() < 4 * 0.05 / np.sqrt(nsamp * K)
+
+
 def test_random_walk_ssv_in_kernel():
     import dataclasses
+    import jax
     import jax.numpy as jnp
     from wayne_tpu.calibration import synthetic_tables
     from wayne_tpu.config import ExposureStatic, NoiseFlags
     from wayne_tpu.ops.exposure import simulate_exposure
     from wayne_tpu.scene import example_scene
+    from wayne_tpu.trends import ssv_random_walk
     flags = dataclasses.replace(NoiseFlags.none(), ssv=True)
-    cfg = ExposureStatic(subarray=64, n_lambda=32, n_sub=8, nsamp=2,
+    nsamp, K = 3, 8
+    cfg = ExposureStatic(subarray=64, n_lambda=32, n_sub=K, nsamp=nsamp,
                          samp_seq="SPARS10", scan=True, transit_quad=16)
     cfg = dataclasses.replace(cfg, noise=flags)
     tables = synthetic_tables("G141", subarray=64, n_lambda=32,
-                              samp_seq="SPARS10", nsamp=2)
+                              samp_seq="SPARS10", nsamp=nsamp)
     base = example_scene(32, scan_speed=1.0)
     base = dataclasses.replace(base, x_ref=jnp.float32(10.0),
                                y_ref=jnp.float32(10.0))
@@ -74,8 +100,15 @@ def test_random_walk_ssv_in_kernel():
         base, trends=TrendParams.create(ssv_amp=0.0, ssv_rw_amp=0.0))
     noisy = dataclasses.replace(
         base, trends=TrendParams.create(ssv_amp=0.0, ssv_rw_amp=0.05))
-    a = simulate_exposure(quiet, tables, cfg).ideal_e
-    b = simulate_exposure(noisy, tables, cfg).ideal_e
-    # same total flux (mean-calibrated walk), different row pattern
-    np.testing.assert_allclose(float(b.sum()), float(a.sum()), rtol=2e-3)
-    assert float(jnp.abs(a - b).max()) > 0.0
+    a = simulate_exposure(quiet, tables, cfg)
+    b = simulate_exposure(noisy, tables, cfg)
+    # Per-read flux increments scale by the read-mean of the SAME
+    # exposure-long walk the host can reconstruct from the scene key.
+    gain = float(tables.gain)
+    inc = lambda r: np.diff(
+        np.asarray(r.reads_dn, np.float64).sum(axis=(1, 2))) * gain
+    ratio = inc(b) / inc(a)                       # (nsamp,)
+    walk = np.asarray(ssv_random_walk(
+        jax.random.fold_in(noisy.key, 499), nsamp * K, noisy.trends))
+    expected = walk.reshape(nsamp, K).mean(axis=1)
+    np.testing.assert_allclose(ratio, expected, rtol=1e-4)

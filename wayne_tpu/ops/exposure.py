@@ -66,11 +66,14 @@ class ExposureResult:
 
 def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
                     t_seg_edges: jnp.ndarray, dt_seg: jnp.ndarray,
-                    ssv_key: jnp.ndarray) -> jnp.ndarray:
+                    rw_factor: jnp.ndarray | None) -> jnp.ndarray:
     """Source electrons per (subsegment, wavelength bin): (K, NL).
 
     counts = F_lambda * sensitivity * dlambda * dt * LC(t, lambda)
              * SSV(segment mean, exact) * visit_trend(t).
+
+    ``rw_factor``: this read's (K,) slice of the exposure-long random-walk
+    SSV (continuous across read boundaries; see trends.ssv_random_walk).
     """
     t_mid = 0.5 * (t_seg_edges[:-1] + t_seg_edges[1:])
     dlam = jnp.diff(tables.wl_edges)
@@ -82,8 +85,8 @@ def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
     if cfg.noise.ssv and cfg.scan:
         factor = factor * ssv_mean_factor(t_seg_edges[:-1], t_seg_edges[1:],
                                           scene.trends)
-        # stochastic variant; exact no-op when ssv_rw_amp == 0
-        factor = factor * ssv_random_walk(ssv_key, cfg.n_sub, scene.trends)
+        if rw_factor is not None:   # stochastic variant (exposure-long walk)
+            factor = factor * rw_factor
     if cfg.noise.visit_trend:
         factor = factor * visit_trend_factor(
             scene.exp_start_s + t_mid,
@@ -211,12 +214,20 @@ def simulate_exposure(scene: Scene, tables: Tables,
             sig = sig + tables.read_noise_e * jax.random.normal(key, (S, S), dtype)
         return sig / gain_div
 
-    def source_band(k, t_a, dt):
+    # Exposure-long random-walk SSV: ONE walk per exposure, continuous
+    # across read boundaries (reference: stochastic SSV variant,
+    # SURVEY.md:98); read k consumes rows [k] of the (nsamp, K) factors.
+    rw_all = None
+    if flags.ssv and cfg.scan:
+        rw_all = ssv_random_walk(jax.random.fold_in(scene.key, 499),
+                                 cfg.nsamp * K, scene.trends
+                                 ).reshape(cfg.nsamp, K).astype(dtype)
+
+    def source_band(k, t_a, dt, rw_k):
         """(band_or_S, S) source electrons laid down this interval + row0."""
         t_seg_edges = t_a + (dt / K) * jnp.arange(K + 1, dtype=dtype)
-        ssv_key = jax.random.fold_in(scene.key, 500 + k)
         counts = _segment_counts(scene, tables, cfg, t_seg_edges, dt / K,
-                                 ssv_key)                    # (K, NL)
+                                 rw_k)                       # (K, NL)
 
         if band:
             off = scene.scan_speed * t_seg_edges
@@ -263,11 +274,12 @@ def simulate_exposure(scene: Scene, tables: Tables,
             raw_key = jax.random.key_data(raw_key)
         exp_seed = raw_key.reshape(-1)[-1].astype(jnp.int32)
 
-    def step(carry, k):
+    def step(carry, xs):
+        k, rw_k = xs
         cum_e, ideal_e = carry
         t_a = read_times[k]
         dt = read_times[k + 1] - t_a
-        frame, y0 = source_band(k, t_a, dt)
+        frame, y0 = source_band(k, t_a, dt, rw_k)
 
         ideal_e = add_band(ideal_e, frame, y0)
 
@@ -329,8 +341,10 @@ def simulate_exposure(scene: Scene, tables: Tables,
     zero = jnp.zeros((S, S), dtype)
     k0 = jax.random.fold_in(scene.key, cfg.nsamp + 1)
     read0 = emit_read(zero, k0)
+    if rw_all is None:
+        rw_all = jnp.ones((cfg.nsamp, K), dtype)   # ignored by the branch
     (cum_e, ideal_e), (reads, cr_pos, cr_count) = jax.lax.scan(
-        step, (zero, zero), jnp.arange(cfg.nsamp))
+        step, (zero, zero), (jnp.arange(cfg.nsamp), rw_all))
     reads_dn = jnp.concatenate([read0[None], reads], axis=0)  # (NR, S, S)
 
     sat = jnp.mean((cum_e >= tables.full_well_e).astype(dtype))

@@ -83,18 +83,22 @@ def ssv_mean_factor(t_a: jnp.ndarray, t_b: jnp.ndarray,
 
 def ssv_random_walk(key: jnp.ndarray, n_seg: int,
                     p: TrendParams) -> jnp.ndarray:
-    """Random-walk scan-speed variation per subsegment (reference:
-    wayne/trend_generators — the stochastic SSV variant).
+    """Random-walk scan-speed variation factors for the WHOLE exposure
+    (reference: wayne/trend_generators — the stochastic SSV variant).
 
-    The effective scan rate wanders as a driftless random walk; returned
-    as (n_seg,) multiplicative factors with mean ~1 over the exposure so
-    total flux stays calibrated (the wander itself is the systematic).
+    Returns (n_seg,) multiplicative factors for every subsegment of the
+    exposure (all reads concatenated). The walk is keyed ONCE per
+    exposure and is continuous across read boundaries — the low-frequency
+    wander is the physically dominant part of a random walk, so no
+    per-read re-keying or re-centering is applied. Convention: the factor
+    starts at 1 + amp * g_0 / sqrt(n_seg) and the RMS wander at the end
+    of the exposure equals ``ssv_rw_amp`` (no mean normalisation; the
+    total-flux wander IS the systematic).
     """
     import jax
 
     steps = jax.random.normal(key, (n_seg,), jnp.float32)
     walk = jnp.cumsum(steps) / jnp.sqrt(float(n_seg))
-    walk = walk - jnp.mean(walk)
     return 1.0 + p.ssv_rw_amp * walk
 
 
