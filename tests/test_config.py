@@ -68,3 +68,65 @@ def test_invalid_values_raise():
 def test_noise_flag_factories():
     assert not any(vars(NoiseFlags.none()).values())
     assert all(vars(NoiseFlags.all()).values())
+
+
+class TestNameResolution:
+    def test_known_name_fills_system_parameters(self):
+        cfg = config_from_dict({"planet_name": "HD 209458 b"})
+        assert cfg.planet.period_days == pytest.approx(3.52474859)
+        assert cfg.planet.sma_over_rs == pytest.approx(8.76)
+        assert cfg.planet.inclination_deg == pytest.approx(86.71)
+        assert cfg.planet.rp_over_rs == pytest.approx(0.12086)
+        assert cfg.star.temperature_k == pytest.approx(6065.0)
+        assert cfg.star.magnitude_j == pytest.approx(6.591)
+
+    def test_explicit_keys_override_catalog(self):
+        cfg = config_from_dict({"planet_name": "WASP-43 b",
+                                "inclination": 80.0})
+        assert cfg.planet.inclination_deg == 80.0             # explicit wins
+        assert cfg.planet.period_days == pytest.approx(0.813475)  # filled
+
+    def test_unknown_name_without_orbit_raises(self):
+        with pytest.raises(KeyError):
+            config_from_dict({"planet_name": "Nonexistent c"})
+
+    def test_unknown_name_with_explicit_orbit_is_a_label(self):
+        cfg = config_from_dict({"planet_name": "Nonexistent c",
+                                "period": 2.0})
+        assert cfg.planet.name == "Nonexistent c"
+        assert cfg.planet.period_days == 2.0
+
+    def test_catalog_file_loading(self, tmp_path):
+        from wayne_tpu.models.planet import _USER_CATALOG
+
+        csv_path = tmp_path / "cat.csv"
+        csv_path.write_text(
+            "name,period_days,sma_over_rs,inclination_deg,rp_over_rs,star_j\n"
+            "Test-1 b,5.0,10.0,88.0,0.05,7.5\n")
+        try:
+            cfg = config_from_dict({"catalog_file": str(csv_path),
+                                    "planet_name": "Test-1 b"})
+            assert cfg.planet.period_days == 5.0
+            assert cfg.planet.rp_over_rs == 0.05
+            assert cfg.star.magnitude_j == 7.5
+        finally:
+            _USER_CATALOG.clear()
+
+    def test_catalog_json_and_bad_fields(self, tmp_path):
+        import json
+
+        from wayne_tpu.models.planet import _USER_CATALOG, load_catalog
+
+        jp = tmp_path / "cat.json"
+        jp.write_text(json.dumps({"J b": {"period_days": 1.5,
+                                          "sma_over_rs": 6.0}}))
+        try:
+            assert load_catalog(str(jp)) == ["J b"]
+            cfg = config_from_dict({"planet_name": "J b"})
+            assert cfg.planet.period_days == 1.5
+        finally:
+            _USER_CATALOG.clear()
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps({"K b": {"bogus_field": 1.0}}))
+        with pytest.raises(ValueError):
+            load_catalog(str(bad))

@@ -353,11 +353,58 @@ def _coerce(value: Any, target: Any) -> Any:
     return value
 
 
+# Catalog-entry field -> (section, field) targets for name resolution
+# (exodata's role: resolve a named system to its parameters, SURVEY.md:112).
+_CATALOG_FIELD_MAP: dict[str, tuple[str, str]] = {
+    "period_days": ("planet", "period_days"),
+    "t0_mjd": ("planet", "t0_mjd"),
+    "sma_over_rs": ("planet", "sma_over_rs"),
+    "inclination_deg": ("planet", "inclination_deg"),
+    "eccentricity": ("planet", "eccentricity"),
+    "periastron_deg": ("planet", "periastron_deg"),
+    "rp_over_rs": ("planet", "rp_over_rs"),
+    "star_teff": ("star", "temperature_k"),
+    "star_j": ("star", "magnitude_j"),
+    "star_radius_rsun": ("star", "radius_rsun"),
+}
+
+# Explicit keys that prove the user supplied their own orbit, letting an
+# unresolvable planet_name pass as a mere label.
+_ORBIT_BASICS = {("planet", "period_days"), ("planet", "sma_over_rs"),
+                 ("planet", "inclination_deg"), ("planet", "rp_over_rs")}
+
+
+def _resolve_planet_name(cfg: ObservationConfig,
+                         explicit: set[tuple[str | None, str]]) -> None:
+    """Fill planet/star parameters from the catalog for a named system.
+
+    Explicitly provided keys always win; the catalog only fills the rest.
+    An unknown name raises unless the user supplied the orbit themselves
+    (then the name is just a label).
+    """
+    from wayne_tpu.models.planet import resolve_system
+
+    try:
+        sys_params = resolve_system(cfg.planet.name)
+    except KeyError:
+        if _ORBIT_BASICS & explicit:
+            return   # user-specified orbit; name is a label
+        raise
+    for key, (section, name) in _CATALOG_FIELD_MAP.items():
+        if key in sys_params and (section, name) not in explicit:
+            obj = getattr(cfg, section)
+            setattr(obj, name, _coerce(sys_params[key], getattr(obj, name)))
+
+
 def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
     """Build an ObservationConfig from a (possibly reference-style) dict.
 
     Accepts either nested sections (observation/star/planet/trends/noise)
-    or the reference's flat key layout.
+    or the reference's flat key layout. A ``planet_name`` naming a known
+    system (built-in table or a ``catalog_file``) resolves its orbital and
+    stellar parameters, with explicit keys taking precedence — the
+    exodata-equivalent path (reference: wayne resolves named systems from
+    the Open Exoplanet Catalogue at Observation construction).
     """
     cfg = ObservationConfig()
     flat: dict[str, Any] = {}
@@ -370,6 +417,13 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
             noise_kv.update(value)
         else:
             flat[key] = value
+
+    catalog_file = flat.pop("catalog_file", None) or flat.pop(
+        "exodata_location", None)
+    if catalog_file:
+        from wayne_tpu.models.planet import load_catalog
+
+        load_catalog(str(catalog_file))
 
     noise_fields = {f.name for f in dataclasses.fields(NoiseFlags)}
     noise_updates: dict[str, bool] = {}
@@ -384,6 +438,7 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
     if noise_updates:
         cfg.noise = dataclasses.replace(cfg.noise, **noise_updates)
 
+    explicit: set[tuple[str | None, str]] = set()
     for key, value in flat.items():
         section_field = _REF_KEY_ALIASES.get(key)
         if section_field is None:
@@ -401,6 +456,10 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
         section, name = section_field
         obj = cfg if section is None else getattr(cfg, section)
         setattr(obj, name, _coerce(value, getattr(obj, name)))
+        explicit.add((section, name))
+
+    if ("planet", "name") in explicit:
+        _resolve_planet_name(cfg, explicit)
     return cfg
 
 

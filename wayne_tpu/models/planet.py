@@ -33,14 +33,67 @@ KNOWN_SYSTEMS: dict[str, dict] = {
 }
 
 
+# User-supplied systems loaded via load_catalog(); takes precedence over
+# the built-in table at resolve time.
+_USER_CATALOG: dict[str, dict] = {}
+
+# Fields a catalog entry may carry (all optional except the orbit basics).
+CATALOG_FIELDS = ("period_days", "t0_mjd", "sma_over_rs", "inclination_deg",
+                  "eccentricity", "periastron_deg", "rp_over_rs",
+                  "star_teff", "star_j", "star_radius_rsun")
+
+
+def load_catalog(path: str) -> list[str]:
+    """Load a file-based system catalog (exodata's OEC-file equivalent).
+
+    Accepts JSON (``{"NAME": {"period_days": ..., ...}, ...}``) or CSV
+    with a header row whose first column is ``name`` and remaining
+    columns are any of :data:`CATALOG_FIELDS`. Loaded entries override
+    the built-in table in :func:`resolve_system`. Returns the loaded
+    names.
+    """
+    entries: dict[str, dict] = {}
+    if path.endswith(".json"):
+        import json
+
+        with open(path) as fh:
+            entries = json.load(fh)
+        if not isinstance(entries, dict):
+            raise ValueError(f"catalog {path!r} must be a JSON object")
+    else:
+        import csv
+
+        with open(path) as fh:
+            for row in csv.DictReader(fh):
+                name = (row.pop("name", None) or "").strip()
+                if not name:
+                    raise ValueError(f"catalog {path!r} rows need a 'name'")
+                entries[name] = {k: float(v) for k, v in row.items()
+                                 if v not in ("", None)}
+    for name, vals in entries.items():
+        unknown = set(vals) - set(CATALOG_FIELDS)
+        if unknown:
+            raise ValueError(
+                f"catalog entry {name!r} has unknown fields {sorted(unknown)}"
+                f"; allowed: {CATALOG_FIELDS}")
+        _USER_CATALOG[name.strip()] = {k: float(v) for k, v in vals.items()}
+    return sorted(entries)
+
+
 def resolve_system(name: str) -> dict:
-    """Catalog lookup by name (exodata-equivalent seam)."""
+    """Catalog lookup by name (exodata-equivalent seam).
+
+    User catalogs loaded with :func:`load_catalog` take precedence over
+    the built-in benchmark table.
+    """
     key = name.strip()
+    if key in _USER_CATALOG:
+        return _USER_CATALOG[key]
     if key in KNOWN_SYSTEMS:
         return KNOWN_SYSTEMS[key]
     raise KeyError(
-        f"unknown system {name!r}; provide explicit PlanetConfig parameters "
-        f"or one of {sorted(KNOWN_SYSTEMS)}")
+        f"unknown system {name!r}; provide explicit PlanetConfig parameters, "
+        f"a catalog_file, or one of {sorted(KNOWN_SYSTEMS)}")
 
 
 class Planet:
