@@ -87,6 +87,46 @@ class TestDiagnostics:
                 assert os.path.getsize(p) > 5000
 
 
+class TestDirectImage:
+    def test_direct_image_is_real_multiaccum_and_centroid_recovers(self):
+        """The direct image runs through the full detector chain (noise on)
+        and a reduction-style centroid recovers (x_ref, y_ref) to <0.05 px
+        (reference: direct-image frame at visit start, SURVEY.md:100)."""
+        from wayne_tpu.io.ima import read_ima
+
+        obs = Observation(small_cfg(x_ref=60.0, y_ref=70.0))
+        with tempfile.TemporaryDirectory() as d:
+            obs.generate(d, chunk=4, progress=lambda s: None)
+            di = [f for f in os.listdir(d) if "direct" in f]
+            assert len(di) == 1
+            hdr, reads, times = read_ima(os.path.join(d, di[0]))
+        assert hdr["FILTER"] == "F140W"
+        assert hdr["OBSTYPE"] == "IMAGING"
+        assert hdr["NSAMP"] == obs.cfg.direct_image_nsamp + 1
+        assert reads.shape[0] == obs.cfg.direct_image_nsamp + 1
+        assert times[-1] > times[0]              # real multiaccum ramp
+        # centroid of the background-subtracted final CDS frame
+        img = reads[-1].astype(np.float64) - reads[0].astype(np.float64)
+        img -= np.median(img)
+        x0 = float(np.asarray(obs.scenes.x_ref)[0])
+        y0 = float(np.asarray(obs.scenes.y_ref)[0])
+        yy, xx = np.mgrid[0:img.shape[0], 0:img.shape[1]]
+        w = img * ((np.abs(xx - x0) < 8) & (np.abs(yy - y0) < 8))
+        cx, cy = (w * xx).sum() / w.sum(), (w * yy).sum() / w.sum()
+        assert abs(cx - x0) < 0.05 and abs(cy - y0) < 0.05
+
+    def test_g102_uses_f105w_and_noise_off_is_deterministic(self):
+        from wayne_tpu.config import NoiseFlags
+
+        cfg = small_cfg(grism="G102")
+        cfg.noise = NoiseFlags.none()
+        obs = Observation(cfg)
+        assert obs.direct_image_filter() == "F105W"
+        a = np.asarray(obs.simulate_direct_image()[0].reads_dn)
+        b = np.asarray(obs.simulate_direct_image()[0].reads_dn)
+        np.testing.assert_array_equal(a, b)
+
+
 class TestOutputUnits:
     def test_e_per_s_through_observation(self):
         from wayne_tpu.io.fits import read_fits

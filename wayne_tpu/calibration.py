@@ -372,6 +372,77 @@ def synthetic_tables(
 
 
 # ---------------------------------------------------------------------------
+# Imaging-filter tables (direct image)
+# ---------------------------------------------------------------------------
+
+# Synthetic imaging-filter bandpasses (micron): (wl_lo, wl_hi, peak throughput
+# relative to the grism's peak sensitivity). Cut-on/off values follow the
+# published WFC3 IR filter set; throughputs are synthetic-calibration
+# approximations like the rest of this module (docs/CALIBRATION.md).
+IMAGING_FILTERS: dict[str, tuple[float, float, float]] = {
+    "F140W": (1.31, 1.61, 1.15),
+    "F139M": (1.35, 1.43, 1.05),
+    "F130N": (1.296, 1.310, 0.95),
+    "F126N": (1.258, 1.266, 0.95),
+    "F105W": (0.90, 1.21, 1.10),
+}
+
+
+def imaging_tables(tables: Tables, filter_name: str = "F140W",
+                   nsamp: int = 4, samp_seq: str = "RAPID") -> Tables:
+    """Derive direct-image (undispersed imaging filter) tables from grism
+    tables, so the direct image runs through the SAME detector chain as
+    the spectra (reference: real WFC3 grism visits open with a direct
+    image; wayne emits one for the reduction pipeline's wavelength
+    zero-point, SURVEY.md:100).
+
+    Transformations:
+      * trace flattened (dydx = 0) and dispersion collapsed (huge
+        micron/px) so every wavelength bin lands at (x_ref, y_ref);
+      * sensitivity replaced by the filter's smooth-edged bandpass;
+      * the wavelength-dependent flat collapsed to its value at the
+        filter pivot (a direct image is quasi-monochromatic for the
+        flat's low-order wavelength dependence);
+      * read times switched to a short imaging sample sequence.
+    """
+    if filter_name not in IMAGING_FILTERS:
+        raise ValueError(f"unknown imaging filter {filter_name!r}; "
+                         f"have {sorted(IMAGING_FILTERS)}")
+    wl_lo, wl_hi, rel_peak = IMAGING_FILTERS[filter_name]
+    dt = tables.sensitivity.dtype
+    wl = np.asarray(tables.wl_centers, np.float64)
+
+    edge = max(0.15 * (wl_hi - wl_lo), float(wl[1] - wl[0]))
+    window = (0.5 * (1 + np.tanh((wl - wl_lo) / edge))
+              * 0.5 * (1 + np.tanh((wl_hi - wl) / edge)))
+    sens = rel_peak * float(np.asarray(tables.sensitivity).max()) * window
+
+    # Collapse the flat cube at the filter pivot wavelength.
+    wl_min = float(np.asarray(tables.wl_edges)[0])
+    wl_max = float(np.asarray(tables.wl_edges)[-1])
+    l_piv = np.clip((0.5 * (wl_lo + wl_hi) - wl_min) / (wl_max - wl_min),
+                    0.0, 1.0)
+    c = np.asarray(tables.flat_coeffs, np.float64)
+    flat0 = c[0] + l_piv * (c[1] + l_piv * (c[2] + l_piv * c[3]))
+    flat_collapsed = np.stack([flat0] + [np.zeros_like(flat0)] * 3)
+
+    zeros6 = jnp.zeros(_POLY2D_NTERMS, dt)
+    pivot = 0.5 * (wl_lo + wl_hi)
+    subarray = tables.flat_coeffs.shape[-1]
+    return dataclasses.replace(
+        tables,
+        sensitivity=jnp.asarray(sens, dt),
+        dydx0=zeros6, dydx1=zeros6,
+        dldp0=zeros6.at[0].set(pivot),
+        # 1000 micron/px: the whole bandpass spans <1e-3 px -> undispersed.
+        dldp1=zeros6.at[0].set(1000.0),
+        flat_coeffs=jnp.asarray(flat_collapsed, dt),
+        read_times=jnp.asarray(
+            sample_sequence_times(samp_seq, nsamp, subarray), dt),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Loader seams for real STScI products
 # ---------------------------------------------------------------------------
 

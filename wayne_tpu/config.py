@@ -186,6 +186,9 @@ class ObservationConfig:
     n_sub: int = 0           # 0 -> auto from SSV period (see auto_n_sub)
     transit_quad: int = 64
     x_psf: bool = False                 # PSF blur in the dispersion direction
+    direct_image_filter: str = ""       # "" -> auto (F140W for G141, F105W
+    #                                     for G102); see IMAGING_FILTERS
+    direct_image_nsamp: int = 4         # RAPID reads in the direct image
     output_units: str = "counts"        # 'counts' (raw DN) | 'e_per_s'
     outdir: str = "wayne_out"
 

@@ -30,7 +30,6 @@ import numpy as np
 from wayne_tpu.calibration import Tables
 from wayne_tpu.config import ObservationConfig
 from wayne_tpu.io.ima import default_primary_header, write_ima
-from wayne_tpu.io.fits import FitsHDU, write_fits
 from wayne_tpu.models.grism import make_grism
 from wayne_tpu.models.planet import Planet
 from wayne_tpu.models.stellar import Star
@@ -236,27 +235,66 @@ class Observation:
         return paths
 
     # ------------------------------------------------------------------
+    def direct_image_filter(self) -> str:
+        return self.cfg.direct_image_filter or (
+            "F105W" if self.cfg.grism.upper() == "G102" else "F140W")
+
+    def simulate_direct_image(self):
+        """Run the direct image through the REAL detector chain.
+
+        Real WFC3 grism visits open with an undispersed imaging-filter
+        exposure used by reduction pipelines for the wavelength
+        zero-point (reference: direct-image frame at visit start,
+        SURVEY.md:100). This builds imaging-filter tables (all flux at
+        (x_ref, y_ref), filter bandpass sensitivity, collapsed flat) and
+        runs the SAME fused exposure kernel with the SAME noise chain as
+        the spectra, producing a genuine multiaccum product.
+
+        Returns (ExposureResult, imaging Tables, ExposureStatic).
+        """
+        import dataclasses as _dc
+
+        from wayne_tpu.calibration import imaging_tables
+        from wayne_tpu.config import ExposureStatic
+        from wayne_tpu.ops.exposure import simulate_exposure
+
+        cfg = self.cfg
+        nsamp_di = cfg.direct_image_nsamp
+        tab = imaging_tables(self.tables, self.direct_image_filter(),
+                             nsamp=nsamp_di, samp_seq="RAPID")
+        static = ExposureStatic(
+            subarray=cfg.subarray, n_lambda=cfg.n_lambda, n_sub=2,
+            nsamp=nsamp_di, samp_seq="RAPID", scan=False,
+            noise=cfg.noise, max_cr_per_read=self.static.max_cr_per_read,
+            transit_quad=16, x_psf=True)
+        one = jax.tree_util.tree_map(lambda a: a[0], self.scenes)
+        scene = _dc.replace(
+            one,
+            exp_start_s=jnp.float32(0.0),       # visit start, pre-spectra
+            orbit_start_s=jnp.float32(0.0),
+            is_first_orbit=jnp.float32(1.0),
+            scan_speed=jnp.float32(0.0),
+            key=jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 10_000_000))
+        return simulate_exposure(scene, tab, static), tab, static
+
     def _write_direct_image(self, outdir: str) -> None:
-        """Direct image through the imaging filter at visit start
-        (reference: real WFC3 grism visits open with a direct image so
-        reduction pipelines can fix the wavelength zero point)."""
-        S = self.cfg.subarray
+        """Write the visit-opening direct image as a multiaccum ima."""
+        from wayne_tpu.io.ima import write_ima
+
+        res, tab, static = self.simulate_direct_image()
         x0 = float(np.asarray(self.scenes.x_ref)[0])
         y0 = float(np.asarray(self.scenes.y_ref)[0])
-        # Total F140W-ish counts: band-integrated flux * mean sensitivity * 1s
-        stellar = np.asarray(self.scenes.stellar_flux)[0]
-        sens = np.asarray(self.tables.sensitivity)
-        dlam = np.diff(np.asarray(self.tables.wl_edges))
-        total = float((stellar * sens * dlam).sum() * 0.5)  # imaging throughput
-        yy, xx = np.mgrid[0:S, 0:S].astype(np.float64)
-        sig = 1.1
-        img = total * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * sig**2))
-        img /= 2 * np.pi * sig**2
         hdr = default_primary_header(
-            targname=self.cfg.star.name, grism="F140W", nsamp=1,
-            samp_seq="RAPID", subarray=S, expstart_mjd=self.plan.start_mjd,
-            exptime_s=1.0, scan=False, scan_rate_pix_s=0.0,
-            extra={"OBSTYPE": "IMAGING", "XREF": x0, "YREF": y0})
-        write_fits(os.path.join(outdir, f"{self.cfg.star.name}_direct.fits"),
-                   [FitsHDU(header=hdr),
-                    FitsHDU("SCI", 1, img.astype(np.float32))])
+            targname=self.cfg.star.name, grism=self.direct_image_filter(),
+            nsamp=static.nsamp, samp_seq=static.samp_seq,
+            subarray=self.cfg.subarray, expstart_mjd=self.plan.start_mjd,
+            exptime_s=float(tab.read_times[-1]), scan=False,
+            scan_rate_pix_s=0.0,
+            extra={"OBSTYPE": "IMAGING", "XREF": x0, "YREF": y0,
+                   "SIMSEED": self.cfg.seed})
+        write_ima(os.path.join(outdir, f"{self.cfg.star.name}_direct.fits"),
+                  np.asarray(res.reads_dn),
+                  np.asarray(tab.read_times, np.float64), hdr,
+                  gain=float(self.tables.gain),
+                  read_noise_e=float(self.tables.read_noise_e),
+                  units=self.cfg.output_units)
