@@ -180,3 +180,101 @@ def test_saturation_dq_flagging():
     assert dq[2, 4, 4] == DQ_SATURATED
     assert dq[1, 4, 4] == 0 and dq[1, 2, 2] == DQ_COSMIC_RAY
     assert dq[1, 2, 2] & DQ_SATURATED == 0
+
+
+# WFC3 keyword checklist the reduction pipelines key off (SURVEY.md §3.5):
+# every keyword must be present with the right type in each written ima.
+_HEADER_CHECKLIST = [
+    ("TELESCOP", str), ("INSTRUME", str), ("DETECTOR", str), ("FILTER", str),
+    ("TARGNAME", str), ("DATE-OBS", str), ("TIME-OBS", str), ("ROOTNAME", str),
+    ("IMAGETYP", str), ("OBSTYPE", str), ("OBSMODE", str),
+    ("EXPSTART", float), ("EXPEND", float), ("EXPTIME", float),
+    ("NSAMP", int), ("SAMP_SEQ", str), ("SUBARRAY", bool), ("SUBTYPE", str),
+    ("APERTURE", str), ("SCAN_TYP", str), ("SCAN_RAT", float),
+    ("SCAN_LEN", float), ("SCAN_ANG", float),
+    ("POSTARG1", float), ("POSTARG2", float), ("PROPOSID", int),
+    ("UNITCORR", str), ("BUNIT", str), ("ORIGIN", str),
+]
+
+
+def test_header_checklist_strict():
+    reads, times = _make_reads()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x_ima.fits")
+        write_ima(path, reads, times, _primary(4))
+        hdr, _, _ = read_ima(path)
+    for key, typ in _HEADER_CHECKLIST:
+        assert key in hdr, f"missing WFC3 keyword {key}"
+        if typ is float:
+            assert isinstance(hdr[key], (int, float)) and not isinstance(
+                hdr[key], bool), key
+        else:
+            assert isinstance(hdr[key], typ), (key, type(hdr[key]))
+    assert hdr["OBSMODE"] == "MULTIACCUM"
+    assert hdr["SUBTYPE"] == "SQ32SUB" and hdr["APERTURE"] == "IRSUB32"
+    # MJD 56000 -> 2012-03-14
+    assert hdr["DATE-OBS"] == "2012-03-14"
+
+
+def test_static_dq_plane_hot_and_reference_pixels():
+    from wayne_tpu.io.ima import DQ_HOT_PIXEL, DQ_REF_PIXEL, static_dq_plane
+    dark = np.full((16, 16), 0.05)
+    dark[3, 4] = 2.0                       # hot (20-200x nominal)
+    active = np.ones((16, 16))
+    active[0, :] = 0.0                     # reference-pixel row
+    dq = static_dq_plane(dark, active)
+    assert dq[3, 4] == DQ_HOT_PIXEL
+    assert dq[0, 5] == DQ_REF_PIXEL
+    assert dq[8, 8] == 0
+    assert dq.dtype == np.int16
+
+
+def test_hot_pixels_flagged_in_written_visit():
+    """Hot pixels planted by the synthetic calibration carry DQ bit 16 in
+    every read of the written product (VERDICT round-1 weak #6)."""
+    import jax
+
+    from wayne_tpu.config import config_from_dict
+    from wayne_tpu.io.ima import DQ_HOT_PIXEL
+    from wayne_tpu.observation import Observation
+
+    cfg = config_from_dict({"grism": "G141", "subarray": 128, "NSAMP": 3,
+                            "SAMPSEQ": "SPARS10", "scan": True,
+                            "num_orbits": 1, "exposures_per_orbit": 1,
+                            "n_lambda": 64, "n_sub": 4})
+    obs = Observation(cfg)
+    hot = np.asarray(obs.tables.dark_map) > 0.4
+    assert hot.sum() > 0                   # calibration plants some
+    with tempfile.TemporaryDirectory() as d:
+        paths = obs.generate(d, chunk=1, progress=lambda s: None)
+        hdus = read_fits(paths[0])
+    dqs = [a for h, a in hdus[1:] if h.get("EXTNAME") == "DQ"]
+    assert len(dqs) == 4
+    for dq in dqs:                          # static mask: every read
+        got = (dq & DQ_HOT_PIXEL) > 0
+        np.testing.assert_array_equal(got, hot)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_err_excludes_bias_includes_background(use_native):
+    """ERR's shot term covers the measured charge above the bias pedestal
+    (source+sky+dark) and excludes the non-Poissonian pedestal."""
+    if use_native and not native_available():
+        pytest.skip("native backend unavailable")
+    gain, rn, bias_e = 2.5, 12.0, 1000.0
+    nr, s = 3, 16
+    reads = np.full((nr, s, s), bias_e / gain, np.float32)
+    reads[2] += 4000.0 / gain             # 4000 e- of accumulated charge
+    times = np.array([0.0, 0.3, 10.3])
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "b_ima.fits")
+        write_ima(path, reads, times, _primary(nr), gain=gain,
+                  read_noise_e=rn, bias_pedestal_e=bias_e,
+                  use_native=use_native)
+        hdus = read_fits(path)
+    errs = {h["SAMPNUM"]: a for h, a in hdus[1:] if h.get("EXTNAME") == "ERR"}
+    # bias-only read: ERR = rn/gain exactly (no false shot term)
+    np.testing.assert_allclose(errs[0], rn / gain, rtol=1e-5)
+    # charged read: ERR = sqrt(4000 + rn^2)/gain
+    np.testing.assert_allclose(errs[2], np.sqrt(4000.0 + rn**2) / gain,
+                               rtol=1e-5)

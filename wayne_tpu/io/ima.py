@@ -98,7 +98,8 @@ def _ima_ext_headers(reads_shape: tuple[int, ...],
 def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
               primary: dict[str, Any], *, err: np.ndarray | None = None,
               dq: np.ndarray | None = None, gain: float = 2.5,
-              read_noise_e: float = 20.0, use_native: bool = True,
+              read_noise_e: float = 20.0, bias_pedestal_e: float = 0.0,
+              use_native: bool = True,
               units: str = "counts") -> None:
     """Write one exposure as an ima-style FITS file.
 
@@ -108,14 +109,19 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
     Args:
       reads_dn: (NR, S, S) sampled reads in TIME order (read 0 first).
       read_times: (NR,) seconds from exposure start.
-      err: optional (NR, S, S); default: sqrt(max(signal_e,0) + rn^2)/gain.
+      err: optional (NR, S, S); default propagates the Poisson charge in
+        the measured signal (source + sky + dark, i.e. everything above
+        the non-Poissonian bias pedestal) plus read noise:
+        sqrt(max(sci*gain - bias_pedestal_e, 0) + rn^2)/gain.
+      bias_pedestal_e: mean zeroth-read pedestal (electrons) excluded
+        from the default ERR's shot-noise term.
       units: 'counts' (raw DN, the simulator's native product) or
         'e_per_s' (calwf3-style count-rate ima: SCI = DN*gain/SAMPTIME).
     """
     reads_dn = np.asarray(reads_dn, np.float32)
     if units == "e_per_s":
         if err is None:   # propagate in DN, then convert with the rate
-            sig_e = np.maximum(reads_dn, 0.0) * gain
+            sig_e = np.maximum(reads_dn * gain - bias_pedestal_e, 0.0)
             err = (np.sqrt(sig_e + read_noise_e**2) / gain).astype(np.float32)
         t = np.asarray(read_times, np.float64)
         scale = np.where(t > 0, gain / np.maximum(t, 1e-9), 0.0)
@@ -131,7 +137,8 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
         primary_bytes = header_only_bytes(primary=True, header=primary)
         ext_bytes = _ima_ext_headers(reads_dn.shape, read_times)
         if write_ima_native(path, reads_dn, read_times, primary_bytes,
-                            ext_bytes, gain, read_noise_e, dq=dq):
+                            ext_bytes, gain, read_noise_e, dq=dq,
+                            bias_dn=bias_pedestal_e / gain):
             return
     nr = reads_dn.shape[0]
     hdus = [FitsHDU(name="", data=None, header=primary)]
@@ -140,7 +147,7 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
         if err is not None:
             e = np.asarray(err[k], np.float32)
         else:
-            sig_e = np.maximum(sci, 0.0) * gain
+            sig_e = np.maximum(sci * gain - bias_pedestal_e, 0.0)
             e = (np.sqrt(sig_e + read_noise_e**2) / gain).astype(np.float32)
         d = (np.zeros_like(sci, np.int16) if dq is None
              else np.asarray(dq[k], np.int16))
@@ -158,6 +165,26 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
 
 DQ_COSMIC_RAY = 8192   # WFC3 DQ bit for cosmic-ray hits
 DQ_SATURATED = 256     # WFC3 DQ bit for full-well saturation
+DQ_HOT_PIXEL = 16      # WFC3 DQ bit for hot pixels
+DQ_REF_PIXEL = 128     # WFC3 IR DQ bit for (bad) reference pixels
+
+
+def static_dq_plane(dark_map: np.ndarray, active_mask: np.ndarray,
+                    hot_threshold_e_s: float = 0.4) -> np.ndarray:
+    """Static detector DQ mask: hot pixels (bit 16) + reference pixels
+    (bit 128, full-frame border). Applied to every read — these are
+    calibration-known detector properties, like the bad-pixel tables
+    calwf3 folds into real ima DQ planes.
+
+    The synthetic calibration plants hot pixels at 20-200x the nominal
+    dark rate (calibration.synthetic_tables); the 0.4 e-/s threshold
+    sits an order of magnitude above the normal-pixel distribution.
+    """
+    dq = np.where(np.asarray(dark_map) > hot_threshold_e_s,
+                  DQ_HOT_PIXEL, 0).astype(np.int16)
+    dq |= np.where(np.asarray(active_mask) < 0.5, DQ_REF_PIXEL, 0
+                   ).astype(np.int16)
+    return dq
 
 
 def saturation_dq(reads_dn: np.ndarray, gain: float, full_well_e: float,

@@ -38,7 +38,9 @@ def get_lib() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # Always run make: a no-op when current, a rebuild when the C++
+        # source is newer than a stale .so (whose ABI may have changed).
+        if not _build() and not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -55,6 +57,7 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.POINTER(ctypes.c_double),      # read times
             ctypes.c_float, ctypes.c_float,       # gain, read noise
+            ctypes.c_float,                       # bias pedestal (DN)
         ]
         _lib = lib
         return _lib
@@ -67,7 +70,8 @@ def native_available() -> bool:
 def write_ima_native(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
                      primary_bytes: bytes, ext_header_bytes: list[bytes],
                      gain: float, read_noise_e: float,
-                     dq: np.ndarray | None = None) -> bool:
+                     dq: np.ndarray | None = None,
+                     bias_dn: float = 0.0) -> bool:
     """Write one ima file through the native backend. Returns success."""
     lib = get_lib()
     if lib is None:
@@ -92,5 +96,6 @@ def write_ima_native(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
         path.encode(), primary_bytes, len(primary_bytes), hdrs, lens,
         reads.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dq_ptr,
         nr, h, w, times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        ctypes.c_float(gain), ctypes.c_float(read_noise_e))
+        ctypes.c_float(gain), ctypes.c_float(read_noise_e),
+        ctypes.c_float(bias_dn))
     return rc == 0

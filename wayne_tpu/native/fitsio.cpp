@@ -86,6 +86,9 @@ extern "C" {
 //   reads         (nr, h, w) float32, TIME order (read 0 first)
 //   read_times    (nr,) seconds
 //   gain          e-/DN; read_noise in e-.
+//   bias_dn       zeroth-read pedestal (DN) subtracted before the shot-
+//                 noise term so ERR covers source+sky+dark Poisson charge
+//                 plus read noise, but not the non-Poissonian bias.
 //
 // Returns 0 on success, negative errno-style code on failure.
 // ``dq`` is optional: (nr, h, w) int16 planes in TIME order, or NULL for
@@ -95,7 +98,7 @@ int wayne_write_ima(const char* path, const uint8_t* primary_hdr,
                     const long* ext_hdr_lens, const float* reads,
                     const int16_t* dq, long nr, long h, long w,
                     const double* read_times, float gain,
-                    float read_noise) {
+                    float read_noise, float bias_dn) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   setvbuf(f, nullptr, _IOFBF, 1 << 20);
@@ -119,9 +122,12 @@ int wayne_write_ima(const char* path, const uint8_t* primary_hdr,
         (size_t)ext_hdr_lens[ext]) { rc = -3; break; }
     ++ext;
     if (write_f32_be(f, sci, n, buf)) { rc = -4; break; }
-    // ERR = sqrt(max(sci,0)*gain + rn^2) / gain
+    // ERR = sqrt(max(sci - bias, 0)*gain + rn^2) / gain: Poisson term
+    // covers accumulated source+sky+dark charge (all in the measured DN),
+    // with the non-Poissonian bias pedestal removed.
     for (long i = 0; i < n; ++i) {
-      float s = sci[i] > 0.0f ? sci[i] : 0.0f;
+      float s = sci[i] - bias_dn;
+      if (s < 0.0f) s = 0.0f;
       err[(size_t)i] = std::sqrt(s * gain + rn2) * inv_gain;
     }
     if (fwrite(ext_hdrs[ext], 1, (size_t)ext_hdr_lens[ext], f) !=
@@ -158,7 +164,7 @@ int wayne_write_ima_batch(const char* paths_joined, const uint8_t* const* primar
                           const long* all_ext_hdr_lens, const float* all_reads,
                           long n_files, long nr, long h, long w,
                           const double* read_times, float gain,
-                          float read_noise) {
+                          float read_noise, float bias_dn) {
   const char* p = paths_joined;
   const long n_ext = 5 * nr;
   for (long i = 0; i < n_files; ++i) {
@@ -166,7 +172,7 @@ int wayne_write_ima_batch(const char* paths_joined, const uint8_t* const* primar
                              all_ext_hdrs + i * n_ext,
                              all_ext_hdr_lens + i * n_ext,
                              all_reads + i * nr * h * w, nullptr, nr, h, w,
-                             read_times, gain, read_noise);
+                             read_times, gain, read_noise, bias_dn);
     if (rc) return rc;
     p += std::strlen(p) + 1;
   }

@@ -193,9 +193,20 @@ class Observation:
     # ------------------------------------------------------------------
     def _write_chunk(self, item, outdir, n, read_times, gain, rn, chunk,
                      resume, say) -> list[str]:
-        from wayne_tpu.io.ima import cr_dq_planes, saturation_dq
+        from wayne_tpu.io.ima import cr_dq_planes, saturation_dq, static_dq_plane
 
         c0, res = item
+        if not hasattr(self, "_static_dq"):
+            # Calibration-known detector DQ (hot + reference pixels) and
+            # the mean bias pedestal the default ERR model excludes.
+            self._static_dq = static_dq_plane(
+                np.asarray(self.tables.dark_map),
+                np.asarray(self.tables.active_mask))
+            if not self._static_dq.any():
+                self._static_dq = None
+            self._bias_pedestal_e = (
+                float(np.asarray(self.tables.bias_map).mean())
+                if self.cfg.noise.bias else 0.0)
         reads = np.asarray(res.reads_dn)   # (chunk, NR, S, S) device->host
         if getattr(self, "_debug", False):
             from wayne_tpu.utils.guards import check_exposure_result
@@ -215,6 +226,9 @@ class Observation:
                 continue
             dq = (cr_dq_planes(cr_pos[j], cr_count[j], nr, s)
                   if cfg.noise.cosmic_rays else None)
+            if self._static_dq is not None:
+                dq = (np.broadcast_to(self._static_dq, (nr, s, s)).copy()
+                      if dq is None else dq | self._static_dq[None])
             if cfg.noise.non_linearity:   # saturation exists only then
                 from wayne_tpu.calibration import nonlin_fw_deficit
                 dq = saturation_dq(
@@ -229,7 +243,9 @@ class Observation:
                 extra={"SIMSEED": cfg.seed, "EXPINDEX": i,
                        "SAT_FRAC": float(np.asarray(res.saturated_frac)[j])})
             write_ima(path, reads[j], read_times, primary, gain=gain,
-                      read_noise_e=rn, dq=dq, units=cfg.output_units)
+                      read_noise_e=rn, dq=dq,
+                      bias_pedestal_e=self._bias_pedestal_e,
+                      units=cfg.output_units)
             paths.append(path)
             say(f"exposure {i + 1}/{n} written")
         return paths
@@ -297,4 +313,7 @@ class Observation:
                   np.asarray(tab.read_times, np.float64), hdr,
                   gain=float(self.tables.gain),
                   read_noise_e=float(self.tables.read_noise_e),
+                  bias_pedestal_e=(
+                      float(np.asarray(self.tables.bias_map).mean())
+                      if self.cfg.noise.bias else 0.0),
                   units=self.cfg.output_units)
