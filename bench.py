@@ -7,8 +7,15 @@ Prints exactly ONE JSON line on stdout:
 The scenario is BASELINE.json's north-star workload: a full G141
 spatial-scan transit visit — 304 exposures x NSAMP=15 SPARS10 reads on a
 512x512 subarray with the full noise chain (Poisson, read, dark, sky,
-flat, non-linearity, cosmic rays, SSV, visit trends) — run entirely
-on-device as one jitted program.
+flat, non-linearity, cosmic rays, SSV, visit trends) — as a REAL planned
+visit: HST orbit visibility windows, per-exposure pointing drift, transit
+timing sweeping across the exposures, per-exposure RNG keys.
+
+Two timings are reported:
+  * the primary metric: the device visit program (kernel exp/s), and
+  * generate_wallclock_s: the user-facing Observation.generate() path
+    end to end — direct image, device compute, DQ assembly and native
+    FITS writes overlapped with the next chunk's compute.
 
 vs_baseline compares against the single-core CPU oracle implementation
 (the reference's fine-subsample algorithm, measured by
@@ -16,10 +23,11 @@ tools/measure_cpu_baseline.py into BASELINE_CPU.json; the reference
 itself publishes no numbers — BASELINE.md).
 """
 
-import dataclasses
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -42,50 +50,75 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from wayne_tpu.calibration import synthetic_tables
     from wayne_tpu.config import ObservationConfig
-    from wayne_tpu.ops.visit import simulate_visit
-    from wayne_tpu.scene import example_scene
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.ops.visit import pad_scenes, simulate_visit
 
     jnp.arange(8.0).sum().block_until_ready()
     log(f"[bench] session up on {jax.devices()[0].platform} "
         f"({time.time() - t_start:.1f}s)")
 
-    obs = ObservationConfig(subarray=512, nsamp=15, samp_seq="SPARS10",
-                            scan=True, scan_speed_pix_s=1.0,
-                            n_lambda=512, n_sub=8)
-    cfg = obs.exposure_static()
-    if jax.default_backend() == "tpu":
-        # Pallas fused readout (hardware-PRNG path, validated statistically
-        # on-device; ~25% faster than the XLA noise chain).
-        cfg = dataclasses.replace(cfg, use_pallas=True)
-    tables = synthetic_tables("G141", subarray=512, n_lambda=512,
-                              samp_seq="SPARS10", nsamp=15)
-    base = example_scene(512, scan_speed=1.0)
-    scenes = jax.tree_util.tree_map(
-        lambda a: jnp.broadcast_to(a[None], (N_EXPOSURES,) + a.shape), base)
+    # A real planned visit: enough orbits to fill 304 exposures at the
+    # SPARS10/512 cadence (~24 per 50-min visibility window).
+    obs_cfg = ObservationConfig(subarray=512, nsamp=15, samp_seq="SPARS10",
+                                scan=True, scan_speed_pix_s=1.0,
+                                n_lambda=512, n_sub=8, n_orbits=14,
+                                seed=7)
+    obs = Observation(obs_cfg)
+    assert obs.plan.n_exposures >= N_EXPOSURES, obs.plan.n_exposures
+    cfg = obs.static   # use_pallas resolves to the backend automatically
+    log(f"[bench] plan: {obs.plan.n_exposures} exposures over "
+        f"{obs_cfg.n_orbits} orbits; use_pallas={cfg.use_pallas} "
+        f"band_px={cfg.band_px}")
 
-    def with_keys(seed: int):
-        keys = jax.vmap(lambda i: jax.random.fold_in(
-            jax.random.PRNGKey(seed), i))(jnp.arange(N_EXPOSURES))
-        return dataclasses.replace(scenes, key=keys)
+    scenes = jax.tree_util.tree_map(lambda x: x[:N_EXPOSURES], obs.scenes)
+    scenes, _ = pad_scenes(scenes, CHUNK)
 
     t0 = time.time()
-    out = simulate_visit(with_keys(0), tables, cfg, CHUNK)
+    out = simulate_visit(scenes, obs.tables, cfg, CHUNK)
     out.reads_dn.block_until_ready()
     log(f"[bench] warmup (compile+run): {time.time() - t0:.1f}s")
 
     best = float("inf")
     for trial in range(3):
         t0 = time.time()
-        out = simulate_visit(with_keys(trial + 1), tables, cfg, CHUNK)
+        out = simulate_visit(scenes, obs.tables, cfg, CHUNK)
         out.reads_dn.block_until_ready()
         dt = time.time() - t0
         best = min(best, dt)
         log(f"[bench] visit {N_EXPOSURES} exposures: {dt:.3f}s "
             f"({N_EXPOSURES / dt:.1f} exp/s)")
-
     exp_per_sec = N_EXPOSURES / best
+
+    # End-to-end user path: Observation.generate() with FITS writes, on a
+    # 2-orbit sub-visit. On this machine the TPU is reached over a network
+    # tunnel whose ~10-20 MB/s device->host link bounds any product-writing
+    # path (measured below); production TPU hosts move the same bytes over
+    # PCIe at GB/s, so the kernel metric above is the architecture number
+    # and this one characterises the IO pipeline.
+    import dataclasses
+    obs2 = Observation(dataclasses.replace(obs_cfg, n_orbits=2))
+    outdir = tempfile.mkdtemp(prefix="wayne_bench_")
+    try:
+        t0 = time.time()
+        paths = obs2.generate(outdir, chunk=CHUNK, progress=lambda s: None,
+                              resume=False)
+        gen_wall = time.time() - t0
+        n_gen = len(paths)
+        out_bytes = sum(os.path.getsize(os.path.join(outdir, f))
+                        for f in os.listdir(outdir))
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+    # Raw device->host link rate, for context on the number above.
+    probe = jnp.ones((4, 16, 512, 512), jnp.float32)   # 67 MB
+    probe.block_until_ready()
+    t0 = time.time()
+    import numpy as np
+    np.asarray(probe)
+    link_mb_s = 67.1 / (time.time() - t0)
+    log(f"[bench] generate(): {n_gen} ima files in {gen_wall:.2f}s "
+        f"({n_gen / gen_wall:.2f} exp/s incl. FITS, "
+        f"{out_bytes / 1e9:.2f} GB; device->host link {link_mb_s:.0f} MB/s)")
 
     vs_baseline = None
     baseline_path = os.path.join(REPO, "BASELINE_CPU.json")
@@ -104,6 +137,14 @@ def main() -> None:
         "unit": "exposures/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "full_visit_wallclock_s": round(best, 3),
+        "generate_wallclock_s": round(gen_wall, 3),
+        "generate_exp_per_s": round(n_gen / gen_wall, 2),
+        "generate_n_exposures": n_gen,
+        "device_to_host_mb_s": round(link_mb_s, 1),
+        "generate_note": ("generate() is bounded by this machine's "
+                          "tunneled device->host link (see "
+                          "device_to_host_mb_s); kernel metric is the "
+                          "architecture number"),
         "n_exposures": N_EXPOSURES,
     }))
 

@@ -185,6 +185,9 @@ class ObservationConfig:
     n_lambda: int = 512
     n_sub: int = 0           # 0 -> auto from SSV period (see auto_n_sub)
     transit_quad: int = 64
+    use_pallas: Any = "auto"  # fused Pallas readout: True/False, or "auto"
+    #                           (= on when running on a real TPU backend)
+    band_px: int = -1        # row-band width for the splat; -1 = auto
     x_psf: bool = False                 # PSF blur in the dispersion direction
     direct_image_filter: str = ""       # "" -> auto (F140W for G141, F105W
     #                                     for G102); see IMAGING_FILTERS
@@ -193,6 +196,13 @@ class ObservationConfig:
     outdir: str = "wayne_out"
 
     def exposure_static(self) -> ExposureStatic:
+        use_pallas = self.use_pallas
+        if use_pallas == "auto":
+            # The fused Pallas readout is the TPU hot path (validated
+            # statistically on hardware); CPU runs keep the XLA chain.
+            import jax
+
+            use_pallas = jax.default_backend() == "tpu"
         return ExposureStatic(
             subarray=self.subarray,
             n_lambda=self.n_lambda,
@@ -201,9 +211,10 @@ class ObservationConfig:
             samp_seq=self.samp_seq,
             scan=self.scan,
             noise=self.noise,
-            band_px=self.auto_band_px(),
+            band_px=self.band_px if self.band_px >= 0 else self.auto_band_px(),
             max_cr_per_read=self.auto_max_cr(),
             transit_quad=self.transit_quad,
+            use_pallas=bool(use_pallas),
             x_psf=self.x_psf,
         )
 

@@ -161,22 +161,51 @@ class Observation:
         read_times = np.asarray(self.tables.read_times, np.float64)
         gain = float(self.tables.gain)
         rn = float(self.tables.read_noise_e)
-        paths: list[str] = []
         t_start = time.time()
 
-        pending: list[tuple[int, object]] = []
-        for c0 in range(0, n_padded, chunk):
-            sl = jax.tree_util.tree_map(lambda x: x[c0: c0 + chunk], scenes)
-            res = simulate_visit(sl, self.tables, self.static, chunk)
-            pending.append((c0, res))
-            # Write the previous chunk while this one computes.
-            if len(pending) > 1:
-                paths += self._write_chunk(pending.pop(0), outdir, n,
-                                           read_times, gain, rn, chunk,
-                                           resume, say)
-        while pending:
-            paths += self._write_chunk(pending.pop(0), outdir, n, read_times,
-                                       gain, rn, chunk, resume, say)
+        # Three-stage pipeline: device compute (async dispatch) ->
+        # device->host transfer (main thread; starts early via
+        # copy_to_host_async) -> FITS assembly + disk writes (one worker
+        # thread; ctypes/native IO releases the GIL). On a tunneled TPU
+        # the transfer is the bottleneck, so overlapping the writes with
+        # the next chunk's transfer is a real wall-clock win.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(res):
+            for leaf in (res.reads_dn, res.cr_pos, res.cr_count,
+                         res.saturated_frac):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:  # pragma: no cover - backend-dependent
+                    pass
+            return res
+
+        futures = []
+        with ThreadPoolExecutor(max_workers=1) as writer:
+            pending: list[tuple[int, object]] = []
+            for c0 in range(0, n_padded, chunk):
+                if resume and c0 < n and all(
+                        os.path.exists(self._exp_path(outdir, i))
+                        for i in range(c0, min(c0 + chunk, n))):
+                    continue   # whole chunk already on disk: skip compute
+                sl = jax.tree_util.tree_map(lambda x: x[c0: c0 + chunk],
+                                            scenes)
+                res = fetch(simulate_visit(sl, self.tables, self.static,
+                                           chunk))
+                pending.append((c0, res))
+                if len(pending) > 1:
+                    c0p, resp = pending.pop(0)
+                    host = self._fetch_chunk(resp)   # blocks on transfer
+                    futures.append(writer.submit(
+                        self._write_chunk, (c0p, host), outdir, n,
+                        read_times, gain, rn, chunk, resume, say))
+            while pending:
+                c0p, resp = pending.pop(0)
+                host = self._fetch_chunk(resp)
+                futures.append(writer.submit(
+                    self._write_chunk, (c0p, host), outdir, n, read_times,
+                    gain, rn, chunk, resume, say))
+        paths: list[str] = [p for f in futures for p in f.result()]
         wall = time.time() - t_start
         say(f"visit complete: {len(paths)} exposures in "
             f"{wall:.2f}s -> {outdir}")
@@ -191,6 +220,19 @@ class Observation:
         return paths
 
     # ------------------------------------------------------------------
+    def _exp_path(self, outdir: str, i: int) -> str:
+        return os.path.join(outdir, f"{self.cfg.star.name}_{i:04d}_ima.fits")
+
+    def _fetch_chunk(self, res):
+        """Materialise the write-path outputs on host (one tunnel/PCIe
+        transfer per chunk); ideal_e stays on device (only debug reads it)."""
+        return dataclasses.replace(
+            res,
+            reads_dn=np.asarray(res.reads_dn),
+            cr_pos=np.asarray(res.cr_pos),
+            cr_count=np.asarray(res.cr_count),
+            saturated_frac=np.asarray(res.saturated_frac))
+
     def _write_chunk(self, item, outdir, n, read_times, gain, rn, chunk,
                      resume, say) -> list[str]:
         from wayne_tpu.io.ima import cr_dq_planes, saturation_dq, static_dq_plane
@@ -221,7 +263,7 @@ class Observation:
             i = c0 + j
             if i >= n:
                 break
-            path = os.path.join(outdir, f"{cfg.star.name}_{i:04d}_ima.fits")
+            path = self._exp_path(outdir, i)
             if resume and os.path.exists(path):
                 continue
             dq = (cr_dq_planes(cr_pos[j], cr_count[j], nr, s)
