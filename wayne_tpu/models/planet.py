@@ -30,6 +30,24 @@ KNOWN_SYSTEMS: dict[str, dict] = {
     "WASP-18 b": dict(period_days=0.94145299, sma_over_rs=3.57,
                       inclination_deg=84.9, rp_over_rs=0.0958,
                       star_teff=6400.0, star_j=8.413),
+    "HD 189733 b": dict(period_days=2.21857567, sma_over_rs=8.84,
+                        inclination_deg=85.71, rp_over_rs=0.1566,
+                        star_teff=5040.0, star_j=6.07),
+    "GJ 436 b": dict(period_days=2.64389803, sma_over_rs=14.54,
+                     inclination_deg=86.86, rp_over_rs=0.0822,
+                     star_teff=3416.0, star_j=6.90),
+    "WASP-12 b": dict(period_days=1.0914203, sma_over_rs=3.039,
+                      inclination_deg=83.37, rp_over_rs=0.1175,
+                      star_teff=6300.0, star_j=10.477),
+    "WASP-121 b": dict(period_days=1.2749255, sma_over_rs=3.86,
+                       inclination_deg=87.6, rp_over_rs=0.1217,
+                       star_teff=6460.0, star_j=9.625),
+    "HAT-P-11 b": dict(period_days=4.8878162, sma_over_rs=15.58,
+                       inclination_deg=88.99, rp_over_rs=0.0576,
+                       star_teff=4780.0, star_j=7.608),
+    "WASP-39 b": dict(period_days=4.0552941, sma_over_rs=11.37,
+                      inclination_deg=87.83, rp_over_rs=0.1457,
+                      star_teff=5400.0, star_j=10.663),
 }
 
 
