@@ -69,3 +69,50 @@ def test_moving_tiny_motion_branch_handover():
         u = (np.arange(S + 1)[None, :] - 0.5 - cs[:, None]) / (np.sqrt(2) * sigma)
         expect = 0.5 * np.diff(scipy_erf(u), axis=1).mean(axis=0)
         np.testing.assert_allclose(np.asarray(got), expect, atol=3e-5)
+
+
+def test_moving_path_matches_per_segment():
+    """Node-shared path integration == K independent moving splats."""
+    import jax
+    from wayne_tpu.ops.psf import (
+        pixel_fractions_moving, pixel_fractions_moving_path,
+    )
+    rng = np.random.RandomState(5)
+    NL, W, K = 7, 24, 6
+    y_edges = jnp.asarray(np.arange(W + 1) - 0.5 + 3.0, jnp.float32)
+    y_edges_b = jnp.broadcast_to(y_edges, (NL, W + 1))
+    y_base = jnp.asarray(8.0 + 4.0 * rng.rand(NL), jnp.float32)
+    sigma = jnp.asarray(0.45 + 0.3 * rng.rand(NL), jnp.float32)
+    for speed in (0.0, 0.01, 0.7, -1.8, 12.0):   # spans both branches
+        offsets = jnp.asarray(speed * np.linspace(0, 2.0, K + 1), jnp.float32)
+        centers = y_base[None, :] + offsets[:, None]
+        got = np.asarray(pixel_fractions_moving_path(y_edges_b, centers, sigma))
+        want = np.asarray(jax.vmap(
+            lambda o0, o1: pixel_fractions_moving(
+                y_edges_b, y_base + o0, y_base + o1, sigma)
+        )(offsets[:-1], offsets[1:]))
+        # Both are ~1e-6-accurate path averages (different small-du rules).
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_moving_path_against_dense_quadrature():
+    from wayne_tpu.ops.psf import pixel_fractions_moving_path, pixel_fractions_static
+    W, K = 16, 4
+    y_edges = jnp.asarray(np.arange(W + 1) - 0.5, jnp.float32)
+    y_edges_b = jnp.broadcast_to(y_edges, (1, W + 1))
+    y_base = jnp.asarray([4.0], jnp.float32)
+    sigma = jnp.asarray([0.6], jnp.float32)
+    offsets = jnp.asarray(np.linspace(0.0, 1.0, K + 1), jnp.float32)
+    centers = y_base[None, :] + offsets[:, None]
+    got = np.asarray(pixel_fractions_moving_path(y_edges_b, centers, sigma))
+    # fp64 dense time quadrature of the static splat per segment
+    import numpy as _np
+    from scipy.special import erf as _erf
+    for k in range(K):
+        path = _np.linspace(float(offsets[k]), float(offsets[k + 1]), 4001)
+        acc = _np.zeros(W)
+        for c in 4.0 + path:
+            u = (_np.arange(W + 1) - 0.5 - c) / (_np.sqrt(2) * 0.6)
+            e = _erf(u)
+            acc += 0.5 * (e[1:] - e[:-1])
+        np.testing.assert_allclose(got[k, 0], acc / len(path), atol=2e-6)

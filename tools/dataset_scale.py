@@ -52,7 +52,9 @@ def main() -> None:
     jnp.arange(4.0).sum().block_until_ready()
     on_tpu = jax.default_backend() == "tpu"
 
-    S, NL, N_EXP, CHUNK_MC = 512, 512, 76, 16
+    S, NL, N_EXP, CHUNK_MC = 512, 512, 76, 20
+    if n_per_grism % CHUNK_MC:
+        n_per_grism -= n_per_grism % CHUNK_MC
     cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=8, nsamp=15,
                          samp_seq="SPARS10", scan=True, band_px=32,
                          max_cr_per_read=160, use_pallas=on_tpu)

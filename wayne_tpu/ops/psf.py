@@ -83,3 +83,45 @@ def pixel_fractions_moving(y_edges: jnp.ndarray, c0: jnp.ndarray,
     du = ((c1 - c0) * (_INV_SQRT2 / sigma))[..., None]
     m = mean_erf_moving(u0, jnp.broadcast_to(du, u0.shape))
     return 0.5 * (m[..., 1:] - m[..., :-1])
+
+
+def pixel_fractions_moving_path(y_edges: jnp.ndarray, centers: jnp.ndarray,
+                                sigma: jnp.ndarray) -> jnp.ndarray:
+    """Per-segment time-averaged fractions along a piecewise-linear path.
+
+    The K subsegments of a read interval share their interior nodes
+    (segment k ends where k+1 starts), so the transcendentals are
+    evaluated ONCE per node — one erf + one exp per (node, bin, edge) —
+    instead of three erf + two exp per (segment, bin, edge) as K
+    independent :func:`pixel_fractions_moving` calls would. The small-du
+    branch uses the endpoint-corrected trapezoid
+        mean = (e0 + e1)/2 - du^2/12 * avg(erf''),
+    erf''(u) = -(4/sqrt(pi)) u exp(-u^2), reusing the node exp values;
+    its error is ~du^4 |erf''''|/96 (endpoint-averaged curvature), so
+    the branch point sits at 0.15 (~3e-5) instead of Simpson's 0.3; the
+    exact-antiderivative branch's fp32 cancellation at du = 0.15 stays
+    ~1e-5. This is the hot stage of the exposure kernel.
+
+    Args:
+      y_edges: (..., S+1) pixel edges.
+      centers: (K+1, ...) Gaussian-center positions at the path nodes.
+      sigma: (...) per-bin widths.
+
+    Returns:
+      (K, ..., S) per-segment fractions.
+    """
+    inv = _INV_SQRT2 / sigma[..., None]                    # (..., 1)
+    u = (y_edges[None] - centers[..., None]) * inv         # (K+1, ..., S+1)
+    e = erf(u)
+    g = jnp.exp(-u * u)
+    F = u * e + g * _INV_SQRT_PI
+    u0, u1 = u[:-1], u[1:]
+    e0, e1 = e[:-1], e[1:]
+    du = u0 - u1                                           # (K, ..., S+1)
+    small = jnp.abs(du) < 0.15
+    du_safe = jnp.where(small, 1.0, du)
+    exact = (F[:-1] - F[1:]) / du_safe
+    avg_fpp = (-2.0 * 2.0 * _INV_SQRT_PI) * 0.5 * (u0 * g[:-1] + u1 * g[1:])
+    trap = 0.5 * (e0 + e1) - (du * du) * (1.0 / 12.0) * avg_fpp
+    m = jnp.where(small, trap, exact)
+    return 0.5 * (m[..., 1:] - m[..., :-1])

@@ -89,6 +89,22 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
 
     n_exp = jax.tree_util.tree_leaves(visit_scenes)[0].shape[0]
     written = []
+
+    # Two-stage pipeline: while the device computes chunk i+1 (async
+    # dispatch + early copy_to_host_async), the host compresses and
+    # writes chunk i — the sustained rate is max(device, host) instead
+    # of their sum.
+    def flush(pending) -> None:
+        path, dev_spectra, c0 = pending
+        spectra = np.asarray(dev_spectra)     # blocks on transfer only
+        payload = {"spectra_e": spectra}
+        if labels:
+            for k, v in labels.items():
+                payload[f"label_{k}"] = np.asarray(v)[c0: c0 + chunk_mc]
+        np.savez_compressed(path, **payload)
+        say(f"chunk {c0 // chunk_mc}: wrote {spectra.shape}")
+
+    pending = None
     for c0 in range(0, n_mc, chunk_mc):
         path = os.path.join(outdir, f"chunk_{c0 // chunk_mc:04d}.npz")
         written.append(os.path.basename(path))
@@ -104,13 +120,16 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         ens = sweep_scenes(visit_scenes, chunk_mc,
                            seed=seed + 7919 * c0, overrides=over)
         ens = shard_scenes(ens, mesh)
-        spectra = np.asarray(simulate_ensemble_spectra(ens, tables, cfg, mesh))
-        payload = {"spectra_e": spectra}
-        if labels:
-            for k, v in labels.items():
-                payload[f"label_{k}"] = np.asarray(v)[c0: c0 + chunk_mc]
-        np.savez_compressed(path, **payload)
-        say(f"chunk {c0 // chunk_mc}: wrote {spectra.shape}")
+        spectra = simulate_ensemble_spectra(ens, tables, cfg, mesh)
+        try:
+            spectra.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend-dependent
+            pass
+        if pending is not None:
+            flush(pending)
+        pending = (path, spectra, c0)
+    if pending is not None:
+        flush(pending)
 
     manifest = {
         "n_mc": n_mc, "chunk_mc": chunk_mc, "n_exp": n_exp,
