@@ -100,7 +100,14 @@ def pixel_fractions_moving_path(y_edges: jnp.ndarray, centers: jnp.ndarray,
     its error is ~du^4 |erf''''|/96 (endpoint-averaged curvature), so
     the branch point sits at 0.15 (~3e-5) instead of Simpson's 0.3; the
     exact-antiderivative branch's fp32 cancellation at du = 0.15 stays
-    ~1e-5. This is the hot stage of the exposure kernel.
+    ~1e-5.
+
+    NOTE: measured ~1.8x SLOWER than K pixel_fractions_moving calls under
+    the batched visit vmap on TPU v5e — the offset-sliced ([:-1]/[1:])
+    reuse of the node arrays defeats XLA elementwise fusion, and
+    transcendentals are nearly free on the VPU. Kept for callers with
+    large K or as a fusion-behaviour probe; the exposure kernel uses the
+    per-segment form.
 
     Args:
       y_edges: (..., S+1) pixel edges.
