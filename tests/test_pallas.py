@@ -116,3 +116,35 @@ def test_banded_deterministic_path():
     sig = sig * (1 - nl * np.minimum(sig, fw) / fw) + np.asarray(bias)
     np.testing.assert_allclose(np.asarray(dn), sig / np.asarray(gain),
                                rtol=1e-5)
+
+
+def test_fused_exposure_matches_xla_deterministic():
+    """The whole-exposure fused kernel == the XLA chain with all
+    stochastic effects off (dark/sky/flat/nonlin/bias/gain on)."""
+    import dataclasses
+
+    from wayne_tpu.calibration import synthetic_tables
+    from wayne_tpu.config import ExposureStatic, NoiseFlags
+    from wayne_tpu.ops.exposure import simulate_exposure
+    from wayne_tpu.scene import example_scene
+
+    flags = dataclasses.replace(
+        NoiseFlags.all(), poisson=False, read_noise=False, cosmic_rays=False)
+    S, NL, NSAMP = 64, 32, 3
+    tables = synthetic_tables("G141", subarray=S, n_lambda=NL,
+                              samp_seq="SPARS10", nsamp=NSAMP)
+    scene = example_scene(NL, scan_speed=1.0)
+    scene = dataclasses.replace(scene, x_ref=jnp.float32(10.0),
+                                y_ref=jnp.float32(10.0))
+    mk = lambda pallas: ExposureStatic(
+        subarray=S, n_lambda=NL, n_sub=4, nsamp=NSAMP, samp_seq="SPARS10",
+        scan=True, noise=flags, band_px=16, transit_quad=16,
+        use_pallas=pallas)
+    ref = simulate_exposure(scene, tables, mk(False))
+    with pltpu.force_tpu_interpret_mode():
+        got = simulate_exposure(scene, tables, mk(True))
+    np.testing.assert_allclose(np.asarray(got.reads_dn),
+                               np.asarray(ref.reads_dn), rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.ideal_e),
+                               np.asarray(ref.ideal_e), rtol=1e-5, atol=1e-4)
+    assert float(got.saturated_frac) == float(ref.saturated_frac)

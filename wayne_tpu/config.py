@@ -88,6 +88,9 @@ class ExposureStatic:
     use_pallas: bool = False     # fused Pallas readout kernel (TPU hot path);
     #                              hardware-PRNG randomness (same law,
     #                              different bits than the XLA path)
+    fused_reads: bool = True     # whole-exposure multi-read kernel (VMEM-
+    #                              resident cum) vs per-read kernel launches;
+    #                              only applies when use_pallas and banded
     x_psf: bool = False          # also blur the dispersion direction with the
     #                              PSF (reference models cross-dispersion only;
     #                              costs nothing extra — same closed form)

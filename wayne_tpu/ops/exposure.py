@@ -269,7 +269,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
 
     if cfg.use_pallas:
         from wayne_tpu.ops.pallas_readout import (
-            fused_read_step, fused_read_step_banded)
+            fused_exposure_readout, fused_read_step, fused_read_step_banded)
         pallas_consts = jnp.stack([
             tables.read_noise_e, tables.full_well_e,
             tables.gain]).astype(jnp.float32)
@@ -278,6 +278,76 @@ def simulate_exposure(scene: Scene, tables: Tables,
         if raw_key.dtype != jnp.uint32:
             raw_key = jax.random.key_data(raw_key)
         exp_seed = raw_key.reshape(-1)[-1].astype(jnp.int32)
+
+    if cfg.use_pallas and band and S <= 512 and cfg.fused_reads:
+        # Whole-exposure fused path: compute every read's expected signal
+        # band (vmap over reads — no sequential dependency), then run ALL
+        # reads in ONE kernel launch with the cumulative charge resident
+        # in VMEM (ops/pallas_readout._kernel_exposure). Removes the
+        # per-read HBM round-trips of the cum frame and 15 kernel
+        # launches per exposure. (S > 512 falls back to the per-read
+        # kernels: the full-frame working set exceeds VMEM.)
+        rw = rw_all if rw_all is not None else jnp.ones((cfg.nsamp, K), dtype)
+        ks = jnp.arange(cfg.nsamp)
+        t_as = read_times[:-1]
+        dts_r = read_times[1:] - read_times[:-1]
+        frames, y0s_r = jax.vmap(source_band)(ks, t_as, dts_r, rw)
+        ideal_e = jax.lax.fori_loop(
+            0, cfg.nsamp,
+            lambda i, ide: add_band(ide, frames[i], y0s_r[i]),
+            jnp.zeros((S, S), dtype))
+        if flags.cosmic_rays:
+            def cr_one(k, dt):
+                key_k = jax.random.fold_in(scene.key, k)
+                _, _, k_cr, _ = jax.random.split(key_k, 4)
+                return _cosmic_rays(k_cr, tables, cfg, dt)
+
+            cr_pos, cr_q, cr_count = jax.vmap(cr_one)(ks, dts_r)
+        else:
+            cr_pos = jnp.zeros((cfg.nsamp, 2, cfg.max_cr_per_read), jnp.int32)
+            cr_q = jnp.zeros((cfg.nsamp, cfg.max_cr_per_read), dtype)
+            cr_count = jnp.zeros((cfg.nsamp,), jnp.int32)
+        # Per-emitted-read arrays; the zeroth read is zero entries
+        # (dt = 0, zero band, zero CR): Poisson(0) = 0 in every regime.
+        from wayne_tpu.ops.pallas_readout import MAX_READS_PER_CALL
+
+        n_cr_max = cfg.max_cr_per_read
+        bands_all = jnp.concatenate(
+            [jnp.zeros((1,) + frames.shape[1:], jnp.float32),
+             frames.astype(jnp.float32)])
+        y0s_all = jnp.concatenate([jnp.zeros((1,), jnp.int32), y0s_r])
+        dts_all = jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32), dts_r.astype(jnp.float32)])
+        crp_all = jnp.concatenate(
+            [jnp.zeros((1, 2, n_cr_max), jnp.int32), cr_pos])
+        crq_all = jnp.concatenate(
+            [jnp.zeros((1, n_cr_max), jnp.float32),
+             cr_q.astype(jnp.float32)])
+
+        nr_total = cfg.nsamp + 1
+        cum = jnp.zeros((S, S), jnp.float32)
+        parts = []
+        off = 0
+        while off < nr_total:   # static python loop (nsamp is static)
+            m = min(MAX_READS_PER_CALL, nr_total - off)
+            dn_c, cum = fused_exposure_readout(
+                jnp.stack([exp_seed, jnp.int32(off)]),
+                y0s_all[off: off + m], dts_all[off: off + m],
+                bands_all[off: off + m], cum,
+                bg_rate.astype(jnp.float32), tables.bias_map,
+                tables.gain_map, nl_coeffs, crp_all[off: off + m],
+                crq_all[off: off + m], pallas_consts,
+                poisson=flags.poisson, read_noise=flags.read_noise,
+                non_linearity=flags.non_linearity, bias=flags.bias,
+                scalar_gain=not flags.gain_variations,
+                with_cr=flags.cosmic_rays)
+            parts.append(dn_c)
+            off += m
+        reads_dn = jnp.concatenate(parts)
+        sat = jnp.mean((cum >= tables.full_well_e).astype(dtype))
+        return ExposureResult(reads_dn=reads_dn.astype(dtype),
+                              ideal_e=ideal_e, saturated_frac=sat,
+                              cr_pos=cr_pos, cr_count=cr_count)
 
     def step(carry, xs):
         k, rw_k = xs

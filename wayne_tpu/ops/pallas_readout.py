@@ -175,6 +175,161 @@ def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
     dn_ref[:] = sig / (g0 if scalar_gain else gain_ref[:])
 
 
+def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
+                     bg_rate_ref, bias_ref, gain_ref, nl_ref, cr_pos_ref,
+                     cr_q_ref, consts_ref, dn_ref, cum_out_ref, cum_ref, *,
+                     poisson, read_noise, non_linearity, bias, scalar_gain,
+                     with_cr):
+    """Multi-read fused readout: grid step k emits one read.
+
+    The TPU Pallas grid is sequential per core, so the accumulated charge
+    lives in a VMEM scratch across all the reads of this call — the
+    detector maps stream in per read but the cum frame never round-trips
+    HBM between reads, and there is one kernel launch per
+    MAX_READS_PER_CALL reads instead of one per read. Every step is
+    uniform: Poisson-sample this read's interval background and signal
+    band in-kernel, deposit cosmic rays, accumulate, read out. The
+    zeroth read is just a read whose interval arrays are zero (dt = 0,
+    zero band, zero CR charge): Poisson(0) = 0 in every regime.
+    seed_ref[1] carries the global read offset so chunked calls draw
+    disjoint streams.
+    """
+    k = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + (seed_ref[1] + k) * 100003)
+    shape = cum_ref.shape
+    W = bands_ref.shape[1]
+
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    z_bg = r * jnp.cos(theta)
+    z_rn = r * jnp.sin(theta)
+
+    @pl.when(k == 0)
+    def _init():
+        cum_ref[...] = cum_init_ref[...]
+
+    if poisson:
+        u_pois = _uniform(shape)
+        cum_ref[...] += _poisson_tile(bg_rate_ref[...] * dts_ref[k],
+                                      u_pois, z_bg)
+        ub1 = _uniform((W, shape[1]))
+        ub2 = _uniform((W, shape[1]))
+        zb = jnp.sqrt(-2.0 * jnp.log(ub1)) * jnp.cos(_TWO_PI * ub2)
+        ub = _uniform((W, shape[1]))
+        band = _poisson_tile(bands_ref[0], ub, zb)
+    else:
+        cum_ref[...] += bg_rate_ref[...] * dts_ref[k]
+        band = bands_ref[0]
+    y0 = pl.multiple_of(y0s_ref[k], 8)
+    cum_ref[pl.ds(y0, W), :] += band
+    if with_cr:
+        n_cr = cr_pos_ref.shape[2]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, shape[1]), 1)
+
+        def hit(i, _):
+            y, x = cr_pos_ref[k, 0, i], cr_pos_ref[k, 1, i]
+            row = cum_ref[pl.ds(y, 1), :]
+            dep = jnp.where(col_ids == x, cr_q_ref[k, i], 0.0)
+            cum_ref[pl.ds(y, 1), :] = row + dep
+            return 0
+
+        jax.lax.fori_loop(0, n_cr, hit, 0)
+
+    rn = consts_ref[0]
+    fw = consts_ref[1]
+    g0 = consts_ref[2]
+    sig = cum_ref[...]
+    if non_linearity:
+        sig = _nonlin(jnp.minimum(sig, fw), nl_ref, fw)
+    if bias:
+        sig = sig + bias_ref[...]
+    if read_noise:
+        sig = sig + rn * z_rn
+    dn_ref[0] = sig / (g0 if scalar_gain else gain_ref[...])
+    cum_out_ref[...] = cum_ref[...]
+
+
+# Reads per fused_exposure_readout call. Bounds the call's output tuple
+# (~(MAX+1) MB at 512^2) so XLA's scoped-VMEM stack allocation of the
+# result inside the visit loop stays under the 16 MB budget.
+MAX_READS_PER_CALL = 8
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "poisson", "read_noise", "non_linearity", "bias", "scalar_gain",
+    "with_cr", "interpret"))
+def fused_exposure_readout(
+        seed2: jnp.ndarray, y0s: jnp.ndarray, dts: jnp.ndarray,
+        bands: jnp.ndarray, cum_init: jnp.ndarray, bg_rate: jnp.ndarray,
+        bias_map: jnp.ndarray, gain_map: jnp.ndarray, nl_coeffs: jnp.ndarray,
+        cr_pos: jnp.ndarray, cr_q: jnp.ndarray, consts: jnp.ndarray, *,
+        poisson: bool = True, read_noise: bool = True,
+        non_linearity: bool = True, bias: bool = True,
+        scalar_gain: bool = False, with_cr: bool = True,
+        interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Up to MAX_READS_PER_CALL reads in one kernel launch.
+
+    All per-read arrays are indexed by EMITTED read (the zeroth read is
+    represented by zero entries: dt = 0, zero band, zero CR charge).
+
+    Args:
+      seed2: (2,) int32 (exposure seed, global read offset of this call).
+      y0s: (NR,) int32 8-aligned band start rows.
+      dts: (NR,) f32 interval durations ending at each read.
+      bands: (NR, W, S) EXPECTED signal electrons per interval
+        (Poisson-sampled in-kernel).
+      cum_init: (S, S) accumulated charge entering this call.
+      bg_rate: (S, S) expected background electrons per second.
+      cr_pos: (NR, 2, MAX_CR) int32; cr_q: (NR, MAX_CR) charges
+        (zeroed beyond the actual count).
+      consts: (3,) f32 (read_noise_e, full_well_e, gain).
+
+    Returns:
+      (reads_dn (NR, S, S) in time order, final cum_e (S, S)).
+    """
+    S = bg_rate.shape[0]
+    nr = int(y0s.shape[0])
+    if nr > MAX_READS_PER_CALL:
+        raise ValueError(f"at most {MAX_READS_PER_CALL} reads per call")
+    W = bands.shape[1]
+    const2 = lambda *_: (0, 0)
+    full = pl.BlockSpec((S, S), const2, memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel_exposure, poisson=poisson, read_noise=read_noise,
+        non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain,
+        with_cr=with_cr)
+    dn, cum = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nr,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # y0s
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # dts
+                pl.BlockSpec((1, W, S), lambda k, *_: (k, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full, full, full, full,
+                pl.BlockSpec((3, S, S), lambda *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # cr_pos (full)
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # cr_q (full)
+                pl.BlockSpec(memory_space=pltpu.SMEM)],  # consts
+            out_specs=[
+                pl.BlockSpec((1, S, S), lambda k, *_: (k, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full],
+            scratch_shapes=[pltpu.VMEM((S, S), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((nr, S, S), jnp.float32),
+                   jax.ShapeDtypeStruct((S, S), jnp.float32)],
+        interpret=interpret,
+    )(seed2, y0s, dts, bands, cum_init, bg_rate,
+      bias_map, gain_map, nl_coeffs, cr_pos, cr_q, consts)
+    return dn, cum
+
+
 @functools.partial(jax.jit, static_argnames=(
     "poisson", "read_noise", "non_linearity", "bias", "scalar_gain", "tile",
     "interpret"))
@@ -185,7 +340,7 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
                     consts: jnp.ndarray, *, poisson: bool = True,
                     read_noise: bool = True, non_linearity: bool = True,
                     bias: bool = True, scalar_gain: bool = False,
-                    tile: int = 256,
+                    tile: int = 128,
                     interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One fused detector read step.
 
