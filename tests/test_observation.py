@@ -138,3 +138,27 @@ class TestOutputUnits:
             hdus = read_fits(paths[0])
             assert hdus[0][0]["BUNIT"] == "ELECTRONS/S"
             assert hdus[0][0]["UNITCORR"] == "COMPLETE"
+
+
+class TestExplicitShiftLists:
+    def test_explicit_per_exposure_shifts(self):
+        """Reference parity: x_shifts/y_shifts may be explicit offset
+        lists instead of a drift rate."""
+        cfg = small_cfg(x_shifts=[0.0, 0.1, -0.2, 0.3],
+                        y_shifts=[0.0, 0.05, 0.1, 0.15])
+        obs = Observation(cfg)
+        np.testing.assert_allclose(np.asarray(obs.scenes.x_ref),
+                                   30.0 + np.array([0.0, 0.1, -0.2, 0.3]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(obs.scenes.y_ref),
+                                   30.0 + np.array([0.0, 0.05, 0.1, 0.15]),
+                                   rtol=1e-6)
+
+    def test_short_shift_list_raises(self):
+        with pytest.raises(ValueError):
+            Observation(small_cfg(x_shifts=[0.0, 0.1]))
+
+    def test_scalar_x_shifts_is_still_a_rate(self):
+        obs = Observation(small_cfg(x_shifts=0.5, drift_jitter=0.0))
+        np.testing.assert_allclose(np.asarray(obs.scenes.x_ref),
+                                   30.0 + 0.5 * np.arange(4), rtol=1e-6)

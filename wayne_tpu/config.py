@@ -156,6 +156,10 @@ class TrendConfig:
     drift_x_per_exp: float = 0.002      # px drift per exposure
     drift_y_per_exp: float = 0.005
     drift_jitter: float = 0.005         # random per-exposure pointing jitter (px)
+    x_shift_list: tuple | None = None   # explicit per-exposure x offsets (px);
+    y_shift_list: tuple | None = None   # overrides the drift+jitter model
+    #                                     (reference: wayne accepts explicit
+    #                                     x_shifts/y_shifts arrays)
     ssv_resolution: float = 12.0        # subsegments per SSV period when the
     #                                     stripe pattern is super-pixel (error
     #                                     ~(1/res)^2 of peak; 12 -> ~0.3%)
@@ -471,6 +475,13 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
             else:
                 continue  # unknown keys are ignored, like the reference
         section, name = section_field
+        # Reference x_shifts/y_shifts accept either a drift rate (scalar)
+        # or an explicit per-exposure offset list.
+        if (name in ("drift_x_per_exp", "drift_y_per_exp")
+                and isinstance(value, (list, tuple))):
+            name = ("x_shift_list" if name == "drift_x_per_exp"
+                    else "y_shift_list")
+            value = tuple(float(v) for v in value)
         obj = cfg if section is None else getattr(cfg, section)
         setattr(obj, name, _coerce(value, getattr(obj, name)))
         explicit.add((section, name))

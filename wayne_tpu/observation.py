@@ -71,10 +71,18 @@ class Observation:
         # (reference: wayne/trend_generators x/y shift classes).
         idx = np.arange(n)
         if cfg.noise.pointing_drift:
-            x_ref = (cfg.x_ref + tr.drift_x_per_exp * idx
-                     + tr.drift_jitter * rng.standard_normal(n))
-            y_ref = (cfg.y_ref + tr.drift_y_per_exp * idx
-                     + tr.drift_jitter * rng.standard_normal(n))
+            def offsets(shift_list, rate):
+                if shift_list is not None:   # explicit per-exposure offsets
+                    xs = np.asarray(shift_list, np.float64)
+                    if xs.size < n:
+                        raise ValueError(
+                            f"shift list has {xs.size} entries; visit has "
+                            f"{n} exposures")
+                    return xs[:n]
+                return rate * idx + tr.drift_jitter * rng.standard_normal(n)
+
+            x_ref = cfg.x_ref + offsets(tr.x_shift_list, tr.drift_x_per_exp)
+            y_ref = cfg.y_ref + offsets(tr.y_shift_list, tr.drift_y_per_exp)
         else:
             x_ref = np.full(n, cfg.x_ref)
             y_ref = np.full(n, cfg.y_ref)
