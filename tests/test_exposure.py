@@ -52,6 +52,28 @@ class TestIdealVsOracle:
         scale = want.max()
         np.testing.assert_allclose(got / scale, want / scale, atol=2e-4)
 
+    def test_g102_matches_fp64_reference_algorithm(self):
+        """Both grism families diff against the oracle (G102 dispersion,
+        trace and sensitivity differ from G141)."""
+        cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=8, nsamp=NSAMP,
+                             samp_seq="SPARS10", scan=True,
+                             noise=NoiseFlags.none())
+        tables = synthetic_tables("G102", subarray=S, n_lambda=NL,
+                                  samp_seq="SPARS10", nsamp=NSAMP)
+        scene = example_scene(NL, scan_speed=1.5)
+        scene = dataclasses.replace(scene, x_ref=jnp.float32(30.0),
+                                    y_ref=jnp.float32(40.0))
+        res = simulate_exposure(scene, tables, cfg)
+        got = np.asarray(res.ideal_e, np.float64)
+        want = oracle_ideal_frame(
+            tables, cfg, x_ref=30.0, y_ref=40.0,
+            scan_speed=1.5, exp_start_s=0.0,
+            stellar_flux=np.asarray(scene.stellar_flux),
+            rp_over_rs=np.asarray(scene.rp_over_rs),
+            ld=np.asarray(scene.ld), orbit=orbit_dict(scene))
+        scale = want.max()
+        np.testing.assert_allclose(got / scale, want / scale, atol=2e-4)
+
     def test_reads_are_cumulative_with_noise_off(self, ):
         cfg, tables, scene = make(True, NoiseFlags.none())
         res = simulate_exposure(scene, tables, cfg)
