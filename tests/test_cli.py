@@ -45,3 +45,29 @@ def test_cli_full_visit(tmp_path):
     assert hdr["NSAMP"] == 4
     assert "DATE-OBS" in hdr and hdr["INSTRUME"] == "WFC3"
     assert np.isfinite(reads).all()
+
+
+def test_run_dataset_cli(tmp_path):
+    import numpy as np
+    import yaml
+
+    from wayne_tpu.parallel.dataset import load_dataset
+    from wayne_tpu.run_dataset import main as dataset_main
+
+    pars = dict(grism="G141", subarray=64, NSAMP=2, SAMPSEQ="RAPID",
+                scan=True, num_orbits=1, exposures_per_orbit=2,
+                n_lambda=32, n_sub=2, x_ref=10.0, y_ref=10.0)
+    p = tmp_path / "pars.yml"
+    p.write_text(yaml.safe_dump(pars))
+    out = tmp_path / "ds"
+    rc = dataset_main(["-p", str(p), "-o", str(out), "--n-mc", "4",
+                       "--chunk-mc", "2", "--rp-sigma", "0.002", "--cpu"])
+    assert rc == 0
+    data = load_dataset(str(out))
+    assert data["spectra_e"].shape == (4, 2, 64)
+    assert data["label_rp"].shape == (4,)
+    assert np.isfinite(data["spectra_e"]).all()
+    # resume: second run writes nothing new but returns the same manifest
+    rc = dataset_main(["-p", str(p), "-o", str(out), "--n-mc", "4",
+                       "--chunk-mc", "2", "--rp-sigma", "0.002", "--cpu"])
+    assert rc == 0

@@ -1,0 +1,86 @@
+"""Command-line entry point for Monte-Carlo dataset generation.
+
+Goes beyond the reference (which only generates single visits): a
+labelled, resumable spectral-dataset producer over the same YAML
+parameter files, built on :mod:`wayne_tpu.parallel.dataset`.
+
+Usage:
+    python -m wayne_tpu.run_dataset -p pars.yml -o dataset_dir \
+        --n-mc 1000 [--chunk-mc 16] [--rp-sigma 0.002] [--seed 0]
+
+Each realisation reuses the planned visit (pointing drift, transit
+timing) with independent noise; ``--rp-sigma`` additionally sweeps the
+continuum Rp/Rs per realisation (Gaussian around the configured value)
+and stores it as a per-realisation label. Output: ``chunk_XXXX.npz``
+files with extracted spectra + labels and a ``manifest.json``; rerunning
+resumes at the first missing chunk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="wayne_tpu.run_dataset",
+        description="Generate a labelled Monte-Carlo spectral dataset.")
+    parser.add_argument("-p", "--parameter-file", required=True)
+    parser.add_argument("-o", "--outdir", required=True)
+    parser.add_argument("--n-mc", type=int, required=True,
+                        help="number of Monte-Carlo visit realisations")
+    parser.add_argument("--chunk-mc", type=int, default=16,
+                        help="realisations per device chunk / output file")
+    parser.add_argument("--rp-sigma", type=float, default=0.0,
+                        help="per-realisation Gaussian sweep of Rp/Rs")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.parallel.dataset import generate_dataset
+
+    if args.n_mc % args.chunk_mc:
+        parser.error("--n-mc must be a multiple of --chunk-mc")
+
+    cfg = load_yaml(args.parameter_file)
+    obs = Observation(cfg)
+    print(f"{cfg.grism} dataset: {args.n_mc} realisations x "
+          f"{obs.plan.n_exposures} exposures ({cfg.subarray}^2, "
+          f"NSAMP={cfg.nsamp})")
+
+    overrides = None
+    labels = {}
+    if args.rp_sigma > 0.0:
+        rng = np.random.RandomState(args.seed)
+        rp = (cfg.planet.rp_over_rs
+              + args.rp_sigma * rng.standard_normal(args.n_mc)
+              ).astype(np.float32)
+        nl = cfg.n_lambda
+        overrides = {"rp_over_rs": np.broadcast_to(
+            rp[:, None], (args.n_mc, nl)).copy()}
+        labels["rp"] = rp
+
+    manifest = generate_dataset(
+        obs.scenes, obs.tables, obs.static, args.outdir,
+        n_mc=args.n_mc, chunk_mc=args.chunk_mc, seed=args.seed,
+        overrides=overrides, labels=labels or None, progress=print)
+    print(f"dataset complete: {len(manifest['chunks'])} chunks in "
+          f"{args.outdir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
