@@ -130,3 +130,18 @@ class TestNameResolution:
         bad.write_text(json.dumps({"K b": {"bogus_field": 1.0}}))
         with pytest.raises(ValueError):
             load_catalog(str(bad))
+
+
+def test_sample_rate_drives_n_sub():
+    """Reference 'sample_rate' (s per temporal subsample) controls the
+    subsegment count when explicit n_sub is not given."""
+    cfg = config_from_dict({"SAMPSEQ": "SPARS10", "NSAMP": 5,
+                            "subarray": 256, "sample_rate": 0.5})
+    st = cfg.exposure_static()
+    # SPARS10/256 interval is ~7.35 s -> ceil-ish 7.35/0.5 ~ 15 subsegments
+    assert 14 <= st.n_sub <= 17
+    # explicit n_sub still wins
+    cfg2 = config_from_dict({"SAMPSEQ": "SPARS10", "NSAMP": 5,
+                             "subarray": 256, "sample_rate": 0.5,
+                             "n_sub": 4})
+    assert cfg2.exposure_static().n_sub == 4

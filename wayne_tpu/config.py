@@ -191,6 +191,11 @@ class ObservationConfig:
     noise: NoiseFlags = field(default_factory=NoiseFlags)
     n_lambda: int = 512
     n_sub: int = 0           # 0 -> auto from SSV period (see auto_n_sub)
+    sample_rate_s: float = 0.0  # reference 'sample_rate': seconds per
+    #                             temporal subsample; 0 -> auto. The scan
+    #                             motion itself integrates in closed form,
+    #                             so this only controls flux-variation
+    #                             resolution (auto_n_sub caps at 128).
     transit_quad: int = 64
     use_pallas: Any = "auto"  # fused Pallas readout: True/False, or "auto"
     #                           (= on when running on a real TPU backend)
@@ -235,12 +240,14 @@ class ObservationConfig:
         from wayne_tpu.calibration import sample_sequence_times
 
         n = 8
+        times = sample_sequence_times(self.samp_seq, self.nsamp,
+                                      self.subarray)
+        max_dt = float(max(b - a for a, b in zip(times[:-1], times[1:])))
+        if self.sample_rate_s > 0:   # reference-style explicit cadence
+            n = max(n, int(max_dt / self.sample_rate_s) + 1)
         stripe_px = abs(self.scan_speed_pix_s) * self.trends.ssv_period_s
         if (self.noise.ssv and self.scan and stripe_px >= 2.0
                 and self.trends.ssv_period_s > 0):
-            times = sample_sequence_times(self.samp_seq, self.nsamp,
-                                          self.subarray)
-            max_dt = float(max(b - a for a, b in zip(times[:-1], times[1:])))
             n = max(n, int(self.trends.ssv_resolution * max_dt
                            / self.trends.ssv_period_s) + 1)
         return min(n, 128)
@@ -292,6 +299,7 @@ _REF_KEY_ALIASES: dict[str, tuple[str | None, str]] = {
     "scan": (None, "scan"),
     "spatial_scan": (None, "scan"),
     "scan_speed": (None, "scan_speed_pix_s"),
+    "sample_rate": (None, "sample_rate_s"),
     "x_ref": (None, "x_ref"),
     "y_ref": (None, "y_ref"),
     "num_orbits": (None, "n_orbits"),
