@@ -374,7 +374,10 @@ def simulate_exposure(scene: Scene, tables: Tables,
 
         seed2 = jnp.stack([exp_seed, k.astype(jnp.int32)]) if cfg.use_pallas \
             else None
-        if cfg.use_pallas and band:
+        # Single-block banded kernel only below 512^2: it holds several
+        # full frames in VMEM (~9 MB at 512; ~36 MB at 1024 would OOM).
+        # Full frame falls through to the row-tiled variant below.
+        if cfg.use_pallas and band and S <= 512:
             # Fully fused: band deposit + CR scatter + bg Poisson +
             # accumulate + readout in one single-block VMEM pass — no
             # full-frame staging arrays in the XLA graph at all.

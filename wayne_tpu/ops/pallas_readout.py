@@ -45,18 +45,22 @@ def _uniform(shape):
     return jnp.maximum(u, 1e-7)
 
 
-def _poisson_tile(lam, u, z):
-    """Three-regime Poisson given uniform u and normal z (see ops/random.py).
+def _poisson_tile(lam, z, u_fn=None):
+    """Three-regime Poisson given normal z (see ops/random.py).
 
-    The exact inverse-transform loop is skipped entirely when the whole
-    tile sits in the Cornish-Fisher regime (sky-dominated backgrounds:
-    lam ~ 12 >> 3) — the loop result is masked out in that case anyway,
-    so the branch is bit-exact and consumes no extra randomness.
+    The exact inverse-transform regime is gated by a runtime branch that
+    is skipped entirely when the whole tile sits in the Cornish-Fisher
+    regime (sky-dominated backgrounds: lam ~ 12 >> 3). Its uniform is
+    drawn INSIDE the branch (``u_fn`` thunk), so skipped tiles pay for
+    neither the loop nor the draw; PRNG state consumption then depends
+    on the (deterministic, data-dependent) branch, which keeps
+    per-(seed, inputs) reproducibility.
     """
     skew = jnp.where(lam < _T_GAUSS, (z * z - 1.0) / 6.0, 0.0)
     gauss = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z + skew), 0.0)
 
     def small_branch(_):
+        u = u_fn() if u_fn is not None else _uniform(lam.shape)
         lam_c = jnp.minimum(lam, _T_EXACT)
         p0 = jnp.exp(-lam_c)
 
@@ -97,11 +101,10 @@ def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref, nl_ref,
     theta = _TWO_PI * u2
     z_bg = r * jnp.cos(theta)
     z_rn = r * jnp.sin(theta)          # independent of z_bg
-    u_pois = _uniform(shape)
 
     cum = cum_ref[:] + add_ref[:]
     if poisson:
-        cum = cum + _poisson_tile(bg_ref[:], u_pois, z_bg)
+        cum = cum + _poisson_tile(bg_ref[:], z_bg)
     else:
         cum = cum + bg_ref[:]
     cum_out_ref[:] = cum
@@ -138,10 +141,9 @@ def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
     theta = _TWO_PI * u2
     z_bg = r * jnp.cos(theta)
     z_rn = r * jnp.sin(theta)
-    u_pois = _uniform(shape)
 
     if poisson:
-        base = cum_ref[:] + _poisson_tile(bg_ref[:], u_pois, z_bg)
+        base = cum_ref[:] + _poisson_tile(bg_ref[:], z_bg)
     else:
         base = cum_ref[:] + bg_ref[:]
     cum_out_ref[:] = base
@@ -211,14 +213,11 @@ def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
         cum_ref[...] = cum_init_ref[...]
 
     if poisson:
-        u_pois = _uniform(shape)
-        cum_ref[...] += _poisson_tile(bg_rate_ref[...] * dts_ref[k],
-                                      u_pois, z_bg)
+        cum_ref[...] += _poisson_tile(bg_rate_ref[...] * dts_ref[k], z_bg)
         ub1 = _uniform((W, shape[1]))
         ub2 = _uniform((W, shape[1]))
         zb = jnp.sqrt(-2.0 * jnp.log(ub1)) * jnp.cos(_TWO_PI * ub2)
-        ub = _uniform((W, shape[1]))
-        band = _poisson_tile(bands_ref[0], ub, zb)
+        band = _poisson_tile(bands_ref[0], zb)
     else:
         cum_ref[...] += bg_rate_ref[...] * dts_ref[k]
         band = bands_ref[0]
