@@ -162,3 +162,24 @@ class TestExplicitShiftLists:
         obs = Observation(small_cfg(x_shifts=0.5, drift_jitter=0.0))
         np.testing.assert_allclose(np.asarray(obs.scenes.x_ref),
                                    30.0 + 0.5 * np.arange(4), rtol=1e-6)
+
+
+class TestAdcQuantization:
+    def test_quantized_reads_are_integer_dn(self):
+        from wayne_tpu.io.ima import read_ima
+
+        cfg = small_cfg()
+        cfg.quantize_adc = True
+        obs = Observation(cfg)
+        with tempfile.TemporaryDirectory() as d:
+            paths = obs.generate(d, chunk=4, progress=lambda s: None)
+            _, reads, _ = read_ima(paths[0])
+        np.testing.assert_array_equal(reads, np.round(reads))  # integer DN
+        assert reads.std() > 0
+        # quantization barely perturbs the signal vs the float product
+        cfg2 = small_cfg()
+        obs2 = Observation(cfg2)
+        with tempfile.TemporaryDirectory() as d:
+            paths = obs2.generate(d, chunk=4, progress=lambda s: None)
+            _, reads_f, _ = read_ima(paths[0])
+        assert np.abs(reads - reads_f).max() <= 0.5 + 1e-6

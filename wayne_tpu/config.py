@@ -205,6 +205,11 @@ class ObservationConfig:
     #                                     for G102); see IMAGING_FILTERS
     direct_image_nsamp: int = 4         # RAPID reads in the direct image
     output_units: str = "counts"        # 'counts' (raw DN) | 'e_per_s'
+    quantize_adc: bool = False          # round reads to integer DN like the
+    #                                     detector's 16-bit ADC (also halves
+    #                                     the device->host transfer: reads
+    #                                     move as int16). Quantization noise
+    #                                     (~0.29 DN) is far below read noise.
     outdir: str = "wayne_out"
 
     def exposure_static(self) -> ExposureStatic:

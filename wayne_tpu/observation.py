@@ -233,10 +233,23 @@ class Observation:
 
     def _fetch_chunk(self, res):
         """Materialise the write-path outputs on host (one tunnel/PCIe
-        transfer per chunk); ideal_e stays on device (only debug reads it)."""
+        transfer per chunk); ideal_e stays on device (only debug reads it).
+
+        With quantize_adc the reads are rounded to integer DN on device
+        (the detector's 16-bit ADC does exactly this) and cross the link
+        as int16 — half the bytes — then upcast on host so the FITS
+        product keeps its layout.
+        """
+        reads = res.reads_dn
+        if self.cfg.quantize_adc:
+            reads = jnp.clip(jnp.round(reads), -32768.0, 32767.0
+                             ).astype(jnp.int16)
+        reads_h = np.asarray(reads)
+        if reads_h.dtype != np.float32:
+            reads_h = reads_h.astype(np.float32)
         return dataclasses.replace(
             res,
-            reads_dn=np.asarray(res.reads_dn),
+            reads_dn=reads_h,
             cr_pos=np.asarray(res.cr_pos),
             cr_count=np.asarray(res.cr_count),
             saturated_frac=np.asarray(res.saturated_frac))
