@@ -64,12 +64,16 @@ def _batch_spec(leaf, n_batch_axes: int) -> P:
     return P(*names, *([None] * (leaf.ndim - n_batch_axes)))
 
 
-def simulate_ensemble_spectra(scenes: Scene, tables: Tables,
-                              cfg: ExposureStatic, mesh: Mesh) -> jnp.ndarray:
-    """Extracted spectra for an (mc, exp)-batched Scene -> (mc, exp, S).
+# One jitted ensemble program per (mesh, cfg, pytree ranks): building a
+# fresh jax.jit(closure) per call would re-trace the whole multi-thousand-
+# exposure program on EVERY dataset chunk (measured ~2x sustained-rate
+# loss in tools/dataset_scale.py); caching the callable restores jit's
+# own shape-keyed cache across chunks.
+_JIT_CACHE: dict = {}
 
-    Requires n_mc % mesh.shape['mc'] == 0 and n_exp % mesh.shape['exp'] == 0.
-    """
+
+def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
+                 tables: Tables):
     scene_specs = jax.tree_util.tree_map(lambda x: _batch_spec(x, 2), scenes)
     table_specs = jax.tree_util.tree_map(lambda _: P(), tables)
 
@@ -85,4 +89,18 @@ def simulate_ensemble_spectra(scenes: Scene, tables: Tables,
                 simulate_exposure(s, local_tables, cfg).reads_dn))(sc)
         return jax.lax.map(per_mc, local_scenes)
 
-    return jax.jit(run)(scenes, tables)
+    return jax.jit(run)
+
+
+def simulate_ensemble_spectra(scenes: Scene, tables: Tables,
+                              cfg: ExposureStatic, mesh: Mesh) -> jnp.ndarray:
+    """Extracted spectra for an (mc, exp)-batched Scene -> (mc, exp, S).
+
+    Requires n_mc % mesh.shape['mc'] == 0 and n_exp % mesh.shape['exp'] == 0.
+    """
+    ranks = tuple(x.ndim for x in jax.tree_util.tree_leaves(scenes))
+    key = (mesh, cfg, ranks)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = _ensemble_fn(mesh, cfg, scenes, tables)
+    return fn(scenes, tables)
