@@ -250,10 +250,12 @@ def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
     cum_out_ref[...] = cum_ref[...]
 
 
-# Reads per fused_exposure_readout call. Bounds the call's output tuple
-# (~(MAX+1) MB at 512^2) so XLA's scoped-VMEM stack allocation of the
-# result inside the visit loop stays under the 16 MB budget.
-MAX_READS_PER_CALL = 8
+# Reads per fused_exposure_readout call. 16 covers the WFC3 maximum
+# (NSAMP=15 -> 16 emitted reads) in a single launch; the dn output
+# streams back to HBM one (1, S, S) block per grid step, so VMEM use is
+# independent of this bound. Measured on v5e: one launch per exposure is
+# ~4% faster than two (A/B at NSAMP=15, 512^2, full noise).
+MAX_READS_PER_CALL = 16
 
 
 @functools.partial(jax.jit, static_argnames=(
