@@ -64,6 +64,69 @@ def test_with_loaded_conf_changes_trace(tmp_path):
     np.testing.assert_allclose(float(out.dldp1[0]), 4.6e-3)
 
 
+def test_with_loaded_nonlin_cube(tmp_path):
+    from wayne_tpu.calibration import load_nonlin_cube_fits, with_loaded_nonlin
+
+    tables = synthetic_tables("G141", subarray=64, n_lambda=16, nsamp=2)
+    # full-frame-ish (128) cube of (c1, c2, c3) planes, cut to the subarray
+    cube = np.stack([np.full((128, 128), 0.01, np.float32),
+                     np.full((128, 128), 0.02, np.float32),
+                     np.full((128, 128), 0.03, np.float32)])
+    cube[0, 32, 32] = 0.5   # a marked pixel inside the 64-px centered cutout
+    path = tmp_path / "nonlin.fits"
+    write_fits(str(path), [FitsHDU(data=cube)])
+
+    loaded = load_nonlin_cube_fits(str(path), 64)
+    assert loaded.shape == (3, 64, 64)
+    np.testing.assert_allclose(loaded[0, 0, 0], 0.5)   # 128->64 cutout: -32
+    np.testing.assert_allclose(loaded[1], 0.02)
+
+    out = with_loaded_nonlin(tables, str(path))
+    assert out.nonlin_coeffs.shape == (3, 64, 64)
+    np.testing.assert_allclose(np.asarray(out.nonlin_coeffs[2]), 0.03,
+                               rtol=1e-6)
+
+
+def test_nonlin_cube_wrong_plane_count(tmp_path):
+    import pytest
+
+    from wayne_tpu.calibration import load_nonlin_cube_fits
+
+    path = tmp_path / "bad.fits"
+    write_fits(str(path), [FitsHDU(data=np.ones((2, 64, 64), np.float32))])
+    with pytest.raises(ValueError, match="3 coefficient planes"):
+        load_nonlin_cube_fits(str(path), 64)
+
+
+def test_imaging_tables_undispersed():
+    from wayne_tpu.calibration import imaging_tables
+    from wayne_tpu.ops.dispersion import trace_params, trace_y, wl_to_x
+
+    tables = synthetic_tables("G141", subarray=64, n_lambda=32, nsamp=2)
+    img = imaging_tables(tables, "F140W", nsamp=3, samp_seq="RAPID")
+
+    # every wavelength lands at x_ref (undispersed) on a flat trace
+    import jax.numpy as jnp
+    tp = trace_params(img, jnp.float32(30.0), jnp.float32(20.0))
+    x = np.asarray(wl_to_x(img.wl_centers, tp))
+    assert np.ptp(x) < 1e-3 and abs(x.mean() - 30.0) < 1e-3
+    y = np.asarray(trace_y(jnp.asarray(x), tp))
+    np.testing.assert_allclose(y, 20.0, atol=1e-5)
+
+    # bandpass: sensitivity concentrated inside the F140W window
+    wl = np.asarray(img.wl_centers)
+    sens = np.asarray(img.sensitivity)
+    inside = (wl > 1.33) & (wl < 1.59)
+    assert sens[inside].min() > 0.5 * sens.max()
+    assert sens[wl < 1.20].max() < 0.05 * sens.max()
+
+    # flat cube collapsed: only the constant plane survives
+    np.testing.assert_array_equal(np.asarray(img.flat_coeffs[1:]), 0.0)
+    # imaging sample sequence replaces the grism read times
+    assert img.read_times.shape == (4,)
+    assert float(img.read_times[-1]) < float(tables.read_times[-1])
+
+
 def test_reference_pixel_border():
     import dataclasses
     import jax.numpy as jnp
