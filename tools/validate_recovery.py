@@ -81,10 +81,9 @@ def main() -> None:
     y_window = (40, 100)    # scan band + margins
     bg_rows = (180, 250)
 
-    def realisation(m, flags_override=None):
-        local_cfg = cfg if flags_override is None else dataclasses.replace(
-            cfg, noise=flags_override)
-
+    def make_run(local_cfg):
+        # One jitted program reused across all realisations (a fresh
+        # jax.jit per call would re-trace the whole visit every time).
         @jax.jit
         def run(m):
             keys = jax.vmap(lambda e: jax.random.fold_in(
@@ -101,10 +100,13 @@ def main() -> None:
                                         base.ld, jnp.float32(0.155))
             return rp_hat, rp_sig, red.channel_cols
 
-        return run(m)
+        return run
+
+    realisation = make_run(cfg)
 
     # Noise-free reference through the identical pipeline.
-    rp_ref, _, cols = realisation(0, flags_override=NoiseFlags.none())
+    rp_ref, _, cols = make_run(dataclasses.replace(
+        cfg, noise=NoiseFlags.none()))(0)
     rp_ref = np.asarray(rp_ref)
 
     t0 = time.time()
