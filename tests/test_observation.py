@@ -35,6 +35,17 @@ class TestScenes:
         y = np.asarray(obs.scenes.y_ref)
         assert np.all(y[1::2] > y[::2] + 10)
 
+    def test_off_detector_pointing_warns(self, caplog):
+        import logging
+
+        with caplog.at_level(logging.WARNING, logger="wayne_tpu"):
+            Observation(small_cfg(x_ref=600.0))   # off a 128-px subarray
+        assert any("outside" in r.message for r in caplog.records)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="wayne_tpu"):
+            Observation(small_cfg())              # on-detector: silent
+        assert not any("outside" in r.message for r in caplog.records)
+
     def test_per_exposure_keys_unique(self):
         obs = Observation(small_cfg())
         keys = np.asarray(obs.scenes.key)

@@ -94,6 +94,11 @@ class ExposureStatic:
     x_psf: bool = False          # also blur the dispersion direction with the
     #                              PSF (reference models cross-dispersion only;
     #                              costs nothing extra — same closed form)
+    compute_ideal: bool = True   # accumulate the noise-free ideal_e frame
+    #                              (oracle diffs / debug guards); the
+    #                              production visit path disables it — as a
+    #                              jit output it cannot be dead-code
+    #                              eliminated and costs ~10% of the visit
 
     def __post_init__(self) -> None:
         if self.subarray not in (64, 128, 256, 512, 1024):
@@ -205,6 +210,9 @@ class ObservationConfig:
     #                                     for G102); see IMAGING_FILTERS
     direct_image_nsamp: int = 4         # RAPID reads in the direct image
     output_units: str = "counts"        # 'counts' (raw DN) | 'e_per_s'
+    compute_ideal: bool = False         # materialise the noise-free ideal_e
+    #                                     frame per exposure (debug/guards;
+    #                                     generate(debug=True) enables it)
     quantize_adc: bool = False          # round reads to integer DN like the
     #                                     detector's 16-bit ADC (also halves
     #                                     the device->host transfer: reads
@@ -233,6 +241,7 @@ class ObservationConfig:
             transit_quad=self.transit_quad,
             use_pallas=bool(use_pallas),
             x_psf=self.x_psf,
+            compute_ideal=self.compute_ideal,
         )
 
     def auto_n_sub(self) -> int:

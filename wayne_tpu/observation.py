@@ -59,6 +59,32 @@ class Observation:
         self.star = Star(cfg.star)
         self.planet = Planet(cfg.planet, visit_start_mjd=cfg.start_mjd)
         self.scenes = self._build_scenes()
+        self._warn_if_off_detector()
+
+    def _warn_if_off_detector(self) -> None:
+        """Warn when the dispersed spectrum misses the subarray entirely.
+
+        The default reference position suits 512^2; on smaller subarrays a
+        stale x_ref/y_ref silently produces sky-only frames — surface that
+        at construction instead of after a full visit.
+        """
+        cfg = self.cfg
+        wl = np.asarray(self.tables.wl_centers)
+        x = self.grism.wl_to_x(wl[[0, -1]], cfg.x_ref, cfg.y_ref)
+        tp = self.grism.get_trace(cfg.x_ref, cfg.y_ref)
+        import jax.numpy as jnp
+        from wayne_tpu.ops.dispersion import trace_y
+        y0 = float(np.asarray(trace_y(jnp.float32(x[0]), tp)))
+        scan_len = abs(float(self.scenes.scan_speed[0])) * self.detector_exptime
+        y_lo, y_hi = sorted((y0, y0 + np.sign(
+            float(self.scenes.scan_speed[0]) or 1.0) * scan_len))
+        S = cfg.subarray
+        if max(x) < 0 or min(x) >= S or y_hi < -3 or y_lo >= S + 3:
+            log.warning(
+                "spectrum lands outside the %dx%d subarray "
+                "(columns %.0f..%.0f, rows %.0f..%.0f for x_ref=%.1f, "
+                "y_ref=%.1f): frames will contain background only",
+                S, S, min(x), max(x), y_lo, y_hi, cfg.x_ref, cfg.y_ref)
 
     # ------------------------------------------------------------------
     def _build_scenes(self) -> Scene:
@@ -160,6 +186,10 @@ class Observation:
         os.makedirs(outdir, exist_ok=True)
         say = progress or (lambda s: log.info("%s", s))
         self._debug = debug
+        # Debug guards validate the noise-free ideal_e frame, so the debug
+        # path pays to materialise it; production skips it (~10% faster).
+        static = (dataclasses.replace(self.static, compute_ideal=True)
+                  if debug else self.static)
         self._summary: dict = {"exposures": [], "config": cfg.grism}
 
         self._write_direct_image(outdir)
@@ -198,8 +228,7 @@ class Observation:
                     continue   # whole chunk already on disk: skip compute
                 sl = jax.tree_util.tree_map(lambda x: x[c0: c0 + chunk],
                                             scenes)
-                res = fetch(simulate_visit(sl, self.tables, self.static,
-                                           chunk))
+                res = fetch(simulate_visit(sl, self.tables, static, chunk))
                 pending.append((c0, res))
                 if len(pending) > 1:
                     c0p, resp = pending.pop(0)

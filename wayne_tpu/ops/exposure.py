@@ -292,10 +292,12 @@ def simulate_exposure(scene: Scene, tables: Tables,
         t_as = read_times[:-1]
         dts_r = read_times[1:] - read_times[:-1]
         frames, y0s_r = jax.vmap(source_band)(ks, t_as, dts_r, rw)
-        ideal_e = jax.lax.fori_loop(
-            0, cfg.nsamp,
-            lambda i, ide: add_band(ide, frames[i], y0s_r[i]),
-            jnp.zeros((S, S), dtype))
+        ideal_e = jnp.zeros((S, S), dtype)
+        if cfg.compute_ideal:
+            ideal_e = jax.lax.fori_loop(
+                0, cfg.nsamp,
+                lambda i, ide: add_band(ide, frames[i], y0s_r[i]),
+                ideal_e)
         if flags.cosmic_rays:
             def cr_one(k, dt):
                 key_k = jax.random.fold_in(scene.key, k)
@@ -356,7 +358,8 @@ def simulate_exposure(scene: Scene, tables: Tables,
         dt = read_times[k + 1] - t_a
         frame, y0 = source_band(k, t_a, dt, rw_k)
 
-        ideal_e = add_band(ideal_e, frame, y0)
+        if cfg.compute_ideal:
+            ideal_e = add_band(ideal_e, frame, y0)
 
         key_k = jax.random.fold_in(scene.key, k)
         k_sig, k_bg, k_cr, k_read = jax.random.split(key_k, 4)
