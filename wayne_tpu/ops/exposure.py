@@ -198,6 +198,10 @@ def simulate_exposure(scene: Scene, tables: Tables,
     if flags.dark:
         bg_rate = bg_rate + tables.dark_map
     bg_rate = bg_rate * tables.active_mask
+    # With dark AND sky off the background is exactly zero; Poisson(0) = 0,
+    # so its sampling is skipped statically (the sampler's small-lam loop
+    # would otherwise run on the all-zero frame every read).
+    has_bg = flags.sky or flags.dark
 
     # Band bookkeeping: window [y0, y0 + band) must cover the trace rows,
     # PSF tails and this read's scan motion. y0 is dynamic (per read).
@@ -342,7 +346,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
                 poisson=flags.poisson, read_noise=flags.read_noise,
                 non_linearity=flags.non_linearity, bias=flags.bias,
                 scalar_gain=not flags.gain_variations,
-                with_cr=flags.cosmic_rays)
+                with_cr=flags.cosmic_rays, bg_poisson=has_bg)
             parts.append(dn_c)
             off += m
         reads_dn = jnp.concatenate(parts)
@@ -391,7 +395,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
                 read_noise=flags.read_noise,
                 non_linearity=flags.non_linearity, bias=flags.bias,
                 scalar_gain=not flags.gain_variations,
-                with_cr=flags.cosmic_rays)
+                with_cr=flags.cosmic_rays, bg_poisson=has_bg)
             return (cum_e, ideal_e), (dn, cr_pos, cr_n)
 
         if cfg.use_pallas:
@@ -406,11 +410,12 @@ def simulate_exposure(scene: Scene, tables: Tables,
                 poisson=flags.poisson,
                 read_noise=flags.read_noise,
                 non_linearity=flags.non_linearity, bias=flags.bias,
-                scalar_gain=not flags.gain_variations)
+                scalar_gain=not flags.gain_variations,
+                bg_poisson=has_bg)
             return (cum_e, ideal_e), (dn, cr_pos, cr_n)
 
         bg = bg_rate * dt
-        if flags.poisson:
+        if flags.poisson and has_bg:
             bg = _poisson(k_bg, bg, cfg)
         interval = add_band(bg, frame, y0)
         if flags.cosmic_rays:

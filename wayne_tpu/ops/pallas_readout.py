@@ -89,7 +89,7 @@ def _nonlin(sig, nl_ref, fw):
 
 def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref, nl_ref,
             consts_ref, cum_out_ref, dn_ref, *, poisson, read_noise,
-            non_linearity, bias, scalar_gain):
+            non_linearity, bias, scalar_gain, bg_poisson=True):
     pltpu.prng_seed(seed_ref[0] + seed_ref[1] * 131071
                     + pl.program_id(0) * 100003)
     shape = cum_ref.shape
@@ -103,9 +103,12 @@ def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref, nl_ref,
     z_rn = r * jnp.sin(theta)          # independent of z_bg
 
     cum = cum_ref[:] + add_ref[:]
-    if poisson:
+    if poisson and bg_poisson:
         cum = cum + _poisson_tile(bg_ref[:], z_bg)
     else:
+        # bg_poisson=False: dark AND sky are disabled, bg_ref is exactly
+        # zero — Poisson(0) = 0, so skipping the sampler is exact (and
+        # avoids its costly small-lam loop on an all-zero frame).
         cum = cum + bg_ref[:]
     cum_out_ref[:] = cum
 
@@ -125,7 +128,8 @@ def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref, nl_ref,
 def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
                    gain_ref, nl_ref, cr_pos_ref, cr_q_ref, consts_ref,
                    cum_out_ref, dn_ref, *, poisson, read_noise,
-                   non_linearity, bias, scalar_gain, with_cr):
+                   non_linearity, bias, scalar_gain, with_cr,
+                   bg_poisson=True):
     """Single-block variant: deposits the signal band at dynamic row y0 and
     scatters cosmic-ray charges in-kernel — no full-frame staging frames in
     the XLA graph at all. Pallas grids are sequential per core, so one
@@ -142,10 +146,10 @@ def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
     z_bg = r * jnp.cos(theta)
     z_rn = r * jnp.sin(theta)
 
-    if poisson:
+    if poisson and bg_poisson:
         base = cum_ref[:] + _poisson_tile(bg_ref[:], z_bg)
     else:
-        base = cum_ref[:] + bg_ref[:]
+        base = cum_ref[:] + bg_ref[:]   # zero when bg_poisson=False
     cum_out_ref[:] = base
     y0 = pl.multiple_of(y0_ref[0], 8)   # caller 8-aligns the window
     cum_out_ref[pl.ds(y0, W), :] += band_ref[:]
@@ -181,7 +185,7 @@ def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
                      bg_rate_ref, bias_ref, gain_ref, nl_ref, cr_pos_ref,
                      cr_q_ref, consts_ref, dn_ref, cum_out_ref, cum_ref, *,
                      poisson, read_noise, non_linearity, bias, scalar_gain,
-                     with_cr):
+                     with_cr, bg_poisson=True):
     """Multi-read fused readout: grid step k emits one read.
 
     The TPU Pallas grid is sequential per core, so the accumulated charge
@@ -213,7 +217,13 @@ def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
         cum_ref[...] = cum_init_ref[...]
 
     if poisson:
-        cum_ref[...] += _poisson_tile(bg_rate_ref[...] * dts_ref[k], z_bg)
+        if bg_poisson:
+            cum_ref[...] += _poisson_tile(bg_rate_ref[...] * dts_ref[k], z_bg)
+        else:
+            # dark AND sky off: bg_rate is exactly zero; Poisson(0) = 0,
+            # so skipping the sampler is exact (its small-lam loop would
+            # otherwise run on the all-zero frame every read).
+            cum_ref[...] += bg_rate_ref[...] * dts_ref[k]
         ub1 = _uniform((W, shape[1]))
         ub2 = _uniform((W, shape[1]))
         zb = jnp.sqrt(-2.0 * jnp.log(ub1)) * jnp.cos(_TWO_PI * ub2)
@@ -260,7 +270,7 @@ MAX_READS_PER_CALL = 16
 
 @functools.partial(jax.jit, static_argnames=(
     "poisson", "read_noise", "non_linearity", "bias", "scalar_gain",
-    "with_cr", "interpret"))
+    "with_cr", "bg_poisson", "interpret"))
 def fused_exposure_readout(
         seed2: jnp.ndarray, y0s: jnp.ndarray, dts: jnp.ndarray,
         bands: jnp.ndarray, cum_init: jnp.ndarray, bg_rate: jnp.ndarray,
@@ -269,6 +279,7 @@ def fused_exposure_readout(
         poisson: bool = True, read_noise: bool = True,
         non_linearity: bool = True, bias: bool = True,
         scalar_gain: bool = False, with_cr: bool = True,
+        bg_poisson: bool = True,
         interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Up to MAX_READS_PER_CALL reads in one kernel launch.
 
@@ -300,7 +311,7 @@ def fused_exposure_readout(
     kernel = functools.partial(
         _kernel_exposure, poisson=poisson, read_noise=read_noise,
         non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain,
-        with_cr=with_cr)
+        with_cr=with_cr, bg_poisson=bg_poisson)
     dn, cum = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -332,8 +343,8 @@ def fused_exposure_readout(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "poisson", "read_noise", "non_linearity", "bias", "scalar_gain", "tile",
-    "interpret"))
+    "poisson", "read_noise", "non_linearity", "bias", "scalar_gain",
+    "bg_poisson", "tile", "interpret"))
 def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
                     add_frame: jnp.ndarray, bg_lam: jnp.ndarray,
                     bias_map: jnp.ndarray, gain_map: jnp.ndarray,
@@ -341,7 +352,7 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
                     consts: jnp.ndarray, *, poisson: bool = True,
                     read_noise: bool = True, non_linearity: bool = True,
                     bias: bool = True, scalar_gain: bool = False,
-                    tile: int = 128,
+                    bg_poisson: bool = True, tile: int = 128,
                     interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One fused detector read step.
 
@@ -366,7 +377,8 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
                            memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel, poisson=poisson, read_noise=read_noise,
-        non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain)
+        non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain,
+        bg_poisson=bg_poisson)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -385,7 +397,7 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=(
     "poisson", "read_noise", "non_linearity", "bias", "scalar_gain",
-    "with_cr", "interpret"))
+    "with_cr", "bg_poisson", "interpret"))
 def fused_read_step_banded(
         seed2: jnp.ndarray, y0: jnp.ndarray, cum_e: jnp.ndarray,
         band: jnp.ndarray, bg_lam: jnp.ndarray, bias_map: jnp.ndarray,
@@ -394,6 +406,7 @@ def fused_read_step_banded(
         consts: jnp.ndarray, *, poisson: bool = True,
         read_noise: bool = True, non_linearity: bool = True,
         bias: bool = True, scalar_gain: bool = False, with_cr: bool = True,
+        bg_poisson: bool = True,
         interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fully fused read step: band deposit + CR scatter + background
     Poisson + accumulate + readout, one single-block kernel.
@@ -416,7 +429,7 @@ def fused_read_step_banded(
     kernel = functools.partial(
         _kernel_banded, poisson=poisson, read_noise=read_noise,
         non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain,
-        with_cr=with_cr)
+        with_cr=with_cr, bg_poisson=bg_poisson)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
