@@ -101,7 +101,8 @@ def main() -> None:
                                  read_noise=True)
     cfg2 = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=15,
                           samp_seq="SPARS10", scan=False, noise=noise2,
-                          band_px=32, use_pallas=pallas)
+                          band_px=32, use_pallas=pallas,
+                          compute_ideal=False)
     time_visit("2_staring_transit_visit", cfg2, base_stare)
 
     # 3: scan exposures with SSV + sky + flat
@@ -109,13 +110,17 @@ def main() -> None:
                                  flat=True, ssv=True)
     cfg3 = ExposureStatic(subarray=S, n_lambda=NL, n_sub=8, nsamp=15,
                           samp_seq="SPARS10", scan=True, noise=noise3,
-                          band_px=32, use_pallas=pallas)
+                          band_px=32, use_pallas=pallas,
+                          compute_ideal=False)
     time_visit("3_scan_ssv_sky_flat", cfg3, base_scan)
 
     # 4: the full-noise production visit (== bench.py headline)
+    # compute_ideal=False matches the production Observation path
+    # (ideal_e is a debug output; see ops/exposure.py).
     cfg4 = ExposureStatic(subarray=S, n_lambda=NL, n_sub=8, nsamp=15,
                           samp_seq="SPARS10", scan=True, band_px=32,
-                          max_cr_per_read=160, use_pallas=pallas)
+                          max_cr_per_read=160, use_pallas=pallas,
+                          compute_ideal=False)
     time_visit("4_full_noise_visit", cfg4, base_scan)
 
     # 5: Monte-Carlo ensemble, G102 + G141, on-device extraction
