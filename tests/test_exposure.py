@@ -288,3 +288,65 @@ class TestSSVAgainstOracle:
             trend_fn=trend_fn, max_step_px=0.03)
         scale = want.max()
         np.testing.assert_allclose(got / scale, want / scale, atol=4e-4)
+
+
+class TestExtraBeams:
+    """Optional 0th/2nd-order contamination (beyond the reference)."""
+
+    def _run(self, tables, extra: bool, stellar=None, x_ref=256.0):
+        cfg = ExposureStatic(subarray=512, n_lambda=32, n_sub=2, nsamp=2,
+                             samp_seq="RAPID", scan=False,
+                             noise=NoiseFlags.none(), transit_quad=16,
+                             extra_beams=extra)
+        scene = example_scene(32, scan_speed=0.0)
+        scene = dataclasses.replace(
+            scene, x_ref=jnp.float32(x_ref), y_ref=jnp.float32(256.0),
+            rp_over_rs=jnp.zeros_like(scene.rp_over_rs))
+        if stellar is not None:
+            scene = dataclasses.replace(
+                scene, stellar_flux=jnp.asarray(stellar, jnp.float32))
+        return np.asarray(simulate_exposure(scene, tables, cfg).ideal_e,
+                          np.float64)
+
+    def test_zeroth_order_spot_position_and_flux(self):
+        tables = synthetic_tables("G141", subarray=512, n_lambda=32,
+                                  samp_seq="RAPID", nsamp=2)
+        tables = dataclasses.replace(
+            tables, beam0_dx=jnp.float32(-200.0),
+            beam0_rel=jnp.float32(0.01), beam2_rel=jnp.float32(0.0))
+        base = self._run(tables, False)
+        with_beams = self._run(tables, True)
+        diff = with_beams - base
+        cols = diff.sum(axis=0)
+        # all extra flux sits at the undispersed spot (x_ref + dx = 56)
+        assert abs(int(np.argmax(cols)) - 56) <= 1
+        assert cols[52:61].sum() / diff.sum() > 0.999
+        # 0th order carries beam0_rel of the TOTAL source counts
+        # (1st order is fully on-detector at this pointing)
+        np.testing.assert_allclose(diff.sum() / base.sum(), 0.01, rtol=0.02)
+
+    def test_second_order_doubles_dispersion(self):
+        tables = synthetic_tables("G141", subarray=512, n_lambda=32,
+                                  samp_seq="RAPID", nsamp=2)
+        tables = dataclasses.replace(
+            tables, beam0_rel=jnp.float32(0.0),
+            beam2_rel=jnp.float32(0.02))
+        # single hot wavelength bin -> one 1st-order line + one 2nd-order
+        # line at twice the offset from x_ref
+        stellar = np.zeros(32)
+        stellar[2] = 3.13e-10     # blue end: both orders on-detector
+        base = self._run(tables, False, stellar=stellar)
+        with_beams = self._run(tables, True, stellar=stellar)
+        cols_b = base.sum(axis=0)
+        diff = (with_beams - base).sum(axis=0)
+        x1 = (cols_b * np.arange(512)).sum() / cols_b.sum()
+        x2 = (diff * np.arange(512)).sum() / diff.sum()
+        np.testing.assert_allclose(x2 - 256.0, 2.0 * (x1 - 256.0), rtol=0.02)
+        np.testing.assert_allclose(diff.sum() / cols_b.sum(), 0.02, rtol=0.01)
+
+    def test_extra_beams_off_is_default_and_identical(self):
+        tables = synthetic_tables("G141", subarray=512, n_lambda=32,
+                                  samp_seq="RAPID", nsamp=2)
+        assert ExposureStatic().extra_beams is False
+        from wayne_tpu.config import ObservationConfig
+        assert ObservationConfig(extra_beams=True).exposure_static().extra_beams

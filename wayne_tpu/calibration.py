@@ -80,6 +80,11 @@ _GRISM_DEFAULTS: dict[str, dict[str, Any]] = {
         sens_peak=1.45e16,      # (e-/s) per (erg/s/cm^2/A); first-principles
         sens_center=1.39, sens_width=0.29,
         psf_fwhm_lo=1.00, psf_fwhm_hi=1.40,   # px across the bandpass
+        # Optional contaminating beams (aXe BEAM B/C): 0th-order spot
+        # offset from the direct-image position and relative throughputs.
+        # Synthetic-calibration approximations (docs/CALIBRATION.md) — the
+        # reference models the +1st order only.
+        beam0_dx=-207.0, beam0_rel=0.008, beam2_rel=0.010,
     ),
     "G102": dict(
         wl_min=0.80, wl_max=1.15,
@@ -90,6 +95,7 @@ _GRISM_DEFAULTS: dict[str, dict[str, Any]] = {
         sens_peak=1.15e16,
         sens_center=0.98, sens_width=0.16,
         psf_fwhm_lo=0.95, psf_fwhm_hi=1.20,
+        beam0_dx=-252.0, beam0_rel=0.006, beam2_rel=0.012,
     ),
 }
 
@@ -239,6 +245,10 @@ class Tables:
     bias_map: jnp.ndarray      # (S, S) zeroth-read pedestal, e-
     # --- scalars ---------------------------------------------------------
     nonlin_coeffs: jnp.ndarray  # (3, S, S) per-pixel cubic planes (c1, c2, c3)
+    # --- optional contaminating beams (0th / 2nd order) ------------------
+    beam0_dx: jnp.ndarray      # 0th-order spot offset from x_ref (px)
+    beam0_rel: jnp.ndarray     # 0th-order relative throughput
+    beam2_rel: jnp.ndarray     # 2nd-order relative throughput
     # --- scalars (continued) ---------------------------------------------
     read_times: jnp.ndarray    # (NR,) s from exposure start
     gain: jnp.ndarray          # nominal e-/DN
@@ -363,6 +373,8 @@ def synthetic_tables(
         gain_map=f(gain_map),
         dark_map=f(dark_map), bias_map=f(bias_map),
         nonlin_coeffs=f(nonlin_coeffs),
+        beam0_dx=f(g["beam0_dx"]), beam0_rel=f(g["beam0_rel"]),
+        beam2_rel=f(g["beam2_rel"]),
         read_times=f(read_times), gain=f(gain),
         read_noise_e=f(read_noise_e), full_well_e=f(full_well_e),
         cr_rate_px_s=f(cr_rate_cm2_s * PIXEL_AREA_CM2),

@@ -94,6 +94,9 @@ class ExposureStatic:
     x_psf: bool = False          # also blur the dispersion direction with the
     #                              PSF (reference models cross-dispersion only;
     #                              costs nothing extra — same closed form)
+    extra_beams: bool = False    # add the 0th-order spot + 2nd-order
+    #                              spectrum (aXe BEAM B/C contamination;
+    #                              the reference models +1st order only)
     compute_ideal: bool = True   # accumulate the noise-free ideal_e frame
     #                              (oracle diffs / debug guards); the
     #                              production visit path disables it — as a
@@ -210,6 +213,7 @@ class ObservationConfig:
     #                                     for G102); see IMAGING_FILTERS
     direct_image_nsamp: int = 4         # RAPID reads in the direct image
     output_units: str = "counts"        # 'counts' (raw DN) | 'e_per_s'
+    extra_beams: bool = False           # 0th-order spot + 2nd-order spectrum
     compute_ideal: bool = False         # materialise the noise-free ideal_e
     #                                     frame per exposure (debug/guards;
     #                                     generate(debug=True) enables it)
@@ -241,6 +245,7 @@ class ObservationConfig:
             transit_quad=self.transit_quad,
             use_pallas=bool(use_pallas),
             x_psf=self.x_psf,
+            extra_beams=self.extra_beams,
             compute_ideal=self.compute_ideal,
         )
 

@@ -181,6 +181,22 @@ def simulate_exposure(scene: Scene, tables: Tables,
     else:
         X = x_deposit_matrix(x_edges, S)
     X = X.astype(dtype)                                      # (NL, S)
+    if cfg.extra_beams:
+        # Contaminating beams (aXe BEAM B/C; beyond the reference, which
+        # models the +1st order only). Both share the +1st order's trace
+        # row and scan motion, so they fold into the SAME rank-1 splat as
+        # extra columns of the deposit matrix — zero extra hot-path cost:
+        #   0th order: undispersed spot at x_ref + beam0_dx (linear
+        #     sub-pixel split over the two neighbouring columns);
+        #   2nd order: the grating's m=2 image, dispersion doubled about
+        #     the reference position.
+        grid = jnp.arange(S, dtype=dtype)
+        x_spot = tp.x_ref + tables.beam0_dx
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(x_spot - grid))
+        x2_edges = tp.x_ref + 2.0 * (x_edges - tp.x_ref)
+        X2 = x_deposit_matrix(x2_edges, S).astype(dtype)
+        X = (X + tables.beam0_rel * hat[None, :]
+             + tables.beam2_rel * X2)
     x_centers = wl_to_x(tables.wl_centers, tp)
     y_base = trace_y(x_centers, tp)                          # (NL,)
     sigma = tables.psf_sigma
