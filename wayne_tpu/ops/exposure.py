@@ -365,7 +365,8 @@ def simulate_exposure(scene: Scene, tables: Tables,
                 with_cr=flags.cosmic_rays, bg_poisson=has_bg)
             parts.append(dn_c)
             off += m
-        reads_dn = jnp.concatenate(parts)
+        # single part (NSAMP <= 15 fits one call): avoid a 17-frame copy
+        reads_dn = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         sat = jnp.mean((cum >= tables.full_well_e).astype(dtype))
         return ExposureResult(reads_dn=reads_dn.astype(dtype),
                               ideal_e=ideal_e, saturated_frac=sat,
