@@ -37,7 +37,7 @@ def main() -> None:
     S = 128 if args.cpu else 512
     cfg = ExposureStatic(subarray=S, n_lambda=S, n_sub=8, nsamp=15,
                          samp_seq="SPARS10", scan=True, band_px=32,
-                         max_cr_per_read=160,
+                         max_cr_per_read=160, compute_ideal=False,
                          use_pallas=jax.default_backend() == "tpu")
     tables = synthetic_tables("G141", subarray=S, n_lambda=S,
                               samp_seq="SPARS10", nsamp=15)

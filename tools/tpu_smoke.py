@@ -79,6 +79,26 @@ def main() -> None:
     ratio = np.median(v_p[bright] / np.maximum(v_x[bright], 1e-9))
     ok["backend_vars_agree"] = bool(0.8 < ratio < 1.25)
 
+    # -- 2b. fused multi-read kernel invariants on hardware ----------------
+    # (interpret mode can't validate the hardware PRNG; these run the real
+    # whole-exposure kernel and check physical invariants per read.)
+    cfgf = dataclasses.replace(base_cfg, use_pallas=True)
+    rf = simulate_exposure(
+        dataclasses.replace(scene, key=jax.random.PRNGKey(77)), tables, cfgf)
+    reads = np.asarray(rf.reads_dn, np.float64)
+    gain_map = np.asarray(tables.gain_map, np.float64)
+    # cumulative charge must be (statistically) monotone: the mean ramp
+    # rises every read and no pixel drops by more than read-noise swings
+    net = reads * gain_map[None]   # DN -> e- (per-pixel gain)
+    ramp = net.mean(axis=(1, 2))
+    ok["fused_ramp_monotone"] = bool(np.all(np.diff(ramp) > 0))
+    drop = (net[1:] - net[:-1]).min()
+    rn6 = 6.0 * float(tables.read_noise_e) * np.sqrt(2.0)
+    ok["fused_no_unphysical_drops"] = bool(drop > -rn6)
+    # cosmic-ray bookkeeping: every flagged hit exists, counts bounded
+    ok["fused_cr_counts"] = bool(
+        (np.asarray(rf.cr_count) <= cfgf.max_cr_per_read).all())
+
     # -- 3. throughput sanity --------------------------------------------
     from wayne_tpu.ops.visit import simulate_visit
     obs512 = ObservationConfig(subarray=512, nsamp=15, samp_seq="SPARS10",
