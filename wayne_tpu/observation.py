@@ -192,7 +192,7 @@ class Observation:
                   if debug else self.static)
         self._summary: dict = {"exposures": [], "config": cfg.grism}
 
-        self._write_direct_image(outdir)
+        self._write_direct_image(outdir, resume=resume)
 
         scenes, n = pad_scenes(self.scenes, chunk)
         n_padded = jax.tree_util.tree_leaves(scenes)[0].shape[0]
@@ -385,10 +385,13 @@ class Observation:
             key=jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 10_000_000))
         return simulate_exposure(scene, tab, static), tab, static
 
-    def _write_direct_image(self, outdir: str) -> None:
+    def _write_direct_image(self, outdir: str, resume: bool = True) -> None:
         """Write the visit-opening direct image as a multiaccum ima."""
         from wayne_tpu.io.ima import write_ima
 
+        path = os.path.join(outdir, f"{self.cfg.star.name}_direct.fits")
+        if resume and os.path.exists(path):
+            return
         res, tab, static = self.simulate_direct_image()
         x0 = float(np.asarray(self.scenes.x_ref)[0])
         y0 = float(np.asarray(self.scenes.y_ref)[0])
@@ -400,7 +403,7 @@ class Observation:
             scan_rate_pix_s=0.0,
             extra={"OBSTYPE": "IMAGING", "XREF": x0, "YREF": y0,
                    "SIMSEED": self.cfg.seed})
-        write_ima(os.path.join(outdir, f"{self.cfg.star.name}_direct.fits"),
+        write_ima(path,
                   np.asarray(res.reads_dn),
                   np.asarray(tab.read_times, np.float64), hdr,
                   gain=float(self.tables.gain),
