@@ -97,35 +97,39 @@ class TestNameResolution:
         assert cfg.planet.period_days == 2.0
 
     def test_catalog_file_loading(self, tmp_path):
-        from wayne_tpu.models.planet import _USER_CATALOG
-
         csv_path = tmp_path / "cat.csv"
         csv_path.write_text(
             "name,period_days,sma_over_rs,inclination_deg,rp_over_rs,star_j\n"
             "Test-1 b,5.0,10.0,88.0,0.05,7.5\n")
-        try:
-            cfg = config_from_dict({"catalog_file": str(csv_path),
-                                    "planet_name": "Test-1 b"})
-            assert cfg.planet.period_days == 5.0
-            assert cfg.planet.rp_over_rs == 0.05
-            assert cfg.star.magnitude_j == 7.5
-        finally:
-            _USER_CATALOG.clear()
+        cfg = config_from_dict({"catalog_file": str(csv_path),
+                                "planet_name": "Test-1 b"})
+        assert cfg.planet.period_days == 5.0
+        assert cfg.planet.rp_over_rs == 0.05
+        assert cfg.star.magnitude_j == 7.5
+
+    def test_catalog_does_not_leak_across_configs(self, tmp_path):
+        """A catalog is scoped to the config that names it: the next
+        config_from_dict in the same process must not see its entries."""
+        csv_path = tmp_path / "cat.csv"
+        csv_path.write_text("name,period_days,sma_over_rs\nGhost b,9.0,4.0\n")
+        config_from_dict({"catalog_file": str(csv_path),
+                          "planet_name": "Ghost b"})
+        with pytest.raises(KeyError):
+            config_from_dict({"planet_name": "Ghost b"})
 
     def test_catalog_json_and_bad_fields(self, tmp_path):
         import json
 
-        from wayne_tpu.models.planet import _USER_CATALOG, load_catalog
+        from wayne_tpu.models.planet import load_catalog
 
         jp = tmp_path / "cat.json"
         jp.write_text(json.dumps({"J b": {"period_days": 1.5,
                                           "sma_over_rs": 6.0}}))
-        try:
-            assert load_catalog(str(jp)) == ["J b"]
-            cfg = config_from_dict({"planet_name": "J b"})
-            assert cfg.planet.period_days == 1.5
-        finally:
-            _USER_CATALOG.clear()
+        entries = load_catalog(str(jp))
+        assert entries == {"J b": {"period_days": 1.5, "sma_over_rs": 6.0}}
+        cfg = config_from_dict({"catalog_file": str(jp),
+                                "planet_name": "J b"})
+        assert cfg.planet.period_days == 1.5
         bad = tmp_path / "bad.json"
         bad.write_text(json.dumps({"K b": {"bogus_field": 1.0}}))
         with pytest.raises(ValueError):

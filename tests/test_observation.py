@@ -1,6 +1,7 @@
 """Observation orchestration tests: planning, drift, scan alternation,
 generate/resume, debug guards."""
 
+import dataclasses
 import os
 import tempfile
 
@@ -168,6 +169,19 @@ class TestExplicitShiftLists:
     def test_short_shift_list_raises(self):
         with pytest.raises(ValueError):
             Observation(small_cfg(x_shifts=[0.0, 0.1]))
+
+    def test_explicit_shifts_apply_with_drift_flag_off(self):
+        """Explicit offsets are user data, not noise: they must survive
+        pointing_drift=False (which only gates the generated model)."""
+        cfg = small_cfg(x_shifts=[0.0, 0.1, -0.2, 0.3])
+        cfg.noise = dataclasses.replace(cfg.noise, pointing_drift=False)
+        obs = Observation(cfg)
+        np.testing.assert_allclose(np.asarray(obs.scenes.x_ref),
+                                   30.0 + np.array([0.0, 0.1, -0.2, 0.3]),
+                                   rtol=1e-6)
+        # y had no explicit list: stays constant with the flag off
+        np.testing.assert_allclose(np.asarray(obs.scenes.y_ref),
+                                   np.full(4, 30.0), rtol=1e-6)
 
     def test_scalar_x_shifts_is_still_a_rate(self):
         obs = Observation(small_cfg(x_shifts=0.5, drift_jitter=0.0))

@@ -81,3 +81,27 @@ def test_exact_poisson_config_path():
     x = np.asarray(res.reads_dn)
     assert np.isfinite(x).all()
     np.testing.assert_allclose(x * 2.5, np.round(x * 2.5), atol=1e-3)
+
+
+def test_exact_poisson_overrides_use_pallas():
+    """exact_poisson promises jax.random.poisson statistics, so it must
+    force the XLA path even when use_pallas is requested (the Pallas
+    kernels sample in-kernel with the approximate three-regime sampler).
+    Runs on CPU: if the Pallas path were taken this would fail to lower."""
+    import dataclasses
+    from wayne_tpu.calibration import synthetic_tables
+    from wayne_tpu.config import ExposureStatic, NoiseFlags
+    from wayne_tpu.ops.exposure import simulate_exposure
+    from wayne_tpu.scene import example_scene
+    flags = dataclasses.replace(NoiseFlags.none(), poisson=True)
+    tables = synthetic_tables("G141", subarray=64, n_lambda=32,
+                              samp_seq="RAPID", nsamp=2)
+    scene = example_scene(32, scan_speed=0.0)
+    common = dict(subarray=64, n_lambda=32, n_sub=2, nsamp=2,
+                  samp_seq="RAPID", scan=False, noise=flags,
+                  exact_poisson=True, transit_quad=16, band_px=32)
+    ref = simulate_exposure(scene, tables, ExposureStatic(**common))
+    pal = simulate_exposure(scene, tables,
+                            ExposureStatic(use_pallas=True, **common))
+    np.testing.assert_array_equal(np.asarray(ref.reads_dn),
+                                  np.asarray(pal.reads_dn))

@@ -84,7 +84,9 @@ class ExposureStatic:
     band_px: int = 0             # row-band width for the splat (0 = full frame);
     #                              must cover scan-per-read + PSF tails + trace
     #                              spread — Observation computes it automatically
-    exact_poisson: bool = False  # jax.random.poisson instead of fast_poisson
+    exact_poisson: bool = False  # jax.random.poisson instead of fast_poisson;
+    #                              forces the XLA path (overrides use_pallas:
+    #                              the kernels sample in-kernel approximately)
     use_pallas: bool = False     # fused Pallas readout kernel (TPU hot path);
     #                              hardware-PRNG randomness (same law,
     #                              different bits than the XLA path)
@@ -423,7 +425,8 @@ _ORBIT_BASICS = {("planet", "period_days"), ("planet", "sma_over_rs"),
 
 
 def _resolve_planet_name(cfg: ObservationConfig,
-                         explicit: set[tuple[str | None, str]]) -> None:
+                         explicit: set[tuple[str | None, str]],
+                         catalog: dict | None = None) -> None:
     """Fill planet/star parameters from the catalog for a named system.
 
     Explicitly provided keys always win; the catalog only fills the rest.
@@ -433,7 +436,7 @@ def _resolve_planet_name(cfg: ObservationConfig,
     from wayne_tpu.models.planet import resolve_system
 
     try:
-        sys_params = resolve_system(cfg.planet.name)
+        sys_params = resolve_system(cfg.planet.name, catalog)
     except KeyError:
         if _ORBIT_BASICS & explicit:
             return   # user-specified orbit; name is a label
@@ -468,10 +471,11 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
 
     catalog_file = flat.pop("catalog_file", None) or flat.pop(
         "exodata_location", None)
+    catalog = None
     if catalog_file:
         from wayne_tpu.models.planet import load_catalog
 
-        load_catalog(str(catalog_file))
+        catalog = load_catalog(str(catalog_file))
 
     noise_fields = {f.name for f in dataclasses.fields(NoiseFlags)}
     noise_updates: dict[str, bool] = {}
@@ -514,7 +518,7 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
         explicit.add((section, name))
 
     if ("planet", "name") in explicit:
-        _resolve_planet_name(cfg, explicit)
+        _resolve_planet_name(cfg, explicit, catalog)
     return cfg
 
 

@@ -10,8 +10,11 @@ pipelines (Iraclis et al.) accept the files:
     final read): SCI, ERR, DQ, SAMP, TIME image extensions.
 
 Units: SCI planes are detector DN (the simulator's raw output). ERR is the
-propagated shot+read-noise estimate, DQ is 0 (no flags simulated into DQ
-yet), SAMP holds the read index, TIME the sample time.
+propagated shot+read-noise estimate (the shot term covers source + sky +
+dark — everything Poissonian in the measured signal above the bias
+pedestal). DQ carries WFC3 flag bits: cosmic rays (8192, cumulative from
+the hit read onward), saturation (256), hot pixels (16) and full-frame
+reference pixels (128). SAMP holds the read index, TIME the sample time.
 """
 
 from __future__ import annotations

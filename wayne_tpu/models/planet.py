@@ -51,24 +51,22 @@ KNOWN_SYSTEMS: dict[str, dict] = {
 }
 
 
-# User-supplied systems loaded via load_catalog(); takes precedence over
-# the built-in table at resolve time.
-_USER_CATALOG: dict[str, dict] = {}
-
 # Fields a catalog entry may carry (all optional except the orbit basics).
 CATALOG_FIELDS = ("period_days", "t0_mjd", "sma_over_rs", "inclination_deg",
                   "eccentricity", "periastron_deg", "rp_over_rs",
                   "star_teff", "star_j", "star_radius_rsun")
 
 
-def load_catalog(path: str) -> list[str]:
+def load_catalog(path: str) -> dict[str, dict]:
     """Load a file-based system catalog (exodata's OEC-file equivalent).
 
     Accepts JSON (``{"NAME": {"period_days": ..., ...}, ...}``) or CSV
     with a header row whose first column is ``name`` and remaining
-    columns are any of :data:`CATALOG_FIELDS`. Loaded entries override
-    the built-in table in :func:`resolve_system`. Returns the loaded
-    names.
+    columns are any of :data:`CATALOG_FIELDS`. Pure: returns the entries
+    (``{name: {field: value}}``) without touching any process state —
+    pass them to :func:`resolve_system` as ``catalog=`` so one config's
+    catalog can never leak into the next config loaded in the same
+    process.
     """
     entries: dict[str, dict] = {}
     if path.endswith(".json"):
@@ -88,25 +86,26 @@ def load_catalog(path: str) -> list[str]:
                     raise ValueError(f"catalog {path!r} rows need a 'name'")
                 entries[name] = {k: float(v) for k, v in row.items()
                                  if v not in ("", None)}
+    out: dict[str, dict] = {}
     for name, vals in entries.items():
         unknown = set(vals) - set(CATALOG_FIELDS)
         if unknown:
             raise ValueError(
                 f"catalog entry {name!r} has unknown fields {sorted(unknown)}"
                 f"; allowed: {CATALOG_FIELDS}")
-        _USER_CATALOG[name.strip()] = {k: float(v) for k, v in vals.items()}
-    return sorted(entries)
+        out[name.strip()] = {k: float(v) for k, v in vals.items()}
+    return out
 
 
-def resolve_system(name: str) -> dict:
+def resolve_system(name: str, catalog: dict[str, dict] | None = None) -> dict:
     """Catalog lookup by name (exodata-equivalent seam).
 
-    User catalogs loaded with :func:`load_catalog` take precedence over
-    the built-in benchmark table.
+    A user ``catalog`` (the dict :func:`load_catalog` returns) takes
+    precedence over the built-in benchmark table.
     """
     key = name.strip()
-    if key in _USER_CATALOG:
-        return _USER_CATALOG[key]
+    if catalog and key in catalog:
+        return catalog[key]
     if key in KNOWN_SYSTEMS:
         return KNOWN_SYSTEMS[key]
     raise KeyError(

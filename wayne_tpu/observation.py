@@ -96,22 +96,24 @@ class Observation:
         # Pointing drift: slow linear drift + per-exposure jitter
         # (reference: wayne/trend_generators x/y shift classes).
         idx = np.arange(n)
-        if cfg.noise.pointing_drift:
-            def offsets(shift_list, rate):
-                if shift_list is not None:   # explicit per-exposure offsets
-                    xs = np.asarray(shift_list, np.float64)
-                    if xs.size < n:
-                        raise ValueError(
-                            f"shift list has {xs.size} entries; visit has "
-                            f"{n} exposures")
-                    return xs[:n]
-                return rate * idx + tr.drift_jitter * rng.standard_normal(n)
 
-            x_ref = cfg.x_ref + offsets(tr.x_shift_list, tr.drift_x_per_exp)
-            y_ref = cfg.y_ref + offsets(tr.y_shift_list, tr.drift_y_per_exp)
-        else:
-            x_ref = np.full(n, cfg.x_ref)
-            y_ref = np.full(n, cfg.y_ref)
+        def offsets(shift_list, rate):
+            # Explicit per-exposure offsets always apply — they are user
+            # data, not a noise source, so the pointing_drift flag only
+            # gates the generated drift+jitter model.
+            if shift_list is not None:
+                xs = np.asarray(shift_list, np.float64)
+                if xs.size < n:
+                    raise ValueError(
+                        f"shift list has {xs.size} entries; visit has "
+                        f"{n} exposures")
+                return xs[:n]
+            if not cfg.noise.pointing_drift:
+                return np.zeros(n)
+            return rate * idx + tr.drift_jitter * rng.standard_normal(n)
+
+        x_ref = cfg.x_ref + offsets(tr.x_shift_list, tr.drift_x_per_exp)
+        y_ref = cfg.y_ref + offsets(tr.y_shift_list, tr.drift_y_per_exp)
 
         # Scan direction alternation: reverse scans start at the far end
         # and sweep back (real WFC3 forward/reverse visits).
@@ -266,13 +268,16 @@ class Observation:
 
         With quantize_adc the reads are rounded to integer DN on device
         (the detector's 16-bit ADC does exactly this) and cross the link
-        as int16 — half the bytes — then upcast on host so the FITS
+        as uint16 — half the bytes — then upcast on host so the FITS
         product keeps its layout.
         """
         reads = res.reads_dn
         if self.cfg.quantize_adc:
-            reads = jnp.clip(jnp.round(reads), -32768.0, 32767.0
-                             ).astype(jnp.int16)
+            # The WFC3 IR ADC is 16-bit UNSIGNED: raw DNs span 0..65535
+            # (saturated low-gain pixels exceed 32767, so int16 would
+            # silently flatten them at the wrong ceiling).
+            reads = jnp.clip(jnp.round(reads), 0.0, 65535.0
+                             ).astype(jnp.uint16)
         reads_h = np.asarray(reads)
         if reads_h.dtype != np.float32:
             reads_h = reads_h.astype(np.float32)

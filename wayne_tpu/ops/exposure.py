@@ -173,6 +173,11 @@ def simulate_exposure(scene: Scene, tables: Tables,
     flags = cfg.noise
     dtype = jnp.dtype(cfg.dtype)
     band = cfg.band_px if (0 < cfg.band_px < S) else 0     # 0 = full frame
+    # The Pallas kernels sample Poisson in-kernel with the three-regime
+    # approximate sampler; exact_poisson promises jax.random.poisson
+    # statistics, so it forces the XLA path (which routes every draw
+    # through _poisson and honors the flag).
+    use_pallas = cfg.use_pallas and not cfg.exact_poisson
 
     tp = trace_params(tables, scene.x_ref, scene.y_ref)
     x_edges = wl_to_x(tables.wl_edges, tp)
@@ -248,7 +253,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
                                  cfg.nsamp * K, scene.trends
                                  ).reshape(cfg.nsamp, K).astype(dtype)
 
-    def source_band(k, t_a, dt, rw_k):
+    def source_band(t_a, dt, rw_k):
         """(band_or_S, S) source electrons laid down this interval + row0."""
         t_seg_edges = t_a + (dt / K) * jnp.arange(K + 1, dtype=dtype)
         counts = _segment_counts(scene, tables, cfg, t_seg_edges, dt / K,
@@ -287,7 +292,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
         window = jax.lax.dynamic_slice(full, (y0, 0), (W, S))
         return jax.lax.dynamic_update_slice(full, window + band_frame, (y0, 0))
 
-    if cfg.use_pallas:
+    if use_pallas:
         from wayne_tpu.ops.pallas_readout import (
             fused_exposure_readout, fused_read_step, fused_read_step_banded)
         pallas_consts = jnp.stack([
@@ -299,7 +304,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
             raw_key = jax.random.key_data(raw_key)
         exp_seed = raw_key.reshape(-1)[-1].astype(jnp.int32)
 
-    if cfg.use_pallas and band and S <= 512 and cfg.fused_reads:
+    if use_pallas and band and S <= 512 and cfg.fused_reads:
         # Whole-exposure fused path: compute every read's expected signal
         # band (vmap over reads — no sequential dependency), then run ALL
         # reads in ONE kernel launch with the cumulative charge resident
@@ -311,7 +316,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
         ks = jnp.arange(cfg.nsamp)
         t_as = read_times[:-1]
         dts_r = read_times[1:] - read_times[:-1]
-        frames, y0s_r = jax.vmap(source_band)(ks, t_as, dts_r, rw)
+        frames, y0s_r = jax.vmap(source_band)(t_as, dts_r, rw)
         ideal_e = jnp.zeros((S, S), dtype)
         if cfg.compute_ideal:
             ideal_e = jax.lax.fori_loop(
@@ -346,27 +351,19 @@ def simulate_exposure(scene: Scene, tables: Tables,
             [jnp.zeros((1, n_cr_max), jnp.float32),
              cr_q.astype(jnp.float32)])
 
+        # One launch covers the whole exposure: nsamp is validated to
+        # 1..15, so nsamp + 1 emitted reads always fit MAX_READS_PER_CALL.
         nr_total = cfg.nsamp + 1
-        cum = jnp.zeros((S, S), jnp.float32)
-        parts = []
-        off = 0
-        while off < nr_total:   # static python loop (nsamp is static)
-            m = min(MAX_READS_PER_CALL, nr_total - off)
-            dn_c, cum = fused_exposure_readout(
-                jnp.stack([exp_seed, jnp.int32(off)]),
-                y0s_all[off: off + m], dts_all[off: off + m],
-                bands_all[off: off + m], cum,
-                bg_rate.astype(jnp.float32), tables.bias_map,
-                tables.gain_map, nl_coeffs, crp_all[off: off + m],
-                crq_all[off: off + m], pallas_consts,
-                poisson=flags.poisson, read_noise=flags.read_noise,
-                non_linearity=flags.non_linearity, bias=flags.bias,
-                scalar_gain=not flags.gain_variations,
-                with_cr=flags.cosmic_rays, bg_poisson=has_bg)
-            parts.append(dn_c)
-            off += m
-        # single part (NSAMP <= 15 fits one call): avoid a 17-frame copy
-        reads_dn = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        assert nr_total <= MAX_READS_PER_CALL, nr_total
+        reads_dn, cum = fused_exposure_readout(
+            jnp.stack([exp_seed, jnp.int32(0)]),
+            y0s_all, dts_all, bands_all, jnp.zeros((S, S), jnp.float32),
+            bg_rate.astype(jnp.float32), tables.bias_map,
+            tables.gain_map, nl_coeffs, crp_all, crq_all, pallas_consts,
+            poisson=flags.poisson, read_noise=flags.read_noise,
+            non_linearity=flags.non_linearity, bias=flags.bias,
+            scalar_gain=not flags.gain_variations,
+            with_cr=flags.cosmic_rays, bg_poisson=has_bg)
         sat = jnp.mean((cum >= tables.full_well_e).astype(dtype))
         return ExposureResult(reads_dn=reads_dn.astype(dtype),
                               ideal_e=ideal_e, saturated_frac=sat,
@@ -377,7 +374,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
         cum_e, ideal_e = carry
         t_a = read_times[k]
         dt = read_times[k + 1] - t_a
-        frame, y0 = source_band(k, t_a, dt, rw_k)
+        frame, y0 = source_band(t_a, dt, rw_k)
 
         if cfg.compute_ideal:
             ideal_e = add_band(ideal_e, frame, y0)
@@ -396,12 +393,12 @@ def simulate_exposure(scene: Scene, tables: Tables,
             cr_q = jnp.zeros((cfg.max_cr_per_read,), dtype)
             cr_n = jnp.int32(0)
 
-        seed2 = jnp.stack([exp_seed, k.astype(jnp.int32)]) if cfg.use_pallas \
+        seed2 = jnp.stack([exp_seed, k.astype(jnp.int32)]) if use_pallas \
             else None
         # Single-block banded kernel only below 512^2: it holds several
         # full frames in VMEM (~9 MB at 512; ~36 MB at 1024 would OOM).
         # Full frame falls through to the row-tiled variant below.
-        if cfg.use_pallas and band and S <= 512:
+        if use_pallas and band and S <= 512:
             # Fully fused: band deposit + CR scatter + bg Poisson +
             # accumulate + readout in one single-block VMEM pass — no
             # full-frame staging arrays in the XLA graph at all.
@@ -415,7 +412,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
                 with_cr=flags.cosmic_rays, bg_poisson=has_bg)
             return (cum_e, ideal_e), (dn, cr_pos, cr_n)
 
-        if cfg.use_pallas:
+        if use_pallas:
             # Full-frame variant (band disabled): bg Poisson + accumulate
             # + readout in one row-tiled pass.
             add = add_band(jnp.zeros((S, S), dtype), frame, y0)

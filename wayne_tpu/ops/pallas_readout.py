@@ -45,22 +45,22 @@ def _uniform(shape):
     return jnp.maximum(u, 1e-7)
 
 
-def _poisson_tile(lam, z, u_fn=None):
+def _poisson_tile(lam, z):
     """Three-regime Poisson given normal z (see ops/random.py).
 
     The exact inverse-transform regime is gated by a runtime branch that
     is skipped entirely when the whole tile sits in the Cornish-Fisher
     regime (sky-dominated backgrounds: lam ~ 12 >> 3). Its uniform is
-    drawn INSIDE the branch (``u_fn`` thunk), so skipped tiles pay for
-    neither the loop nor the draw; PRNG state consumption then depends
-    on the (deterministic, data-dependent) branch, which keeps
+    drawn INSIDE the branch, so skipped tiles pay for neither the loop
+    nor the draw; PRNG state consumption then depends on the
+    (deterministic, data-dependent) branch, which keeps
     per-(seed, inputs) reproducibility.
     """
     skew = jnp.where(lam < _T_GAUSS, (z * z - 1.0) / 6.0, 0.0)
     gauss = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z + skew), 0.0)
 
     def small_branch(_):
-        u = u_fn() if u_fn is not None else _uniform(lam.shape)
+        u = _uniform(lam.shape)
         lam_c = jnp.minimum(lam, _T_EXACT)
         p0 = jnp.exp(-lam_c)
 
