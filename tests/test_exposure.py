@@ -218,6 +218,46 @@ class TestNoise:
         assert deficit.std() > 1e-4  # per-pixel structure, not a scalar
 
 
+class TestIpc:
+    """Inter-pixel capacitance (beyond the reference): nearest-neighbour
+    coupling of the sensed charge, kernel [[0,a,0],[a,1-4a,a],[0,a,0]]."""
+
+    def test_ipc_is_the_expected_convolution(self):
+        """With every other effect off the chain is linear, so the
+        ipc-on product must equal the 3x3 cross-kernel convolution of
+        the ipc-off product (zero boundary)."""
+        flags = dataclasses.replace(NoiseFlags.none(), ipc=True)
+        cfg_off, tables, scene = make(True, NoiseFlags.none())
+        cfg_on = dataclasses.replace(cfg_off, noise=flags)
+        off = np.asarray(simulate_exposure(scene, tables, cfg_off).reads_dn,
+                         np.float64)
+        on = np.asarray(simulate_exposure(scene, tables, cfg_on).reads_dn,
+                        np.float64)
+        a = float(tables.ipc_alpha)
+        want = off * (1.0 - 4.0 * a)
+        want[:, 1:, :] += a * off[:, :-1, :]
+        want[:, :-1, :] += a * off[:, 1:, :]
+        want[:, :, 1:] += a * off[:, :, :-1]
+        want[:, :, :-1] += a * off[:, :, 1:]
+        scale = np.abs(off).max()
+        np.testing.assert_allclose(on / scale, want / scale, atol=1e-6)
+
+    def test_ipc_conserves_interior_flux_and_blurs(self):
+        flags = dataclasses.replace(NoiseFlags.none(), ipc=True)
+        cfg_off, tables, scene = make(True, NoiseFlags.none())
+        cfg_on = dataclasses.replace(cfg_off, noise=flags)
+        off = np.asarray(simulate_exposure(scene, tables, cfg_off).reads_dn,
+                         np.float64)[-1]
+        on = np.asarray(simulate_exposure(scene, tables, cfg_on).reads_dn,
+                        np.float64)[-1]
+        # the kernel sums to 1, so flux is conserved up to the charge
+        # edge pixels couple to off-array neighbours (the spectrum's red
+        # tail reaches the frame edge here: a few 1e-4 of the total)
+        assert abs(on.sum() / off.sum() - 1.0) < 1e-3
+        # coupling moves charge from peaks to neighbours
+        assert on.max() < off.max()
+
+
 class TestDeterminism:
     def test_same_key_same_frame(self):
         cfg, tables, scene = make(True, NoiseFlags.all())

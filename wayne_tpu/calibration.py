@@ -256,6 +256,8 @@ class Tables:
     full_well_e: jnp.ndarray   # saturation, e-
     cr_rate_px_s: jnp.ndarray  # cosmic-ray events / px / s
     cr_mean_e: jnp.ndarray     # mean CR deposit, e-
+    ipc_alpha: jnp.ndarray     # nearest-neighbour inter-pixel capacitance
+    #                            coupling fraction (per edge neighbour)
     subarray_corner: jnp.ndarray  # (2,) (x0, y0) of subarray in full frame
 
 
@@ -280,6 +282,7 @@ def synthetic_tables(
     nonlin_frac: float = 0.04,
     cr_rate_cm2_s: float = 11.0,
     cr_mean_e: float = 1000.0,
+    ipc_alpha: float = 0.015,
     dtype=jnp.float32,
 ) -> Tables:
     """Build a complete synthetic Tables pytree.
@@ -379,6 +382,11 @@ def synthetic_tables(
         read_noise_e=f(read_noise_e), full_well_e=f(full_well_e),
         cr_rate_px_s=f(cr_rate_cm2_s * PIXEL_AREA_CM2),
         cr_mean_e=f(cr_mean_e),
+        # HgCdTe hybrid arrays couple ~1.5% of each pixel's sensed charge
+        # to each of its 4 edge neighbours (WFC3 IR IPC, measured via hot
+        # pixels / autocorrelation; McCullough 2008, WFC3 ISR 2008-26).
+        # Beyond the reference, which does not model IPC.
+        ipc_alpha=f(ipc_alpha),
         subarray_corner=f(np.asarray(subarray_corner(subarray), dtype=np.float64)),
     )
 

@@ -54,6 +54,9 @@ class NoiseFlags:
     ssv: bool = True              # scan-speed variations
     visit_trend: bool = True      # orbit hook + visit-long slope
     pointing_drift: bool = True   # x/y reference-position drift
+    ipc: bool = False             # inter-pixel capacitance coupling of the
+    #                               sensed charge (beyond the reference,
+    #                               which does not model IPC — default off)
 
     @classmethod
     def none(cls) -> "NoiseFlags":
@@ -386,6 +389,8 @@ _NOISE_KEY_ALIASES: dict[str, str] = {
     "visit_trend": "visit_trend",
     "x_shifts_on": "pointing_drift",
     "pointing_drift": "pointing_drift",
+    "ipc": "ipc",
+    "inter_pixel_capacitance": "ipc",
 }
 
 

@@ -159,6 +159,22 @@ def _apply_nonlinearity(cum_e: jnp.ndarray, tables: Tables) -> jnp.ndarray:
     return cum_e * (1.0 - ((c3 * q + c2) * q + c1) * q)
 
 
+def _apply_ipc(sig: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Inter-pixel capacitance: nearest-neighbour coupling of the SENSED
+    charge, kernel [[0,a,0],[a,1-4a,a],[0,a,0]] (WFC3 IR a ~ 1.5%;
+    McCullough 2008, WFC3 ISR 2008-26). A readout crosstalk — the stored
+    charge is untouched; it blurs sharp features slightly and correlates
+    the Poisson noise of neighbouring pixels (which is why reduction
+    pipelines care). Edge pixels couple to off-array neighbours we don't
+    model (zero-flux boundary). Beyond the reference, which omits IPC.
+    """
+    up = jnp.pad(sig[:-1, :], ((1, 0), (0, 0)))
+    down = jnp.pad(sig[1:, :], ((0, 1), (0, 0)))
+    left = jnp.pad(sig[:, :-1], ((0, 0), (1, 0)))
+    right = jnp.pad(sig[:, 1:], ((0, 0), (0, 1)))
+    return sig * (1.0 - 4.0 * alpha) + alpha * (up + down + left + right)
+
+
 def _poisson(key, lam, cfg: ExposureStatic):
     if cfg.exact_poisson:
         return jax.random.poisson(key, jnp.maximum(lam, 0.0)).astype(lam.dtype)
@@ -238,6 +254,8 @@ def simulate_exposure(scene: Scene, tables: Tables,
         if flags.non_linearity:
             sig = _apply_nonlinearity(jnp.minimum(cum_e, tables.full_well_e),
                                       tables)
+        if flags.ipc:
+            sig = _apply_ipc(sig, tables.ipc_alpha)
         if flags.bias:
             sig = sig + tables.bias_map
         if flags.read_noise:
@@ -297,7 +315,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
             fused_exposure_readout, fused_read_step, fused_read_step_banded)
         pallas_consts = jnp.stack([
             tables.read_noise_e, tables.full_well_e,
-            tables.gain]).astype(jnp.float32)
+            tables.gain, tables.ipc_alpha]).astype(jnp.float32)
         nl_coeffs = tables.nonlin_coeffs.astype(jnp.float32)
         raw_key = scene.key
         if raw_key.dtype != jnp.uint32:
@@ -363,7 +381,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
             poisson=flags.poisson, read_noise=flags.read_noise,
             non_linearity=flags.non_linearity, bias=flags.bias,
             scalar_gain=not flags.gain_variations,
-            with_cr=flags.cosmic_rays, bg_poisson=has_bg)
+            with_cr=flags.cosmic_rays, bg_poisson=has_bg, ipc=flags.ipc)
         sat = jnp.mean((cum >= tables.full_well_e).astype(dtype))
         return ExposureResult(reads_dn=reads_dn.astype(dtype),
                               ideal_e=ideal_e, saturated_frac=sat,
@@ -409,12 +427,14 @@ def simulate_exposure(scene: Scene, tables: Tables,
                 read_noise=flags.read_noise,
                 non_linearity=flags.non_linearity, bias=flags.bias,
                 scalar_gain=not flags.gain_variations,
-                with_cr=flags.cosmic_rays, bg_poisson=has_bg)
+                with_cr=flags.cosmic_rays, bg_poisson=has_bg,
+                ipc=flags.ipc)
             return (cum_e, ideal_e), (dn, cr_pos, cr_n)
 
-        if use_pallas:
+        if use_pallas and not flags.ipc:
             # Full-frame variant (band disabled): bg Poisson + accumulate
-            # + readout in one row-tiled pass.
+            # + readout in one row-tiled pass. IPC falls through to the
+            # XLA path: the row-tiled grid would miscouple at tile seams.
             add = add_band(jnp.zeros((S, S), dtype), frame, y0)
             if flags.cosmic_rays:
                 add = add.at[cr_pos[0], cr_pos[1]].add(cr_q)

@@ -80,6 +80,20 @@ def _poisson_tile(lam, z):
                         lambda _: gauss, None)
 
 
+def _ipc_couple(sig, a):
+    """Inter-pixel capacitance on the sensed charge (see
+    ops/exposure._apply_ipc): kernel [[0,a,0],[a,1-4a,a],[0,a,0]], zero
+    boundary. Static-shape shifted adds — only usable in the single-block
+    kernels (a row-tiled grid would miscouple at tile seams)."""
+    zr = jnp.zeros_like(sig[:1, :])
+    zc = jnp.zeros_like(sig[:, :1])
+    up = jnp.concatenate([zr, sig[:-1, :]], axis=0)
+    down = jnp.concatenate([sig[1:, :], zr], axis=0)
+    left = jnp.concatenate([zc, sig[:, :-1]], axis=1)
+    right = jnp.concatenate([sig[:, 1:], zc], axis=1)
+    return sig * (1.0 - 4.0 * a) + a * (up + down + left + right)
+
+
 def _nonlin(sig, nl_ref, fw):
     """Per-pixel cubic deficit: sig * (1 - (c1 q + c2 q^2 + c3 q^3))."""
     q = sig / fw
@@ -129,7 +143,7 @@ def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
                    gain_ref, nl_ref, cr_pos_ref, cr_q_ref, consts_ref,
                    cum_out_ref, dn_ref, *, poisson, read_noise,
                    non_linearity, bias, scalar_gain, with_cr,
-                   bg_poisson=True):
+                   bg_poisson=True, ipc=False):
     """Single-block variant: deposits the signal band at dynamic row y0 and
     scatters cosmic-ray charges in-kernel — no full-frame staging frames in
     the XLA graph at all. Pallas grids are sequential per core, so one
@@ -174,6 +188,8 @@ def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
     sig = cum_out_ref[:]
     if non_linearity:
         sig = _nonlin(jnp.minimum(sig, fw), nl_ref, fw)
+    if ipc:
+        sig = _ipc_couple(sig, consts_ref[3])
     if bias:
         sig = sig + bias_ref[:]
     if read_noise:
@@ -185,7 +201,7 @@ def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
                      bg_rate_ref, bias_ref, gain_ref, nl_ref, cr_pos_ref,
                      cr_q_ref, consts_ref, dn_ref, cum_out_ref, cum_ref, *,
                      poisson, read_noise, non_linearity, bias, scalar_gain,
-                     with_cr, bg_poisson=True):
+                     with_cr, bg_poisson=True, ipc=False):
     """Multi-read fused readout: grid step k emits one read.
 
     The TPU Pallas grid is sequential per core, so the accumulated charge
@@ -252,6 +268,8 @@ def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
     sig = cum_ref[...]
     if non_linearity:
         sig = _nonlin(jnp.minimum(sig, fw), nl_ref, fw)
+    if ipc:
+        sig = _ipc_couple(sig, consts_ref[3])
     if bias:
         sig = sig + bias_ref[...]
     if read_noise:
@@ -270,7 +288,7 @@ MAX_READS_PER_CALL = 16
 
 @functools.partial(jax.jit, static_argnames=(
     "poisson", "read_noise", "non_linearity", "bias", "scalar_gain",
-    "with_cr", "bg_poisson", "interpret"))
+    "with_cr", "bg_poisson", "ipc", "interpret"))
 def fused_exposure_readout(
         seed2: jnp.ndarray, y0s: jnp.ndarray, dts: jnp.ndarray,
         bands: jnp.ndarray, cum_init: jnp.ndarray, bg_rate: jnp.ndarray,
@@ -279,7 +297,7 @@ def fused_exposure_readout(
         poisson: bool = True, read_noise: bool = True,
         non_linearity: bool = True, bias: bool = True,
         scalar_gain: bool = False, with_cr: bool = True,
-        bg_poisson: bool = True,
+        bg_poisson: bool = True, ipc: bool = False,
         interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Up to MAX_READS_PER_CALL reads in one kernel launch.
 
@@ -296,7 +314,8 @@ def fused_exposure_readout(
       bg_rate: (S, S) expected background electrons per second.
       cr_pos: (NR, 2, MAX_CR) int32; cr_q: (NR, MAX_CR) charges
         (zeroed beyond the actual count).
-      consts: (3,) f32 (read_noise_e, full_well_e, gain).
+      consts: (4,) f32 (read_noise_e, full_well_e, gain, ipc_alpha);
+        a length-3 array is accepted when ipc=False.
 
     Returns:
       (reads_dn (NR, S, S) in time order, final cum_e (S, S)).
@@ -311,7 +330,7 @@ def fused_exposure_readout(
     kernel = functools.partial(
         _kernel_exposure, poisson=poisson, read_noise=read_noise,
         non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain,
-        with_cr=with_cr, bg_poisson=bg_poisson)
+        with_cr=with_cr, bg_poisson=bg_poisson, ipc=ipc)
     dn, cum = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -397,7 +416,7 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=(
     "poisson", "read_noise", "non_linearity", "bias", "scalar_gain",
-    "with_cr", "bg_poisson", "interpret"))
+    "with_cr", "bg_poisson", "ipc", "interpret"))
 def fused_read_step_banded(
         seed2: jnp.ndarray, y0: jnp.ndarray, cum_e: jnp.ndarray,
         band: jnp.ndarray, bg_lam: jnp.ndarray, bias_map: jnp.ndarray,
@@ -406,7 +425,7 @@ def fused_read_step_banded(
         consts: jnp.ndarray, *, poisson: bool = True,
         read_noise: bool = True, non_linearity: bool = True,
         bias: bool = True, scalar_gain: bool = False, with_cr: bool = True,
-        bg_poisson: bool = True,
+        bg_poisson: bool = True, ipc: bool = False,
         interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fully fused read step: band deposit + CR scatter + background
     Poisson + accumulate + readout, one single-block kernel.
@@ -418,7 +437,8 @@ def fused_read_step_banded(
       nl_coeffs: (3, S, S) per-pixel cubic non-linearity planes (c1, c2, c3).
       cr_pos: (2, MAX_CR) int32 hit coordinates; cr_q: (MAX_CR,) charges
         (pre-masked: zero beyond the actual hit count).
-      consts: (3,) f32 — (read_noise_e, full_well_e, gain).
+      consts: (4,) f32 — (read_noise_e, full_well_e, gain,
+        ipc_alpha); length-3 accepted when ipc=False.
     """
     S = cum_e.shape[0]
     full = pl.BlockSpec((S, S), lambda *_: (0, 0), memory_space=pltpu.VMEM)
@@ -429,7 +449,7 @@ def fused_read_step_banded(
     kernel = functools.partial(
         _kernel_banded, poisson=poisson, read_noise=read_noise,
         non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain,
-        with_cr=with_cr, bg_poisson=bg_poisson)
+        with_cr=with_cr, bg_poisson=bg_poisson, ipc=ipc)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
