@@ -16,6 +16,13 @@ This is the statistical form of the BASELINE requirement ("agreement
 with the reference within noise") executed end-to-end through the full
 instrument model + a reduction, at ensemble scale.
 
+A second ensemble then turns the time-domain systematics ON (sinusoidal
++ random-walk SSV, orbit hook, visit slope) and reduces with the
+standard WFC3 divide-white analysis (common_mode_correct): recovered
+channel depths must stay noise-unbiased and the divide-white residual
+below the documented envelope — i.e. a realistic pipeline recovers the
+injected spectrum from fully-corrupted frames.
+
 Usage: python tools/validate_recovery.py [--n-mc 32] [--cpu]
 """
 
@@ -48,7 +55,8 @@ def main() -> None:
     from wayne_tpu.calibration import synthetic_tables
     from wayne_tpu.config import ExposureStatic, NoiseFlags
     from wayne_tpu.ops.exposure import simulate_exposure
-    from wayne_tpu.reduction import fit_depths, reduce_visit
+    from wayne_tpu.reduction import (
+        common_mode_correct, fit_depths, reduce_visit)
     from wayne_tpu.scene import example_scene
 
     S, NL, NSAMP, N_EXP, N_CHAN = 256, 256, 5, 48, 8
@@ -81,7 +89,7 @@ def main() -> None:
     y_window = (40, 100)    # scan band + margins
     bg_rows = (180, 250)
 
-    def make_run(local_cfg):
+    def make_run(local_cfg, divide_white: bool = False):
         # One jitted program reused across all realisations (a fresh
         # jax.jit per call would re-trace the whole visit every time).
         @jax.jit
@@ -96,7 +104,12 @@ def main() -> None:
             red = reduce_visit(reads, tables.gain, mid, base.orbit,
                                y_window=y_window, x_window=x_window,
                                bg_rows=bg_rows, n_chan=N_CHAN)
-            rp_hat, rp_sig = fit_depths(red.channel_lc, mid, base.orbit,
+            chan = red.channel_lc
+            if divide_white:
+                chan = common_mode_correct(red.white_lc, chan, mid,
+                                           base.orbit, base.ld,
+                                           jnp.float32(0.155))
+            rp_hat, rp_sig = fit_depths(chan, mid, base.orbit,
                                         base.ld, jnp.float32(0.155))
             return rp_hat, rp_sig, red.channel_cols
 
@@ -137,6 +150,34 @@ def main() -> None:
     reduction_sys = rp_ref - rp_true
     ok_sys = bool(np.all(np.abs(reduction_sys) < 3e-3))
 
+    # --- systematics-on ensemble, reduced like a real pipeline ---------
+    # Full time-domain systematics (sinusoidal + random-walk SSV, orbit
+    # hook, visit slope) plus the noise chain; the reduction divides the
+    # white-light common-mode template out of the channels (the standard
+    # WFC3 divide-white analysis) before fitting depths. Tests that the
+    # simulated systematics are achromatic-multiplicative like the real
+    # instrument's, and that a realistic analysis recovers the injected
+    # spectrum from fully-corrupted frames.
+    flags_sys = dataclasses.replace(
+        flags, ssv=True, visit_trend=True)
+    n_sys = max(args.n_mc // 2, 8)
+    run_sys = make_run(dataclasses.replace(cfg, noise=flags_sys),
+                       divide_white=True)
+    rp_ref_sys = np.asarray(make_run(
+        dataclasses.replace(cfg, noise=dataclasses.replace(
+            NoiseFlags.none(), ssv=True, visit_trend=True)),
+        divide_white=True)(0)[0])
+    t0 = time.time()
+    rp_sys = np.stack([np.asarray(run_sys(m)[0]) for m in range(n_sys)])
+    wall_sys = time.time() - t0
+    mean_sys = rp_sys.mean(axis=0)
+    sem_sys = rp_sys.std(axis=0, ddof=1) / np.sqrt(n_sys)
+    bias_sys = mean_sys - rp_ref_sys
+    ok_sys_noise = bool(np.all(np.abs(bias_sys)
+                               < np.maximum(3.0 * sem_sys, 1e-4)))
+    resid_sys = rp_ref_sys - rp_true
+    ok_divide_white = bool(np.all(np.abs(resid_sys) < 3e-3))
+
     out = {
         "n_mc": args.n_mc, "n_exp": N_EXP, "n_chan": N_CHAN,
         "backend": jax.default_backend(), "wallclock_s": round(wall, 1),
@@ -149,8 +190,19 @@ def main() -> None:
         "reported_sigma_median": round(float(np.median(rp_sigs)), 6),
         "noise_unbiased_within_3sem": ok_noise,
         "reduction_systematic_below_3e-3": ok_sys,
+        "with_systematics": {
+            "n_mc": n_sys, "wallclock_s": round(wall_sys, 1),
+            "flags": "poisson+read+sky+dark+ssv(sin+rw)+visit_trend",
+            "reduction": "divide-white (common_mode_correct) + fit_depths",
+            "rp_recovered_mean": [round(float(v), 6) for v in mean_sys],
+            "noise_induced_bias": [round(float(v), 6) for v in bias_sys],
+            "divide_white_residual": [round(float(v), 6)
+                                      for v in resid_sys],
+            "noise_unbiased_within_3sem": ok_sys_noise,
+            "divide_white_residual_below_3e-3": ok_divide_white,
+        },
     }
-    ok = ok_noise and ok_sys
+    ok = ok_noise and ok_sys and ok_sys_noise and ok_divide_white
     with open(os.path.join(REPO, "VALIDATION.json"), "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))
