@@ -149,3 +149,24 @@ def test_sample_rate_drives_n_sub():
                              "subarray": 256, "sample_rate": 0.5,
                              "n_sub": 4})
     assert cfg2.exposure_static().n_sub == 4
+
+
+def test_eclipse_depth_wires_through():
+    """planet eclipse_depth enables the static eclipse gate and fills the
+    Scene's Fp/Fs leaf (secondary-eclipse simulation)."""
+    import numpy as np
+
+    from wayne_tpu.observation import Observation
+
+    cfg = config_from_dict({"grism": "G141", "subarray": 64, "NSAMP": 2,
+                            "SAMPSEQ": "RAPID", "scan": False,
+                            "num_orbits": 1, "exposures_per_orbit": 2,
+                            "n_lambda": 16, "n_sub": 2,
+                            "eclipse_depth": 1.2e-3})
+    assert cfg.planet.eclipse_depth == 1.2e-3
+    assert cfg.exposure_static().eclipse
+    obs = Observation(cfg)
+    np.testing.assert_allclose(np.asarray(obs.scenes.fp_over_fs),
+                               1.2e-3, rtol=1e-6)
+    # default stays off (zero extra tracing cost)
+    assert not config_from_dict({"grism": "G141"}).exposure_static().eclipse

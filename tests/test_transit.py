@@ -156,3 +156,73 @@ class TestChannelInterp:
         slow = transit_light_curve(t, orbit, rp, LD, interp_channels=False)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
                                    atol=2e-6)
+
+
+class TestSecondaryEclipse:
+    """Planet dayside light + uniform-disk occultation (beyond the
+    reference, which models transits only)."""
+
+    def test_hidden_frac_limits(self):
+        from wayne_tpu.ops.transit import uniform_disk_hidden_frac
+        p = 0.1
+        assert float(uniform_disk_hidden_frac(1.2, p)) == 0.0   # separated
+        assert float(uniform_disk_hidden_frac(0.5, p)) == 1.0   # fully hidden
+        # half-covered when the star's limb bisects the planet center
+        mid = float(uniform_disk_hidden_frac(1.0, p))
+        assert abs(mid - 0.5) < 0.02   # small-p limb is nearly straight
+
+    def test_hidden_frac_matches_numeric_area(self):
+        from wayne_tpu.ops.transit import uniform_disk_hidden_frac
+        rng = np.random.RandomState(1)
+        for z, p in [(0.95, 0.1), (1.05, 0.12), (0.99, 0.05)]:
+            pts = rng.uniform(-1, 1, size=(200_000, 2)) * p
+            pts = pts[np.sum(pts**2, axis=1) <= p * p] + np.array([z, 0.0])
+            frac_mc = np.mean(np.sum(pts**2, axis=1) <= 1.0)
+            got = float(uniform_disk_hidden_frac(z, p))
+            assert abs(got - frac_mc) < 5e-3, (z, p, got, frac_mc)
+
+    def test_light_curve_with_planet_light(self):
+        from wayne_tpu.ops.transit import transit_light_curve
+        period = 2.0 * 86400.0
+        orbit = OrbitParams.create(period, 0.0, 8.0, np.deg2rad(90.0))
+        nl = 8
+        rp = jnp.full((nl,), 0.1)
+        fp = jnp.full((nl,), 1.5e-3)
+        # mid-transit, quadrature, mid-secondary
+        t = jnp.array([0.0, 0.25 * period, 0.5 * period])
+        lc = np.asarray(transit_light_curve(t, orbit, rp, LD,
+                                            fp_over_fs=fp))
+        lc0 = np.asarray(transit_light_curve(t, orbit, rp, LD))
+        # transit depth unchanged, baseline lifted by fp
+        np.testing.assert_allclose(lc[0], lc0[0] + 1.5e-3, atol=1e-7)
+        np.testing.assert_allclose(lc[1], 1.0 + 1.5e-3, atol=1e-6)
+        # planet fully hidden at mid-secondary: star light only
+        np.testing.assert_allclose(lc[2], 1.0, atol=1e-6)
+
+    def test_eclipse_through_the_exposure_kernel(self):
+        import dataclasses
+
+        from wayne_tpu.calibration import synthetic_tables
+        from wayne_tpu.config import ExposureStatic, NoiseFlags
+        from wayne_tpu.ops.exposure import simulate_exposure
+        from wayne_tpu.scene import example_scene
+
+        nl, S = 32, 64
+        cfg = ExposureStatic(subarray=S, n_lambda=nl, n_sub=2, nsamp=2,
+                             samp_seq="RAPID", scan=False,
+                             noise=NoiseFlags.none(), transit_quad=16,
+                             eclipse=True)
+        tables = synthetic_tables("G141", subarray=S, n_lambda=nl,
+                                  samp_seq="RAPID", nsamp=2)
+        base = example_scene(nl, scan_speed=0.0)
+        fp = 2e-3
+        period = float(base.orbit.period_s)
+        t0 = float(base.orbit.t0_s)
+        mk = lambda t: dataclasses.replace(
+            base, fp_over_fs=jnp.full((nl,), fp, jnp.float32),
+            x_ref=jnp.float32(20.0), y_ref=jnp.float32(30.0),
+            exp_start_s=jnp.float32(t))
+        in_ecl = simulate_exposure(mk(t0 + 0.5 * period), tables, cfg)
+        quad = simulate_exposure(mk(t0 + 0.25 * period), tables, cfg)
+        r = float(jnp.sum(quad.ideal_e) / jnp.sum(in_ecl.ideal_e))
+        assert abs(r - (1.0 + fp)) < 2e-4, r

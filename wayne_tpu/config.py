@@ -102,6 +102,10 @@ class ExposureStatic:
     extra_beams: bool = False    # add the 0th-order spot + 2nd-order
     #                              spectrum (aXe BEAM B/C contamination;
     #                              the reference models +1st order only)
+    eclipse: bool = False        # include planet dayside light + its
+    #                              secondary-eclipse occultation
+    #                              (Scene.fp_over_fs; beyond the
+    #                              reference, which models transits only)
     compute_ideal: bool = True   # accumulate the noise-free ideal_e frame
     #                              (oracle diffs / debug guards); the
     #                              production visit path disables it — as a
@@ -152,6 +156,10 @@ class PlanetConfig:
     ld_file: str | None = None          # per-wavelength Claret coefficients
     #                                     (5 columns: micron, c1..c4) —
     #                                     clablimb-style table seam
+    eclipse_depth: float = 0.0          # dayside emission contrast Fp/Fs
+    #                                     (enables secondary-eclipse
+    #                                     simulation when nonzero)
+    eclipse_file: str | None = None     # per-wavelength Fp/Fs (micron, fp)
 
 
 @dataclass
@@ -251,6 +259,8 @@ class ObservationConfig:
             use_pallas=bool(use_pallas),
             x_psf=self.x_psf,
             extra_beams=self.extra_beams,
+            eclipse=bool(self.planet.eclipse_depth
+                         or self.planet.eclipse_file),
             compute_ideal=self.compute_ideal,
         )
 
@@ -418,6 +428,7 @@ _CATALOG_FIELD_MAP: dict[str, tuple[str, str]] = {
     "eccentricity": ("planet", "eccentricity"),
     "periastron_deg": ("planet", "periastron_deg"),
     "rp_over_rs": ("planet", "rp_over_rs"),
+    "eclipse_depth": ("planet", "eclipse_depth"),
     "star_teff": ("star", "temperature_k"),
     "star_j": ("star", "magnitude_j"),
     "star_radius_rsun": ("star", "radius_rsun"),

@@ -54,7 +54,7 @@ KNOWN_SYSTEMS: dict[str, dict] = {
 # Fields a catalog entry may carry (all optional except the orbit basics).
 CATALOG_FIELDS = ("period_days", "t0_mjd", "sma_over_rs", "inclination_deg",
                   "eccentricity", "periastron_deg", "rp_over_rs",
-                  "star_teff", "star_j", "star_radius_rsun")
+                  "eclipse_depth", "star_teff", "star_j", "star_radius_rsun")
 
 
 def load_catalog(path: str) -> dict[str, dict]:
@@ -135,6 +135,17 @@ class Planet:
         if self._wl is None:
             return np.full(np.asarray(wl_centers).shape, self.cfg.rp_over_rs)
         return interp_to_grid(self._wl, self._rp, np.asarray(wl_centers))
+
+    def fp_on_grid(self, wl_centers: np.ndarray) -> np.ndarray:
+        """Dayside emission contrast Fp/Fs per channel (secondary-eclipse
+        depth). Zero unless eclipse_depth / eclipse_file is configured —
+        beyond the reference, which models transits only."""
+        if self.cfg.eclipse_file:
+            data = np.loadtxt(self.cfg.eclipse_file)
+            wl = data[:, 0] * (1e-4 if data[:, 0].max() > 100.0 else 1.0)
+            return interp_to_grid(wl, data[:, 1], np.asarray(wl_centers))
+        return np.full(np.asarray(wl_centers).shape,
+                       float(self.cfg.eclipse_depth))
 
     def ld_on_grid(self, wl_centers: np.ndarray) -> np.ndarray:
         """Claret coefficients: (4,) scalar set, or (NL, 4) when an

@@ -128,6 +128,7 @@ class Observation:
         wl_centers = np.asarray(self.tables.wl_centers, np.float64)
         stellar = self.star.flux_on_grid(wl_edges)
         rp = self.planet.rp_on_grid(wl_centers)
+        fp = self.planet.fp_on_grid(wl_centers)
         ld = self.planet.ld_on_grid(wl_centers)   # (4,) or (NL, 4)
 
         ssv_phases = rng.uniform(0, 2 * np.pi, n)  # SSV phase varies per exp
@@ -159,6 +160,7 @@ class Observation:
             scan_speed=f32(speed),
             stellar_flux=jnp.broadcast_to(f32(stellar), (n, stellar.size)),
             rp_over_rs=jnp.broadcast_to(f32(rp), (n, rp.size)),
+            fp_over_fs=jnp.broadcast_to(f32(fp), (n, fp.size)),
             ld=jnp.broadcast_to(f32(ld), (n,) + ld.shape),
             orbit=orbit_b, trends=trends_b,
             sky_level=bcast(np.full(n, cfg.sky_level)),

@@ -80,7 +80,9 @@ def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
     rate0 = scene.stellar_flux * tables.sensitivity * dlam   # e-/s per bin
     times_abs = scene.exp_start_s + t_mid
     lc = transit_light_curve(times_abs, scene.orbit, scene.rp_over_rs,
-                             scene.ld, cfg.transit_quad)     # (K, NL)
+                             scene.ld, cfg.transit_quad,
+                             fp_over_fs=(scene.fp_over_fs if cfg.eclipse
+                                         else None))         # (K, NL)
     factor = jnp.ones_like(t_mid)
     if cfg.noise.ssv and cfg.scan:
         factor = factor * ssv_mean_factor(t_seg_edges[:-1], t_seg_edges[1:],

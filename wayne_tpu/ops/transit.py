@@ -112,13 +112,39 @@ def transit_depth_curve(z: jnp.ndarray, rp_over_rs: jnp.ndarray,
     return 1.0 - occ / claret_total_flux(ld)
 
 
+def uniform_disk_hidden_frac(z: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of a uniform disk of radius ``p`` hidden behind the unit
+    (stellar) disk at projected separation ``z`` — the secondary-eclipse
+    geometry (the planet's dayside is far more uniform than the
+    limb-darkened star, so a uniform disk is the standard model).
+
+    Closed-form two-circle overlap (lens) area / (pi p^2):
+      z >= 1 + p : 0 (fully visible)
+      z <= 1 - p : 1 (fully hidden)
+      else       : [p^2 acos((z^2+p^2-1)/(2 z p)) + acos((z^2+1-p^2)/(2 z))
+                    - z q] / (pi p^2),  q = height of the lens chord.
+    """
+    z = jnp.maximum(jnp.asarray(z, jnp.float32), 1e-7)
+    p = jnp.asarray(p, jnp.float32)
+    c1 = jnp.clip((z * z + p * p - 1.0) / (2.0 * z * p), -1.0, 1.0)
+    c2 = jnp.clip((z * z + 1.0 - p * p) / (2.0 * z), -1.0, 1.0)
+    s = jnp.clip((1.0 + p - z) * (z + p - 1.0) * (z - p + 1.0) * (z + p + 1.0),
+                 0.0, jnp.inf)
+    lens = p * p * jnp.arccos(c1) + jnp.arccos(c2) - 0.5 * jnp.sqrt(s)
+    frac = lens / (jnp.pi * jnp.maximum(p * p, 1e-12))
+    frac = jnp.where(z >= 1.0 + p, 0.0, frac)
+    frac = jnp.where(z <= 1.0 - p, 1.0, frac)
+    return jnp.clip(frac, 0.0, 1.0)
+
+
 _N_RP_CTRL = 16
 
 
 def transit_light_curve(times: jnp.ndarray, orbit: OrbitParams,
                         rp_over_rs: jnp.ndarray, ld: jnp.ndarray,
                         n_quad: int = 64,
-                        interp_channels: bool = True) -> jnp.ndarray:
+                        interp_channels: bool = True,
+                        fp_over_fs: jnp.ndarray | None = None) -> jnp.ndarray:
     """Light curve on a (time, wavelength) grid.
 
     Args:
@@ -132,9 +158,15 @@ def transit_light_curve(times: jnp.ndarray, orbit: OrbitParams,
         quadratures; error < 1e-7 for transmission-spectrum-sized rp
         ranges since F(rp) is smooth). Per-channel (NL, 4) LD always
         takes the direct path.
+      fp_over_fs: optional (NL,) planet dayside emission contrast
+        (Fp/Fs). When given the returned flux includes the planet's
+        light — baseline 1 + fp out of eclipse, dropping to 1 as the
+        planet hides behind the star at secondary eclipse (uniform-disk
+        occultation). Beyond the reference, which models transits only.
 
     Returns:
-      (NT, NL) relative flux in (1 - depth, 1].
+      (NT, NL) relative flux; in (1 - depth, 1] for the transit-only
+      model, up to 1 + fp with planet light included.
     """
     import jax
 
@@ -170,4 +202,10 @@ def transit_light_curve(times: jnp.ndarray, orbit: OrbitParams,
         flux = transit_depth_curve(
             jnp.broadcast_to(z[:, None], shape),
             jnp.broadcast_to(rp_over_rs[None, :], shape), ld, n_quad)
-    return 1.0 - (1.0 - flux) * in_front[:, None]
+    flux = 1.0 - (1.0 - flux) * in_front[:, None]
+    if fp_over_fs is not None:
+        # Planet light: hidden only on the far side of the orbit.
+        hid = uniform_disk_hidden_frac(z[:, None], rp_over_rs[None, :])
+        vis = 1.0 - hid * (1.0 - in_front[:, None])
+        flux = flux + fp_over_fs[None, :] * vis
+    return flux

@@ -38,6 +38,10 @@ class Scene:
     scan_speed: jnp.ndarray       # signed scan rate (px/s); 0 for staring
     stellar_flux: jnp.ndarray     # (NL,) F_lambda, erg/s/cm^2/um on wl grid
     rp_over_rs: jnp.ndarray       # (NL,) transmission spectrum
+    fp_over_fs: jnp.ndarray       # (NL,) dayside emission contrast Fp/Fs
+    #                               (secondary-eclipse depth; zeros = no
+    #                               planet light, only read when
+    #                               ExposureStatic.eclipse is set)
     ld: jnp.ndarray               # (4,) Claret coefficients
     orbit: OrbitParams
     trends: TrendParams
@@ -60,6 +64,7 @@ def example_scene(n_lambda: int, *, seed: int = 0,
         orbit_start_s=f32(0.0), is_first_orbit=f32(1.0),
         scan_speed=f32(scan_speed),
         stellar_flux=f32(stellar), rp_over_rs=f32(rp),
+        fp_over_fs=jnp.zeros(n_lambda, jnp.float32),
         ld=f32(jnp.array([0.65, -0.25, 0.45, -0.2])),
         orbit=orbit, trends=TrendParams.create(),
         sky_level=f32(1.2), key=jax.random.PRNGKey(seed),
