@@ -226,3 +226,30 @@ class TestSecondaryEclipse:
         quad = simulate_exposure(mk(t0 + 0.25 * period), tables, cfg)
         r = float(jnp.sum(quad.ideal_e) / jnp.sum(in_ecl.ideal_e))
         assert abs(r - (1.0 + fp)) < 2e-4, r
+
+    def test_phase_curve_modulation(self):
+        from wayne_tpu.ops.transit import transit_light_curve
+        period = 2.0 * 86400.0
+        orbit = OrbitParams.create(period, 0.0, 8.0, np.deg2rad(90.0))
+        nl = 4
+        rp = jnp.full((nl,), 0.1)
+        fp = jnp.full((nl,), 2e-3)
+        amp = 0.8
+        # just outside eclipse/transit contacts: planet fully visible
+        t = np.array([0.06 * period, 0.44 * period, 0.25 * period])
+        lc = np.asarray(transit_light_curve(
+            jnp.asarray(t, jnp.float32), orbit, rp, LD,
+            fp_over_fs=fp, phase_amp=amp))
+        phi = 2 * np.pi * t / period - np.pi
+        mod = 1.0 - amp * 0.5 * (1.0 - np.cos(phi))
+        for i in range(3):
+            np.testing.assert_allclose(lc[i], 1.0 + 2e-3 * mod[i], atol=1e-5)
+        # ordering: dayside > quadrature > nightside
+        assert lc[1, 0] > lc[2, 0] > lc[0, 0]
+        # hot-spot offset moves the peak off mid-eclipse
+        off = np.deg2rad(30.0)
+        lc_off = np.asarray(transit_light_curve(
+            jnp.array([0.5 * period + 1.0]), orbit,
+            jnp.full((nl,), 1e-6), LD, fp_over_fs=fp, phase_amp=amp,
+            phase_offset_rad=off))
+        assert lc_off[0, 0] < 1.0 + 2e-3 - 1e-5

@@ -74,6 +74,7 @@ class ExposureGenerator:
             stellar_flux=f32(np.broadcast_to(stellar_flux, (nl,))),
             rp_over_rs=f32(np.broadcast_to(rp_over_rs, (nl,))),
             fp_over_fs=jnp.zeros(nl, jnp.float32),
+            phase_amp=f32(0.0), phase_offset=f32(0.0),
             ld=f32(np.asarray(ld_coeffs)),
             orbit=orbit if orbit is not None else OrbitParams.create(
                 86400.0, 1e7, 10.0, jnp.pi / 2),   # far-from-transit default

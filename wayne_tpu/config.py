@@ -160,6 +160,11 @@ class PlanetConfig:
     #                                     (enables secondary-eclipse
     #                                     simulation when nonzero)
     eclipse_file: str | None = None     # per-wavelength Fp/Fs (micron, fp)
+    phase_amplitude: float = 0.0        # thermal phase-curve amplitude in
+    #                                     [0,1]: planet contrast falls to
+    #                                     fp*(1-A) at the nightside
+    phase_offset_deg: float = 0.0       # hot-spot offset (+ = peak before
+    #                                     mid-eclipse)
 
 
 @dataclass

@@ -161,6 +161,10 @@ class Observation:
             stellar_flux=jnp.broadcast_to(f32(stellar), (n, stellar.size)),
             rp_over_rs=jnp.broadcast_to(f32(rp), (n, rp.size)),
             fp_over_fs=jnp.broadcast_to(f32(fp), (n, fp.size)),
+            phase_amp=jnp.broadcast_to(
+                f32(cfg.planet.phase_amplitude), (n,)),
+            phase_offset=jnp.broadcast_to(
+                f32(np.deg2rad(cfg.planet.phase_offset_deg)), (n,)),
             ld=jnp.broadcast_to(f32(ld), (n,) + ld.shape),
             orbit=orbit_b, trends=trends_b,
             sky_level=bcast(np.full(n, cfg.sky_level)),

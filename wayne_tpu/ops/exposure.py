@@ -82,7 +82,9 @@ def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
     lc = transit_light_curve(times_abs, scene.orbit, scene.rp_over_rs,
                              scene.ld, cfg.transit_quad,
                              fp_over_fs=(scene.fp_over_fs if cfg.eclipse
-                                         else None))         # (K, NL)
+                                         else None),
+                             phase_amp=scene.phase_amp,
+                             phase_offset_rad=scene.phase_offset)  # (K, NL)
     factor = jnp.ones_like(t_mid)
     if cfg.noise.ssv and cfg.scan:
         factor = factor * ssv_mean_factor(t_seg_edges[:-1], t_seg_edges[1:],

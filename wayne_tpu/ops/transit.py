@@ -144,7 +144,10 @@ def transit_light_curve(times: jnp.ndarray, orbit: OrbitParams,
                         rp_over_rs: jnp.ndarray, ld: jnp.ndarray,
                         n_quad: int = 64,
                         interp_channels: bool = True,
-                        fp_over_fs: jnp.ndarray | None = None) -> jnp.ndarray:
+                        fp_over_fs: jnp.ndarray | None = None,
+                        phase_amp: jnp.ndarray | float = 0.0,
+                        phase_offset_rad: jnp.ndarray | float = 0.0
+                        ) -> jnp.ndarray:
     """Light curve on a (time, wavelength) grid.
 
     Args:
@@ -163,6 +166,13 @@ def transit_light_curve(times: jnp.ndarray, orbit: OrbitParams,
         light — baseline 1 + fp out of eclipse, dropping to 1 as the
         planet hides behind the star at secondary eclipse (uniform-disk
         occultation). Beyond the reference, which models transits only.
+      phase_amp: scalar thermal phase-curve amplitude A in [0, 1]: the
+        planet's contrast is modulated as
+        fp * [1 - A (1 - cos(phi - phi0)) / 2], phi = 0 at secondary
+        eclipse — fp at full dayside, fp (1 - A) at the nightside
+        (transit). 0 (default) = constant dayside contrast.
+      phase_offset_rad: scalar hot-spot offset phi0 (radians; positive =
+        peak brightness before mid-eclipse, the usual eastward shift).
 
     Returns:
       (NT, NL) relative flux; in (1 - depth, 1] for the transit-only
@@ -207,5 +217,9 @@ def transit_light_curve(times: jnp.ndarray, orbit: OrbitParams,
         # Planet light: hidden only on the far side of the orbit.
         hid = uniform_disk_hidden_frac(z[:, None], rp_over_rs[None, :])
         vis = 1.0 - hid * (1.0 - in_front[:, None])
-        flux = flux + fp_over_fs[None, :] * vis
+        # Thermal phase modulation: phi = 0 at mid-secondary (dayside
+        # facing the observer). Orbital phase from the transit epoch.
+        phi = 2.0 * jnp.pi * (times - orbit.t0_s) / orbit.period_s - jnp.pi
+        mod = 1.0 - phase_amp * 0.5 * (1.0 - jnp.cos(phi - phase_offset_rad))
+        flux = flux + fp_over_fs[None, :] * mod[:, None] * vis
     return flux

@@ -42,6 +42,9 @@ class Scene:
     #                               (secondary-eclipse depth; zeros = no
     #                               planet light, only read when
     #                               ExposureStatic.eclipse is set)
+    phase_amp: jnp.ndarray        # thermal phase-curve amplitude in [0,1]
+    #                               (0 = constant dayside contrast)
+    phase_offset: jnp.ndarray     # hot-spot offset (rad, + = eastward)
     ld: jnp.ndarray               # (4,) Claret coefficients
     orbit: OrbitParams
     trends: TrendParams
@@ -65,6 +68,7 @@ def example_scene(n_lambda: int, *, seed: int = 0,
         scan_speed=f32(scan_speed),
         stellar_flux=f32(stellar), rp_over_rs=f32(rp),
         fp_over_fs=jnp.zeros(n_lambda, jnp.float32),
+        phase_amp=f32(0.0), phase_offset=f32(0.0),
         ld=f32(jnp.array([0.65, -0.25, 0.45, -0.2])),
         orbit=orbit, trends=TrendParams.create(),
         sky_level=f32(1.2), key=jax.random.PRNGKey(seed),
