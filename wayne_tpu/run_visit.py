@@ -40,6 +40,8 @@ planet:
   inclination: 82.1
   rp_over_rs: 0.1595
   ld_coeffs: [0.65, -0.25, 0.45, -0.2]
+  # eclipse_depth: 5.0e-4  # dayside Fp/Fs -> secondary-eclipse visits
+  # phase_amplitude: 0.9   # day-night thermal phase-curve contrast
 noise:
   read_noise: true
   dark: true
