@@ -102,3 +102,31 @@ class TestTorchAdapter:
             xb, yb = batch
             assert xb.shape == (4, 4, S)
             assert yb["rp_scale"].shape == (4,)
+
+
+class TestEclipseSweep:
+    def test_fp_override_changes_spectra(self):
+        """Sweeping fp_over_fs (eclipse-depth labels for emission
+        retrieval datasets) flows through the ensemble: out-of-eclipse
+        brightness scales with the per-realisation contrast."""
+        import dataclasses
+
+        from wayne_tpu.parallel.ensemble import simulate_ensemble_spectra
+        from wayne_tpu.parallel.mesh import shard_scenes
+
+        cfg = dataclasses.replace(CFG, noise=NoiseFlags.none(), eclipse=True)
+        visit = _visit()
+        # park every exposure at quadrature: planet fully visible
+        q = 0.25 * float(visit.orbit.period_s[0]) + float(visit.orbit.t0_s[0])
+        visit = dataclasses.replace(
+            visit, exp_start_s=jnp.full((4,), q, jnp.float32),
+            x_ref=jnp.full((4,), 20.0, jnp.float32),
+            y_ref=jnp.full((4,), 30.0, jnp.float32))
+        fp = np.array([0.0, 5e-3], np.float32)
+        ens = sweep_scenes(visit, 2, overrides={
+            "fp_over_fs": np.broadcast_to(fp[:, None], (2, NL)).copy()})
+        mesh = make_mesh(jax.devices()[:1])
+        spectra = np.asarray(simulate_ensemble_spectra(
+            shard_scenes(ens, mesh), TABLES, cfg, mesh))
+        tot = spectra.sum(axis=(1, 2))
+        np.testing.assert_allclose(tot[1] / tot[0], 1.005, atol=2e-4)

@@ -35,6 +35,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="realisations per device chunk / output file")
     parser.add_argument("--rp-sigma", type=float, default=0.0,
                         help="per-realisation Gaussian sweep of Rp/Rs")
+    parser.add_argument("--fp-sigma", type=float, default=0.0,
+                        help="per-realisation Gaussian sweep of the eclipse "
+                             "depth Fp/Fs (requires planet eclipse_depth)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
@@ -61,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
           f"{obs.plan.n_exposures} exposures ({cfg.subarray}^2, "
           f"NSAMP={cfg.nsamp})")
 
-    overrides = None
+    overrides: dict = {}
     labels = {}
     if args.rp_sigma > 0.0:
         rng = np.random.RandomState(args.seed)
@@ -69,14 +72,25 @@ def main(argv: list[str] | None = None) -> int:
               + args.rp_sigma * rng.standard_normal(args.n_mc)
               ).astype(np.float32)
         nl = cfg.n_lambda
-        overrides = {"rp_over_rs": np.broadcast_to(
-            rp[:, None], (args.n_mc, nl)).copy()}
+        overrides["rp_over_rs"] = np.broadcast_to(
+            rp[:, None], (args.n_mc, nl)).copy()
         labels["rp"] = rp
+    if args.fp_sigma > 0.0:
+        if not obs.static.eclipse:
+            parser.error("--fp-sigma requires planet eclipse_depth or "
+                         "eclipse_file in the parameter file")
+        rng = np.random.RandomState(args.seed + 1)
+        fp = np.clip(cfg.planet.eclipse_depth
+                     + args.fp_sigma * rng.standard_normal(args.n_mc),
+                     0.0, None).astype(np.float32)
+        overrides["fp_over_fs"] = np.broadcast_to(
+            fp[:, None], (args.n_mc, cfg.n_lambda)).copy()
+        labels["fp"] = fp
 
     manifest = generate_dataset(
         obs.scenes, obs.tables, obs.static, args.outdir,
         n_mc=args.n_mc, chunk_mc=args.chunk_mc, seed=args.seed,
-        overrides=overrides, labels=labels or None, progress=print)
+        overrides=overrides or None, labels=labels or None, progress=print)
     print(f"dataset complete: {len(manifest['chunks'])} chunks in "
           f"{args.outdir}")
     return 0
