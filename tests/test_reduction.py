@@ -106,3 +106,37 @@ def test_common_mode_correction_recovers_depths_under_systematics():
     raw_err = np.abs(np.asarray(raw_rp) - 0.1595).mean()
     cor_err = np.abs(cor_rp - 0.1595).mean()
     assert cor_err <= raw_err + 1e-3
+
+
+def test_run_reduce_cli_recovers_depth(tmp_path):
+    """The file-level loop: generate() writes ima FITS, run_reduce reads
+    them back (auto windows, host extraction) and recovers the injected
+    depth — the in-repo form of 'reduce with a standard pipeline'."""
+    import json
+
+    import yaml
+
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.run_reduce import main as reduce_main
+
+    pars = {"grism": "G141", "subarray": 128, "NSAMP": 4,
+            "SAMPSEQ": "SPARS10", "scan": True, "x_ref": 30.0,
+            "y_ref": 40.0, "num_orbits": 3, "exposures_per_orbit": 6,
+            "n_lambda": 64, "n_sub": 4, "rp_over_rs": 0.14,
+            "start_mjd": 55999.93, "t0": 56000.0, "period": 0.813475,
+            "sma_over_rs": 4.855, "inclination": 82.1, "seed": 3}
+    ppath = tmp_path / "pars.yml"
+    ppath.write_text(yaml.safe_dump(pars))
+    outdir = tmp_path / "visit"
+    obs = Observation(load_yaml(str(ppath)))
+    obs.generate(str(outdir), chunk=6, progress=lambda s: None)
+
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                      "--n-chan", "4", "--cpu"])
+    assert rc == 0
+    rep = json.loads((outdir / "reduced.json").read_text())
+    assert rep["n_exposures"] == 18
+    for c in rep["channels"]:
+        assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c
+    assert rep["channels"][0]["wl_lo_um"] < rep["channels"][-1]["wl_hi_um"]

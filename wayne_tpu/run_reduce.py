@@ -1,0 +1,197 @@
+"""Reduce a generated visit's ima FITS files back to science products.
+
+The reference's validation story is "simulate, then reduce with a
+standard WFC3 pipeline (Iraclis)". This CLI is the in-repo form of that
+consumer: it reads the ima files a visit wrote to disk (proving the
+products are consumable from the file level up), extracts background-
+subtracted spectra, builds white + channel light curves, optionally
+divides out the white common-mode systematics, and fits per-channel
+transit depths with the autodiff Newton fitter.
+
+Usage:
+    python -m wayne_tpu.run_reduce -d out_visit/ -p pars.yml \
+        [--n-chan 8] [--no-divide-white] [-o reduced.json]
+
+Outputs a JSON report: per-channel wavelength ranges, fitted Rp/Rs and
+uncertainties, the white light curve and exposure mid-times.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def collect_visit(visit_dir: str) -> list[str]:
+    """The visit's ima files in exposure order (direct image excluded)."""
+    paths = sorted(glob.glob(os.path.join(visit_dir, "*_ima.fits")))
+    if not paths:
+        raise FileNotFoundError(f"no *_ima.fits files in {visit_dir!r}")
+    return paths
+
+
+def extract_from_files(paths: list[str], gain: float):
+    """Host-side box extraction from ima files.
+
+    Returns (spectra_e (n_exp, S), mid_times_s relative to the first
+    exposure start, (y_window, x_window, bg_rows) auto-detected from the
+    stacked CDS signal).
+    """
+    from wayne_tpu.io.ima import read_ima
+
+    nets, starts, exptime = [], [], 0.0
+    for p in paths:
+        hdr, reads, times = read_ima(p)
+        if str(hdr.get("BUNIT", "COUNTS")).upper().startswith("ELECTRONS"):
+            # count-rate product: convert back to accumulated electrons
+            net = reads[-1] * times[-1] - reads[0] * times[0]
+        else:
+            net = (reads[-1] - reads[0]) * gain
+        nets.append(net)
+        starts.append(float(hdr["EXPSTART"]))
+        exptime = float(hdr.get("EXPTIME", times[-1]))
+    nets = np.stack(nets)                      # (n_exp, S, S) electrons
+    starts = np.asarray(starts)
+    mids = (starts - starts.min()) * 86400.0 + exptime / 2.0
+
+    # Auto windows from the median frame: first the rows carrying the
+    # scanned spectrum (summed over all columns), then the illuminated
+    # columns WITHIN those rows (a full-frame column statistic would be
+    # swamped by the background rows).
+    med = np.median(nets, axis=0)
+    S = med.shape[0]
+    pad = 3
+    row_sig = med.sum(axis=1)
+    row_sig = row_sig - np.median(row_sig)
+    rows = np.where(row_sig > 0.05 * row_sig.max())[0]
+    y_window = (max(int(rows.min()) - pad, 0), min(int(rows.max()) + pad + 1, S))
+    col_sig = med[y_window[0]: y_window[1]].sum(axis=0)
+    col_sig = col_sig - np.median(col_sig)
+    cols = np.where(col_sig > 0.1 * col_sig.max())[0]
+    x_window = (max(int(cols.min()) - pad, 0), min(int(cols.max()) + pad + 1, S))
+    # Background rows: the larger sky-only margin above or below the
+    # spectrum, with a generous gap against PSF tails.
+    gap = 4 * pad
+    if y_window[0] > S - y_window[1]:
+        bg_rows = (0, max(y_window[0] - gap, 1))
+    else:
+        bg_rows = (min(y_window[1] + gap, S - 1), S)
+
+    bg = np.median(nets[:, bg_rows[0]: bg_rows[1], :], axis=1)  # per-col sky
+    nets = nets - bg[:, None, :]
+    spectra = nets[:, y_window[0]: y_window[1], :].sum(axis=1)   # (n_exp, S)
+    return spectra, mids, (y_window, x_window, bg_rows)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="wayne_tpu.run_reduce",
+        description="Reduce a simulated WFC3 visit from its ima files.")
+    parser.add_argument("-d", "--visit-dir", required=True,
+                        help="directory of *_ima.fits files")
+    parser.add_argument("-p", "--parameter-file", required=True,
+                        help="the visit's YAML (system model for the fit)")
+    parser.add_argument("-o", "--output", default=None,
+                        help="JSON report path (default <dir>/reduced.json)")
+    parser.add_argument("--n-chan", type=int, default=8)
+    parser.add_argument("--no-divide-white", action="store_true",
+                        help="skip the white common-mode correction")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.models.grism import make_grism
+    from wayne_tpu.models.planet import Planet
+    from wayne_tpu.io.ima import read_ima
+    from wayne_tpu.reduction import common_mode_correct, fit_depths
+
+    cfg = load_yaml(args.parameter_file)
+    paths = collect_visit(args.visit_dir)
+    hdr0, _, _ = read_ima(paths[0])
+    grism = make_grism(cfg.grism, subarray=cfg.subarray,
+                      n_lambda=cfg.n_lambda, samp_seq=cfg.samp_seq,
+                      nsamp=cfg.nsamp)
+    gain = float(grism.tables.gain)
+    print(f"reducing {len(paths)} exposures from {args.visit_dir} "
+          f"({hdr0.get('FILTER')}, SUBARRAY {cfg.subarray})")
+
+    spectra, mids, (yw, xw, bg) = extract_from_files(paths, gain)
+    print(f"auto windows: rows {yw}, cols {xw}, background rows {bg}")
+
+    # System model on the visit clock (first exposure start = 0).
+    planet = Planet(cfg.planet, visit_start_mjd=float(hdr0["EXPSTART"]))
+    orbit = planet.orbit_params()
+    ld = jnp.asarray(planet.ld_on_grid(
+        np.asarray(grism.tables.wl_centers)), jnp.float32)
+    if ld.ndim == 2:          # per-channel tables: use the band mean
+        ld = jnp.mean(ld, axis=0)
+
+    # Light curves: white + n_chan channels over the detected columns.
+    from wayne_tpu.ops.kepler import projected_separation
+
+    t = jnp.asarray(mids, jnp.float32)
+    z, in_front = projected_separation(t, orbit)
+    oot = np.asarray((z > 1.25) | (in_front < 0.5))
+    if oot.sum() < 2:
+        raise SystemExit("not enough out-of-transit exposures to normalise")
+
+    def normalise(flux):
+        return flux / flux[oot].mean(axis=0)
+
+    white = normalise(spectra[:, xw[0]: xw[1]].sum(axis=1))
+    edges = np.linspace(xw[0], xw[1], args.n_chan + 1).astype(int)
+    chan = np.stack([
+        normalise(spectra[:, lo:hi].sum(axis=1))
+        for lo, hi in zip(edges[:-1], edges[1:])], axis=1)
+
+    rp0 = jnp.float32(cfg.planet.rp_over_rs or 0.1)
+    chan_j = jnp.asarray(chan, jnp.float32)
+    if not args.no_divide_white:
+        chan_j = common_mode_correct(jnp.asarray(white, jnp.float32),
+                                     chan_j, t, orbit, ld, rp0)
+    rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld, rp0)
+
+    # Channel wavelengths from the configured dispersion solution.
+    tp = grism.get_trace(cfg.x_ref, cfg.y_ref)
+    from wayne_tpu.ops.dispersion import x_to_wl
+
+    wl_edges = np.asarray(x_to_wl(jnp.asarray(edges, jnp.float32), tp))
+
+    report = {
+        "n_exposures": len(paths),
+        "grism": cfg.grism,
+        "windows": {"rows": list(yw), "cols": list(xw),
+                    "background_rows": list(bg)},
+        "divide_white": not args.no_divide_white,
+        "channels": [
+            {"wl_lo_um": round(float(wl_edges[i]), 4),
+             "wl_hi_um": round(float(wl_edges[i + 1]), 4),
+             "rp_over_rs": round(float(rp_hat[i]), 6),
+             "rp_sigma": round(float(rp_sig[i]), 6)}
+            for i in range(args.n_chan)],
+        "white_lc": [round(float(v), 6) for v in white],
+        "mid_times_s": [round(float(v), 2) for v in mids],
+    }
+    out = args.output or os.path.join(args.visit_dir, "reduced.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=2)
+    rp = [c["rp_over_rs"] for c in report["channels"]]
+    print(f"channel Rp/Rs: {min(rp):.4f}..{max(rp):.4f} -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
