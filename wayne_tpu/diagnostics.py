@@ -65,6 +65,30 @@ def quicklook_visit(spectra_e: np.ndarray, white_lc: np.ndarray,
     return path
 
 
+def quicklook_reduction(report: dict, path: str) -> str:
+    """One PNG from a run_reduce JSON report: white light curve +
+    recovered transmission spectrum with error bars."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    t = np.asarray(report["mid_times_s"]) / 3600.0
+    axes[0].plot(t, np.asarray(report["white_lc"]), ".", ms=4)
+    axes[0].set_xlabel("time (h)")
+    axes[0].set_ylabel("relative flux")
+    axes[0].set_title("white light curve")
+    chans = report["channels"]
+    wl = [(c["wl_lo_um"] + c["wl_hi_um"]) / 2 for c in chans]
+    rp = [c["rp_over_rs"] for c in chans]
+    sig = [c["rp_sigma"] for c in chans]
+    axes[1].errorbar(wl, rp, yerr=sig, fmt="o", ms=4, capsize=3)
+    axes[1].set_xlabel("wavelength (um)")
+    axes[1].set_ylabel("Rp / Rs")
+    axes[1].set_title("recovered transmission spectrum")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
 def visit_quicklooks(obs, result, outdir: str) -> list[str]:
     """Write quicklook PNGs for an Observation + simulate() result."""
     from wayne_tpu.reduction import reduce_visit

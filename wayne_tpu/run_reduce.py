@@ -102,6 +102,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--n-chan", type=int, default=8)
     parser.add_argument("--no-divide-white", action="store_true",
                         help="skip the white common-mode correction")
+    parser.add_argument("--plot", action="store_true",
+                        help="also write a quicklook PNG (needs matplotlib)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -190,6 +192,11 @@ def main(argv: list[str] | None = None) -> int:
         json.dump(report, fh, indent=2)
     rp = [c["rp_over_rs"] for c in report["channels"]]
     print(f"channel Rp/Rs: {min(rp):.4f}..{max(rp):.4f} -> {out}")
+    if args.plot:
+        from wayne_tpu.diagnostics import quicklook_reduction
+
+        png = quicklook_reduction(report, out.rsplit(".", 1)[0] + ".png")
+        print(f"quicklook -> {png}")
     return 0
 
 
