@@ -246,10 +246,37 @@ class TestSecondaryEclipse:
             np.testing.assert_allclose(lc[i], 1.0 + 2e-3 * mod[i], atol=1e-5)
         # ordering: dayside > quadrature > nightside
         assert lc[1, 0] > lc[2, 0] > lc[0, 0]
-        # hot-spot offset moves the peak off mid-eclipse
+        # Positive (eastward) offset: the dayside maximum arrives BEFORE
+        # mid-eclipse, so pre-eclipse flux exceeds post-eclipse flux at
+        # symmetric phases (tiny rp keeps the planet visible throughout).
         off = np.deg2rad(30.0)
-        lc_off = np.asarray(transit_light_curve(
-            jnp.array([0.5 * period + 1.0]), orbit,
-            jnp.full((nl,), 1e-6), LD, fp_over_fs=fp, phase_amp=amp,
-            phase_offset_rad=off))
-        assert lc_off[0, 0] < 1.0 + 2e-3 - 1e-5
+        tiny = jnp.full((nl,), 1e-6)
+        pre, post = 0.40 * period, 0.60 * period
+        lc_pair = np.asarray(transit_light_curve(
+            jnp.array([pre, post]), orbit, tiny, LD,
+            fp_over_fs=fp, phase_amp=amp, phase_offset_rad=off))
+        assert lc_pair[0, 0] > lc_pair[1, 0] + 1e-5
+        # and the modulation value matches the closed form at phi+offset
+        phi_pre = 2 * np.pi * pre / period - np.pi
+        want = 1 + 2e-3 * (1 - amp * 0.5 * (1 - np.cos(phi_pre + off)))
+        np.testing.assert_allclose(lc_pair[0], want, atol=1e-5)
+
+    def test_eccentric_phase_tracks_true_eclipse(self):
+        """With e > 0 the eclipse shifts off phase 0.5; the thermal
+        maximum (phase_amp on, no offset) must shift with it."""
+        from wayne_tpu.ops.kepler import orbital_phase_angle, \
+            projected_separation
+        from wayne_tpu.ops.transit import transit_light_curve
+        period = 2.0 * 86400.0
+        orbit = OrbitParams.create(period, 0.0, 8.0, np.deg2rad(90.0),
+                                   ecc=0.3, omega_rad=0.0)
+        t = jnp.linspace(0.05 * period, 0.95 * period, 1001)
+        z, infr = projected_separation(t, orbit)
+        # mid-eclipse: minimum separation on the far side
+        zm = np.where(np.asarray(infr) < 0.5, np.asarray(z), np.inf)
+        t_ecl = float(t[int(np.argmin(zm))])
+        assert abs(t_ecl / period - 0.5) > 0.02   # genuinely shifted
+        phi = np.asarray(orbital_phase_angle(t, orbit))
+        t_phi0 = float(t[int(np.argmin(np.abs(phi)))])
+        # the phase-angle zero sits at the true eclipse, not at P/2
+        assert abs(t_phi0 - t_ecl) / period < 0.01

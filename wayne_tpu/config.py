@@ -250,6 +250,17 @@ class ObservationConfig:
             import jax
 
             use_pallas = jax.default_backend() == "tpu"
+        has_eclipse = bool(self.planet.eclipse_depth
+                           or self.planet.eclipse_file)
+        if not 0.0 <= self.planet.phase_amplitude <= 1.0:
+            raise ValueError(
+                f"phase_amplitude must be in [0, 1], got "
+                f"{self.planet.phase_amplitude}")
+        if self.planet.phase_amplitude and not has_eclipse:
+            raise ValueError(
+                "phase_amplitude modulates the planet's light — set "
+                "eclipse_depth or eclipse_file as well, or the phase "
+                "curve would be silently absent")
         return ExposureStatic(
             subarray=self.subarray,
             n_lambda=self.n_lambda,
@@ -264,8 +275,7 @@ class ObservationConfig:
             use_pallas=bool(use_pallas),
             x_psf=self.x_psf,
             extra_beams=self.extra_beams,
-            eclipse=bool(self.planet.eclipse_depth
-                         or self.planet.eclipse_file),
+            eclipse=has_eclipse,
             compute_ideal=self.compute_ideal,
         )
 

@@ -67,6 +67,25 @@ def true_anomaly(mean_anomaly: jnp.ndarray, ecc: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * jnp.arctan(beta * jnp.tan(0.5 * E))
 
 
+def orbital_phase_angle(t: jnp.ndarray, orbit: OrbitParams) -> jnp.ndarray:
+    """True-anomaly-based phase angle: 0 at mid-secondary-eclipse,
+    +-pi at mid-transit, increasing with time.
+
+    For circular orbits this equals 2 pi (t - t0)/P - pi; for eccentric
+    orbits it tracks the actual orbital position, so thermal phase-curve
+    modulation stays aligned with the (eccentricity-shifted) eclipse.
+    """
+    e = orbit.ecc
+    nu_tr = jnp.pi / 2.0 - orbit.omega_rad
+    E_tr = 2.0 * jnp.arctan(jnp.sqrt((1.0 - e) / (1.0 + e)) * jnp.tan(0.5 * nu_tr))
+    M_tr = E_tr - e * jnp.sin(E_tr)
+    M = M_tr + 2.0 * jnp.pi * (t - orbit.t0_s) / orbit.period_s
+    nu = true_anomaly(M, e)
+    raw = nu - nu_tr - jnp.pi
+    # wrap to (-pi, pi]: true_anomaly's arctan form is branch-cut at +-pi
+    return jnp.arctan2(jnp.sin(raw), jnp.cos(raw))
+
+
 def projected_separation(t: jnp.ndarray, orbit: OrbitParams) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sky-projected star-planet separation z(t) in stellar radii.
 

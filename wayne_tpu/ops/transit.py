@@ -214,12 +214,17 @@ def transit_light_curve(times: jnp.ndarray, orbit: OrbitParams,
             jnp.broadcast_to(rp_over_rs[None, :], shape), ld, n_quad)
     flux = 1.0 - (1.0 - flux) * in_front[:, None]
     if fp_over_fs is not None:
+        from wayne_tpu.ops.kepler import orbital_phase_angle
+
         # Planet light: hidden only on the far side of the orbit.
         hid = uniform_disk_hidden_frac(z[:, None], rp_over_rs[None, :])
         vis = 1.0 - hid * (1.0 - in_front[:, None])
         # Thermal phase modulation: phi = 0 at mid-secondary (dayside
-        # facing the observer). Orbital phase from the transit epoch.
-        phi = 2.0 * jnp.pi * (times - orbit.t0_s) / orbit.period_s - jnp.pi
-        mod = 1.0 - phase_amp * 0.5 * (1.0 - jnp.cos(phi - phase_offset_rad))
+        # facing the observer), from the TRUE anomaly so eccentric
+        # orbits keep the dayside maximum aligned with the actual
+        # (shifted) eclipse. An eastward hot spot peaks BEFORE eclipse,
+        # i.e. at phi = -phase_offset_rad.
+        phi = orbital_phase_angle(times, orbit)
+        mod = 1.0 - phase_amp * 0.5 * (1.0 - jnp.cos(phi + phase_offset_rad))
         flux = flux + fp_over_fs[None, :] * mod[:, None] * vis
     return flux

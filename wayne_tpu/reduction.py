@@ -57,6 +57,19 @@ def extract_exposure(reads_dn: jnp.ndarray, gain: jnp.ndarray,
     return net[y_window[0]: y_window[1], :].sum(axis=0)      # (S,)
 
 
+# Projected separation beyond which an epoch counts as out-of-transit
+# baseline (planet radii are <= 0.2 R_star for every supported system).
+OOT_Z = 1.25
+
+
+def out_of_transit_mask(exp_mid_s: jnp.ndarray,
+                        orbit: OrbitParams) -> jnp.ndarray:
+    """Boolean out-of-transit mask shared by reduce_visit and the
+    file-level run_reduce CLI (one definition of 'baseline')."""
+    z, in_front = projected_separation(exp_mid_s, orbit)
+    return (z > OOT_Z) | (in_front < 0.5)
+
+
 @partial(jax.jit, static_argnames=("y_window", "bg_rows", "n_chan",
                                    "x_window"))
 def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
@@ -75,9 +88,7 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
     spectra = jax.vmap(lambda r: extract_exposure(r, gain, y_window, bg_rows)
                        )(reads_dn)                           # (n_exp, S)
 
-    _, in_front = projected_separation(exp_mid_s, orbit)
-    z, _ = projected_separation(exp_mid_s, orbit)
-    oot = (z > 1.25) | (in_front < 0.5)                      # out-of-transit
+    oot = out_of_transit_mask(exp_mid_s, orbit)
 
     def normalise(flux):
         base = jnp.sum(flux * oot) / jnp.maximum(jnp.sum(oot), 1.0)

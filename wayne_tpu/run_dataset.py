@@ -80,12 +80,17 @@ def main(argv: list[str] | None = None) -> int:
             parser.error("--fp-sigma requires planet eclipse_depth or "
                          "eclipse_file in the parameter file")
         rng = np.random.RandomState(args.seed + 1)
-        fp = np.clip(cfg.planet.eclipse_depth
-                     + args.fp_sigma * rng.standard_normal(args.n_mc),
-                     0.0, None).astype(np.float32)
-        overrides["fp_over_fs"] = np.broadcast_to(
-            fp[:, None], (args.n_mc, cfg.n_lambda)).copy()
-        labels["fp"] = fp
+        # Additive Gaussian shift of the CONFIGURED contrast spectrum
+        # (preserves an eclipse_file's wavelength structure); clipped so
+        # every channel's Fp/Fs stays physical.
+        fp_grid = obs.planet.fp_on_grid(
+            np.asarray(obs.tables.wl_centers))          # (NL,)
+        delta = (args.fp_sigma
+                 * rng.standard_normal(args.n_mc)).astype(np.float32)
+        fp_mc = np.clip(fp_grid[None, :] + delta[:, None], 0.0, None
+                        ).astype(np.float32)            # (n_mc, NL)
+        overrides["fp_over_fs"] = fp_mc
+        labels["fp"] = fp_mc.mean(axis=1)               # band-mean contrast
 
     manifest = generate_dataset(
         obs.scenes, obs.tables, obs.static, args.outdir,

@@ -49,8 +49,13 @@ def extract_from_files(paths: list[str], gain: float):
     for p in paths:
         hdr, reads, times = read_ima(p)
         if str(hdr.get("BUNIT", "COUNTS")).upper().startswith("ELECTRONS"):
-            # count-rate product: convert back to accumulated electrons
-            net = reads[-1] * times[-1] - reads[0] * times[0]
+            # Count-rate product: convert back to accumulated electrons.
+            # The zeroth read's rate plane is zero (t = 0), so it cannot
+            # CDS-subtract the bias pedestal — difference against the
+            # FIRST SAMPLED read instead. The lost 0..t1 signal interval
+            # is a per-exposure-constant fraction, so depths (flux
+            # ratios) are unaffected.
+            net = reads[-1] * times[-1] - reads[1] * times[1]
         else:
             net = (reads[-1] - reads[0]) * gain
         nets.append(net)
@@ -142,11 +147,10 @@ def main(argv: list[str] | None = None) -> int:
         ld = jnp.mean(ld, axis=0)
 
     # Light curves: white + n_chan channels over the detected columns.
-    from wayne_tpu.ops.kepler import projected_separation
+    from wayne_tpu.reduction import out_of_transit_mask
 
     t = jnp.asarray(mids, jnp.float32)
-    z, in_front = projected_separation(t, orbit)
-    oot = np.asarray((z > 1.25) | (in_front < 0.5))
+    oot = np.asarray(out_of_transit_mask(t, orbit))
     if oot.sum() < 2:
         raise SystemExit("not enough out-of-transit exposures to normalise")
 
@@ -154,6 +158,11 @@ def main(argv: list[str] | None = None) -> int:
         return flux / flux[oot].mean(axis=0)
 
     white = normalise(spectra[:, xw[0]: xw[1]].sum(axis=1))
+    n_cols = xw[1] - xw[0]
+    if args.n_chan > n_cols:
+        print(f"only {n_cols} illuminated columns: clamping --n-chan "
+              f"{args.n_chan} -> {n_cols}")
+        args.n_chan = n_cols
     edges = np.linspace(xw[0], xw[1], args.n_chan + 1).astype(int)
     chan = np.stack([
         normalise(spectra[:, lo:hi].sum(axis=1))
