@@ -140,3 +140,62 @@ def test_run_reduce_cli_recovers_depth(tmp_path):
     for c in rep["channels"]:
         assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c
     assert rep["channels"][0]["wl_lo_um"] < rep["channels"][-1]["wl_hi_um"]
+
+
+def test_fit_eclipse_depths_unit():
+    """Linear eclipse fit recovers fp exactly on a noise-free synthetic
+    curve with an arbitrary baseline scale."""
+    import jax.numpy as jnp
+
+    from wayne_tpu.ops.kepler import OrbitParams, projected_separation
+    from wayne_tpu.ops.transit import uniform_disk_hidden_frac
+    from wayne_tpu.reduction import fit_eclipse_depths
+
+    period = 2.0 * 86400.0
+    orbit = OrbitParams.create(period, 0.0, 8.0, np.deg2rad(90.0))
+    t = jnp.linspace(0.40 * period, 0.60 * period, 41)
+    rp = jnp.float32(0.12)
+    z, infr = projected_separation(t, orbit)
+    vis = 1.0 - uniform_disk_hidden_frac(z, rp) * (1.0 - infr)
+    assert float(vis.min()) == 0.0 and float(vis.max()) == 1.0
+    fp_true = jnp.array([1e-3, 5e-4, 0.0])
+    lc = 0.97 * (1.0 + fp_true[None, :] * vis[:, None])   # scaled baseline
+    fp_hat, fp_sig = fit_eclipse_depths(lc, t, orbit, rp)
+    # f32 normal equations: ~1e-6 absolute — far below any real noise
+    np.testing.assert_allclose(np.asarray(fp_hat), np.asarray(fp_true),
+                               atol=5e-6)
+    assert np.all(np.asarray(fp_sig) < 1e-5)              # noise-free
+
+
+def test_run_reduce_eclipse_mode(tmp_path):
+    """Eclipse visits round-trip: simulate with eclipse_depth, reduce
+    with --mode eclipse, recover the injected Fp/Fs per channel."""
+    import json
+
+    import yaml
+
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.run_reduce import main as reduce_main
+
+    fp = 2e-3
+    pars = {"grism": "G141", "subarray": 128, "NSAMP": 4,
+            "SAMPSEQ": "SPARS10", "scan": True, "x_ref": 30.0,
+            "y_ref": 40.0, "num_orbits": 3, "exposures_per_orbit": 6,
+            "n_lambda": 64, "n_sub": 4, "eclipse_depth": fp,
+            # visit spans the secondary eclipse at t0 + P/2 = 56000.4067
+            "start_mjd": 56000.34, "t0": 56000.0, "period": 0.813475,
+            "sma_over_rs": 4.855, "inclination": 82.1, "seed": 5}
+    ppath = tmp_path / "pars.yml"
+    ppath.write_text(yaml.safe_dump(pars))
+    outdir = tmp_path / "visit"
+    obs = Observation(load_yaml(str(ppath)))
+    obs.generate(str(outdir), chunk=6, progress=lambda s: None)
+
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                      "--n-chan", "4", "--mode", "eclipse", "--cpu"])
+    assert rc == 0
+    rep = json.loads((outdir / "reduced.json").read_text())
+    assert rep["mode"] == "eclipse"
+    for c in rep["channels"]:
+        assert abs(c["fp_over_fs"] - fp) < max(5 * c["fp_sigma"], 5e-4), c

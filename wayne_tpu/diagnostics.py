@@ -77,12 +77,16 @@ def quicklook_reduction(report: dict, path: str) -> str:
     axes[0].set_title("white light curve")
     chans = report["channels"]
     wl = [(c["wl_lo_um"] + c["wl_hi_um"]) / 2 for c in chans]
-    rp = [c["rp_over_rs"] for c in chans]
-    sig = [c["rp_sigma"] for c in chans]
+    eclipse = report.get("mode") == "eclipse"
+    key, skey = (("fp_over_fs", "fp_sigma") if eclipse
+                 else ("rp_over_rs", "rp_sigma"))
+    rp = [c[key] for c in chans]
+    sig = [c[skey] for c in chans]
     axes[1].errorbar(wl, rp, yerr=sig, fmt="o", ms=4, capsize=3)
     axes[1].set_xlabel("wavelength (um)")
-    axes[1].set_ylabel("Rp / Rs")
-    axes[1].set_title("recovered transmission spectrum")
+    axes[1].set_ylabel("Fp / Fs" if eclipse else "Rp / Rs")
+    axes[1].set_title("recovered " + ("emission" if eclipse
+                                      else "transmission") + " spectrum")
     fig.tight_layout()
     fig.savefig(path, dpi=110)
     plt.close(fig)

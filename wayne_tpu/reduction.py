@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from wayne_tpu.ops.kepler import OrbitParams, projected_separation
-from wayne_tpu.ops.transit import transit_depth_curve
+from wayne_tpu.ops.transit import transit_depth_curve, uniform_disk_hidden_frac
 
 
 def _register(cls):
@@ -105,6 +105,41 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
 
     return ReducedVisit(spectra_e=spectra, white_lc=white, channel_lc=chan,
                         channel_cols=cols)
+
+
+@jax.jit
+def fit_eclipse_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
+                       orbit: OrbitParams, rp_over_rs: jnp.ndarray
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel eclipse depth Fp/Fs from secondary-eclipse visits.
+
+    The eclipse model is linear in its parameters: F(t) = c (1 + fp v(t))
+    with v(t) the planet's visible fraction (closed-form uniform-disk
+    occultation) — so each channel is a 2x2 weighted least squares in
+    (a0, a1) = (c, c fp), no iteration needed. ``channel_lc`` may be
+    normalised by ANY baseline (c absorbs it).
+
+    Returns (fp_hat (n_chan,), fp_sigma (n_chan,)) with sigma from the
+    residual scatter and the normal-equation covariance.
+    """
+    z, in_front = projected_separation(exp_mid_s, orbit)
+    vis = 1.0 - uniform_disk_hidden_frac(z, rp_over_rs) * (1.0 - in_front)
+
+    n = channel_lc.shape[0]
+    A = jnp.stack([jnp.ones_like(vis), vis], axis=1)          # (n, 2)
+    AtA = A.T @ A
+    Aty = A.T @ channel_lc                                     # (2, n_chan)
+    coef = jnp.linalg.solve(AtA, Aty)                          # (2, n_chan)
+    a0, a1 = coef[0], coef[1]
+    fp = a1 / a0
+    resid = channel_lc - A @ coef
+    noise_var = jnp.sum(resid ** 2, axis=0) / jnp.maximum(n - 2, 1)
+    cov = jnp.linalg.inv(AtA)
+    # var(fp) via first-order propagation of (a0, a1)
+    var_fp = noise_var * (cov[1, 1] / a0 ** 2
+                          + cov[0, 0] * (a1 / a0 ** 2) ** 2
+                          - 2.0 * cov[0, 1] * a1 / a0 ** 3)
+    return fp, jnp.sqrt(jnp.maximum(var_fp, 0.0))
 
 
 @partial(jax.jit, static_argnames=("n_quad", "n_newton"))

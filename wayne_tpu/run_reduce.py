@@ -105,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("-o", "--output", default=None,
                         help="JSON report path (default <dir>/reduced.json)")
     parser.add_argument("--n-chan", type=int, default=8)
+    parser.add_argument("--mode", choices=("transit", "eclipse"),
+                        default="transit",
+                        help="transit: fit per-channel Rp/Rs; eclipse: fit "
+                             "per-channel Fp/Fs (secondary-eclipse visits)")
     parser.add_argument("--no-divide-white", action="store_true",
                         help="skip the white common-mode correction")
     parser.add_argument("--plot", action="store_true",
@@ -170,10 +174,28 @@ def main(argv: list[str] | None = None) -> int:
 
     rp0 = jnp.float32(cfg.planet.rp_over_rs or 0.1)
     chan_j = jnp.asarray(chan, jnp.float32)
-    if not args.no_divide_white:
-        chan_j = common_mode_correct(jnp.asarray(white, jnp.float32),
-                                     chan_j, t, orbit, ld, rp0)
-    rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld, rp0)
+    if args.mode == "eclipse":
+        from wayne_tpu.ops.kepler import projected_separation
+        from wayne_tpu.ops.transit import uniform_disk_hidden_frac
+        from wayne_tpu.reduction import fit_eclipse_depths
+
+        white_j = jnp.asarray(white, jnp.float32)
+        fp_w, _ = fit_eclipse_depths(white_j[:, None], t, orbit, rp0)
+        if not args.no_divide_white:
+            # Eclipse-aware common mode: the transit-model template would
+            # divide the eclipse signal itself out of the channels, so
+            # build the template against the fitted white ECLIPSE model.
+            z_t, infr_t = projected_separation(t, orbit)
+            vis = 1.0 - uniform_disk_hidden_frac(z_t, rp0) * (1.0 - infr_t)
+            chan_j = chan_j / (white_j / (1.0 + fp_w[0] * vis))[:, None]
+        rp_hat, rp_sig = fit_eclipse_depths(chan_j, t, orbit, rp0)
+        value_key, sigma_key = "fp_over_fs", "fp_sigma"
+    else:
+        if not args.no_divide_white:
+            chan_j = common_mode_correct(jnp.asarray(white, jnp.float32),
+                                         chan_j, t, orbit, ld, rp0)
+        rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld, rp0)
+        value_key, sigma_key = "rp_over_rs", "rp_sigma"
 
     # Channel wavelengths from the configured dispersion solution.
     tp = grism.get_trace(cfg.x_ref, cfg.y_ref)
@@ -184,14 +206,15 @@ def main(argv: list[str] | None = None) -> int:
     report = {
         "n_exposures": len(paths),
         "grism": cfg.grism,
+        "mode": args.mode,
         "windows": {"rows": list(yw), "cols": list(xw),
                     "background_rows": list(bg)},
         "divide_white": not args.no_divide_white,
         "channels": [
             {"wl_lo_um": round(float(wl_edges[i]), 4),
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
-             "rp_over_rs": round(float(rp_hat[i]), 6),
-             "rp_sigma": round(float(rp_sig[i]), 6)}
+             value_key: round(float(rp_hat[i]), 6),
+             sigma_key: round(float(rp_sig[i]), 6)}
             for i in range(args.n_chan)],
         "white_lc": [round(float(v), 6) for v in white],
         "mid_times_s": [round(float(v), 2) for v in mids],
@@ -199,8 +222,9 @@ def main(argv: list[str] | None = None) -> int:
     out = args.output or os.path.join(args.visit_dir, "reduced.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
-    rp = [c["rp_over_rs"] for c in report["channels"]]
-    print(f"channel Rp/Rs: {min(rp):.4f}..{max(rp):.4f} -> {out}")
+    rp = [c[value_key] for c in report["channels"]]
+    label = "Rp/Rs" if args.mode == "transit" else "Fp/Fs"
+    print(f"channel {label}: {min(rp):.6g}..{max(rp):.6g} -> {out}")
     if args.plot:
         from wayne_tpu.diagnostics import quicklook_reduction
 
