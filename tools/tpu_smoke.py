@@ -99,6 +99,37 @@ def main() -> None:
     ok["fused_cr_counts"] = bool(
         (np.asarray(rf.cr_count) <= cfgf.max_cr_per_read).all())
 
+    # -- 2c. in-kernel IPC on hardware (fused whole-exposure kernel) ------
+    # With everything stochastic off the chain is linear, so ipc-on must
+    # equal the 3x3 cross-kernel convolution of ipc-off exactly — this
+    # exercises the Mosaic lowering of the shifted-add coupling, which
+    # interpret mode cannot prove.
+    from wayne_tpu.config import NoiseFlags
+    # NoiseFlags.all() includes ipc — switch it OFF for the reference run
+    det_flags = dataclasses.replace(
+        NoiseFlags.all(), poisson=False, read_noise=False, cosmic_rays=False,
+        ipc=False)
+    cfg_off = dataclasses.replace(base_cfg, use_pallas=True, noise=det_flags)
+    cfg_on = dataclasses.replace(cfg_off, noise=dataclasses.replace(
+        det_flags, ipc=True))
+    r_off = np.asarray(simulate_exposure(scene, tables, cfg_off).reads_dn,
+                       np.float64)
+    r_on = np.asarray(simulate_exposure(scene, tables, cfg_on).reads_dn,
+                      np.float64)
+    a = float(tables.ipc_alpha)
+    g = np.asarray(tables.gain_map, np.float64)[None]
+    bias = np.asarray(tables.bias_map, np.float64)[None]
+    # ipc couples the SENSED charge before the bias add: undo gain and
+    # bias to recover it on both sides
+    sig_off = r_off * g - bias
+    want = sig_off * (1.0 - 4.0 * a)
+    want[:, 1:, :] += a * sig_off[:, :-1, :]
+    want[:, :-1, :] += a * sig_off[:, 1:, :]
+    want[:, :, 1:] += a * sig_off[:, :, :-1]
+    want[:, :, :-1] += a * sig_off[:, :, 1:]
+    err = np.abs((r_on * g - bias) - want) / max(sig_off.max(), 1.0)
+    ok["fused_ipc_matches_conv"] = bool(err.max() < 1e-5)
+
     # -- 3. throughput sanity --------------------------------------------
     from wayne_tpu.ops.visit import simulate_visit
     obs512 = ObservationConfig(subarray=512, nsamp=15, samp_seq="SPARS10",
