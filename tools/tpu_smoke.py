@@ -100,10 +100,13 @@ def main() -> None:
         (np.asarray(rf.cr_count) <= cfgf.max_cr_per_read).all())
 
     # -- 2c. in-kernel IPC on hardware (fused whole-exposure kernel) ------
-    # With everything stochastic off the chain is linear, so ipc-on must
-    # equal the 3x3 cross-kernel convolution of ipc-off exactly — this
-    # exercises the Mosaic lowering of the shifted-add coupling, which
-    # interpret mode cannot prove.
+    # With the stochastic effects off, both runs share the identical
+    # deterministic post-non-linearity frame, and IPC is the LAST op
+    # before bias — so ipc-on must equal the 3x3 cross-kernel convolution
+    # of ipc-off exactly. This exercises the Mosaic lowering of the
+    # shifted-add coupling, which interpret mode cannot prove. (If IPC
+    # ever moves before the non-linearity, this check must reconstruct
+    # the pre-NL frame instead.)
     from wayne_tpu.config import NoiseFlags
     # NoiseFlags.all() includes ipc — switch it OFF for the reference run
     det_flags = dataclasses.replace(

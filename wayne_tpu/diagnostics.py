@@ -66,8 +66,9 @@ def quicklook_visit(spectra_e: np.ndarray, white_lc: np.ndarray,
 
 
 def quicklook_reduction(report: dict, path: str) -> str:
-    """One PNG from a run_reduce JSON report: white light curve +
-    recovered transmission spectrum with error bars."""
+    """One PNG from a run_reduce JSON report: white light curve + the
+    recovered spectrum with error bars (transmission Rp/Rs in transit
+    mode, emission Fp/Fs in eclipse mode)."""
     plt = _plt()
     fig, axes = plt.subplots(1, 2, figsize=(11, 4))
     t = np.asarray(report["mid_times_s"]) / 3600.0

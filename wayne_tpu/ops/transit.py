@@ -137,6 +137,15 @@ def uniform_disk_hidden_frac(z: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(frac, 0.0, 1.0)
 
 
+def eclipse_visibility(z: jnp.ndarray, in_front: jnp.ndarray,
+                       rp_over_rs: jnp.ndarray) -> jnp.ndarray:
+    """Visible fraction of the planet's disk: 1 everywhere except behind
+    the star (secondary eclipse). THE definition shared by the simulator
+    (transit_light_curve) and the reducer (fit_eclipse_depths) — change
+    it here and both sides stay consistent."""
+    return 1.0 - uniform_disk_hidden_frac(z, rp_over_rs) * (1.0 - in_front)
+
+
 _N_RP_CTRL = 16
 
 
@@ -217,8 +226,8 @@ def transit_light_curve(times: jnp.ndarray, orbit: OrbitParams,
         from wayne_tpu.ops.kepler import orbital_phase_angle
 
         # Planet light: hidden only on the far side of the orbit.
-        hid = uniform_disk_hidden_frac(z[:, None], rp_over_rs[None, :])
-        vis = 1.0 - hid * (1.0 - in_front[:, None])
+        vis = eclipse_visibility(z[:, None], in_front[:, None],
+                                 rp_over_rs[None, :])
         # Thermal phase modulation: phi = 0 at mid-secondary (dayside
         # facing the observer), from the TRUE anomaly so eccentric
         # orbits keep the dayside maximum aligned with the actual

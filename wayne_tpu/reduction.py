@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from wayne_tpu.ops.kepler import OrbitParams, projected_separation
-from wayne_tpu.ops.transit import transit_depth_curve, uniform_disk_hidden_frac
+from wayne_tpu.ops.transit import eclipse_visibility, transit_depth_curve
 
 
 def _register(cls):
@@ -123,18 +123,18 @@ def fit_eclipse_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     residual scatter and the normal-equation covariance.
     """
     z, in_front = projected_separation(exp_mid_s, orbit)
-    vis = 1.0 - uniform_disk_hidden_frac(z, rp_over_rs) * (1.0 - in_front)
+    vis = eclipse_visibility(z, in_front, rp_over_rs)
 
     n = channel_lc.shape[0]
     A = jnp.stack([jnp.ones_like(vis), vis], axis=1)          # (n, 2)
     AtA = A.T @ A
     Aty = A.T @ channel_lc                                     # (2, n_chan)
-    coef = jnp.linalg.solve(AtA, Aty)                          # (2, n_chan)
+    cov = jnp.linalg.inv(AtA)       # one factorization serves fit + sigma
+    coef = cov @ Aty                                           # (2, n_chan)
     a0, a1 = coef[0], coef[1]
     fp = a1 / a0
     resid = channel_lc - A @ coef
     noise_var = jnp.sum(resid ** 2, axis=0) / jnp.maximum(n - 2, 1)
-    cov = jnp.linalg.inv(AtA)
     # var(fp) via first-order propagation of (a0, a1)
     var_fp = noise_var * (cov[1, 1] / a0 ** 2
                           + cov[0, 0] * (a1 / a0 ** 2) ** 2

@@ -6,14 +6,18 @@ consumer: it reads the ima files a visit wrote to disk (proving the
 products are consumable from the file level up), extracts background-
 subtracted spectra, builds white + channel light curves, optionally
 divides out the white common-mode systematics, and fits per-channel
-transit depths with the autodiff Newton fitter.
+depths: transit mode fits Rp/Rs with the autodiff Newton fitter;
+eclipse mode fits the emission contrast Fp/Fs with a closed-form
+linear eclipse model (secondary-eclipse visits).
 
 Usage:
     python -m wayne_tpu.run_reduce -d out_visit/ -p pars.yml \
-        [--n-chan 8] [--no-divide-white] [-o reduced.json]
+        [--n-chan 8] [--mode transit|eclipse] [--no-divide-white] \
+        [--plot] [-o reduced.json]
 
-Outputs a JSON report: per-channel wavelength ranges, fitted Rp/Rs and
-uncertainties, the white light curve and exposure mid-times.
+Outputs a JSON report: per-channel wavelength ranges, fitted Rp/Rs
+(transit) or Fp/Fs (eclipse) and uncertainties, the white light curve
+and exposure mid-times.
 """
 
 from __future__ import annotations
@@ -176,17 +180,24 @@ def main(argv: list[str] | None = None) -> int:
     chan_j = jnp.asarray(chan, jnp.float32)
     if args.mode == "eclipse":
         from wayne_tpu.ops.kepler import projected_separation
-        from wayne_tpu.ops.transit import uniform_disk_hidden_frac
+        from wayne_tpu.ops.transit import eclipse_visibility
         from wayne_tpu.reduction import fit_eclipse_depths
 
+        z_t, infr_t = projected_separation(t, orbit)
+        vis = eclipse_visibility(z_t, infr_t, rp0)
+        # Without occultation coverage the eclipse fit's design matrix is
+        # singular (vis constant) — fail loudly instead of writing NaNs.
+        if float(jnp.max(vis) - jnp.min(vis)) < 0.1:
+            raise SystemExit(
+                "no secondary-eclipse coverage in this visit (planet "
+                "visibility barely changes) — check start_mjd/t0/period "
+                "or use --mode transit")
         white_j = jnp.asarray(white, jnp.float32)
-        fp_w, _ = fit_eclipse_depths(white_j[:, None], t, orbit, rp0)
         if not args.no_divide_white:
             # Eclipse-aware common mode: the transit-model template would
             # divide the eclipse signal itself out of the channels, so
             # build the template against the fitted white ECLIPSE model.
-            z_t, infr_t = projected_separation(t, orbit)
-            vis = 1.0 - uniform_disk_hidden_frac(z_t, rp0) * (1.0 - infr_t)
+            fp_w, _ = fit_eclipse_depths(white_j[:, None], t, orbit, rp0)
             chan_j = chan_j / (white_j / (1.0 + fp_w[0] * vis))[:, None]
         rp_hat, rp_sig = fit_eclipse_depths(chan_j, t, orbit, rp0)
         value_key, sigma_key = "fp_over_fs", "fp_sigma"
