@@ -94,3 +94,35 @@ def test_sharding_layout_is_2d():
     sharded = shard_scenes(ens, mesh, n_batch_axes=2)
     sharding = sharded.stellar_flux.sharding
     assert len(sharding.device_set) == 8
+
+
+def test_sharded_eclipse_ensemble_matches_single_device():
+    """The eclipse-gated program (planet light + phase curve) shards
+    identically to single-device truth — pins the new Scene leaves
+    (fp_over_fs, phase_amp, phase_offset) through shard_map."""
+    cfg = dataclasses.replace(CFG, noise=NoiseFlags.none(), eclipse=True)
+    visit = _visit(4)
+    q = 0.25 * float(visit.orbit.period_s[0]) + float(visit.orbit.t0_s[0])
+    visit = dataclasses.replace(
+        visit, exp_start_s=jnp.full((4,), q, jnp.float32),
+        x_ref=jnp.full((4,), 20.0, jnp.float32),
+        y_ref=jnp.full((4,), 30.0, jnp.float32),
+        fp_over_fs=jnp.full((4, NL), 3e-3, jnp.float32),
+        phase_amp=jnp.full((4,), 0.5, jnp.float32))
+    ens = mc_scenes(visit, 4)
+    mesh = make_mesh(jax.devices())
+    sharded = simulate_ensemble_spectra(
+        shard_scenes(ens, mesh), TABLES, cfg, mesh)
+    single = jax.vmap(jax.vmap(
+        lambda s: extract_spectra(
+            simulate_exposure(s, TABLES, cfg).reads_dn)))(ens)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=2e-6, atol=1e-3)
+    # and the planet light is actually present (vs the fp=0 ensemble)
+    ens0 = dataclasses.replace(
+        ens, fp_over_fs=jnp.zeros_like(ens.fp_over_fs))
+    base = simulate_ensemble_spectra(
+        shard_scenes(ens0, mesh), TABLES, cfg, mesh)
+    ratio = float(jnp.sum(sharded) / jnp.sum(base))
+    # quadrature, amp 0.5: fp * (1 - 0.25) = 2.25e-3
+    np.testing.assert_allclose(ratio, 1.0 + 3e-3 * 0.75, atol=2e-4)
