@@ -199,3 +199,35 @@ def test_run_reduce_eclipse_mode(tmp_path):
     assert rep["mode"] == "eclipse"
     for c in rep["channels"]:
         assert abs(c["fp_over_fs"] - fp) < max(5 * c["fp_sigma"], 5e-4), c
+
+
+def test_run_reduce_rate_product(tmp_path):
+    """calwf3-style e-/s products reduce correctly: the zeroth rate
+    plane is zero, so CDS must difference against the first sampled
+    read or the bias pedestal dilutes the depths (regression)."""
+    import json
+
+    import yaml
+
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.run_reduce import main as reduce_main
+
+    pars = {"grism": "G141", "subarray": 128, "NSAMP": 4,
+            "SAMPSEQ": "SPARS10", "scan": True, "x_ref": 30.0,
+            "y_ref": 40.0, "num_orbits": 3, "exposures_per_orbit": 6,
+            "n_lambda": 64, "n_sub": 4, "rp_over_rs": 0.14,
+            "start_mjd": 55999.93, "t0": 56000.0, "period": 0.813475,
+            "sma_over_rs": 4.855, "inclination": 82.1, "seed": 3,
+            "output_units": "e_per_s"}
+    ppath = tmp_path / "pars.yml"
+    ppath.write_text(yaml.safe_dump(pars))
+    outdir = tmp_path / "visit"
+    Observation(load_yaml(str(ppath))).generate(
+        str(outdir), chunk=6, progress=lambda s: None)
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                      "--n-chan", "4", "--cpu"])
+    assert rc == 0
+    rep = json.loads((outdir / "reduced.json").read_text())
+    for c in rep["channels"]:
+        assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c
