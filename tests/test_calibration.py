@@ -153,3 +153,82 @@ def test_reference_pixel_border():
     last = np.asarray(res.reads_dn[-1])
     assert abs(last[2, 2]) < 1e-4          # border: nothing accumulated
     assert last[512, 512] > 0.1            # interior: sky+dark present
+
+
+def test_full_real_calibration_visit(tmp_path):
+    """SURVEY §9 rehearsal: a COMPLETE set of STScI-format calibration
+    files (aXe conf, sensitivity ASCII, flat cube, master sky, nonlin
+    cube, exact sequence timing) drives a whole visit through the YAML
+    ``calibration:`` block — the drop-in-real-files path end to end."""
+    import json
+
+    import jax
+    import yaml
+
+    from wayne_tpu.calibration import _SEQUENCE_OVERRIDES
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.io.ima import read_ima
+    from wayne_tpu.observation import Observation
+
+    conf = tmp_path / "g141.conf"
+    conf.write_text(
+        "DYDX_A_0 2.5\nDYDX_A_1 0.012\n"
+        "DLDP_A_0 9000.0\nDLDP_A_1 46.0\n")
+    sens = tmp_path / "sens.txt"
+    wl_a = np.linspace(10750, 17000, 64)
+    np.savetxt(sens, np.stack([wl_a, np.full(64, 1.3e16)], axis=1))
+    flat = tmp_path / "flat.fits"
+    cube = np.ones((4, 128, 128), np.float32) * np.array(
+        [1.02, 0.0, 0.0, 0.0], np.float32)[:, None, None]
+    write_fits(str(flat), [FitsHDU(data=cube)])
+    sky = tmp_path / "sky.fits"
+    write_fits(str(sky), [FitsHDU(data=np.full((128, 128), 2.0, np.float32))])
+    nonlin = tmp_path / "nonlin.fits"
+    write_fits(str(nonlin), [FitsHDU(data=np.stack(
+        [np.full((128, 128), 0.015, np.float32),
+         np.full((128, 128), 0.01, np.float32),
+         np.full((128, 128), 0.005, np.float32)]))])
+    seq = tmp_path / "seq.json"
+    seq.write_text(json.dumps({"SPARS25/64": [0.0, 0.061, 11.75, 23.5]}))
+
+    pars = {"grism": "G141", "subarray": 64, "NSAMP": 3,
+            "SAMPSEQ": "SPARS25", "scan": True, "x_ref": 20.0,
+            "y_ref": 30.0, "num_orbits": 1, "exposures_per_orbit": 2,
+            "n_lambda": 32, "n_sub": 2,
+            "calibration": {
+                "axe_conf": str(conf), "sensitivity_file": str(sens),
+                "flat_file": str(flat), "sky_file": str(sky),
+                "nonlin_file": str(nonlin), "sequence_file": str(seq)}}
+    ppath = tmp_path / "pars.yml"
+    ppath.write_text(yaml.safe_dump(pars))
+    try:
+        cfg = load_yaml(str(ppath))
+        assert cfg.calibration.axe_conf == str(conf)
+        obs = Observation(cfg)
+        # every table came from the files
+        np.testing.assert_allclose(float(obs.tables.dydx0[0]), 2.5)
+        np.testing.assert_allclose(float(obs.tables.dldp1[0]), 4.6e-3)
+        np.testing.assert_allclose(np.asarray(obs.tables.sensitivity),
+                                   1.3e16, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(obs.tables.flat_coeffs[0]),
+                                   1.02, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(obs.tables.sky_frame), 1.0,
+                                   rtol=1e-6)   # normalised to mean 1
+        np.testing.assert_allclose(np.asarray(obs.tables.nonlin_coeffs[0]),
+                                   0.015, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(obs.tables.read_times),
+                                   [0.0, 0.061, 11.75, 23.5])
+        assert obs.detector_exptime == 23.5
+        # and a visit generates real products with the loaded timing
+        paths = obs.generate(str(tmp_path / "out"), chunk=2,
+                             progress=lambda s: None)
+        hdr, reads, times = read_ima(paths[0])
+        assert hdr["EXPTIME"] == 23.5
+        np.testing.assert_allclose(times, [0.0, 0.061, 11.75, 23.5])
+        assert np.isfinite(reads).all() and reads.sum() > 0
+        # the conf's trace feeds the dispersion: spectrum at the conf
+        # wavelength solution, not the synthetic default
+        x = obs.grism.wl_to_x(np.array([1.2]), 20.0, 30.0)
+        np.testing.assert_allclose(x, 20.0 + (1.2 - 0.9) / 4.6e-3 , rtol=5e-3)
+    finally:
+        _SEQUENCE_OVERRIDES.pop(("SPARS25", 64), None)

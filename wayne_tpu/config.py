@@ -192,6 +192,26 @@ class TrendConfig:
 
 
 @dataclass
+class CalibrationConfig:
+    """Optional real STScI calibration products (YAML ``calibration:``
+    block). Empty paths keep the synthetic tables; each given file
+    overrides the corresponding synthetic piece via the loader seams in
+    :mod:`wayne_tpu.calibration` (reference: wayne ships the aXe conf,
+    sensitivity, flat-cube and sky files in its data directory and loads
+    them at Grism/Detector construction)."""
+
+    axe_conf: str = ""          # aXe grism .conf (DYDX/DLDP field polys)
+    sensitivity_file: str = ""  # 2-col ASCII: wavelength, sensitivity
+    flat_file: str = ""         # wavelength-dependent flat cube FITS
+    sky_file: str = ""          # master-sky frame FITS
+    nonlin_file: str = ""       # per-pixel non-linearity cube FITS (c1..c3)
+    sequence_file: str = ""     # exact sample-sequence timing JSON
+
+    def any_set(self) -> bool:
+        return any(getattr(self, f.name) for f in dataclasses.fields(self))
+
+
+@dataclass
 class ObservationConfig:
     """Full visit description — the YAML parameter file maps onto this."""
 
@@ -215,6 +235,8 @@ class ObservationConfig:
     planet: PlanetConfig = field(default_factory=PlanetConfig)
     trends: TrendConfig = field(default_factory=TrendConfig)
     noise: NoiseFlags = field(default_factory=NoiseFlags)
+    calibration: CalibrationConfig = field(
+        default_factory=CalibrationConfig)
     n_lambda: int = 512
     n_sub: int = 0           # 0 -> auto from SSV period (see auto_n_sub)
     sample_rate_s: float = 0.0  # reference 'sample_rate': seconds per
@@ -491,14 +513,22 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
     cfg = ObservationConfig()
     flat: dict[str, Any] = {}
     noise_kv: dict[str, Any] = {}
+    calib_kv: dict[str, Any] = {}
     for key, value in params.items():
         if key in ("observation", "star", "target", "planet", "trends",
                    "systematics") and isinstance(value, Mapping):
             flat.update(value)
         elif key == "noise" and isinstance(value, Mapping):
             noise_kv.update(value)
+        elif key == "calibration" and isinstance(value, Mapping):
+            calib_kv.update(value)
         else:
             flat[key] = value
+
+    calib_fields = {f.name for f in dataclasses.fields(CalibrationConfig)}
+    for key, value in calib_kv.items():
+        if key in calib_fields:
+            setattr(cfg.calibration, key, str(value))
 
     catalog_file = flat.pop("catalog_file", None) or flat.pop(
         "exodata_location", None)
@@ -534,6 +564,8 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
                 section_field = ("planet", key)
             elif hasattr(cfg.trends, key):
                 section_field = ("trends", key)
+            elif key in calib_fields:
+                section_field = ("calibration", key)
             else:
                 continue  # unknown keys are ignored, like the reference
         section, name = section_field
