@@ -41,39 +41,45 @@ from wayne_tpu.visit_plan import VisitPlan, plan_visit
 log = logging.getLogger("wayne_tpu")
 
 
+def make_calibrated_grism(cfg: ObservationConfig):
+    """The visit's grism handle with any real STScI calibration products
+    from the YAML ``calibration:`` block applied (loader seams in
+    :mod:`wayne_tpu.calibration`). Shared by Observation and the
+    run_reduce CLI so the simulator and the reducer always see the same
+    wavelength solution / detector tables."""
+    cal = cfg.calibration
+    if cal.sequence_file:
+        # Exact STScI timing tables must be resident BEFORE the grism
+        # builds read_times.
+        from wayne_tpu.calibration import load_sequence_table
+
+        load_sequence_table(cal.sequence_file)
+    grism = make_grism(cfg.grism, subarray=cfg.subarray,
+                       n_lambda=cfg.n_lambda, samp_seq=cfg.samp_seq,
+                       nsamp=cfg.nsamp)
+    if cal.any_set():
+        from wayne_tpu.calibration import (
+            with_loaded_grism, with_loaded_nonlin)
+
+        tables = with_loaded_grism(
+            grism.tables,
+            conf_path=cal.axe_conf or None,
+            sens_path=cal.sensitivity_file or None,
+            flat_path=cal.flat_file or None,
+            sky_path=cal.sky_file or None)
+        if cal.nonlin_file:
+            tables = with_loaded_nonlin(tables, cal.nonlin_file)
+        grism.tables = tables
+    return grism
+
+
 class Observation:
     """One simulated WFC3 IR grism visit."""
 
     def __init__(self, cfg: ObservationConfig):
         self.cfg = cfg
         self.static = cfg.exposure_static()
-        cal = cfg.calibration
-        if cal.sequence_file:
-            # Exact STScI timing tables must be resident BEFORE the grism
-            # builds read_times.
-            from wayne_tpu.calibration import load_sequence_table
-
-            load_sequence_table(cal.sequence_file)
-        self.grism = make_grism(cfg.grism, subarray=cfg.subarray,
-                                n_lambda=cfg.n_lambda, samp_seq=cfg.samp_seq,
-                                nsamp=cfg.nsamp)
-        if cal.any_set():
-            # Real STScI calibration products override the synthetic
-            # tables (YAML calibration: block; loader seams in
-            # wayne_tpu.calibration). The grism handle shares the loaded
-            # tables so its trace/sensitivity queries stay consistent.
-            from wayne_tpu.calibration import (
-                with_loaded_grism, with_loaded_nonlin)
-
-            tables = with_loaded_grism(
-                self.grism.tables,
-                conf_path=cal.axe_conf or None,
-                sens_path=cal.sensitivity_file or None,
-                flat_path=cal.flat_file or None,
-                sky_path=cal.sky_file or None)
-            if cal.nonlin_file:
-                tables = with_loaded_nonlin(tables, cal.nonlin_file)
-            self.grism.tables = tables
+        self.grism = make_calibrated_grism(cfg)
         self.tables: Tables = self.grism.tables
         self.detector_exptime = float(self.tables.read_times[-1])
         self.plan: VisitPlan = plan_visit(
