@@ -52,6 +52,13 @@ noise:
   ssv: true
   visit_trend: true
   pointing_drift: true
+# calibration:                 # optional real STScI products (else synthetic)
+#   axe_conf: WFC3.IR.G141.V2.5.conf
+#   sensitivity_file: G141.sens.txt
+#   flat_file: G141.flat.fits
+#   sky_file: G141.sky.fits
+#   nonlin_file: nlin.fits
+#   sequence_file: sequences.json
 """
 
 
