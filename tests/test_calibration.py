@@ -201,34 +201,57 @@ def test_full_real_calibration_visit(tmp_path):
                 "nonlin_file": str(nonlin), "sequence_file": str(seq)}}
     ppath = tmp_path / "pars.yml"
     ppath.write_text(yaml.safe_dump(pars))
-    try:
-        cfg = load_yaml(str(ppath))
-        assert cfg.calibration.axe_conf == str(conf)
-        obs = Observation(cfg)
-        # every table came from the files
-        np.testing.assert_allclose(float(obs.tables.dydx0[0]), 2.5)
-        np.testing.assert_allclose(float(obs.tables.dldp1[0]), 4.6e-3)
-        np.testing.assert_allclose(np.asarray(obs.tables.sensitivity),
-                                   1.3e16, rtol=1e-4)
-        np.testing.assert_allclose(np.asarray(obs.tables.flat_coeffs[0]),
-                                   1.02, rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(obs.tables.sky_frame), 1.0,
-                                   rtol=1e-6)   # normalised to mean 1
-        np.testing.assert_allclose(np.asarray(obs.tables.nonlin_coeffs[0]),
-                                   0.015, rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(obs.tables.read_times),
-                                   [0.0, 0.061, 11.75, 23.5])
-        assert obs.detector_exptime == 23.5
-        # and a visit generates real products with the loaded timing
-        paths = obs.generate(str(tmp_path / "out"), chunk=2,
-                             progress=lambda s: None)
-        hdr, reads, times = read_ima(paths[0])
-        assert hdr["EXPTIME"] == 23.5
-        np.testing.assert_allclose(times, [0.0, 0.061, 11.75, 23.5])
-        assert np.isfinite(reads).all() and reads.sum() > 0
-        # the conf's trace feeds the dispersion: spectrum at the conf
-        # wavelength solution, not the synthetic default
-        x = obs.grism.wl_to_x(np.array([1.2]), 20.0, 30.0)
-        np.testing.assert_allclose(x, 20.0 + (1.2 - 0.9) / 4.6e-3 , rtol=5e-3)
-    finally:
-        _SEQUENCE_OVERRIDES.pop(("SPARS25", 64), None)
+    cfg = load_yaml(str(ppath))
+    assert cfg.calibration.axe_conf == str(conf)
+    obs = Observation(cfg)
+    # the loaded timing is SCOPED to visit construction: nothing leaks
+    # into the process-global registry for later visits
+    assert ("SPARS25", 64) not in _SEQUENCE_OVERRIDES
+    # every table came from the files
+    np.testing.assert_allclose(float(obs.tables.dydx0[0]), 2.5)
+    np.testing.assert_allclose(float(obs.tables.dldp1[0]), 4.6e-3)
+    np.testing.assert_allclose(np.asarray(obs.tables.sensitivity),
+                               1.3e16, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(obs.tables.flat_coeffs[0]),
+                               1.02, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(obs.tables.sky_frame), 1.0,
+                               rtol=1e-6)   # normalised to mean 1
+    np.testing.assert_allclose(np.asarray(obs.tables.nonlin_coeffs[0]),
+                               0.015, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(obs.tables.read_times),
+                               [0.0, 0.061, 11.75, 23.5])
+    assert obs.detector_exptime == 23.5
+    # and a visit generates real products with the loaded timing
+    paths = obs.generate(str(tmp_path / "out"), chunk=2,
+                         progress=lambda s: None)
+    hdr, reads, times = read_ima(paths[0])
+    assert hdr["EXPTIME"] == 23.5
+    np.testing.assert_allclose(times, [0.0, 0.061, 11.75, 23.5])
+    assert np.isfinite(reads).all() and reads.sum() > 0
+    # the conf's trace feeds the dispersion: spectrum at the conf
+    # wavelength solution, not the synthetic default
+    x = obs.grism.wl_to_x(np.array([1.2]), 20.0, 30.0)
+    np.testing.assert_allclose(x, 20.0 + (1.2 - 0.9) / 4.6e-3, rtol=5e-3)
+
+
+def test_calibration_block_config_handling(tmp_path):
+    """Nested placement, empty entries and typos in the calibration
+    block behave sanely."""
+    import pytest
+
+    from wayne_tpu.config import config_from_dict
+
+    conf = tmp_path / "g.conf"
+    conf.write_text("DYDX_A_0 1.0\nDYDX_A_1 0.0\nDLDP_A_0 9000.0\n"
+                    "DLDP_A_1 46.0\n")
+    # nested under observation: (reference-style layout) works
+    cfg = config_from_dict({"observation": {
+        "grism": "G141", "calibration": {"axe_conf": str(conf)}}})
+    assert cfg.calibration.axe_conf == str(conf)
+    # YAML null / empty entries keep the synthetic default
+    cfg2 = config_from_dict({"calibration": {"axe_conf": None,
+                                             "flat_file": ""}})
+    assert not cfg2.calibration.any_set()
+    # a typo'd key fails loudly instead of silently running synthetic
+    with pytest.raises(ValueError, match="unknown calibration keys"):
+        config_from_dict({"calibration": {"sensitivity": "s.txt"}})

@@ -209,6 +209,32 @@ def load_sequence_table(path: str) -> None:
         _SEQUENCE_OVERRIDES[(seq.upper(), int(sub))] = arr
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def sequence_tables_scope(path: str | None):
+    """Scope loaded sequence tables to a ``with`` block.
+
+    :func:`load_sequence_table` writes a process-global registry; this
+    context manager loads ``path`` (no-op if empty) and restores the
+    registry's previous state on exit, so one visit's custom timing can
+    never leak into an unrelated later visit in the same process. Every
+    timing-dependent derivation (grism read_times, exposure_static auto
+    sizing, the visit plan) must happen inside the block.
+    """
+    if not path:
+        yield
+        return
+    saved = dict(_SEQUENCE_OVERRIDES)
+    load_sequence_table(path)
+    try:
+        yield
+    finally:
+        _SEQUENCE_OVERRIDES.clear()
+        _SEQUENCE_OVERRIDES.update(saved)
+
+
 def exptime(samp_seq: str, nsamp: int, subarray: int) -> float:
     """Total exposure time (reference: wayne/detector.py :: exptime)."""
     return float(sample_sequence_times(samp_seq, nsamp, subarray)[-1])

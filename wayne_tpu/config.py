@@ -525,10 +525,24 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
         else:
             flat[key] = value
 
+    # a calibration: block nested under observation: is equally valid
+    nested_cal = flat.pop("calibration", None)
+    if isinstance(nested_cal, Mapping):
+        calib_kv.update(nested_cal)
+
     calib_fields = {f.name for f in dataclasses.fields(CalibrationConfig)}
+    unknown_cal = set(calib_kv) - calib_fields
+    if unknown_cal:
+        # Unlike the reference's ignore-unknown-keys convention, a typo
+        # here silently reverts a "real products" run to synthetic
+        # calibration — fail loudly instead.
+        raise ValueError(
+            f"unknown calibration keys {sorted(unknown_cal)}; "
+            f"allowed: {sorted(calib_fields)}")
     for key, value in calib_kv.items():
-        if key in calib_fields:
-            setattr(cfg.calibration, key, str(value))
+        if value in (None, ""):   # commented-out / empty entry: keep default
+            continue
+        setattr(cfg.calibration, key, str(value))
 
     catalog_file = flat.pop("catalog_file", None) or flat.pop(
         "exodata_location", None)

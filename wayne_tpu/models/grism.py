@@ -77,3 +77,32 @@ def make_grism(name: str, **kwargs) -> Grism:
         return {"G141": G141, "G102": G102}[name.upper()](**kwargs)
     except KeyError:
         raise ValueError(f"unknown grism {name!r}") from None
+
+
+def make_calibrated_grism(cfg) -> Grism:
+    """The visit's grism handle with any real STScI calibration products
+    from the YAML ``calibration:`` block applied (loader seams in
+    :mod:`wayne_tpu.calibration`). Shared by Observation and the
+    run_reduce CLI so the simulator and the reducer always see the same
+    wavelength solution / detector tables.
+
+    A ``sequence_file`` is NOT loaded here: callers must wrap every
+    timing-dependent derivation in
+    :func:`wayne_tpu.calibration.sequence_tables_scope` (Observation
+    does) so loaded timing cannot leak across visits.
+    """
+    calib = cfg.calibration
+    grism = make_grism(cfg.grism, subarray=cfg.subarray,
+                       n_lambda=cfg.n_lambda, samp_seq=cfg.samp_seq,
+                       nsamp=cfg.nsamp)
+    if calib.any_set():
+        tables = cal.with_loaded_grism(
+            grism.tables,
+            conf_path=calib.axe_conf or None,
+            sens_path=calib.sensitivity_file or None,
+            flat_path=calib.flat_file or None,
+            sky_path=calib.sky_file or None)
+        if calib.nonlin_file:
+            tables = cal.with_loaded_nonlin(tables, calib.nonlin_file)
+        grism.tables = tables
+    return grism

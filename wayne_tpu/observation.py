@@ -30,7 +30,7 @@ import numpy as np
 from wayne_tpu.calibration import Tables
 from wayne_tpu.config import ObservationConfig
 from wayne_tpu.io.ima import default_primary_header, write_ima
-from wayne_tpu.models.grism import make_grism
+from wayne_tpu.models.grism import make_calibrated_grism
 from wayne_tpu.models.planet import Planet
 from wayne_tpu.models.stellar import Star
 from wayne_tpu.ops.visit import pad_scenes, simulate_visit
@@ -41,51 +41,27 @@ from wayne_tpu.visit_plan import VisitPlan, plan_visit
 log = logging.getLogger("wayne_tpu")
 
 
-def make_calibrated_grism(cfg: ObservationConfig):
-    """The visit's grism handle with any real STScI calibration products
-    from the YAML ``calibration:`` block applied (loader seams in
-    :mod:`wayne_tpu.calibration`). Shared by Observation and the
-    run_reduce CLI so the simulator and the reducer always see the same
-    wavelength solution / detector tables."""
-    cal = cfg.calibration
-    if cal.sequence_file:
-        # Exact STScI timing tables must be resident BEFORE the grism
-        # builds read_times.
-        from wayne_tpu.calibration import load_sequence_table
-
-        load_sequence_table(cal.sequence_file)
-    grism = make_grism(cfg.grism, subarray=cfg.subarray,
-                       n_lambda=cfg.n_lambda, samp_seq=cfg.samp_seq,
-                       nsamp=cfg.nsamp)
-    if cal.any_set():
-        from wayne_tpu.calibration import (
-            with_loaded_grism, with_loaded_nonlin)
-
-        tables = with_loaded_grism(
-            grism.tables,
-            conf_path=cal.axe_conf or None,
-            sens_path=cal.sensitivity_file or None,
-            flat_path=cal.flat_file or None,
-            sky_path=cal.sky_file or None)
-        if cal.nonlin_file:
-            tables = with_loaded_nonlin(tables, cal.nonlin_file)
-        grism.tables = tables
-    return grism
-
-
 class Observation:
     """One simulated WFC3 IR grism visit."""
 
     def __init__(self, cfg: ObservationConfig):
+        from wayne_tpu.calibration import sequence_tables_scope
+
         self.cfg = cfg
-        self.static = cfg.exposure_static()
-        self.grism = make_calibrated_grism(cfg)
-        self.tables: Tables = self.grism.tables
-        self.detector_exptime = float(self.tables.read_times[-1])
-        self.plan: VisitPlan = plan_visit(
-            cfg.n_orbits, self.detector_exptime, cfg.exposure_overhead_s,
-            cfg.start_mjd, cfg.exposures_per_orbit,
-            first_orbit_trim=5 * 60.0)
+        # Every timing-dependent derivation happens inside the sequence
+        # scope: the grism's read_times, the static auto-sizers (band,
+        # CR bound, subsegments — they consult sample_sequence_times)
+        # and the visit plan all see the loaded table, and nothing leaks
+        # to later visits in this process.
+        with sequence_tables_scope(cfg.calibration.sequence_file):
+            self.grism = make_calibrated_grism(cfg)
+            self.static = cfg.exposure_static()
+            self.tables: Tables = self.grism.tables
+            self.detector_exptime = float(self.tables.read_times[-1])
+            self.plan: VisitPlan = plan_visit(
+                cfg.n_orbits, self.detector_exptime,
+                cfg.exposure_overhead_s, cfg.start_mjd,
+                cfg.exposures_per_orbit, first_orbit_trim=5 * 60.0)
         self.star = Star(cfg.star)
         self.planet = Planet(cfg.planet, visit_start_mjd=cfg.start_mjd)
         self.scenes = self._build_scenes()

@@ -127,17 +127,19 @@ def main(argv: list[str] | None = None) -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from wayne_tpu.calibration import sequence_tables_scope
     from wayne_tpu.config import load_yaml
+    from wayne_tpu.models.grism import make_calibrated_grism
     from wayne_tpu.models.planet import Planet
     from wayne_tpu.io.ima import read_ima
-    from wayne_tpu.observation import make_calibrated_grism
     from wayne_tpu.reduction import common_mode_correct, fit_depths
 
     cfg = load_yaml(args.parameter_file)
     paths = collect_visit(args.visit_dir)
     hdr0, _, _ = read_ima(paths[0])
     # same calibration (incl. any loaded STScI products) as the simulator
-    grism = make_calibrated_grism(cfg)
+    with sequence_tables_scope(cfg.calibration.sequence_file):
+        grism = make_calibrated_grism(cfg)
     gain = float(grism.tables.gain)
     print(f"reducing {len(paths)} exposures from {args.visit_dir} "
           f"({hdr0.get('FILTER')}, SUBARRAY {cfg.subarray})")
