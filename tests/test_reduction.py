@@ -231,3 +231,58 @@ def test_run_reduce_rate_product(tmp_path):
     rep = json.loads((outdir / "reduced.json").read_text())
     for c in rep["channels"]:
         assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c
+
+
+def test_ramp_slope_estimator():
+    """Up-the-ramp slope fitting: equals CDS exactly on a noise-free
+    linear ramp, and beats CDS's read-noise variance with NR reads."""
+    import jax.numpy as jnp
+
+    from wayne_tpu.reduction import ramp_slope_frame
+
+    t = jnp.asarray([0.0, 2.0, 4.0, 6.0, 8.0], jnp.float32)
+    rng = np.random.RandomState(0)
+    rate = jnp.asarray(rng.uniform(1, 10, (16, 16)), jnp.float32)
+    clean = rate[None] * t[:, None, None]
+    np.testing.assert_allclose(np.asarray(ramp_slope_frame(clean, t)),
+                               np.asarray(rate * 8.0), rtol=1e-5)
+    # read-noise-limited: slope variance ~ 6(NR-1)/(NR(NR+1)) of CDS's
+    nr = len(t)
+    noise = rng.standard_normal((4000,) + clean.shape).astype(np.float32)
+    ramp_est = np.stack([np.asarray(ramp_slope_frame(
+        clean + jnp.asarray(n), t)) for n in noise[:200]])
+    cds_est = np.stack([(clean[-1] + n[-1]) - (clean[0] + n[0])
+                        for n in noise[:200]])
+    ratio = ramp_est.var(axis=0).mean() / cds_est.var(axis=0).mean()
+    expect = 6.0 * (nr - 1) / (nr * (nr + 1))
+    np.testing.assert_allclose(ratio, expect, rtol=0.25)
+
+
+def test_run_reduce_ramp_estimator(tmp_path):
+    """--estimator ramp recovers the injected depth from disk products."""
+    import json
+
+    import yaml
+
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.run_reduce import main as reduce_main
+
+    pars = {"grism": "G141", "subarray": 128, "NSAMP": 4,
+            "SAMPSEQ": "SPARS10", "scan": True, "x_ref": 30.0,
+            "y_ref": 40.0, "num_orbits": 3, "exposures_per_orbit": 6,
+            "n_lambda": 64, "n_sub": 4, "rp_over_rs": 0.14,
+            "start_mjd": 55999.93, "t0": 56000.0, "period": 0.813475,
+            "sma_over_rs": 4.855, "inclination": 82.1, "seed": 3}
+    ppath = tmp_path / "pars.yml"
+    ppath.write_text(yaml.safe_dump(pars))
+    outdir = tmp_path / "visit"
+    Observation(load_yaml(str(ppath))).generate(
+        str(outdir), chunk=6, progress=lambda s: None)
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                      "--n-chan", "4", "--estimator", "ramp", "--cpu"])
+    assert rc == 0
+    rep = json.loads((outdir / "reduced.json").read_text())
+    assert rep["estimator"] == "ramp"
+    for c in rep["channels"]:
+        assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c

@@ -43,15 +43,42 @@ class ReducedVisit:
     channel_cols: jnp.ndarray   # (n_chan, 2) [lo, hi) column ranges
 
 
+def ramp_slope_frame(reads_dn: jnp.ndarray,
+                     read_times: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel least-squares up-the-ramp slope x exposure time (DN).
+
+    What calwf3 does instead of a last-minus-first difference: fit a
+    straight line through ALL the non-destructive reads. For NR reads of
+    equal noise the slope estimator's variance is ~6(NR-1)/(NR(NR+1)) of
+    the CDS variance in the read-noise-limited regime (~3x lower at
+    NR = 16), at identical signal. Returns slope * (t_N - t_0), i.e. a
+    CDS-equivalent accumulated frame, so downstream extraction is
+    method-agnostic.
+    """
+    t = jnp.asarray(read_times, reads_dn.dtype)
+    tbar = t.mean()
+    dt = t - tbar
+    denom = jnp.sum(dt * dt)
+    sbar = reads_dn.mean(axis=0)
+    slope = jnp.tensordot(dt, reads_dn - sbar[None], axes=1) / denom
+    return slope * (t[-1] - t[0])
+
+
 def extract_exposure(reads_dn: jnp.ndarray, gain: jnp.ndarray,
                      y_window: tuple[int, int],
-                     bg_rows: tuple[int, int]) -> jnp.ndarray:
+                     bg_rows: tuple[int, int],
+                     read_times: jnp.ndarray | None = None) -> jnp.ndarray:
     """Net electrons per column from one exposure's reads (NR, S, S).
 
-    CDS frame (last - zeroth read), background-subtracted using rows far
-    from the spectrum, box-summed over the extraction window.
+    Accumulated-charge frame (CDS last - zeroth read by default; the
+    up-the-ramp least-squares slope when ``read_times`` is given),
+    background-subtracted using rows far from the spectrum, box-summed
+    over the extraction window.
     """
-    net = (reads_dn[-1] - reads_dn[0]) * gain                # (S, S) e-
+    if read_times is None:
+        net = (reads_dn[-1] - reads_dn[0]) * gain            # (S, S) e-
+    else:
+        net = ramp_slope_frame(reads_dn, read_times) * gain
     bg = jnp.median(net[bg_rows[0]: bg_rows[1], :], axis=0)  # per-column sky
     net = net - bg[None, :]
     return net[y_window[0]: y_window[1], :].sum(axis=0)      # (S,)
@@ -76,7 +103,8 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
                  exp_mid_s: jnp.ndarray, orbit: OrbitParams,
                  *, y_window: tuple[int, int], x_window: tuple[int, int],
                  bg_rows: tuple[int, int] = (0, 16),
-                 n_chan: int = 16) -> ReducedVisit:
+                 n_chan: int = 16,
+                 read_times: jnp.ndarray | None = None) -> ReducedVisit:
     """Extract white + channel light curves from a visit's raw reads.
 
     Args:
@@ -84,8 +112,12 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
       exp_mid_s: (n_exp,) exposure mid-times on the orbit's clock.
       y_window: extraction rows (cover the scan); x_window: dispersion
       columns carrying signal; n_chan: spectral channels across x_window.
+      read_times: optional (NR,) sample times — switches the per-pixel
+        estimator from CDS to the calwf3-style up-the-ramp least-squares
+        slope (lower read-noise variance; see ramp_slope_frame).
     """
-    spectra = jax.vmap(lambda r: extract_exposure(r, gain, y_window, bg_rows)
+    spectra = jax.vmap(lambda r: extract_exposure(r, gain, y_window, bg_rows,
+                                                  read_times)
                        )(reads_dn)                           # (n_exp, S)
 
     oot = out_of_transit_mask(exp_mid_s, orbit)

@@ -40,19 +40,29 @@ def collect_visit(visit_dir: str) -> list[str]:
     return paths
 
 
-def extract_from_files(paths: list[str], gain: float):
+def extract_from_files(paths: list[str], gain: float,
+                       estimator: str = "cds"):
     """Host-side box extraction from ima files.
 
     Returns (spectra_e (n_exp, S), mid_times_s relative to the first
     exposure start, (y_window, x_window, bg_rows) auto-detected from the
-    stacked CDS signal).
+    stacked CDS signal). ``estimator='ramp'`` fits the calwf3-style
+    up-the-ramp least-squares slope per pixel instead of CDS (raw-DN
+    products only — rate products lack the zeroth-read pedestal).
     """
+    import jax.numpy as jnp
+
     from wayne_tpu.io.ima import read_ima
+    from wayne_tpu.reduction import ramp_slope_frame
 
     nets, starts, exptime = [], [], 0.0
     for p in paths:
         hdr, reads, times = read_ima(p)
         if str(hdr.get("BUNIT", "COUNTS")).upper().startswith("ELECTRONS"):
+            if estimator == "ramp":
+                raise SystemExit(
+                    "--estimator ramp needs raw-DN (counts) products; "
+                    "this visit was written as a count-rate ima")
             # Count-rate product: convert back to accumulated electrons.
             # The zeroth read's rate plane is zero (t = 0), so it cannot
             # CDS-subtract the bias pedestal — difference against the
@@ -60,6 +70,9 @@ def extract_from_files(paths: list[str], gain: float):
             # is a per-exposure-constant fraction, so depths (flux
             # ratios) are unaffected.
             net = reads[-1] * times[-1] - reads[1] * times[1]
+        elif estimator == "ramp":
+            net = np.asarray(ramp_slope_frame(
+                jnp.asarray(reads), jnp.asarray(times, jnp.float32))) * gain
         else:
             net = (reads[-1] - reads[0]) * gain
         nets.append(net)
@@ -113,6 +126,11 @@ def main(argv: list[str] | None = None) -> int:
                         default="transit",
                         help="transit: fit per-channel Rp/Rs; eclipse: fit "
                              "per-channel Fp/Fs (secondary-eclipse visits)")
+    parser.add_argument("--estimator", choices=("cds", "ramp"),
+                        default="cds",
+                        help="per-pixel charge estimator: CDS (last minus "
+                             "zeroth read) or calwf3-style up-the-ramp "
+                             "least-squares slope")
     parser.add_argument("--no-divide-white", action="store_true",
                         help="skip the white common-mode correction")
     parser.add_argument("--plot", action="store_true",
@@ -144,7 +162,8 @@ def main(argv: list[str] | None = None) -> int:
     print(f"reducing {len(paths)} exposures from {args.visit_dir} "
           f"({hdr0.get('FILTER')}, SUBARRAY {cfg.subarray})")
 
-    spectra, mids, (yw, xw, bg) = extract_from_files(paths, gain)
+    spectra, mids, (yw, xw, bg) = extract_from_files(paths, gain,
+                                                     args.estimator)
     print(f"auto windows: rows {yw}, cols {xw}, background rows {bg}")
 
     # System model on the visit clock (first exposure start = 0).
@@ -219,6 +238,7 @@ def main(argv: list[str] | None = None) -> int:
         "n_exposures": len(paths),
         "grism": cfg.grism,
         "mode": args.mode,
+        "estimator": args.estimator,
         "windows": {"rows": list(yw), "cols": list(xw),
                     "background_rows": list(bg)},
         "divide_white": not args.no_divide_white,
