@@ -48,13 +48,21 @@ def mc_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0) -> Scene:
     return dataclasses.replace(tiled, key=keys)
 
 
-def extract_spectra(reads_dn: jnp.ndarray) -> jnp.ndarray:
+def extract_spectra(reads_dn: jnp.ndarray,
+                    read_times: jnp.ndarray | None = None) -> jnp.ndarray:
     """On-device box extraction: net counts per column.
 
     CDS net signal (last read - zeroth read) summed over rows — the
     simplest spectral product a reduction pipeline would form, adequate
-    for MC depth-recovery statistics.
+    for MC depth-recovery statistics. With ``read_times`` the per-pixel
+    estimator is the calwf3-style up-the-ramp least-squares slope
+    instead (lower read-noise variance; reduction.ramp_slope_frame).
     """
+    if read_times is not None:
+        from wayne_tpu.reduction import ramp_slope_frame
+
+        return ramp_slope_frame(
+            jnp.moveaxis(reads_dn, -3, 0), read_times).sum(axis=-2)
     net = reads_dn[..., -1, :, :] - reads_dn[..., 0, :, :]
     return net.sum(axis=-2)
 
@@ -73,7 +81,7 @@ _JIT_CACHE: dict = {}
 
 
 def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
-                 tables: Tables):
+                 tables: Tables, ramp: bool):
     scene_specs = jax.tree_util.tree_map(lambda x: _batch_spec(x, 2), scenes)
     table_specs = jax.tree_util.tree_map(lambda _: P(), tables)
 
@@ -84,23 +92,28 @@ def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
              in_specs=(scene_specs, table_specs),
              out_specs=P("mc", "exp", None), check_vma=False)
     def run(local_scenes: Scene, local_tables: Tables) -> jnp.ndarray:
+        rt = local_tables.read_times if ramp else None
+
         def per_mc(sc: Scene) -> jnp.ndarray:
             return jax.vmap(lambda s: extract_spectra(
-                simulate_exposure(s, local_tables, cfg).reads_dn))(sc)
+                simulate_exposure(s, local_tables, cfg).reads_dn, rt))(sc)
         return jax.lax.map(per_mc, local_scenes)
 
     return jax.jit(run)
 
 
 def simulate_ensemble_spectra(scenes: Scene, tables: Tables,
-                              cfg: ExposureStatic, mesh: Mesh) -> jnp.ndarray:
+                              cfg: ExposureStatic, mesh: Mesh,
+                              ramp: bool = False) -> jnp.ndarray:
     """Extracted spectra for an (mc, exp)-batched Scene -> (mc, exp, S).
 
     Requires n_mc % mesh.shape['mc'] == 0 and n_exp % mesh.shape['exp'] == 0.
+    ``ramp=True`` extracts with the up-the-ramp slope estimator instead
+    of CDS (see extract_spectra).
     """
     ranks = tuple(x.ndim for x in jax.tree_util.tree_leaves(scenes))
-    key = (mesh, cfg, ranks)
+    key = (mesh, cfg, ranks, ramp)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = _JIT_CACHE[key] = _ensemble_fn(mesh, cfg, scenes, tables)
+        fn = _JIT_CACHE[key] = _ensemble_fn(mesh, cfg, scenes, tables, ramp)
     return fn(scenes, tables)
