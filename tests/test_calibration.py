@@ -255,3 +255,24 @@ def test_calibration_block_config_handling(tmp_path):
     # a typo'd key fails loudly instead of silently running synthetic
     with pytest.raises(ValueError, match="unknown calibration keys"):
         config_from_dict({"calibration": {"sensitivity": "s.txt"}})
+
+
+def test_sequence_scope_restores_after_malformed_file(tmp_path):
+    """A file that raises after registering its first entry must not
+    leak overrides (load happens inside the scope's try)."""
+    import json
+
+    import pytest
+
+    from wayne_tpu.calibration import _SEQUENCE_OVERRIDES, sequence_tables_scope
+
+    bad = tmp_path / "seq.json"
+    bad.write_text(json.dumps({
+        "SPARS25/64": [0.0, 1.0, 2.0],
+        "SPARS50/64": [0.0, 5.0, 4.0],   # non-increasing: raises
+    }))
+    with pytest.raises(ValueError):
+        with sequence_tables_scope(str(bad)):
+            pass
+    assert ("SPARS25", 64) not in _SEQUENCE_OVERRIDES
+    assert ("SPARS50", 64) not in _SEQUENCE_OVERRIDES

@@ -248,14 +248,29 @@ def test_ramp_slope_estimator():
                                np.asarray(rate * 8.0), rtol=1e-5)
     # read-noise-limited: slope variance ~ 6(NR-1)/(NR(NR+1)) of CDS's
     nr = len(t)
-    noise = rng.standard_normal((4000,) + clean.shape).astype(np.float32)
+    noise = rng.standard_normal((200,) + clean.shape).astype(np.float32)
     ramp_est = np.stack([np.asarray(ramp_slope_frame(
-        clean + jnp.asarray(n), t)) for n in noise[:200]])
+        clean + jnp.asarray(n), t)) for n in noise])
     cds_est = np.stack([(clean[-1] + n[-1]) - (clean[0] + n[0])
-                        for n in noise[:200]])
+                        for n in noise])
     ratio = ramp_est.var(axis=0).mean() / cds_est.var(axis=0).mean()
     expect = 6.0 * (nr - 1) / (nr * (nr + 1))
     np.testing.assert_allclose(ratio, expect, rtol=0.25)
+
+
+def test_reduce_visit_ramp_path():
+    """reduce_visit(read_times=...) — the library-level ramp plumbing —
+    matches the CDS reduction exactly with noise off (linear ramps)."""
+    out, tables, base, mid, rp_inj = _simulate(NoiseFlags.none())
+    kw = dict(y_window=(20, 75), x_window=(72, 126), bg_rows=(100, 126),
+              n_chan=6)
+    cds = reduce_visit(out.reads_dn, tables.gain, mid, base.orbit, **kw)
+    ramp = reduce_visit(out.reads_dn, tables.gain, mid, base.orbit,
+                        read_times=tables.read_times, **kw)
+    np.testing.assert_allclose(np.asarray(ramp.white_lc),
+                               np.asarray(cds.white_lc), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ramp.channel_lc),
+                               np.asarray(cds.channel_lc), atol=5e-5)
 
 
 def test_run_reduce_ramp_estimator(tmp_path):

@@ -227,8 +227,10 @@ def sequence_tables_scope(path: str | None):
         yield
         return
     saved = dict(_SEQUENCE_OVERRIDES)
-    load_sequence_table(path)
     try:
+        # inside the try: a malformed file can raise after registering
+        # its first entries — the restore must still run
+        load_sequence_table(path)
         yield
     finally:
         _SEQUENCE_OVERRIDES.clear()

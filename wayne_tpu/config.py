@@ -527,7 +527,11 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
 
     # a calibration: block nested under observation: is equally valid
     nested_cal = flat.pop("calibration", None)
-    if isinstance(nested_cal, Mapping):
+    if nested_cal is not None:
+        if not isinstance(nested_cal, Mapping):
+            raise ValueError(
+                "'calibration' must be a mapping of product paths, got "
+                f"{type(nested_cal).__name__}")
         calib_kv.update(nested_cal)
 
     calib_fields = {f.name for f in dataclasses.fields(CalibrationConfig)}
