@@ -157,20 +157,30 @@ def fit_eclipse_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     z, in_front = projected_separation(exp_mid_s, orbit)
     vis = eclipse_visibility(z, in_front, rp_over_rs)
 
+    # Explicit f32 reductions, NOT matmuls: on TPU an (n, 2) A.T @ A /
+    # A.T @ y lowers to bf16 MXU dots by default, whose ~0.4% rounding
+    # is a DETERMINISTIC fp artifact larger than the ~1e-3 eclipse
+    # depths being fitted (measured: every channel returned the same
+    # spurious 4.4e-3). Elementwise multiply + sum stays on the f32 VPU.
     n = channel_lc.shape[0]
-    A = jnp.stack([jnp.ones_like(vis), vis], axis=1)          # (n, 2)
-    AtA = A.T @ A
-    Aty = A.T @ channel_lc                                     # (2, n_chan)
-    cov = jnp.linalg.inv(AtA)       # one factorization serves fit + sigma
-    coef = cov @ Aty                                           # (2, n_chan)
-    a0, a1 = coef[0], coef[1]
+    s1 = jnp.sum(vis)
+    s2 = jnp.sum(vis * vis)
+    y0 = jnp.sum(channel_lc, axis=0)                           # (n_chan,)
+    y1 = jnp.sum(vis[:, None] * channel_lc, axis=0)
+    det = n * s2 - s1 * s1
+    a0 = (s2 * y0 - s1 * y1) / det
+    a1 = (n * y1 - s1 * y0) / det
     fp = a1 / a0
-    resid = channel_lc - A @ coef
+    model = a0[None, :] + a1[None, :] * vis[:, None]
+    resid = channel_lc - model
     noise_var = jnp.sum(resid ** 2, axis=0) / jnp.maximum(n - 2, 1)
-    # var(fp) via first-order propagation of (a0, a1)
-    var_fp = noise_var * (cov[1, 1] / a0 ** 2
-                          + cov[0, 0] * (a1 / a0 ** 2) ** 2
-                          - 2.0 * cov[0, 1] * a1 / a0 ** 3)
+    # var(fp) via first-order propagation of (a0, a1); cov = inv(AtA)
+    cov00 = s2 / det
+    cov11 = n / det
+    cov01 = -s1 / det
+    var_fp = noise_var * (cov11 / a0 ** 2
+                          + cov00 * (a1 / a0 ** 2) ** 2
+                          - 2.0 * cov01 * a1 / a0 ** 3)
     return fp, jnp.sqrt(jnp.maximum(var_fp, 0.0))
 
 
