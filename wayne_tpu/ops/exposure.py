@@ -296,11 +296,18 @@ def simulate_exposure(scene: Scene, tables: Tables,
         y_edges = (jnp.arange(W + 1, dtype=dtype) - 0.5) + y0.astype(dtype)
 
         Y = _row_profiles(scene, cfg, y_base, sigma, t_seg_edges, y_edges)
-        Yw = jnp.einsum("kl,kls->ls", counts, Y).astype(dtype)   # (NL, W)
+        # precision=HIGHEST on both contractions: the TPU MXU's default
+        # bf16 input rounding deposits ~0.5%-of-peak deterministic error
+        # in the frame (measured vs CPU f32), well above the 2e-4 oracle
+        # agreement the CPU path holds; full-f32 passes restore it.
+        Yw = jnp.einsum("kl,kls->ls", counts, Y,
+                        precision=jax.lax.Precision.HIGHEST
+                        ).astype(dtype)                          # (NL, W)
         # The splat: band[y, x] = sum_l Yw[l, y] X[l, x] — one MXU matmul.
         frame = jax.lax.dot_general(
             Yw, X, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dtype)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST).astype(dtype)
         resp = (jax.lax.dynamic_slice(response, (y0, 0), (W, S))
                 if band else response)
         frame = frame * resp

@@ -213,9 +213,13 @@ def transit_light_curve(times: jnp.ndarray, orbit: OrbitParams,
         rp_c = jnp.clip(rp_over_rs, rp_lo, rp_hi)
         w = jnp.maximum(0.0, 1.0 - jnp.abs(rp_c[:, None] - ctrl[None, :]) / step)
         w = w / jnp.sum(w, axis=1, keepdims=True)                # (NL, C)
+        # precision=HIGHEST: the TPU MXU's default bf16 input rounding
+        # (~0.4%) is larger than the transit depths riding on this
+        # contraction (measured 3.8e-3 absolute LC error vs CPU).
         flux = jax.lax.dot_general(
             f_ctrl, w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # (NT, NL)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                 # (NT, NL)
     else:
         shape = (nt, nl)
         flux = transit_depth_curve(
