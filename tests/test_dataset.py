@@ -71,6 +71,22 @@ class TestGenerateDataset:
             np.testing.assert_allclose(data["label_rp_scale"], rp_scale)
             assert np.isfinite(data["spectra_e"]).all()
 
+    def test_chunk_size_invariance(self):
+        """Realisation i is keyed by its GLOBAL index: runs chunked 2
+        and 4 produce bit-identical spectra per realisation (the round-2
+        keying folded the chunk start into the seed, so re-chunking
+        changed every realisation past the first chunk — regression)."""
+        mesh = make_mesh(jax.devices()[:2])
+        with tempfile.TemporaryDirectory() as d2, \
+                tempfile.TemporaryDirectory() as d4:
+            generate_dataset(_visit(), TABLES, CFG, d2, n_mc=8, chunk_mc=2,
+                             mesh=mesh)
+            generate_dataset(_visit(), TABLES, CFG, d4, n_mc=8, chunk_mc=4,
+                             mesh=mesh)
+            a = load_dataset(d2)["spectra_e"]
+            b = load_dataset(d4)["spectra_e"]
+            np.testing.assert_array_equal(a, b)
+
     def test_validation_errors(self):
         mesh = make_mesh(jax.devices()[:2])
         with tempfile.TemporaryDirectory() as d:

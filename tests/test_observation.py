@@ -47,6 +47,52 @@ class TestScenes:
             Observation(small_cfg())              # on-detector: silent
         assert not any("outside" in r.message for r in caplog.records)
 
+    def test_off_detector_warns_mid_visit(self, caplog):
+        """A shift list that walks the spectrum off the detector AFTER
+        exposure 0 must warn (the round-2 guard checked exposure 0
+        only — regression)."""
+        import logging
+
+        with caplog.at_level(logging.WARNING, logger="wayne_tpu"):
+            Observation(small_cfg(
+                x_shifts=[0.0, 0.0, 500.0, 500.0],
+                y_shifts=[0.0, 0.0, 0.0, 0.0]))
+        msgs = [r.message for r in caplog.records if "outside" in r.message]
+        assert msgs and "first at exposure 2" in msgs[0], msgs
+
+    def test_explicit_start_times_reproduced_in_headers(self):
+        """exp_start_times as a LIST schedules those exact MJDs: the
+        plan, the orbit inference, and the written EXPSTART keywords all
+        reproduce the list verbatim."""
+        import glob
+
+        from wayne_tpu.io.ima import read_ima
+
+        times = [56000.10, 56000.102, 56000.17, 56000.172]
+        obs = Observation(small_cfg(exp_start_times=times))
+        assert obs.plan.n_exposures == 4
+        np.testing.assert_allclose(obs.plan.exp_start_mjd(), times,
+                                   rtol=0, atol=1e-9)
+        # 0.068 d gap between exposures 1 and 2 -> a new orbit
+        np.testing.assert_array_equal(obs.plan.orbit_index, [0, 0, 1, 1])
+        # the planet clock starts at the first listed exposure
+        assert obs.planet.visit_start_mjd == times[0]
+        with tempfile.TemporaryDirectory() as d:
+            obs.generate(d, progress=lambda s: None)
+            paths = sorted(glob.glob(os.path.join(d, "*_ima.fits")))
+            got = [float(read_ima(p)[0]["EXPSTART"]) for p in paths]
+            np.testing.assert_allclose(got, times, rtol=0, atol=1e-8)
+
+    def test_scalar_exp_start_times_is_start_mjd(self):
+        cfg = small_cfg(exp_start_times=56123.5)
+        assert cfg.start_mjd == 56123.5
+        assert cfg.exp_start_mjd_list is None
+
+    def test_non_increasing_start_times_raise(self):
+        with pytest.raises(ValueError, match="increasing"):
+            Observation(small_cfg(
+                exp_start_times=[56000.2, 56000.1, 56000.3]))
+
     def test_per_exposure_keys_unique(self):
         obs = Observation(small_cfg())
         keys = np.asarray(obs.scenes.key)

@@ -56,14 +56,16 @@ def main() -> None:
     from wayne_tpu.config import ExposureStatic, NoiseFlags
     from wayne_tpu.ops.exposure import simulate_exposure
     from wayne_tpu.reduction import (
-        common_mode_correct, fit_depths, reduce_visit)
+        common_mode_correct, cr_bad_diff_masks, fit_depths, reduce_visit)
     from wayne_tpu.scene import example_scene
 
     S, NL, NSAMP, N_EXP, N_CHAN = 256, 256, 5, 48, 8
-    # photon + read + sky + dark noise; deterministic systematics off so
-    # the simple reduction's residual systematics don't masquerade as bias
+    # photon + read + sky + dark noise + COSMIC RAYS (repaired by the
+    # DQ-aware reduction); deterministic systematics off so the simple
+    # reduction's residual systematics don't masquerade as bias
     flags = dataclasses.replace(
-        NoiseFlags.none(), poisson=True, read_noise=True, sky=True, dark=True)
+        NoiseFlags.none(), poisson=True, read_noise=True, sky=True, dark=True,
+        cosmic_rays=True)
     cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=4, nsamp=NSAMP,
                          samp_seq="SPARS25", scan=True, noise=flags,
                          band_px=64,
@@ -102,12 +104,22 @@ def main() -> None:
                 jax.random.fold_in(jax.random.PRNGKey(123), m), e)
             )(jnp.arange(N_EXP))
             scenes = dataclasses.replace(visit, key=keys)
-            reads = jax.lax.map(
-                lambda s: simulate_exposure(s, tables, local_cfg).reads_dn,
-                scenes)
+
+            def sim(s):
+                res = simulate_exposure(s, tables, local_cfg)
+                return res.reads_dn, res.cr_pos, res.cr_count
+
+            reads, cr_pos, cr_count = jax.lax.map(sim, scenes)
+            good = None
+            if local_cfg.noise.cosmic_rays:
+                # DQ-aware reduction: repair CR-hit read intervals from
+                # the simulator's own hit lists (= the ima DQ planes).
+                good = jax.vmap(lambda p, c: ~cr_bad_diff_masks(
+                    p, c, S))(cr_pos, cr_count)
             red = reduce_visit(reads, tables.gain, mid, base.orbit,
                                y_window=y_window, x_window=x_window,
-                               bg_rows=bg_rows, n_chan=N_CHAN)
+                               bg_rows=bg_rows, n_chan=N_CHAN,
+                               good_diffs=good)
             chan = red.channel_lc
             if divide_white:
                 chan = common_mode_correct(red.white_lc, chan, mid,
@@ -213,12 +225,20 @@ def main() -> None:
                 jax.random.fold_in(jax.random.PRNGKey(321), m), e)
             )(jnp.arange(N_EXP))
             scenes = dataclasses.replace(visit_ecl, key=keys)
-            reads = jax.lax.map(
-                lambda s: simulate_exposure(s, tables, local_cfg).reads_dn,
-                scenes)
+
+            def sim(s):
+                res = simulate_exposure(s, tables, local_cfg)
+                return res.reads_dn, res.cr_pos, res.cr_count
+
+            reads, cr_pos, cr_count = jax.lax.map(sim, scenes)
+            good = None
+            if local_cfg.noise.cosmic_rays:
+                good = jax.vmap(lambda p, c: ~cr_bad_diff_masks(
+                    p, c, S))(cr_pos, cr_count)
             red = reduce_visit(reads, tables.gain, mid_ecl, base.orbit,
                                y_window=y_window, x_window=x_window,
-                               bg_rows=bg_rows, n_chan=N_CHAN)
+                               bg_rows=bg_rows, n_chan=N_CHAN,
+                               good_diffs=good)
             return fit_eclipse_depths(red.channel_lc, mid_ecl, base.orbit,
                                       rp_geom)
 
@@ -243,6 +263,7 @@ def main() -> None:
 
     out = {
         "n_mc": args.n_mc, "n_exp": N_EXP, "n_chan": N_CHAN,
+        "flags": "poisson+read+sky+dark+cosmic_rays(DQ-repaired)",
         "backend": jax.default_backend(), "wallclock_s": round(wall, 1),
         "rp_injected": [round(float(v), 6) for v in rp_true],
         "rp_noise_free_recovery": [round(float(v), 6) for v in rp_ref],
@@ -255,8 +276,10 @@ def main() -> None:
         "reduction_systematic_below_3e-3": ok_sys,
         "with_systematics": {
             "n_mc": n_sys, "wallclock_s": round(wall_sys, 1),
-            "flags": "poisson+read+sky+dark+ssv(sin+rw)+visit_trend",
-            "reduction": "divide-white (common_mode_correct) + fit_depths",
+            "flags": "poisson+read+sky+dark+cosmic_rays"
+                     "+ssv(sin+rw)+visit_trend",
+            "reduction": "DQ-aware CR repair + divide-white "
+                         "(common_mode_correct) + fit_depths",
             "rp_recovered_mean": [round(float(v), 6) for v in mean_sys],
             "noise_induced_bias": [round(float(v), 6) for v in bias_sys],
             "divide_white_residual": [round(float(v), 6)

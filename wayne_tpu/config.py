@@ -228,6 +228,12 @@ class ObservationConfig:
     exposures_per_orbit: int = 0        # 0 -> fill visibility window
     exposure_overhead_s: float = 20.0   # readout+serial overheads between exps
     start_mjd: float = 55999.86
+    exp_start_mjd_list: tuple | None = None  # explicit per-exposure start
+    #                                     times (MJD), taken verbatim in
+    #                                     place of the cadence planner
+    #                                     (reference 'exp_start_times' as
+    #                                     a list); a scalar under that key
+    #                                     still means start_mjd
     seed: int = 0
     sky_level: float = 1.2              # mean sky rate through grism (e-/s/px)
     cosmic_rate: float = 11.0           # CR events / s / cm^2
@@ -375,7 +381,9 @@ _REF_KEY_ALIASES: dict[str, tuple[str | None, str]] = {
     "y_ref": (None, "y_ref"),
     "num_orbits": (None, "n_orbits"),
     "n_orbits": (None, "n_orbits"),
-    "exp_start_times": (None, "start_mjd"),
+    "exp_start_times": (None, "start_mjd"),    # list -> exp_start_mjd_list
+    "exposure_start_mjd_list": (None, "exp_start_mjd_list"),
+    "exp_start_mjd_list": (None, "exp_start_mjd_list"),
     "start_JD": (None, "start_mjd"),
     "start_mjd": (None, "start_mjd"),
     "seed": (None, "seed"),
@@ -593,6 +601,12 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
                 and isinstance(value, (list, tuple))):
             name = ("x_shift_list" if name == "drift_x_per_exp"
                     else "y_shift_list")
+            value = tuple(float(v) for v in value)
+        # Reference exp_start_times: a scalar is the visit start; a LIST
+        # is the per-exposure schedule, taken verbatim by the planner.
+        if name == "start_mjd" and isinstance(value, (list, tuple)):
+            name = "exp_start_mjd_list"
+        if name == "exp_start_mjd_list" and value is not None:
             value = tuple(float(v) for v in value)
         obj = cfg if section is None else getattr(cfg, section)
         setattr(obj, name, _coerce(value, getattr(obj, name)))

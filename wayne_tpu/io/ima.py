@@ -228,13 +228,27 @@ def cr_dq_planes(cr_pos: np.ndarray, cr_count: np.ndarray, nr: int,
     return dq
 
 
-def read_ima(path: str) -> tuple[dict[str, Any], np.ndarray, np.ndarray]:
-    """Read an ima file back: (primary_header, reads_dn time-ordered, times)."""
+def read_ima(path: str, with_dq: bool = False):
+    """Read an ima file back: (primary_header, reads_dn time-ordered,
+    times[, dq time-ordered]).
+
+    ``with_dq=True`` also returns the (NR, S, S) int16 DQ planes in the
+    same time order — the input to DQ-aware reduction
+    (reduction.clean_masks_from_dq / repair_read_stack).
+    """
     hdus = read_fits(path)
     primary = hdus[0][0]
-    sci = [(h, d) for h, d in hdus[1:] if h.get("EXTNAME") == "SCI"]
-    # stored reverse-time; sort by SAMPNUM ascending
-    sci.sort(key=lambda hd: int(hd[0].get("SAMPNUM", 0)))
+
+    def planes(extname):
+        sel = [(h, d) for h, d in hdus[1:] if h.get("EXTNAME") == extname]
+        # stored reverse-time; sort by SAMPNUM ascending
+        sel.sort(key=lambda hd: int(hd[0].get("SAMPNUM", 0)))
+        return sel
+
+    sci = planes("SCI")
     reads = np.stack([d for _, d in sci])
     times = np.asarray([float(h.get("SAMPTIME", 0.0)) for h, _ in sci])
-    return primary, reads, times
+    if not with_dq:
+        return primary, reads, times
+    dq = np.stack([d for _, d in planes("DQ")]).astype(np.int16)
+    return primary, reads, times, dq

@@ -58,39 +58,65 @@ class Observation:
             self.static = cfg.exposure_static()
             self.tables: Tables = self.grism.tables
             self.detector_exptime = float(self.tables.read_times[-1])
-            self.plan: VisitPlan = plan_visit(
-                cfg.n_orbits, self.detector_exptime,
-                cfg.exposure_overhead_s, cfg.start_mjd,
-                cfg.exposures_per_orbit, first_orbit_trim=5 * 60.0)
+            if cfg.exp_start_mjd_list:
+                # Explicit schedule: EXPSTARTs reproduce the list exactly.
+                from wayne_tpu.visit_plan import plan_from_start_times
+                self.plan: VisitPlan = plan_from_start_times(
+                    cfg.exp_start_mjd_list, self.detector_exptime)
+            else:
+                self.plan = plan_visit(
+                    cfg.n_orbits, self.detector_exptime,
+                    cfg.exposure_overhead_s, cfg.start_mjd,
+                    cfg.exposures_per_orbit, first_orbit_trim=5 * 60.0)
         self.star = Star(cfg.star)
-        self.planet = Planet(cfg.planet, visit_start_mjd=cfg.start_mjd)
+        # plan.start_mjd: cfg.start_mjd for the cadence planner, the first
+        # list entry for an explicit exp_start_mjd_list schedule.
+        self.planet = Planet(cfg.planet, visit_start_mjd=self.plan.start_mjd)
         self.scenes = self._build_scenes()
         self._warn_if_off_detector()
 
     def _warn_if_off_detector(self) -> None:
-        """Warn when the dispersed spectrum misses the subarray entirely.
+        """Warn when the dispersed spectrum misses the subarray for ANY
+        exposure of the visit.
 
         The default reference position suits 512^2; on smaller subarrays a
-        stale x_ref/y_ref silently produces sky-only frames — surface that
-        at construction instead of after a full visit.
+        stale x_ref/y_ref silently produces sky-only frames. The check
+        covers the whole per-exposure pointing series — a drift or shift
+        list that walks the spectrum off the detector mid-visit is caught
+        even when exposure 0 lands fine.
         """
+        from wayne_tpu.ops.dispersion import trace_params, trace_y, wl_to_x
+
         cfg = self.cfg
-        wl = np.asarray(self.tables.wl_centers)
-        x = self.grism.wl_to_x(wl[[0, -1]], cfg.x_ref, cfg.y_ref)
-        tp = self.grism.get_trace(cfg.x_ref, cfg.y_ref)
-        import jax.numpy as jnp
-        from wayne_tpu.ops.dispersion import trace_y
-        y0 = float(np.asarray(trace_y(jnp.float32(x[0]), tp)))
-        scan_len = abs(float(self.scenes.scan_speed[0])) * self.detector_exptime
-        y_lo, y_hi = sorted((y0, y0 + np.sign(
-            float(self.scenes.scan_speed[0]) or 1.0) * scan_len))
+        wl_ends = jnp.asarray(
+            np.asarray(self.tables.wl_centers)[[0, -1]], jnp.float32)
+
+        def ends(x_ref, y_ref):
+            tp = trace_params(self.tables, x_ref, y_ref)
+            x = wl_to_x(wl_ends, tp)
+            return x, trace_y(x[0], tp)
+
+        x_all, y0_all = jax.vmap(ends)(self.scenes.x_ref, self.scenes.y_ref)
+        x_all, y0_all = np.asarray(x_all), np.asarray(y0_all)   # (n, 2), (n,)
+        speed = np.asarray(self.scenes.scan_speed)
+        y_end = y0_all + np.where(speed == 0.0, 1.0, np.sign(speed)) \
+            * np.abs(speed) * self.detector_exptime
+        y_lo = np.minimum(y0_all, y_end)
+        y_hi = np.maximum(y0_all, y_end)
         S = cfg.subarray
-        if max(x) < 0 or min(x) >= S or y_hi < -3 or y_lo >= S + 3:
+        off = ((x_all.max(axis=1) < 0) | (x_all.min(axis=1) >= S)
+               | (y_hi < -3) | (y_lo >= S + 3))
+        if off.any():
+            i = int(np.argmax(off))
             log.warning(
-                "spectrum lands outside the %dx%d subarray "
-                "(columns %.0f..%.0f, rows %.0f..%.0f for x_ref=%.1f, "
-                "y_ref=%.1f): frames will contain background only",
-                S, S, min(x), max(x), y_lo, y_hi, cfg.x_ref, cfg.y_ref)
+                "spectrum lands outside the %dx%d subarray for %d/%d "
+                "exposures (first at exposure %d: columns %.0f..%.0f, "
+                "rows %.0f..%.0f for x_ref=%.1f, y_ref=%.1f): those "
+                "frames will contain background only",
+                S, S, int(off.sum()), off.size, i,
+                x_all[i].min(), x_all[i].max(), y_lo[i], y_hi[i],
+                float(np.asarray(self.scenes.x_ref)[i]),
+                float(np.asarray(self.scenes.y_ref)[i]))
 
     # ------------------------------------------------------------------
     def _build_scenes(self) -> Scene:

@@ -33,7 +33,8 @@ from wayne_tpu.scene import Scene
 
 
 def sweep_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0,
-                 overrides: Mapping[str, jnp.ndarray] | None = None) -> Scene:
+                 overrides: Mapping[str, jnp.ndarray] | None = None,
+                 mc_offset: int = 0) -> Scene:
     """An (mc, exp) ensemble whose realisations differ in physics.
 
     Args:
@@ -42,10 +43,12 @@ def sweep_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0,
         shape (n_mc, ...) broadcasts over exposures; (n_mc, n_exp, ...)
         is taken verbatim. Example:
         ``{"rp_over_rs": rp_samples}`` with rp_samples (n_mc, NL).
+      mc_offset: global index of the first realisation (see mc_scenes) —
+        keys depend only on seed + global index, never on chunking.
 
     RNG keys always differ per (realisation, exposure).
     """
-    ens = mc_scenes(visit_scenes, n_mc, seed)
+    ens = mc_scenes(visit_scenes, n_mc, seed, mc_offset=mc_offset)
     if not overrides:
         return ens
     n_exp = jax.tree_util.tree_leaves(visit_scenes)[0].shape[0]
@@ -115,10 +118,11 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         if overrides:
             over = {k: jnp.asarray(v)[c0: c0 + chunk_mc]
                     for k, v in overrides.items()}
-        # seed folds the chunk start so realisation c0+i is identical no
-        # matter the chunking — exact resume.
-        ens = sweep_scenes(visit_scenes, chunk_mc,
-                           seed=seed + 7919 * c0, overrides=over)
+        # Realisation keys fold the GLOBAL index c0+i (not the chunk
+        # seed), so realisation i draws identical noise no matter how
+        # the run is chunked — chunk-size changes and resumes are exact.
+        ens = sweep_scenes(visit_scenes, chunk_mc, seed=seed,
+                           overrides=over, mc_offset=c0)
         ens = shard_scenes(ens, mesh)
         spectra = simulate_ensemble_spectra(ens, tables, cfg, mesh)
         try:

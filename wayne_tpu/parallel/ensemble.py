@@ -28,13 +28,18 @@ from wayne_tpu.ops.exposure import simulate_exposure
 from wayne_tpu.scene import Scene
 
 
-def mc_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0) -> Scene:
+def mc_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0,
+              mc_offset: int = 0) -> Scene:
     """Stack a visit's Scene (exp axis) into an (mc, exp) ensemble.
 
     All physics parameters are shared; only the RNG keys differ, giving
     independent noise realisations of the same visit. Keys derive per
-    (realisation, exposure) from one root seed (counter-based, splittable
-    — the reproducibility upgrade over the reference's global NumPy RNG).
+    (GLOBAL realisation index, exposure) from one root seed
+    (counter-based, splittable — the reproducibility upgrade over the
+    reference's global NumPy RNG). ``mc_offset`` shifts the realisation
+    indices: local realisation m is keyed as ``mc_offset + m``, so a
+    chunked run (parallel/dataset.py) produces bit-identical draws for
+    realisation i regardless of how the chunks are cut.
     """
     n_exp = jax.tree_util.tree_leaves(visit_scenes)[0].shape[0]
     root = jax.random.PRNGKey(seed)
@@ -42,14 +47,15 @@ def mc_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0) -> Scene:
         lambda m: jax.vmap(
             lambda e: jax.random.fold_in(jax.random.fold_in(root, m), e)
         )(jnp.arange(n_exp))
-    )(jnp.arange(n_mc))
+    )(jnp.arange(n_mc) + mc_offset)
     tiled = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (n_mc,) + x.shape), visit_scenes)
     return dataclasses.replace(tiled, key=keys)
 
 
 def extract_spectra(reads_dn: jnp.ndarray,
-                    read_times: jnp.ndarray | None = None) -> jnp.ndarray:
+                    read_times: jnp.ndarray | None = None,
+                    good_diffs: jnp.ndarray | None = None) -> jnp.ndarray:
     """On-device box extraction: net counts per column.
 
     CDS net signal (last read - zeroth read) summed over rows — the
@@ -57,7 +63,14 @@ def extract_spectra(reads_dn: jnp.ndarray,
     for MC depth-recovery statistics. With ``read_times`` the per-pixel
     estimator is the calwf3-style up-the-ramp least-squares slope
     instead (lower read-noise variance; reduction.ramp_slope_frame).
+    ``good_diffs`` (..., NR-1, S, S) bool masks trigger the DQ-aware
+    interval repair (reduction.repair_read_stack) first, so simulated
+    cosmic rays don't contaminate the ensemble statistics.
     """
+    if good_diffs is not None:
+        from wayne_tpu.reduction import repair_read_stack
+
+        reads_dn = repair_read_stack(reads_dn, good_diffs)
     if read_times is not None:
         from wayne_tpu.reduction import ramp_slope_frame
 
@@ -94,9 +107,21 @@ def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
     def run(local_scenes: Scene, local_tables: Tables) -> jnp.ndarray:
         rt = local_tables.read_times if ramp else None
 
+        def one(s: Scene) -> jnp.ndarray:
+            res = simulate_exposure(s, local_tables, cfg)
+            # CRs simulated -> extract DQ-aware: the simulator's own hit
+            # lists are the exact truth the ima DQ planes would carry.
+            if cfg.noise.cosmic_rays:
+                from wayne_tpu.reduction import cr_bad_diff_masks
+
+                good = ~cr_bad_diff_masks(res.cr_pos, res.cr_count,
+                                          cfg.subarray)
+            else:
+                good = None
+            return extract_spectra(res.reads_dn, rt, good)
+
         def per_mc(sc: Scene) -> jnp.ndarray:
-            return jax.vmap(lambda s: extract_spectra(
-                simulate_exposure(s, local_tables, cfg).reads_dn, rt))(sc)
+            return jax.vmap(one)(sc)
         return jax.lax.map(per_mc, local_scenes)
 
     return jax.jit(run)

@@ -43,6 +43,138 @@ class ReducedVisit:
     channel_cols: jnp.ndarray   # (n_chan, 2) [lo, hi) column ranges
 
 
+# DQ bits consumed by the repair (io.ima conventions): cosmic ray
+# (8192), saturation (256), hot pixel (16). Reference pixels (128) are
+# excluded on purpose — they carry no signal and sit outside every
+# extraction window.
+DQ_COSMIC_RAY, DQ_SATURATED, DQ_HOT_PIXEL = 8192, 256, 16
+DQ_BAD_BITS = DQ_COSMIC_RAY | DQ_SATURATED | DQ_HOT_PIXEL
+
+
+def cr_bad_diff_masks(cr_pos: jnp.ndarray, cr_count: jnp.ndarray,
+                      s: int) -> jnp.ndarray:
+    """On-device per-INTERVAL corruption masks from the simulator's CR
+    hit lists: a hit during read interval k corrupts exactly the
+    consecutive-read difference reads[k+1] - reads[k] — the charge step
+    cancels in every later difference.
+
+    Args:
+      cr_pos: (nsamp, 2, MAX_CR) int32 hit rows/cols (ExposureResult).
+      cr_count: (nsamp,) int32 actual hits per interval.
+    Returns (nsamp, s, s) bool — True where the interval diff is BAD.
+    Unlike the cumulative file-level DQ (good_diff_masks_from_dq), this
+    resolves multiple hits on the same pixel exactly.
+    """
+    def scatter_one(pos, n):
+        valid = jnp.arange(pos.shape[1]) < n
+        return jnp.zeros((s, s), jnp.bool_).at[pos[0], pos[1]].max(valid)
+
+    return jax.vmap(scatter_one)(cr_pos, cr_count)       # (nsamp, s, s)
+
+
+def good_diff_masks_from_dq(dq: jnp.ndarray) -> jnp.ndarray:
+    """Per-interval good-diff masks from ima DQ planes, bit by bit.
+
+    Each DQ bit corrupts read DIFFERENCES differently:
+      - cosmic rays (8192, cumulative from the hit read onward): a
+        charge step — only the TRANSITION interval (clean -> flagged)
+        is corrupted; later diffs subtract the same offset and stay
+        valid. (A second hit on the same pixel is invisible under the
+        cumulative convention — negligible at physical CR rates.)
+      - saturation (256): a read pinned at full well measures nothing;
+        any diff touching a saturated read is bad.
+      - hot pixels (16, static): every diff is bad (dark-dominated).
+
+    Args:
+      dq: (..., NR, S, S) int DQ planes in time order (read_ima).
+    Returns (..., NR-1, S, S) bool — True where the diff is usable.
+    """
+    dq = jnp.asarray(dq)
+    a, b = dq[..., :-1, :, :], dq[..., 1:, :, :]
+    cr_bad = ((a & DQ_COSMIC_RAY) != 0) ^ ((b & DQ_COSMIC_RAY) != 0)
+    sat_bad = ((a | b) & DQ_SATURATED) != 0
+    hot_bad = ((a | b) & DQ_HOT_PIXEL) != 0
+    return ~(cr_bad | sat_bad | hot_bad)
+
+
+def repair_read_stack(reads_dn: jnp.ndarray,
+                      good: jnp.ndarray) -> jnp.ndarray:
+    """Rebuild a read stack with DQ-corrupted intervals repaired.
+
+    The physics that makes this nearly lossless for cosmic rays: a CR
+    deposits a charge STEP, so it corrupts only the consecutive-read
+    DIFFERENCE spanning the hit interval — every later difference
+    cancels the offset (up to the small non-linearity of the sensed
+    signal). The stack is therefore reassembled from per-interval
+    differences, with each corrupted difference replaced by an estimate
+    from its clean dispersion-direction neighbours in the SAME interval
+    — neighbouring columns share the scan's temporal illumination
+    window, so the estimate is valid in scanned exposures where a
+    pixel's arrival rate is anything but constant in time.
+
+    Degenerate cases fall out naturally: hot pixels (every interval
+    flagged) become pure spatial interpolation; saturated tails are
+    rebuilt from unsaturated neighbours; a pixel whose neighbours are
+    also flagged falls back to cross-dispersion neighbours, then to the
+    clean part of its own ramp.
+
+    Args:
+      reads_dn: (..., NR, S, S) sampled reads in time order.
+      good: (..., NR-1, S, S) bool, True = interval difference usable
+        (from ~cr_bad_diff_masks or good_diff_masks_from_dq).
+    Returns the repaired (..., NR, S, S) stack; with all-good masks it
+    returns the input exactly (the diffs telescope back).
+    """
+    reads_dn = jnp.asarray(reads_dn)
+    diffs = jnp.diff(reads_dn, axis=-3)
+
+    def neighbour_mean(axis):
+        # Non-wrapping nearest-neighbour average along ``axis`` using
+        # only clean neighbours. jnp.roll wraps, which would repair an
+        # edge-column pixel against the far (dark) edge — mask the
+        # wrapped entries out instead of special-casing the slices.
+        n = diffs.shape[axis]
+        idx_shape = [1] * diffs.ndim
+        idx_shape[axis] = n
+        idx = jnp.arange(n).reshape(idx_shape)
+        ga = jnp.logical_and(jnp.roll(good, 1, axis=axis), idx > 0)
+        gb = jnp.logical_and(jnp.roll(good, -1, axis=axis), idx < n - 1)
+        va = jnp.roll(diffs, 1, axis=axis)
+        vb = jnp.roll(diffs, -1, axis=axis)
+        w = ga.astype(diffs.dtype) + gb.astype(diffs.dtype)
+        est = (jnp.where(ga, va, 0.0) + jnp.where(gb, vb, 0.0)) \
+            / jnp.maximum(w, 1.0)
+        return est, w > 0
+
+    # First choice: dispersion-direction (column) neighbours — same scan
+    # illumination window, adjacent wavelength. Fallback for clustered
+    # hits: cross-dispersion (row) neighbours — same wavelength, nearby
+    # time window. Last resort (both neighbours flagged on both axes,
+    # vanishingly rare): keep only the clean part of the ramp.
+    est_x, have_x = neighbour_mean(-1)
+    est_y, have_y = neighbour_mean(-2)
+    est = jnp.where(have_x, est_x, jnp.where(have_y, est_y, 0.0))
+
+    # Shape from the neighbours, amplitude from the pixel itself (the
+    # standard up-the-ramp repair refinement): column neighbours share
+    # the scan's temporal profile almost exactly but can sit on a steep
+    # spectral gradient, so using their AMPLITUDE mis-repairs band-edge
+    # pixels. Rescale the neighbour profile so its clean-interval sum
+    # matches the pixel's own clean-interval sum; pixels with no clean
+    # reads at all (hot) keep the plain neighbour estimate — amplitude
+    # has to come from somewhere.
+    goodf = good.astype(diffs.dtype)
+    own_sum = jnp.sum(diffs * goodf, axis=-3, keepdims=True)
+    nb_sum = jnp.sum(est * goodf, axis=-3, keepdims=True)
+    scale_ok = jnp.abs(nb_sum) > 0.05 * jnp.abs(own_sum) + 1e-3
+    scale = own_sum / jnp.where(scale_ok, nb_sum, 1.0)
+    est = jnp.where(scale_ok, est * scale, est)
+
+    repaired = jnp.where(good, diffs, est)
+    rebuilt = reads_dn[..., :1, :, :] + jnp.cumsum(repaired, axis=-3)
+    return jnp.concatenate([reads_dn[..., :1, :, :], rebuilt], axis=-3)
+
+
 def ramp_slope_frame(reads_dn: jnp.ndarray,
                      read_times: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel least-squares up-the-ramp slope x exposure time (DN).
@@ -67,14 +199,20 @@ def ramp_slope_frame(reads_dn: jnp.ndarray,
 def extract_exposure(reads_dn: jnp.ndarray, gain: jnp.ndarray,
                      y_window: tuple[int, int],
                      bg_rows: tuple[int, int],
-                     read_times: jnp.ndarray | None = None) -> jnp.ndarray:
+                     read_times: jnp.ndarray | None = None,
+                     good_diffs: jnp.ndarray | None = None) -> jnp.ndarray:
     """Net electrons per column from one exposure's reads (NR, S, S).
 
     Accumulated-charge frame (CDS last - zeroth read by default; the
     up-the-ramp least-squares slope when ``read_times`` is given),
     background-subtracted using rows far from the spectrum, box-summed
-    over the extraction window.
+    over the extraction window. ``good_diffs`` (NR-1, S, S) bool enables
+    the DQ-aware interval repair (repair_read_stack) before either
+    estimator — cosmic-ray hits, saturated tails and hot pixels are
+    rebuilt instead of corrupting the extraction.
     """
+    if good_diffs is not None:
+        reads_dn = repair_read_stack(reads_dn, good_diffs)
     if read_times is None:
         net = (reads_dn[-1] - reads_dn[0]) * gain            # (S, S) e-
     else:
@@ -104,7 +242,8 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
                  *, y_window: tuple[int, int], x_window: tuple[int, int],
                  bg_rows: tuple[int, int] = (0, 16),
                  n_chan: int = 16,
-                 read_times: jnp.ndarray | None = None) -> ReducedVisit:
+                 read_times: jnp.ndarray | None = None,
+                 good_diffs: jnp.ndarray | None = None) -> ReducedVisit:
     """Extract white + channel light curves from a visit's raw reads.
 
     Args:
@@ -115,10 +254,18 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
       read_times: optional (NR,) sample times — switches the per-pixel
         estimator from CDS to the calwf3-style up-the-ramp least-squares
         slope (lower read-noise variance; see ramp_slope_frame).
+      good_diffs: optional (n_exp, NR-1, S, S) bool per-interval masks
+        (True = usable) from ~cr_bad_diff_masks / good_diff_masks_from_dq
+        — enables the DQ-aware repair so cosmic rays, saturation and
+        hot pixels do not contaminate the light curves.
     """
-    spectra = jax.vmap(lambda r: extract_exposure(r, gain, y_window, bg_rows,
-                                                  read_times)
-                       )(reads_dn)                           # (n_exp, S)
+    if good_diffs is None:
+        spectra = jax.vmap(lambda r: extract_exposure(
+            r, gain, y_window, bg_rows, read_times))(reads_dn)
+    else:
+        spectra = jax.vmap(lambda r, c: extract_exposure(
+            r, gain, y_window, bg_rows, read_times, c)
+        )(reads_dn, good_diffs)                              # (n_exp, S)
 
     oot = out_of_transit_mask(exp_mid_s, orbit)
 
@@ -144,6 +291,12 @@ def fit_eclipse_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                        orbit: OrbitParams, rp_over_rs: jnp.ndarray
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-channel eclipse depth Fp/Fs from secondary-eclipse visits.
+
+    ``rp_over_rs`` is a SCALAR (the geometric/white-light radius ratio):
+    it only sets the occultation contact geometry shared by all
+    channels, which is wavelength-independent at WFC3 precision. A
+    per-channel array would broadcast against the (n_exp,) separation
+    inside eclipse_visibility and mis-shape the design matrix.
 
     The eclipse model is linear in its parameters: F(t) = c (1 + fp v(t))
     with v(t) the planet's visible fraction (closed-form uniform-disk

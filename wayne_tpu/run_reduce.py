@@ -41,7 +41,7 @@ def collect_visit(visit_dir: str) -> list[str]:
 
 
 def extract_from_files(paths: list[str], gain: float,
-                       estimator: str = "cds"):
+                       estimator: str = "cds", use_dq: bool = True):
     """Host-side box extraction from ima files.
 
     Returns (spectra_e (n_exp, S), mid_times_s relative to the first
@@ -49,35 +49,69 @@ def extract_from_files(paths: list[str], gain: float,
     stacked CDS signal). ``estimator='ramp'`` fits the calwf3-style
     up-the-ramp least-squares slope per pixel instead of CDS (raw-DN
     products only — rate products lack the zeroth-read pedestal).
+
+    ``use_dq=True`` (default) consumes the products' DQ planes the way
+    real WFC3 pipelines do: reads flagged with cosmic rays (8192),
+    saturation (256) or hot pixels (16) are repaired per pixel by the
+    interval-difference reconstruction (reduction.repair_read_stack)
+    before either estimator runs.
     """
     import jax.numpy as jnp
 
     from wayne_tpu.io.ima import read_ima
-    from wayne_tpu.reduction import ramp_slope_frame
+    from wayne_tpu.reduction import (
+        DQ_BAD_BITS, good_diff_masks_from_dq, ramp_slope_frame,
+        repair_read_stack)
 
     nets, starts, exptime = [], [], 0.0
+    n_repaired = 0
     for p in paths:
-        hdr, reads, times = read_ima(p)
+        hdr, reads, times, dq = read_ima(p, with_dq=True)
+        flagged = use_dq and bool((dq & DQ_BAD_BITS).any())
+        if flagged:
+            n_repaired += 1
+
+        def repair(stack):
+            good = np.asarray(good_diff_masks_from_dq(dq))
+            return np.asarray(repair_read_stack(
+                jnp.asarray(stack, jnp.float32), jnp.asarray(good)))
+
         if str(hdr.get("BUNIT", "COUNTS")).upper().startswith("ELECTRONS"):
             if estimator == "ramp":
                 raise SystemExit(
                     "--estimator ramp needs raw-DN (counts) products; "
                     "this visit was written as a count-rate ima")
+            if len(reads) < 3:
+                raise SystemExit(
+                    "count-rate product with NSAMP=1: the zeroth read's "
+                    "rate plane is empty and the only sampled read IS the "
+                    "last read, so no CDS-able signal exists — regenerate "
+                    "the visit with nsamp >= 2 or output_units: counts")
             # Count-rate product: convert back to accumulated electrons.
             # The zeroth read's rate plane is zero (t = 0), so it cannot
             # CDS-subtract the bias pedestal — difference against the
             # FIRST SAMPLED read instead. The lost 0..t1 signal interval
             # is a per-exposure-constant fraction, so depths (flux
             # ratios) are unaffected.
-            net = reads[-1] * times[-1] - reads[1] * times[1]
-        elif estimator == "ramp":
-            net = np.asarray(ramp_slope_frame(
-                jnp.asarray(reads), jnp.asarray(times, jnp.float32))) * gain
+            acc = reads * np.asarray(times, np.float64)[:, None, None]
+            if flagged:
+                acc = repair(acc)
+            net = acc[-1] - acc[1]
         else:
-            net = (reads[-1] - reads[0]) * gain
+            if flagged:
+                reads = repair(reads)
+            if estimator == "ramp":
+                net = np.asarray(ramp_slope_frame(
+                    jnp.asarray(reads),
+                    jnp.asarray(times, jnp.float32))) * gain
+            else:
+                net = (reads[-1] - reads[0]) * gain
         nets.append(net)
         starts.append(float(hdr["EXPSTART"]))
         exptime = float(hdr.get("EXPTIME", times[-1]))
+    if n_repaired:
+        print(f"DQ repair: rebuilt flagged reads in {n_repaired}/"
+              f"{len(paths)} exposures (CR/saturation/hot bits)")
     nets = np.stack(nets)                      # (n_exp, S, S) electrons
     starts = np.asarray(starts)
     mids = (starts - starts.min()) * 86400.0 + exptime / 2.0
@@ -92,10 +126,19 @@ def extract_from_files(paths: list[str], gain: float,
     row_sig = med.sum(axis=1)
     row_sig = row_sig - np.median(row_sig)
     rows = np.where(row_sig > 0.05 * row_sig.max())[0]
+    if rows.size == 0:
+        raise SystemExit(
+            "no signal rows detected — the frames look background-only "
+            "(was the spectrum off the detector? the simulator warns "
+            "'spectrum lands outside the subarray' at generation time)")
     y_window = (max(int(rows.min()) - pad, 0), min(int(rows.max()) + pad + 1, S))
     col_sig = med[y_window[0]: y_window[1]].sum(axis=0)
     col_sig = col_sig - np.median(col_sig)
     cols = np.where(col_sig > 0.1 * col_sig.max())[0]
+    if cols.size == 0:
+        raise SystemExit(
+            "no illuminated columns detected inside the signal rows — "
+            "frames appear to carry no dispersed spectrum")
     x_window = (max(int(cols.min()) - pad, 0), min(int(cols.max()) + pad + 1, S))
     # Background rows: the larger sky-only margin above or below the
     # spectrum, with a generous gap against PSF tails.
@@ -133,6 +176,9 @@ def main(argv: list[str] | None = None) -> int:
                              "least-squares slope")
     parser.add_argument("--no-divide-white", action="store_true",
                         help="skip the white common-mode correction")
+    parser.add_argument("--no-dq", action="store_true",
+                        help="ignore the DQ planes (skip the cosmic-ray/"
+                             "saturation/hot-pixel read repair)")
     parser.add_argument("--plot", action="store_true",
                         help="also write a quicklook PNG (needs matplotlib)")
     parser.add_argument("--cpu", action="store_true")
@@ -162,8 +208,8 @@ def main(argv: list[str] | None = None) -> int:
     print(f"reducing {len(paths)} exposures from {args.visit_dir} "
           f"({hdr0.get('FILTER')}, SUBARRAY {cfg.subarray})")
 
-    spectra, mids, (yw, xw, bg) = extract_from_files(paths, gain,
-                                                     args.estimator)
+    spectra, mids, (yw, xw, bg) = extract_from_files(
+        paths, gain, args.estimator, use_dq=not args.no_dq)
     print(f"auto windows: rows {yw}, cols {xw}, background rows {bg}")
 
     # System model on the visit clock (first exposure start = 0).
@@ -242,6 +288,7 @@ def main(argv: list[str] | None = None) -> int:
         "windows": {"rows": list(yw), "cols": list(xw),
                     "background_rows": list(bg)},
         "divide_white": not args.no_divide_white,
+        "dq_repair": not args.no_dq,
         "channels": [
             {"wl_lo_um": round(float(wl_edges[i]), 4),
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),

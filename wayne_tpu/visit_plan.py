@@ -63,3 +63,33 @@ def plan_visit(n_orbits: int, exptime_s: float, overhead_s: float,
         orbit_index=np.asarray(orbits, np.int64),
         orbit_start_s=np.asarray(orbit_starts, np.float64),
         exptime_s=exptime_s, start_mjd=start_mjd)
+
+
+def plan_from_start_times(start_mjd_list, exptime_s: float,
+                          orbit_gap_s: float = 0.25 * HST_PERIOD_S
+                          ) -> VisitPlan:
+    """A VisitPlan from EXPLICIT per-exposure start times (MJD), verbatim.
+
+    Real visits have their exposure starts fixed by HST scheduling
+    (reference: the ``exp_start_times`` parameter surface); this builds
+    the plan from those times instead of the cadence model, so the ima
+    EXPSTART keywords reproduce the list exactly. Orbit membership —
+    which drives the hook systematic's per-orbit clock — is inferred
+    from gaps: a gap longer than ``orbit_gap_s`` (default a quarter HST
+    period, well above any in-orbit cadence and below the ~45-min
+    occultation gap) starts a new orbit whose clock begins at that
+    exposure's start.
+    """
+    t = np.asarray(start_mjd_list, np.float64).ravel()
+    if t.size == 0:
+        raise ValueError("exp_start_mjd_list is empty")
+    if np.any(np.diff(t) <= 0):
+        raise ValueError("exposure start times must be strictly increasing")
+    rel = (t - t[0]) * 86400.0
+    new_orbit = np.concatenate([[True], np.diff(rel) > orbit_gap_s])
+    orbit_index = np.cumsum(new_orbit) - 1
+    orbit_start_s = rel[new_orbit][orbit_index]
+    return VisitPlan(
+        exp_start_s=rel, orbit_index=orbit_index.astype(np.int64),
+        orbit_start_s=orbit_start_s, exptime_s=exptime_s,
+        start_mjd=float(t[0]))
