@@ -278,3 +278,96 @@ def test_err_excludes_bias_includes_background(use_native):
     # charged read: ERR = sqrt(4000 + rn^2)/gain
     np.testing.assert_allclose(errs[2], np.sqrt(4000.0 + rn**2) / gain,
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_err_uses_gain_and_bias_maps_exactly(use_native):
+    """write_ima(gain_map=..., bias_e_map=...) propagates the per-pixel
+    planes through ERR identically in the Python and C++ backends."""
+    if use_native and not native_available():
+        pytest.skip("native backend unavailable")
+    rng = np.random.RandomState(1)
+    nr, s, rn = 3, 16, 12.0
+    gmap = (2.5 * (1.0 + 0.1 * rng.standard_normal((s, s)))).astype(np.float32)
+    bmap = (2500.0 * (1.0 + 0.2 * rng.standard_normal((s, s)))
+            ).astype(np.float32)
+    reads = (bmap / gmap)[None] + rng.uniform(
+        0, 4000, (nr, s, s)).astype(np.float32) / gmap[None]
+    times = np.array([0.0, 0.3, 10.3])
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "g_ima.fits")
+        write_ima(path, reads, times, _primary(nr), gain=2.5,
+                  read_noise_e=rn, bias_pedestal_e=2500.0,
+                  gain_map=gmap, bias_e_map=bmap, use_native=use_native)
+        hdus = read_fits(path)
+    planes = {(h["EXTNAME"], h["SAMPNUM"]): a for h, a in hdus[1:]
+              if h.get("EXTNAME") in ("SCI", "ERR")}
+    for k in range(nr):
+        sci = planes[("SCI", k)]
+        want = np.sqrt(np.maximum(sci * gmap - bmap, 0.0) + rn**2) / gmap
+        np.testing.assert_allclose(planes[("ERR", k)], want, rtol=2e-5)
+
+
+def test_err_matches_empirical_rms_with_gain_variations():
+    """Statistical ERR fidelity WITH gain_variations on: the per-pixel
+    gain-map ERR model matches the empirical per-pixel read RMS in every
+    detector quadrant; the scalar-gain model (round-2 behaviour) shows
+    the quadrant gain structure leaking into the ratio."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from wayne_tpu.calibration import synthetic_tables
+    from wayne_tpu.config import ExposureStatic, NoiseFlags
+    from wayne_tpu.ops.exposure import simulate_exposure
+    from wayne_tpu.scene import example_scene
+
+    S, NL, N = 64, 32, 96
+    flags = dataclasses.replace(
+        NoiseFlags.none(), poisson=True, read_noise=True, sky=True,
+        bias=True, gain_variations=True)
+    cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=2,
+                         samp_seq="RAPID", scan=True, max_cr_per_read=4,
+                         transit_quad=16)
+    tables = synthetic_tables("G141", subarray=S, n_lambda=NL,
+                              samp_seq="RAPID", nsamp=2)
+    # exaggerated quadrant gains (+-10%) so the statistical gate is
+    # decisive at N=96 realisations (real WFC3 structure is ~1%)
+    q = np.ones((S, S), np.float32)
+    q[: S // 2, : S // 2] = 0.9
+    q[S // 2:, S // 2:] = 1.1
+    gmap = 2.5 * q
+    tables = dataclasses.replace(tables, gain_map=jnp.asarray(gmap))
+    scene = example_scene(NL, scan_speed=1.0)
+    scene = dataclasses.replace(scene, x_ref=jnp.float32(15.0),
+                                y_ref=jnp.float32(20.0))
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.PRNGKey(11), i))(jnp.arange(N))
+
+    def one(k):
+        return simulate_exposure(
+            dataclasses.replace(scene, key=k), tables, cfg).reads_dn[-1]
+
+    last = np.asarray(jax.lax.map(one, keys))       # (N, S, S) final reads
+    emp = last.std(axis=0, ddof=1)
+    mean_sci = last.mean(axis=0)
+    rn = float(tables.read_noise_e)
+    bmap = np.asarray(tables.bias_map)
+    err_maps = np.sqrt(np.maximum(mean_sci * gmap - bmap, 0) + rn**2) / gmap
+    err_scalar = np.sqrt(
+        np.maximum(mean_sci * 2.5 - bmap.mean(), 0) + rn**2) / 2.5
+
+    def quadrant_ratios(model):
+        h = S // 2
+        return np.array([
+            (emp[i: i + h, j: j + h] / model[i: i + h, j: j + h]).mean()
+            for i in (0, h) for j in (0, h)])
+
+    r_maps = quadrant_ratios(err_maps)
+    r_scalar = quadrant_ratios(err_scalar)
+    # map-aware model: every quadrant consistent with the empirical RMS
+    assert np.abs(r_maps - 1.0).max() < 0.03, r_maps
+    # scalar model: the +-10% gain quadrants leak into the ratio
+    assert np.abs(r_scalar - 1.0).max() > 2.5 * np.abs(r_maps - 1.0).max(), (
+        r_maps, r_scalar)

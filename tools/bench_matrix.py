@@ -54,16 +54,17 @@ def main() -> None:
             jax.random.PRNGKey(0), i))(jnp.arange(n))
         return dataclasses.replace(sc, key=keys)
 
-    def time_visit(name, cfg, base, n=304, chunk=16):
+    def time_visit(name, cfg, base, n=304, chunk=16, tab=None):
+        tab = tables if tab is None else tab
         scenes = visit_scenes(base, n)
         t0 = time.time()
-        out = simulate_visit(scenes, tables, cfg, chunk)
+        out = simulate_visit(scenes, tab, cfg, chunk)
         out.reads_dn.block_until_ready()
         compile_s = time.time() - t0
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            out = simulate_visit(scenes, tables, cfg, chunk)
+            out = simulate_visit(scenes, tab, cfg, chunk)
             out.reads_dn.block_until_ready()
             best = min(best, time.time() - t0)
         results[name] = {"n_exposures": n, "wallclock_s": round(best, 4),
@@ -122,6 +123,18 @@ def main() -> None:
                           max_cr_per_read=160, use_pallas=pallas,
                           compute_ideal=False)
     time_visit("4_full_noise_visit", cfg4, base_scan)
+
+    # 4b: FULL FRAME (1024^2, 5-px reference border) production visit —
+    # the real detector's native format; the fused whole-exposure Pallas
+    # kernel exceeds VMEM at this size, so this measures the row-tiled
+    # per-read fallback path at a shorter visit length.
+    tables_ff = synthetic_tables("G141", subarray=1024, n_lambda=NL,
+                                 samp_seq="SPARS10", nsamp=15)
+    base_ff = dataclasses.replace(
+        base_scan, x_ref=jnp.float32(450.0), y_ref=jnp.float32(500.0))
+    cfg_ff = dataclasses.replace(cfg4, subarray=1024, max_cr_per_read=448)
+    time_visit("4b_full_frame_1024_visit", cfg_ff, base_ff, n=64, chunk=8,
+               tab=tables_ff)
 
     # 5: Monte-Carlo ensemble, G102 + G141, on-device extraction
     mesh = make_mesh(jax.devices()[:1])

@@ -103,7 +103,9 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
               dq: np.ndarray | None = None, gain: float = 2.5,
               read_noise_e: float = 20.0, bias_pedestal_e: float = 0.0,
               use_native: bool = True,
-              units: str = "counts") -> None:
+              units: str = "counts",
+              gain_map: np.ndarray | None = None,
+              bias_e_map: np.ndarray | None = None) -> None:
     """Write one exposure as an ima-style FITS file.
 
     Uses the native C++ backend (wayne_tpu/native) when available and the
@@ -115,17 +117,32 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
       err: optional (NR, S, S); default propagates the Poisson charge in
         the measured signal (source + sky + dark, i.e. everything above
         the non-Poissonian bias pedestal) plus read noise:
-        sqrt(max(sci*gain - bias_pedestal_e, 0) + rn^2)/gain.
+        sqrt(max(sci*g - bias_e, 0) + rn^2)/g per pixel.
       bias_pedestal_e: mean zeroth-read pedestal (electrons) excluded
         from the default ERR's shot-noise term.
+      gain_map: optional (S, S) per-pixel gain (e-/DN). A SCI written
+        with gain_variations carries quadrant/pixel gain structure; ERR
+        must propagate through the SAME map or that structure leaks
+        into the shot term. None -> the scalar ``gain``.
+      bias_e_map: optional (S, S) per-pixel bias pedestal (electrons);
+        None -> the scalar ``bias_pedestal_e``.
       units: 'counts' (raw DN, the simulator's native product) or
-        'e_per_s' (calwf3-style count-rate ima: SCI = DN*gain/SAMPTIME).
+        'e_per_s' (calwf3-style count-rate ima: SCI = DN*gain/SAMPTIME;
+        the unit conversion uses the SCALAR gain by convention — the
+        per-pixel maps affect only ERR's shot term).
     """
     reads_dn = np.asarray(reads_dn, np.float32)
+
+    def default_err(sci):
+        g = gain if gain_map is None else np.asarray(gain_map, np.float32)
+        be = (bias_pedestal_e if bias_e_map is None
+              else np.asarray(bias_e_map, np.float32))
+        sig_e = np.maximum(sci * g - be, 0.0)
+        return (np.sqrt(sig_e + read_noise_e**2) / g).astype(np.float32)
+
     if units == "e_per_s":
         if err is None:   # propagate in DN, then convert with the rate
-            sig_e = np.maximum(reads_dn * gain - bias_pedestal_e, 0.0)
-            err = (np.sqrt(sig_e + read_noise_e**2) / gain).astype(np.float32)
+            err = default_err(reads_dn)
         t = np.asarray(read_times, np.float64)
         scale = np.where(t > 0, gain / np.maximum(t, 1e-9), 0.0)
         scale = scale[:, None, None].astype(np.float32)
@@ -141,7 +158,8 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
         ext_bytes = _ima_ext_headers(reads_dn.shape, read_times)
         if write_ima_native(path, reads_dn, read_times, primary_bytes,
                             ext_bytes, gain, read_noise_e, dq=dq,
-                            bias_dn=bias_pedestal_e / gain):
+                            bias_dn=bias_pedestal_e / gain,
+                            gain_map=gain_map, bias_e_map=bias_e_map):
             return
     nr = reads_dn.shape[0]
     hdus = [FitsHDU(name="", data=None, header=primary)]
@@ -150,8 +168,7 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
         if err is not None:
             e = np.asarray(err[k], np.float32)
         else:
-            sig_e = np.maximum(sci * gain - bias_pedestal_e, 0.0)
-            e = (np.sqrt(sig_e + read_noise_e**2) / gain).astype(np.float32)
+            e = default_err(sci)
         d = (np.zeros_like(sci, np.int16) if dq is None
              else np.asarray(dq[k], np.int16))
         samp = np.full_like(d, k, dtype=np.int16)

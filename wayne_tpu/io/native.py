@@ -58,6 +58,8 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_double),      # read times
             ctypes.c_float, ctypes.c_float,       # gain, read noise
             ctypes.c_float,                       # bias pedestal (DN)
+            ctypes.POINTER(ctypes.c_float),       # gain map (nullable)
+            ctypes.POINTER(ctypes.c_float),       # bias e- map (nullable)
         ]
         _lib = lib
         return _lib
@@ -71,8 +73,15 @@ def write_ima_native(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
                      primary_bytes: bytes, ext_header_bytes: list[bytes],
                      gain: float, read_noise_e: float,
                      dq: np.ndarray | None = None,
-                     bias_dn: float = 0.0) -> bool:
-    """Write one ima file through the native backend. Returns success."""
+                     bias_dn: float = 0.0,
+                     gain_map: np.ndarray | None = None,
+                     bias_e_map: np.ndarray | None = None) -> bool:
+    """Write one ima file through the native backend. Returns success.
+
+    ``gain_map`` / ``bias_e_map``: optional (h, w) per-pixel planes the
+    default ERR propagates through instead of the scalar gain / mean
+    bias pedestal (matching a SCI written with gain_variations/bias on).
+    """
     lib = get_lib()
     if lib is None:
         return False
@@ -92,10 +101,22 @@ def write_ima_native(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
         dq_ptr = dq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
     else:
         dq_ptr = None
+
+    def plane_ptr(m):
+        if m is None:
+            return None
+        m = np.ascontiguousarray(m, np.float32)
+        if m.shape != (h, w):
+            raise ValueError(f"plane shape {m.shape} != {(h, w)}")
+        return m, m.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    gm = plane_ptr(gain_map)
+    bm = plane_ptr(bias_e_map)
     rc = lib.wayne_write_ima(
         path.encode(), primary_bytes, len(primary_bytes), hdrs, lens,
         reads.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dq_ptr,
         nr, h, w, times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_float(gain), ctypes.c_float(read_noise_e),
-        ctypes.c_float(bias_dn))
+        ctypes.c_float(bias_dn),
+        gm[1] if gm else None, bm[1] if bm else None)
     return rc == 0

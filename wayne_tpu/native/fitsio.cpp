@@ -89,6 +89,13 @@ extern "C" {
 //   bias_dn       zeroth-read pedestal (DN) subtracted before the shot-
 //                 noise term so ERR covers source+sky+dark Poisson charge
 //                 plus read noise, but not the non-Poissonian bias.
+//   gain_map      optional (h, w) per-pixel gain (e-/DN) plane: when the
+//                 simulator wrote SCI through per-pixel gain variations,
+//                 ERR must propagate through the same map or the
+//                 quadrant gain structure leaks into the shot term.
+//                 NULL -> scalar gain.
+//   bias_e_map    optional (h, w) per-pixel bias pedestal (ELECTRONS);
+//                 NULL -> the scalar bias_dn * gain convention.
 //
 // Returns 0 on success, negative errno-style code on failure.
 // ``dq`` is optional: (nr, h, w) int16 planes in TIME order, or NULL for
@@ -98,7 +105,8 @@ int wayne_write_ima(const char* path, const uint8_t* primary_hdr,
                     const long* ext_hdr_lens, const float* reads,
                     const int16_t* dq, long nr, long h, long w,
                     const double* read_times, float gain,
-                    float read_noise, float bias_dn) {
+                    float read_noise, float bias_dn,
+                    const float* gain_map, const float* bias_e_map) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   setvbuf(f, nullptr, _IOFBF, 1 << 20);
@@ -122,13 +130,25 @@ int wayne_write_ima(const char* path, const uint8_t* primary_hdr,
         (size_t)ext_hdr_lens[ext]) { rc = -3; break; }
     ++ext;
     if (write_f32_be(f, sci, n, buf)) { rc = -4; break; }
-    // ERR = sqrt(max(sci - bias, 0)*gain + rn^2) / gain: Poisson term
-    // covers accumulated source+sky+dark charge (all in the measured DN),
-    // with the non-Poissonian bias pedestal removed.
-    for (long i = 0; i < n; ++i) {
-      float s = sci[i] - bias_dn;
-      if (s < 0.0f) s = 0.0f;
-      err[(size_t)i] = std::sqrt(s * gain + rn2) * inv_gain;
+    // ERR = sqrt(max(sci*g - bias_e, 0) + rn^2) / g per pixel: Poisson
+    // term covers accumulated source+sky+dark charge (all in the
+    // measured DN), with the non-Poissonian bias pedestal removed. g is
+    // the per-pixel gain map when given, else the scalar gain.
+    if (gain_map || bias_e_map) {
+      const float bias_e_scalar = bias_dn * gain;
+      for (long i = 0; i < n; ++i) {
+        const float g = gain_map ? gain_map[i] : gain;
+        const float be = bias_e_map ? bias_e_map[i] : bias_e_scalar;
+        float se = sci[i] * g - be;
+        if (se < 0.0f) se = 0.0f;
+        err[(size_t)i] = std::sqrt(se + rn2) / g;
+      }
+    } else {
+      for (long i = 0; i < n; ++i) {
+        float s = sci[i] - bias_dn;
+        if (s < 0.0f) s = 0.0f;
+        err[(size_t)i] = std::sqrt(s * gain + rn2) * inv_gain;
+      }
     }
     if (fwrite(ext_hdrs[ext], 1, (size_t)ext_hdr_lens[ext], f) !=
         (size_t)ext_hdr_lens[ext]) { rc = -5; break; }
@@ -172,7 +192,8 @@ int wayne_write_ima_batch(const char* paths_joined, const uint8_t* const* primar
                              all_ext_hdrs + i * n_ext,
                              all_ext_hdr_lens + i * n_ext,
                              all_reads + i * nr * h * w, nullptr, nr, h, w,
-                             read_times, gain, read_noise, bias_dn);
+                             read_times, gain, read_noise, bias_dn,
+                             nullptr, nullptr);
     if (rc) return rc;
     p += std::strlen(p) + 1;
   }

@@ -213,13 +213,21 @@ class Observation:
     # ------------------------------------------------------------------
     def generate(self, outdir: str | None = None, chunk: int = 8,
                  progress: Callable[[str], None] | None = None,
-                 resume: bool = True, debug: bool = False) -> list[str]:
+                 resume: bool = True, debug: bool = False,
+                 mesh=None) -> list[str]:
         """Simulate and write the visit to ima-style FITS files.
 
         Overlaps host FITS writing of chunk i with device compute of
         chunk i+1 via JAX's async dispatch. Returns written paths.
         ``debug=True`` runs NaN/range guards on every chunk and writes a
         structured visit summary (SURVEY.md section 5.5).
+
+        ``mesh``: an optional jax.sharding.Mesh — the visit's exposure
+        axis is sharded over ALL its devices (``chunk`` exposures per
+        device per step, no collectives; ops/visit.py::
+        simulate_visit_sharded), and the host gathers each step's frames
+        for writing. Files are identical to the single-device path —
+        every exposure's program and key are position-independent.
         """
         cfg = self.cfg
         outdir = outdir or cfg.outdir
@@ -234,7 +242,11 @@ class Observation:
 
         self._write_direct_image(outdir, resume=resume)
 
-        scenes, n = pad_scenes(self.scenes, chunk)
+        # With a mesh, one device-step computes chunk exposures on EACH
+        # device; the host loop advances by the group size.
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        step = chunk * n_dev
+        scenes, n = pad_scenes(self.scenes, step)
         n_padded = jax.tree_util.tree_leaves(scenes)[0].shape[0]
         read_times = np.asarray(self.tables.read_times, np.float64)
         gain = float(self.tables.gain)
@@ -261,14 +273,20 @@ class Observation:
         futures = []
         with ThreadPoolExecutor(max_workers=1) as writer:
             pending: list[tuple[int, object]] = []
-            for c0 in range(0, n_padded, chunk):
+            for c0 in range(0, n_padded, step):
                 if resume and c0 < n and all(
                         os.path.exists(self._exp_path(outdir, i))
-                        for i in range(c0, min(c0 + chunk, n))):
+                        for i in range(c0, min(c0 + step, n))):
                     continue   # whole chunk already on disk: skip compute
-                sl = jax.tree_util.tree_map(lambda x: x[c0: c0 + chunk],
+                sl = jax.tree_util.tree_map(lambda x: x[c0: c0 + step],
                                             scenes)
-                res = fetch(simulate_visit(sl, self.tables, static, chunk))
+                if mesh is not None:
+                    from wayne_tpu.ops.visit import simulate_visit_sharded
+                    res = fetch(simulate_visit_sharded(
+                        sl, self.tables, static, mesh, chunk))
+                else:
+                    res = fetch(simulate_visit(sl, self.tables, static,
+                                               chunk))
                 pending.append((c0, res))
                 if len(pending) > 1:
                     c0p, resp = pending.pop(0)
@@ -333,7 +351,9 @@ class Observation:
         c0, res = item
         if not hasattr(self, "_static_dq"):
             # Calibration-known detector DQ (hot + reference pixels) and
-            # the mean bias pedestal the default ERR model excludes.
+            # the bias/gain planes the default ERR model propagates
+            # through (per-pixel maps when the corresponding noise flag
+            # wrote that structure into SCI; docs/API.md 'ERR model').
             self._static_dq = static_dq_plane(
                 np.asarray(self.tables.dark_map),
                 np.asarray(self.tables.active_mask))
@@ -342,6 +362,12 @@ class Observation:
             self._bias_pedestal_e = (
                 float(np.asarray(self.tables.bias_map).mean())
                 if self.cfg.noise.bias else 0.0)
+            self._gain_map = (
+                np.asarray(self.tables.gain_map, np.float32)
+                if self.cfg.noise.gain_variations else None)
+            self._bias_e_map = (
+                np.asarray(self.tables.bias_map, np.float32)
+                if self.cfg.noise.bias else None)
         reads = np.asarray(res.reads_dn)   # (chunk, NR, S, S) device->host
         if getattr(self, "_debug", False):
             from wayne_tpu.utils.guards import check_exposure_result
@@ -380,7 +406,9 @@ class Observation:
             write_ima(path, reads[j], read_times, primary, gain=gain,
                       read_noise_e=rn, dq=dq,
                       bias_pedestal_e=self._bias_pedestal_e,
-                      units=cfg.output_units)
+                      units=cfg.output_units,
+                      gain_map=self._gain_map,
+                      bias_e_map=self._bias_e_map)
             paths.append(path)
             say(f"exposure {i + 1}/{n} written")
         return paths

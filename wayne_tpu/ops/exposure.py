@@ -333,7 +333,15 @@ def simulate_exposure(scene: Scene, tables: Tables,
             raw_key = jax.random.key_data(raw_key)
         exp_seed = raw_key.reshape(-1)[-1].astype(jnp.int32)
 
-    if use_pallas and band and S <= 512 and cfg.fused_reads:
+    use_fused = use_pallas and band and S <= 512 and cfg.fused_reads
+    if use_fused:
+        # Non-v5e TPU generations compile-probe the single-launch kernel
+        # instead of trusting the v5e-measured VMEM behaviour; a failed
+        # probe falls back to the per-read kernels below.
+        from wayne_tpu.ops.pallas_readout import fused_whole_exposure_supported
+        use_fused = fused_whole_exposure_supported(
+            S, band, cfg.nsamp + 1, cfg.max_cr_per_read)
+    if use_fused:
         # Whole-exposure fused path: compute every read's expected signal
         # band (vmap over reads — no sequential dependency), then run ALL
         # reads in ONE kernel launch with the cumulative charge resident

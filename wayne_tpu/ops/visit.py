@@ -55,3 +55,56 @@ def simulate_visit(scenes: Scene, tables: Tables, cfg: ExposureStatic,
     out = jax.lax.map(run_chunk, chunked)
     return jax.tree_util.tree_map(
         lambda x: x.reshape((n,) + x.shape[2:]), out)
+
+
+# One compiled sharded-visit program per (mesh, cfg, chunk): rebuilding
+# the shard_map + jit closure per chunk-group would re-trace the whole
+# visit program on every call (see CLAUDE.md / parallel.ensemble).
+_SHARDED_CACHE: dict = {}
+
+
+def simulate_visit_sharded(scenes: Scene, tables: Tables,
+                           cfg: ExposureStatic, mesh, chunk: int = 8
+                           ) -> ExposureResult:
+    """Run a visit's exposures sharded over EVERY device of ``mesh``.
+
+    Frame production is embarrassingly parallel across exposures (each
+    exposure's Scene carries its own counter-derived key), so a D-device
+    mesh computes D * chunk exposures per call with no collectives; each
+    device runs the identical per-exposure program it would run alone,
+    so the resulting ima files match the single-device path exactly.
+    Used by Observation.generate(mesh=...) for multi-chip frame-product
+    datasets (reduced-spectra ensembles shard via parallel/ensemble).
+
+    The exposure count must be a multiple of D * chunk (pad_scenes).
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devices = mesh.devices.reshape(-1)
+    n = jax.tree_util.tree_leaves(scenes)[0].shape[0]
+    if n % (devices.size * chunk) != 0:
+        raise ValueError(
+            f"n_exposures {n} not a multiple of devices*chunk = "
+            f"{devices.size}*{chunk}")
+
+    key = (tuple(d.id for d in devices), cfg, chunk)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        flat = Mesh(devices, ("exp",))
+        scene_specs = jax.tree_util.tree_map(lambda _: P("exp"), scenes)
+        table_specs = jax.tree_util.tree_map(lambda _: P(), tables)
+        out_specs = ExposureResult(
+            reads_dn=P("exp"), ideal_e=P("exp"), saturated_frac=P("exp"),
+            cr_pos=P("exp"), cr_count=P("exp"))
+
+        # check_vma=False: jax.random.poisson's internal while_loop
+        # carries unvarying leaves the varying-manual-axes checker
+        # rejects; shards are independent so the check is vacuous.
+        @partial(jax.shard_map, mesh=flat,
+                 in_specs=(scene_specs, table_specs), out_specs=out_specs,
+                 check_vma=False)
+        def run(local_scenes: Scene, local_tables: Tables) -> ExposureResult:
+            return simulate_visit(local_scenes, local_tables, cfg, chunk)
+
+        fn = _SHARDED_CACHE[key] = jax.jit(run)
+    return fn(scenes, tables)
