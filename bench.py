@@ -113,30 +113,36 @@ def main() -> None:
     # PCIe at GB/s, so the kernel metric above is the architecture number
     # and this one characterises the IO pipeline.
     import dataclasses
+
+    def time_generate(obs):
+        # Two passes: the first warms every compile (visit program,
+        # direct image, quantizer) and fills the page cache; only the
+        # second is timed. os.sync() between passes so one run's dirty
+        # FITS pages don't writeback-throttle the next measurement.
+        n = wall = out_bytes = 0
+        for timed in (False, True):
+            outdir = tempfile.mkdtemp(prefix="wayne_bench_")
+            try:
+                t0 = time.time()
+                paths = obs.generate(outdir, chunk=CHUNK,
+                                     progress=lambda s: None, resume=False)
+                if timed:
+                    wall = time.time() - t0
+                    n = len(paths)
+                    out_bytes = sum(os.path.getsize(os.path.join(outdir, f))
+                                    for f in os.listdir(outdir))
+            finally:
+                shutil.rmtree(outdir, ignore_errors=True)
+            os.sync()
+        return n, wall, out_bytes
+
     obs2 = Observation(dataclasses.replace(obs_cfg, n_orbits=2))
-    outdir = tempfile.mkdtemp(prefix="wayne_bench_")
-    try:
-        t0 = time.time()
-        paths = obs2.generate(outdir, chunk=CHUNK, progress=lambda s: None,
-                              resume=False)
-        gen_wall = time.time() - t0
-        n_gen = len(paths)
-        out_bytes = sum(os.path.getsize(os.path.join(outdir, f))
-                        for f in os.listdir(outdir))
-    finally:
-        shutil.rmtree(outdir, ignore_errors=True)
+    n_gen, gen_wall, out_bytes = time_generate(obs2)
     # Same sub-visit with 16-bit ADC quantization (physically faithful;
     # halves the link bytes).
     obs3 = Observation(dataclasses.replace(obs_cfg, n_orbits=2,
                                            quantize_adc=True))
-    outdir = tempfile.mkdtemp(prefix="wayne_bench_q_")
-    try:
-        t0 = time.time()
-        n_q = len(obs3.generate(outdir, chunk=CHUNK,
-                                progress=lambda s: None, resume=False))
-        gen_wall_q = time.time() - t0
-    finally:
-        shutil.rmtree(outdir, ignore_errors=True)
+    n_q, gen_wall_q, _ = time_generate(obs3)
     log(f"[bench] generate(quantize_adc): {n_q} files in {gen_wall_q:.2f}s "
         f"({n_q / gen_wall_q:.2f} exp/s)")
     # Raw device->host link rate, for context on the number above.

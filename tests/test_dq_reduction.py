@@ -255,3 +255,38 @@ def test_run_reduce_cli_dq_repair(tmp_path):
     err_nodq = np.mean([abs(c["rp_over_rs"] - 0.14)
                         for c in nodq["channels"]])
     assert err_dq < err_nodq + 5e-4, (err_dq, err_nodq)
+
+
+def test_sparse_repair_matches_dense_on_isolated_hits():
+    """repair_read_stack_sparse computes the identical correction to the
+    dense repair when hit pixels' column neighbours are clean (the
+    physical case) — and costs O(hits), which is why the ensemble path
+    uses it (BENCH_MATRIX config 5 regression)."""
+    from wayne_tpu.reduction import repair_read_stack_sparse
+
+    rng = np.random.RandomState(3)
+    nsamp, s, n_cr = 4, 32, 8
+    # ramps with spatial structure + isolated hits (no adjacent columns)
+    rate = rng.uniform(5.0, 50.0, (s, s)).astype(np.float32)
+    t = np.arange(nsamp + 1, dtype=np.float32)
+    reads = rate[None] * t[:, None, None]
+    cr_pos = np.zeros((nsamp, 2, n_cr), np.int32)
+    cr_count = np.asarray([2, 0, 3, 1], np.int32)
+    hits = [(0, 5, 5), (0, 10, 20), (2, 5, 10), (2, 20, 8), (2, 28, 25),
+            (3, 15, 15)]
+    per_k = {0: [], 2: [], 3: []}
+    for k, y, x in hits:
+        per_k[k].append((y, x))
+        reads[k + 1:, y, x] += 700.0          # the CR charge steps
+    for k, lst in per_k.items():
+        for i, (y, x) in enumerate(lst):
+            cr_pos[k, 0, i], cr_pos[k, 1, i] = y, x
+    reads_j = jnp.asarray(reads)
+    pos_j, cnt_j = jnp.asarray(cr_pos), jnp.asarray(cr_count)
+    sparse = np.asarray(repair_read_stack_sparse(reads_j, pos_j, cnt_j))
+    dense = np.asarray(repair_read_stack(
+        reads_j, ~cr_bad_diff_masks(pos_j, cnt_j, s)))
+    np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-2)
+    # and both recover the uncorrupted truth exactly here (linear ramps)
+    truth = rate[None] * t[:, None, None]
+    np.testing.assert_allclose(sparse, truth, rtol=1e-5, atol=0.5)

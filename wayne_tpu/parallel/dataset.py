@@ -73,12 +73,15 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
                      seed: int = 0,
                      overrides: Mapping[str, jnp.ndarray] | None = None,
                      labels: Mapping[str, np.ndarray] | None = None,
-                     mesh=None, progress=None) -> dict[str, Any]:
+                     mesh=None, progress=None,
+                     dq_aware: bool = True) -> dict[str, Any]:
     """Generate an n_mc-realisation spectral dataset, resumably.
 
     Writes ``chunk_XXXX.npz`` files containing extracted spectra
     (chunk_mc, n_exp, S) plus any per-realisation ``labels`` slices, and a
     ``manifest.json``. Already-present chunks are skipped on re-run.
+    ``dq_aware=False`` keeps simulated cosmic rays IN the spectra
+    (training-realism datasets) instead of repairing them at extraction.
     """
     os.makedirs(outdir, exist_ok=True)
     say = progress or (lambda s: None)
@@ -124,7 +127,8 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         ens = sweep_scenes(visit_scenes, chunk_mc, seed=seed,
                            overrides=over, mc_offset=c0)
         ens = shard_scenes(ens, mesh)
-        spectra = simulate_ensemble_spectra(ens, tables, cfg, mesh)
+        spectra = simulate_ensemble_spectra(ens, tables, cfg, mesh,
+                                            dq_aware=dq_aware)
         try:
             spectra.copy_to_host_async()
         except Exception:  # pragma: no cover - backend-dependent
@@ -137,7 +141,7 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
 
     manifest = {
         "n_mc": n_mc, "chunk_mc": chunk_mc, "n_exp": n_exp,
-        "subarray": cfg.subarray, "seed": seed,
+        "subarray": cfg.subarray, "seed": seed, "dq_aware": dq_aware,
         "labels": sorted(labels) if labels else [],
         "chunks": written,
     }

@@ -94,7 +94,7 @@ _JIT_CACHE: dict = {}
 
 
 def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
-                 tables: Tables, ramp: bool):
+                 tables: Tables, ramp: bool, dq_aware: bool):
     scene_specs = jax.tree_util.tree_map(lambda x: _batch_spec(x, 2), scenes)
     table_specs = jax.tree_util.tree_map(lambda _: P(), tables)
 
@@ -111,14 +111,20 @@ def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
             res = simulate_exposure(s, local_tables, cfg)
             # CRs simulated -> extract DQ-aware: the simulator's own hit
             # lists are the exact truth the ima DQ planes would carry.
-            if cfg.noise.cosmic_rays:
-                from wayne_tpu.reduction import cr_bad_diff_masks
+            # Corrections apply post-extraction in column space (the
+            # estimators are linear), scatter-free: TPU scatters
+            # serialize per update — the stack-repair route measured
+            # 1.7x the simulation itself here (config 5, 25 -> 10
+            # visits/s/chip; see reduction.extract_spectra_cr). The
+            # column-space repair costs ~25% of the step (25 -> 19
+            # visits/s); dq_aware=False skips it for raw CR-contaminated
+            # spectra (training-realism datasets) at full rate.
+            if dq_aware and cfg.noise.cosmic_rays:
+                from wayne_tpu.reduction import extract_spectra_cr
 
-                good = ~cr_bad_diff_masks(res.cr_pos, res.cr_count,
-                                          cfg.subarray)
-            else:
-                good = None
-            return extract_spectra(res.reads_dn, rt, good)
+                return extract_spectra_cr(res.reads_dn, res.cr_pos,
+                                          res.cr_count, rt)
+            return extract_spectra(res.reads_dn, rt)
 
         def per_mc(sc: Scene) -> jnp.ndarray:
             return jax.vmap(one)(sc)
@@ -129,16 +135,21 @@ def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
 
 def simulate_ensemble_spectra(scenes: Scene, tables: Tables,
                               cfg: ExposureStatic, mesh: Mesh,
-                              ramp: bool = False) -> jnp.ndarray:
+                              ramp: bool = False,
+                              dq_aware: bool = True) -> jnp.ndarray:
     """Extracted spectra for an (mc, exp)-batched Scene -> (mc, exp, S).
 
     Requires n_mc % mesh.shape['mc'] == 0 and n_exp % mesh.shape['exp'] == 0.
     ``ramp=True`` extracts with the up-the-ramp slope estimator instead
-    of CDS (see extract_spectra).
+    of CDS (see extract_spectra). ``dq_aware`` (default) repairs
+    simulated cosmic-ray hits during extraction (column-space repair,
+    reduction.extract_spectra_cr); False keeps the raw CR-contaminated
+    spectra and the full extraction rate.
     """
     ranks = tuple(x.ndim for x in jax.tree_util.tree_leaves(scenes))
-    key = (mesh, cfg, ranks, ramp)
+    key = (mesh, cfg, ranks, ramp, dq_aware)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = _JIT_CACHE[key] = _ensemble_fn(mesh, cfg, scenes, tables, ramp)
+        fn = _JIT_CACHE[key] = _ensemble_fn(mesh, cfg, scenes, tables,
+                                            ramp, dq_aware)
     return fn(scenes, tables)
