@@ -20,14 +20,14 @@ S, NL, NSAMP = 128, 64, 4
 N_EXP = 40
 
 
-def _simulate(noise, rp_wiggle=0.004, seed=0):
+def _simulate(noise, rp_wiggle=0.004, seed=0, scan=True):
     flags = noise
     cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=4, nsamp=NSAMP,
-                         samp_seq="SPARS10", scan=True, noise=flags,
+                         samp_seq="SPARS10", scan=scan, noise=flags,
                          band_px=48)
     tables = synthetic_tables("G141", subarray=S, n_lambda=NL,
                               samp_seq="SPARS10", nsamp=NSAMP)
-    base = example_scene(NL, scan_speed=1.0)
+    base = example_scene(NL, scan_speed=1.0 if scan else 0.0)
     wl = np.asarray(tables.wl_centers)
     rp = 0.1595 + rp_wiggle * np.sin(10.0 * wl)
     base = dataclasses.replace(
@@ -78,6 +78,28 @@ def test_depth_recovery_with_noise():
     tol = np.maximum(6.0 * rp_sig, 0.01 * 0.1595)
     assert np.all(np.abs(rp_hat - 0.1595) < np.maximum(tol, 0.006)), (
         rp_hat, rp_sig)
+
+
+def test_depth_recovery_staring_mode():
+    """Staring-mode visits (no spatial scan, static pixel-integrated
+    PSF) close the same loop: noisy frames reduce to the injected depth
+    — the scientific counterpart of BASELINE config 2, which only
+    benchmarks the staring path's speed."""
+    flags = dataclasses.replace(
+        NoiseFlags.none(), poisson=True, read_noise=True, sky=True,
+        dark=True)
+    out, tables, base, mid, rp_inj = _simulate(flags, seed=7, scan=False)
+    # staring: all flux concentrates on the trace rows around y_ref=30
+    red = reduce_visit(out.reads_dn, tables.gain, mid, base.orbit,
+                       y_window=(24, 38), x_window=(72, 126),
+                       bg_rows=(70, 126), n_chan=6)
+    w = np.asarray(red.white_lc)
+    assert w.min() < 1.0 - 0.8 * 0.1595**2      # transit present
+    rp_hat, rp_sig = fit_depths(red.channel_lc, mid, base.orbit, base.ld,
+                                jnp.float32(0.15))
+    rp_hat, rp_sig = np.asarray(rp_hat), np.asarray(rp_sig)
+    tol = np.maximum(6.0 * rp_sig, 0.006)
+    assert np.all(np.abs(rp_hat - 0.1595) < tol), (rp_hat, rp_sig)
 
 
 def test_common_mode_correction_recovers_depths_under_systematics():

@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
                         help="per-realisation Gaussian sweep of the eclipse "
                              "depth Fp/Fs (requires planet eclipse_depth)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--raw-cr", action="store_true",
+                        help="keep simulated cosmic rays IN the spectra "
+                             "(training-realism datasets) instead of the "
+                             "default DQ-aware repair at extraction")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
     args = parser.parse_args(argv)
@@ -95,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
     manifest = generate_dataset(
         obs.scenes, obs.tables, obs.static, args.outdir,
         n_mc=args.n_mc, chunk_mc=args.chunk_mc, seed=args.seed,
-        overrides=overrides or None, labels=labels or None, progress=print)
+        overrides=overrides or None, labels=labels or None, progress=print,
+        dq_aware=not args.raw_cr)
     print(f"dataset complete: {len(manifest['chunks'])} chunks in "
           f"{args.outdir}")
     return 0
