@@ -71,3 +71,27 @@ def test_run_dataset_cli(tmp_path):
     rc = dataset_main(["-p", str(p), "-o", str(out), "--n-mc", "4",
                        "--chunk-mc", "2", "--rp-sigma", "0.002", "--cpu"])
     assert rc == 0
+
+
+def test_cli_all_devices(tmp_path):
+    """--all-devices shards the visit over the virtual CPU mesh in a
+    subprocess and writes the same number of files."""
+    import yaml
+    pars = {"grism": "G141", "subarray": 64, "NSAMP": 2,
+            "SAMPSEQ": "RAPID", "scan": True, "x_ref": 15.0, "y_ref": 20.0,
+            "num_orbits": 1, "exposures_per_orbit": 8, "n_lambda": 32,
+            "n_sub": 2, "outdir": str(tmp_path / "out")}
+    parfile = tmp_path / "pars.yml"
+    parfile.write_text(yaml.safe_dump(pars))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "wayne_tpu.run_visit", "-p", str(parfile),
+         "--cpu", "--chunk", "1", "--all-devices"],
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "sharding exposures over 8 devices" in r.stdout
+    imas = [f for f in os.listdir(tmp_path / "out")
+            if f.endswith("_ima.fits")]
+    assert len(imas) == 8

@@ -78,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
                         help="also write diagnostic PNGs (needs matplotlib)")
     parser.add_argument("--debug", action="store_true",
                         help="run NaN/saturation guards + visit_summary.json")
+    parser.add_argument("--all-devices", action="store_true",
+                        help="shard the visit's exposures over every "
+                             "visible device (chunk exposures per device "
+                             "per step; files identical to single-device)")
     parser.add_argument("--example", action="store_true",
                         help="print an example parameter file and exit")
     args = parser.parse_args(argv)
@@ -104,9 +108,18 @@ def main(argv: list[str] | None = None) -> int:
     print(f"{cfg.grism} {'scan' if cfg.scan else 'staring'} visit: "
           f"{obs.plan.n_exposures} exposures x NSAMP={cfg.nsamp} "
           f"({obs.detector_exptime:.1f}s each) over {cfg.n_orbits} orbits")
+    mesh = None
+    if args.all_devices:
+        import jax
+
+        from wayne_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices())
+        print(f"sharding exposures over {mesh.devices.size} devices")
     paths = obs.generate(cfg.outdir if not args.outdir else args.outdir,
                          chunk=args.chunk, progress=print,
-                         resume=not args.no_resume, debug=args.debug)
+                         resume=not args.no_resume, debug=args.debug,
+                         mesh=mesh)
     print(f"wrote {len(paths)} exposures to {cfg.outdir}")
     if args.quicklook:
         from wayne_tpu.diagnostics import visit_quicklooks
