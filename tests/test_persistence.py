@@ -1,0 +1,193 @@
+"""Image persistence (ops/persistence.py): decay law, stimulus gating,
+visit integration, config plumbing, sharding. Beyond the reference —
+the reference models only the within-orbit hook ramp, no
+exposure-to-exposure afterglow."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wayne_tpu.calibration import synthetic_tables
+from wayne_tpu.config import (
+    ExposureStatic, NoiseFlags, PersistenceConfig, config_from_dict,
+)
+from wayne_tpu.ops.persistence import (
+    decay_weights, persistence_rates, stimulus_sigmoid,
+    visit_persistence_rates,
+)
+from wayne_tpu.ops.visit import simulate_visit
+from wayne_tpu.scene import example_scene
+
+S, NL, NSAMP = 64, 32, 2
+CFG = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=NSAMP,
+                     samp_seq="RAPID", scan=False, max_cr_per_read=4,
+                     transit_quad=16, noise=NoiseFlags.none())
+TABLES = synthetic_tables("G141", subarray=S, n_lambda=NL, samp_seq="RAPID",
+                          nsamp=NSAMP)
+# Aggressive trap parameters so the 64^2 test visit (far from full well)
+# still persists strongly: knee at 500 e- — 10 sigmoid widths above the
+# sky+dark fluence (~0.2 e- at this 0.12 s RAPID exptime), well below the
+# ~860 e- peak trace fluence — with A = 2 e-/s.
+PCFG = PersistenceConfig(enabled=True, amplitude_e_s=2.0, x0_e=500.0,
+                         dx_e=50.0)
+
+
+def _visit(n_exp, spacing_s=200.0):
+    base = example_scene(NL, scan_speed=0.0)
+    base = dataclasses.replace(base, x_ref=jnp.float32(15.0),
+                               y_ref=jnp.float32(20.0))
+    v = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_exp,) + x.shape), base)
+    starts = jnp.asarray(np.arange(n_exp) * spacing_s, jnp.float32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.PRNGKey(7), i))(jnp.arange(n_exp))
+    return dataclasses.replace(v, exp_start_s=starts, key=keys)
+
+
+class TestDecayWeights:
+    def test_strictly_causal(self):
+        t = jnp.asarray([0.0, 200.0, 400.0, 1000.0])
+        w = np.asarray(decay_weights(t, exptime_s=50.0))
+        assert np.all(w[np.triu_indices(4)] == 0.0)      # j >= i: zero
+        assert np.all(w[np.tril_indices(4, k=-1)] > 0.0)  # j < i: positive
+
+    def test_gamma1_analytic(self):
+        t = jnp.asarray([0.0, 500.0])
+        texp = 100.0
+        w = np.asarray(decay_weights(t, exptime_s=texp, gamma=1.0))
+        a = 500.0 - texp                 # T_1 - E_0
+        want = 1000.0 * np.log((a + texp) / a) / texp
+        np.testing.assert_allclose(w[1, 0], want, rtol=1e-5)
+
+    def test_general_gamma_matches_quadrature(self):
+        t = jnp.asarray([0.0, 700.0])
+        texp = 120.0
+        for gamma in (0.7, 1.5):
+            w = np.asarray(decay_weights(t, exptime_s=texp, gamma=gamma))
+            a = 700.0 - texp
+            grid = np.linspace(a, a + texp, 20001)
+            trapezoid = getattr(np, "trapezoid", np.trapz)
+            want = trapezoid((grid / 1000.0) ** (-gamma), grid) / texp
+            np.testing.assert_allclose(w[1, 0], want, rtol=1e-4)
+
+    def test_older_stimulus_decays(self):
+        t = jnp.asarray([0.0, 300.0, 900.0])
+        w = np.asarray(decay_weights(t, exptime_s=50.0))
+        assert w[2, 0] < w[2, 1]   # the older stimulus contributes less
+
+
+def test_stimulus_sigmoid_gating():
+    assert float(stimulus_sigmoid(jnp.float32(5e4), 5e4, 1e4)) == \
+        pytest.approx(0.5)
+    assert float(stimulus_sigmoid(jnp.float32(2e5), 5e4, 1e4)) > 0.999
+    assert float(stimulus_sigmoid(jnp.float32(0.0), 5e4, 1e4)) < 0.01
+
+
+def test_first_exposure_zero_and_trace_localised():
+    scenes = _visit(4)
+    rates = np.asarray(visit_persistence_rates(scenes, TABLES, CFG, PCFG,
+                                               chunk=4))
+    assert rates.shape == (4, S, S)
+    np.testing.assert_array_equal(rates[0], 0.0)
+    assert rates[1:].max() > 0.0
+    # The afterglow sits where the spectrum exposed the detector: its
+    # peak row matches the trace row, and rows far away stay dark.
+    row_power = rates[3].sum(axis=1)
+    assert abs(int(np.argmax(row_power)) - 20) <= 3
+    assert row_power[45:].max() < 0.05 * row_power.max()
+
+
+def test_weak_stimulus_produces_negligible_persistence():
+    scenes = _visit(3)
+    realistic = PersistenceConfig(enabled=True)   # knee at 0.95 full well
+    rates = np.asarray(visit_persistence_rates(scenes, TABLES, CFG,
+                                               realistic, chunk=4))
+    # This faint 64^2 test visit peaks at ~860 e- — 4 sigmoid widths
+    # below the WFC3-realistic knee — so the released rate stays far
+    # under the 1.2 e-/s sky rate (real persistence only matters for
+    # pixels pumped near full well, which is the point of the model).
+    assert rates.max() < 0.05
+
+
+def test_noise_free_ramp_adds_exact_persistence_charge():
+    """With all noise off, the persisted charge enters each read exactly
+    as rate * t_read / gain extra DN."""
+    scenes = _visit(3)
+    rates = visit_persistence_rates(scenes, TABLES, CFG, PCFG, chunk=4)
+    with_p = dataclasses.replace(scenes, persist_rate=rates)
+
+    base = simulate_visit(scenes, TABLES, CFG, chunk=3).reads_dn
+    pers = simulate_visit(with_p, TABLES, CFG, chunk=3).reads_dn
+
+    gain = float(TABLES.gain)
+    t = np.asarray(TABLES.read_times)                 # (NR,)
+    mask = np.asarray(TABLES.active_mask)
+    want = (np.asarray(rates)[:, None] * mask[None, None]
+            * t[None, :, None, None] / gain)
+    np.testing.assert_allclose(np.asarray(pers) - np.asarray(base), want,
+                               rtol=2e-4, atol=2e-4)
+    # and exposure 0 is bit-identical (zero map, same keys)
+    np.testing.assert_array_equal(np.asarray(pers[0]), np.asarray(base[0]))
+
+
+def test_sharded_visit_with_persistence_matches_single_device():
+    from wayne_tpu.ops.visit import simulate_visit_sharded
+    from wayne_tpu.parallel.mesh import make_mesh
+
+    scenes = _visit(8)
+    rates = visit_persistence_rates(scenes, TABLES, CFG, PCFG, chunk=4)
+    with_p = dataclasses.replace(scenes, persist_rate=rates)
+    mesh = make_mesh(jax.devices())
+    got = simulate_visit_sharded(with_p, TABLES, CFG, mesh, chunk=1)
+    want = simulate_visit(with_p, TABLES, CFG, chunk=4)
+    np.testing.assert_array_equal(np.asarray(got.reads_dn),
+                                  np.asarray(want.reads_dn))
+
+
+class TestConfig:
+    def test_bool_key(self):
+        assert config_from_dict({"persistence": True}).persistence.enabled
+        assert not config_from_dict({"persistence": False}
+                                    ).persistence.enabled
+        assert not config_from_dict({}).persistence.enabled
+
+    def test_mapping_key_implies_enabled(self):
+        cfg = config_from_dict({"persistence": {"amplitude_e_s": 0.5,
+                                                "gamma": 0.98}})
+        assert cfg.persistence.enabled
+        assert cfg.persistence.amplitude_e_s == 0.5
+        assert cfg.persistence.gamma == 0.98
+
+    def test_unknown_key_raises(self):
+        with pytest.raises(ValueError, match="persistence"):
+            config_from_dict({"persistence": {"amplitdue": 1.0}})
+
+
+def test_observation_generate_with_persistence(tmp_path):
+    """End-to-end: the YAML flag flows through Observation.generate —
+    exposure 0 is untouched, later exposures carry the afterglow, and
+    the product records PERSIST."""
+    from wayne_tpu.io.ima import read_ima
+    from wayne_tpu.observation import Observation
+
+    base = {"grism": "G141", "subarray": 64, "NSAMP": 2, "SAMPSEQ": "RAPID",
+            "scan": True, "x_ref": 15.0, "y_ref": 20.0, "num_orbits": 1,
+            "exposures_per_orbit": 4, "n_lambda": 32, "n_sub": 2}
+    cfg_off = config_from_dict(base)
+    cfg_on = config_from_dict({**base, "persistence": {
+        "amplitude_e_s": 2.0, "x0_e": 500.0, "dx_e": 50.0}})
+
+    p_off = Observation(cfg_off).generate(str(tmp_path / "off"), chunk=4,
+                                          resume=False)
+    p_on = Observation(cfg_on).generate(str(tmp_path / "on"), chunk=4,
+                                        resume=False)
+    h0_off, r0_off, _ = read_ima(p_off[0])
+    h0_on, r0_on, _ = read_ima(p_on[0])
+    assert h0_off["PERSIST"] is False and h0_on["PERSIST"] is True
+    np.testing.assert_array_equal(r0_off, r0_on)       # no prior stimulus
+    _, r3_off, _ = read_ima(p_off[3])
+    _, r3_on, _ = read_ima(p_on[3])
+    assert np.abs(r3_on - r3_off).max() > 0.5          # afterglow present

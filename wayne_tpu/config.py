@@ -192,6 +192,24 @@ class TrendConfig:
 
 
 @dataclass
+class PersistenceConfig:
+    """Exposure-to-exposure image persistence (YAML ``persistence:`` —
+    ``true`` or a mapping of these fields). Beyond the reference, which
+    models only the within-orbit charge-trapping ramp (hook trend);
+    see :mod:`wayne_tpu.ops.persistence` for the model and the
+    TPU-first tensordot formulation."""
+
+    enabled: bool = False
+    amplitude_e_s: float = 0.3      # A: release rate of a saturated pixel
+    #                                 at t = 1000 s (e-/s; WFC3 ISR 2012-14)
+    x0_e: float = 0.0               # sigmoid knee fluence (e-);
+    #                                 0 -> 0.95 * full_well_e
+    dx_e: float = 18000.0           # sigmoid width (e-)
+    gamma: float = 1.0              # power-law decay index
+    t_min_s: float = 1.0            # clamp on time-since-stimulus
+
+
+@dataclass
 class CalibrationConfig:
     """Optional real STScI calibration products (YAML ``calibration:``
     block). Empty paths keep the synthetic tables; each given file
@@ -243,6 +261,8 @@ class ObservationConfig:
     noise: NoiseFlags = field(default_factory=NoiseFlags)
     calibration: CalibrationConfig = field(
         default_factory=CalibrationConfig)
+    persistence: PersistenceConfig = field(
+        default_factory=PersistenceConfig)
     n_lambda: int = 512
     n_sub: int = 0           # 0 -> auto from SSV period (see auto_n_sub)
     sample_rate_s: float = 0.0  # reference 'sample_rate': seconds per
@@ -541,6 +561,25 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
                 "'calibration' must be a mapping of product paths, got "
                 f"{type(nested_cal).__name__}")
         calib_kv.update(nested_cal)
+
+    # persistence: true/false, or a mapping of PersistenceConfig fields
+    # (a mapping implies enabled unless it says otherwise).
+    pers = flat.pop("persistence", None)
+    if pers is not None:
+        pers_fields = {f.name for f in dataclasses.fields(PersistenceConfig)}
+        if isinstance(pers, Mapping):
+            unknown = set(pers) - pers_fields
+            if unknown:
+                raise ValueError(
+                    f"unknown persistence keys {sorted(unknown)}; "
+                    f"allowed: {sorted(pers_fields)}")
+            kv = {k: _coerce(v, getattr(cfg.persistence, k))
+                  for k, v in pers.items()}
+            kv.setdefault("enabled", True)
+            cfg.persistence = dataclasses.replace(cfg.persistence, **kv)
+        else:
+            cfg.persistence = dataclasses.replace(
+                cfg.persistence, enabled=_coerce(pers, True))
 
     calib_fields = {f.name for f in dataclasses.fields(CalibrationConfig)}
     unknown_cal = set(calib_kv) - calib_fields

@@ -211,8 +211,28 @@ class Observation:
         )
 
     # ------------------------------------------------------------------
+    def _ensure_persistence(self, chunk: int = 8) -> None:
+        """Attach per-exposure image-persistence maps to the Scenes.
+
+        Lazy: runs once per Observation, only when ``persistence:`` is
+        enabled — one noise-free pass of the visit drives the stimulus
+        stack, then the decay tensordot yields every exposure's rate map
+        (ops/persistence.py). The maps ride the Scene pytree, so the
+        chunked/sharded visit machinery needs no other change.
+        """
+        pcfg = self.cfg.persistence
+        if not pcfg.enabled or self.scenes.persist_rate is not None:
+            return
+        from wayne_tpu.ops.persistence import visit_persistence_rates
+
+        rates = visit_persistence_rates(self.scenes, self.tables,
+                                        self.static, pcfg, chunk=chunk)
+        self.scenes = dataclasses.replace(self.scenes, persist_rate=rates)
+
+    # ------------------------------------------------------------------
     def simulate(self, chunk: int = 8):
         """Run the entire visit on-device; returns batched ExposureResult."""
+        self._ensure_persistence(chunk)
         scenes, n = pad_scenes(self.scenes, chunk)
         out = simulate_visit(scenes, self.tables, self.static, chunk)
         return jax.tree_util.tree_map(lambda x: x[:n], out)
@@ -248,6 +268,7 @@ class Observation:
         self._summary: dict = {"exposures": [], "config": cfg.grism}
 
         self._write_direct_image(outdir, resume=resume)
+        self._ensure_persistence(chunk)
 
         # With a mesh, one device-step computes chunk exposures on EACH
         # device; the host loop advances by the group size.
@@ -413,7 +434,8 @@ class Observation:
                 exptime_s=self.detector_exptime, scan=cfg.scan,
                 scan_rate_pix_s=float(np.asarray(self.scenes.scan_speed)[i]),
                 extra={"SIMSEED": cfg.seed, "EXPINDEX": i,
-                       "SAT_FRAC": float(np.asarray(res.saturated_frac)[j])})
+                       "SAT_FRAC": float(np.asarray(res.saturated_frac)[j]),
+                       "PERSIST": bool(cfg.persistence.enabled)})
             write_ima(path, reads[j], read_times, primary, gain=gain,
                       read_noise_e=rn, dq=dq,
                       bias_pedestal_e=self._bias_pedestal_e,
@@ -464,6 +486,8 @@ class Observation:
             orbit_start_s=jnp.float32(0.0),
             is_first_orbit=jnp.float32(1.0),
             scan_speed=jnp.float32(0.0),
+            persist_rate=None,                  # opens the visit: no prior
+            #                                     stimulus to glow from
             key=jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 10_000_000))
         return simulate_exposure(scene, tab, static), tab, static
 

@@ -238,11 +238,17 @@ def simulate_exposure(scene: Scene, tables: Tables,
         bg_rate = bg_rate + scene.sky_level * tables.sky_frame
     if flags.dark:
         bg_rate = bg_rate + tables.dark_map
+    has_persist = scene.persist_rate is not None
+    if has_persist:
+        # Image persistence from earlier exposures (ops/persistence.py):
+        # released trapped charge is real charge, so it joins the
+        # background rate and is Poisson-sampled by the same chain.
+        bg_rate = bg_rate + scene.persist_rate
     bg_rate = bg_rate * tables.active_mask
     # With dark AND sky off the background is exactly zero; Poisson(0) = 0,
     # so its sampling is skipped statically (the sampler's small-lam loop
     # would otherwise run on the all-zero frame every read).
-    has_bg = flags.sky or flags.dark
+    has_bg = flags.sky or flags.dark or has_persist
 
     # Band bookkeeping: window [y0, y0 + band) must cover the trace rows,
     # PSF tails and this read's scan motion. y0 is dynamic (per read).

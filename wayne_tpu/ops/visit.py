@@ -87,7 +87,10 @@ def simulate_visit_sharded(scenes: Scene, tables: Tables,
             f"n_exposures {n} not a multiple of devices*chunk = "
             f"{devices.size}*{chunk}")
 
-    key = (tuple(d.id for d in devices), cfg, chunk)
+    # The Scene structure is part of the key: an optional leaf (e.g.
+    # persist_rate) present vs absent changes the in_specs tree.
+    key = (tuple(d.id for d in devices), cfg, chunk,
+           jax.tree_util.tree_structure(scenes))
     fn = _SHARDED_CACHE.get(key)
     if fn is None:
         flat = Mesh(devices, ("exp",))

@@ -50,6 +50,11 @@ class Scene:
     trends: TrendParams
     sky_level: jnp.ndarray        # mean sky rate (e-/s/px)
     key: jnp.ndarray              # jax.random key
+    persist_rate: jnp.ndarray | None = None   # (S, S) image-persistence
+    #                               rate map (e-/s) from EARLIER exposures
+    #                               (ops/persistence.py); None (the
+    #                               default) is pytree-invisible, so
+    #                               existing Scenes/caches are untouched
 
 
 def example_scene(n_lambda: int, *, seed: int = 0,
