@@ -147,6 +147,24 @@ def test_sharded_visit_with_persistence_matches_single_device():
                                   np.asarray(want.reads_dn))
 
 
+def test_ensemble_path_carries_persistence():
+    """The MC-ensemble machinery (config 5) shards the persist leaf like
+    any Scene leaf: spectra stay finite and reflect the afterglow."""
+    from wayne_tpu.parallel.ensemble import mc_scenes, simulate_ensemble_spectra
+    from wayne_tpu.parallel.mesh import make_mesh, shard_scenes
+
+    scenes = _visit(8)
+    rates = visit_persistence_rates(scenes, TABLES, CFG, PCFG, chunk=4)
+    with_p = dataclasses.replace(scenes, persist_rate=rates)
+    mesh = make_mesh(jax.devices())
+    ens = shard_scenes(mc_scenes(with_p, 4), mesh, n_batch_axes=2)
+    sp = np.asarray(simulate_ensemble_spectra(ens, TABLES, CFG, mesh))
+    ens0 = shard_scenes(mc_scenes(scenes, 4), mesh, n_batch_axes=2)
+    sp0 = np.asarray(simulate_ensemble_spectra(ens0, TABLES, CFG, mesh))
+    assert sp.shape == (4, 8, S) and np.isfinite(sp).all()
+    assert np.abs(sp - sp0).max() > 0.5     # afterglow reached the spectra
+
+
 class TestConfig:
     def test_bool_key(self):
         assert config_from_dict({"persistence": True}).persistence.enabled
