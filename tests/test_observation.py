@@ -60,6 +60,22 @@ class TestScenes:
         msgs = [r.message for r in caplog.records if "outside" in r.message]
         assert msgs and "first at exposure 2" in msgs[0], msgs
 
+    def test_partially_clipped_spectrum_warns(self, caplog):
+        """x_ref=15 on a 64 px subarray leaves only a ~7-column sliver
+        of the G141 trace on-detector — the guard must flag it even
+        though the frames aren't pure background (regression: this
+        config reduced to garbage depths silently)."""
+        import logging
+
+        with caplog.at_level(logging.WARNING, logger="wayne_tpu"):
+            Observation(small_cfg(subarray=64, x_ref=15.0, y_ref=20.0,
+                                  n_lambda=32, scan=False))
+        assert any("mostly clipped" in r.message for r in caplog.records)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="wayne_tpu"):
+            Observation(small_cfg(scan=False))    # trace at 72-126: fine
+        assert not caplog.records
+
     def test_explicit_start_times_reproduced_in_headers(self):
         """exp_start_times as a LIST schedules those exact MJDs: the
         plan, the orbit inference, and the written EXPSTART keywords all

@@ -124,6 +124,28 @@ class Observation:
                 x_all[i].min(), x_all[i].max(), y_lo[i], y_hi[i],
                 float(np.asarray(self.scenes.x_ref)[i]),
                 float(np.asarray(self.scenes.y_ref)[i]))
+            return
+        # Partial clipping: the trace crosses the edge.  The full G141
+        # first order spans ~137 px, so subarrays <= 256 ALWAYS clip
+        # some bandpass (the standard 128 px/x_ref=30 layout keeps
+        # ~41% — fine, that's how the subarray modes work).  Warn only
+        # when under a quarter survives: those slivers reduce to
+        # garbage depths downstream (seen in practice: x_ref=15 on a
+        # 64 px subarray leaves 6 px of trace on-detector).
+        x_lo, x_hi = x_all.min(axis=1), x_all.max(axis=1)
+        span = np.maximum(x_hi - x_lo, 1.0)
+        on = np.clip(x_hi, 0, S) - np.clip(x_lo, 0, S)
+        clipped = on < 0.25 * span
+        if clipped.any():
+            i = int(np.argmax(clipped))
+            log.warning(
+                "spectrum is mostly clipped by the %dx%d subarray for "
+                "%d/%d exposures (first at exposure %d: trace spans "
+                "columns %.0f..%.0f, only %.0f px on-detector for "
+                "x_ref=%.1f): move x_ref or enlarge the subarray",
+                S, S, int(clipped.sum()), clipped.size, i,
+                x_lo[i], x_hi[i], on[i],
+                float(np.asarray(self.scenes.x_ref)[i]))
 
     # ------------------------------------------------------------------
     def _build_scenes(self) -> Scene:

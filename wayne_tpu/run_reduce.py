@@ -41,8 +41,15 @@ def collect_visit(visit_dir: str) -> list[str]:
 
 
 def extract_from_files(paths: list[str], gain: float,
-                       estimator: str = "cds", use_dq: bool = True):
-    """Host-side box extraction from ima files.
+                       estimator: str = "cds", use_dq: bool = True,
+                       extract: str = "box", read_noise_e: float = 12.0):
+    """Host-side spectral extraction from ima files.
+
+    ``extract='optimal'`` replaces the box sum with Horne (1986)
+    profile-weighted extraction: the cross-dispersion profile comes
+    from the visit-mean frame, the per-pixel variance from the shot
+    term plus the estimator's read-noise floor
+    (reduction.read_noise_var_e2).
 
     Returns (spectra_e (n_exp, S), mid_times_s relative to the first
     exposure start, (y_window, x_window, bg_rows) auto-detected from the
@@ -150,7 +157,18 @@ def extract_from_files(paths: list[str], gain: float,
 
     bg = np.median(nets[:, bg_rows[0]: bg_rows[1], :], axis=1)  # per-col sky
     nets = nets - bg[:, None, :]
-    spectra = nets[:, y_window[0]: y_window[1], :].sum(axis=1)   # (n_exp, S)
+    if extract == "optimal":
+        from wayne_tpu.reduction import (
+            optimal_extract, read_noise_var_e2, spatial_profile)
+
+        prof = spatial_profile(jnp.asarray(nets.mean(axis=0), jnp.float32),
+                               y_window)
+        floor = read_noise_var_e2(read_noise_e, reads.shape[0],
+                                  ramp=estimator == "ramp")
+        spectra = np.asarray(optimal_extract(
+            jnp.asarray(nets, jnp.float32), prof, y_window, floor))
+    else:
+        spectra = nets[:, y_window[0]: y_window[1], :].sum(axis=1)  # (n_exp, S)
     return spectra, mids, (y_window, x_window, bg_rows)
 
 
@@ -174,6 +192,12 @@ def main(argv: list[str] | None = None) -> int:
                         help="per-pixel charge estimator: CDS (last minus "
                              "zeroth read) or calwf3-style up-the-ramp "
                              "least-squares slope")
+    parser.add_argument("--extract", choices=("box", "optimal"),
+                        default="box",
+                        help="column extraction: plain box sum over the "
+                             "detected rows, or Horne (1986) "
+                             "inverse-variance profile weighting (lower "
+                             "read-noise/background scatter)")
     parser.add_argument("--no-divide-white", action="store_true",
                         help="skip the white common-mode correction")
     parser.add_argument("--no-dq", action="store_true",
@@ -209,7 +233,9 @@ def main(argv: list[str] | None = None) -> int:
           f"({hdr0.get('FILTER')}, SUBARRAY {cfg.subarray})")
 
     spectra, mids, (yw, xw, bg) = extract_from_files(
-        paths, gain, args.estimator, use_dq=not args.no_dq)
+        paths, gain, args.estimator, use_dq=not args.no_dq,
+        extract=args.extract,
+        read_noise_e=float(grism.tables.read_noise_e))
     print(f"auto windows: rows {yw}, cols {xw}, background rows {bg}")
 
     # System model on the visit clock (first exposure start = 0).
@@ -285,6 +311,7 @@ def main(argv: list[str] | None = None) -> int:
         "grism": cfg.grism,
         "mode": args.mode,
         "estimator": args.estimator,
+        "extraction": args.extract,
         "windows": {"rows": list(yw), "cols": list(xw),
                     "background_rows": list(bg)},
         "divide_white": not args.no_divide_white,
