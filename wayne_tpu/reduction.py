@@ -41,6 +41,8 @@ class ReducedVisit:
     white_lc: jnp.ndarray       # (n_exp,) normalised white light curve
     channel_lc: jnp.ndarray     # (n_exp, n_chan) normalised channel curves
     channel_cols: jnp.ndarray   # (n_chan, 2) [lo, hi) column ranges
+    x_shifts: jnp.ndarray       # (n_exp,) fitted dispersion-direction
+    #                             drifts in px (zeros unless align=True)
 
 
 # DQ bits consumed by the repair (io.ima conventions): cosmic ray
@@ -524,6 +526,184 @@ def read_noise_var_e2(read_noise_e: float, n_reads: int,
     return 2.0 * float(read_noise_e) ** 2
 
 
+def _catmull_rom(f: jnp.ndarray, q: jnp.ndarray
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Cubic Catmull-Rom sampling of ``f`` (unit grid) at positions ``q``.
+
+    Returns (value, d value / d q), edge-clamped. Used instead of
+    jnp.interp everywhere sub-pixel systematics matter: linear
+    interpolation's O(h^2 f'') error depends on frac(q), which turns a
+    smooth drift series into a sawtooth systematic exactly where the
+    flux gradient is steepest (the trace's blue onset — measured 0.014
+    px shift bias with jnp.interp vs 0.004 px cubic on a 1.2 px-wide
+    sigmoid edge). Four reads per point, branch-free: VPU-friendly.
+    """
+    n = f.shape[0]
+    i = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, n - 2)
+    t = q - i.astype(q.dtype)
+    fm1 = f[jnp.clip(i - 1, 0, n - 1)]
+    f0, f1 = f[i], f[jnp.clip(i + 1, 0, n - 1)]
+    f2 = f[jnp.clip(i + 2, 0, n - 1)]
+    b = f1 - fm1
+    c = 2.0 * fm1 - 5.0 * f0 + 4.0 * f1 - f2
+    d = -fm1 + 3.0 * f0 - 3.0 * f1 + f2
+    val = 0.5 * (2.0 * f0 + (b + (c + d * t) * t) * t)
+    dval = 0.5 * (b + (2.0 * c + 3.0 * d * t) * t)
+    # clamp beyond the grid: constant value, zero slope
+    lo, hi = q < 0.0, q > n - 1.0
+    val = jnp.where(lo, f[0], jnp.where(hi, f[n - 1], val))
+    dval = jnp.where(lo | hi, 0.0, dval)
+    return val, dval
+
+
+def spectral_shifts(spectra: jnp.ndarray, x_window: tuple[int, int],
+                    n_iter: int = 3) -> jnp.ndarray:
+    """Per-exposure sub-pixel dispersion-direction drifts (px).
+
+    HST pointing drifts a few hundredths of a pixel per orbit; with
+    fixed column bins that drift modulates each channel by
+    delta_x * d(ln F)/dx and leaks into the channel light curves as a
+    correlated trend (Iraclis fits and removes horizontal shifts for
+    exactly this reason). Model: s_i(x) = a_i * ref(x - delta_i) with
+    ref the visit-mean spectrum. Gauss-Newton with cubic (Catmull-Rom)
+    resampling of ref and its ANALYTIC derivative (linear interp +
+    finite-difference gradient left a 0.014 px frac(delta)-dependent
+    bias at the steep trace onset; cubic cuts it ~4x), amplitude
+    profiled out in closed form each step, all exposures in parallel.
+    Interior columns only (2-px margin) so the edge clamp never biases
+    the fit.
+
+    Returns delta (n_exp,): s_i appears shifted REDWARD by delta_i.
+    """
+    x0, x1 = x_window
+    win = spectra[:, x0:x1]                                  # (n_exp, W)
+    w = win.shape[1]
+    xs = jnp.arange(w, dtype=spectra.dtype)
+    ref = jnp.mean(win / jnp.mean(win, axis=1, keepdims=True), axis=0)
+    m = ((xs >= 2) & (xs < w - 2)).astype(spectra.dtype)[None, :]
+
+    def step(delta, _):
+        r, dr = jax.vmap(lambda d: _catmull_rom(ref, xs - d))(delta)
+        a = jnp.sum(win * r * m, axis=1) / jnp.maximum(
+            jnp.sum(r * r * m, axis=1), 1e-12)
+        e = win - a[:, None] * r
+        jac = -a[:, None] * dr     # d model/d delta; d(x-delta)/ddelta = -1
+        num = jnp.sum(e * jac * m, axis=1)
+        den = jnp.maximum(jnp.sum(jac * jac * m, axis=1), 1e-12)
+        return delta + num / den, None
+
+    delta0 = jnp.zeros(win.shape[0], spectra.dtype)
+    delta, _ = jax.lax.scan(step, delta0, None, length=n_iter)
+    return delta
+
+
+def align_spectra(spectra: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
+    """Undo per-exposure dispersion drifts: sample s_i at x + delta_i.
+
+    With s_i(x) = ref(x - delta_i) (spectral_shifts' model), the
+    realigned s_i(x + delta_i) = ref(x) for every exposure. Linear
+    interpolation — good for DIAGNOSTIC use (residual maps, stacked
+    spectra); for light curves use drift_binned_flux instead:
+    interpolating a peaked spectrum smooths it by a delta-dependent
+    amount, and with delta varying across the visit that smoothing
+    itself becomes a depth systematic (measured: realign-then-bin left
+    2x the channel-depth error of binning with shifted edges).
+    """
+    s = spectra.shape[-1]
+    xs = jnp.arange(s, dtype=spectra.dtype)
+    return jax.vmap(
+        lambda f, d: _catmull_rom(f, xs + d)[0])(spectra, shifts)
+
+
+def drift_binned_flux(spectra: jnp.ndarray, shifts: jnp.ndarray,
+                      edges: jnp.ndarray) -> jnp.ndarray:
+    """Channel fluxes with per-exposure bin edges that FOLLOW the drift.
+
+    Exposure i's bin j integrates columns [edges[j] + delta_i,
+    edges[j+1] + delta_i) — the same SOURCE wavelengths every exposure —
+    as differences of the cumulative column flux, cubic-resampled at
+    the fractional edges. Flux-conserving by construction (adjacent
+    bins share an edge), and only two edge columns per bin are
+    interpolated — no whole-profile smoothing. With zero shifts and
+    integer edges it reproduces the plain partial sums exactly.
+
+    NOT used by reduce_visit's align path: the extraction window's blue
+    edge is a sub-pixel flux cliff (the start of the dispersed
+    wavelength grid), where ANY interpolant's edge error turns the
+    drift into a bin-flux systematic (measured: linear interp left a
+    2.4e-3 channel-0 depth error, cubic 3.2e-2 from kink overshoot —
+    vs shift_detrend's 2e-4). Useful as a general flux-conserving
+    fractional rebinner when the bins sit inside smooth flux.
+
+    Returns (n_exp, len(edges) - 1).
+    """
+    s = spectra.shape[-1]
+    cum = jnp.concatenate(
+        [jnp.zeros_like(spectra[:, :1]), jnp.cumsum(spectra, axis=1)],
+        axis=1)                                              # (n_exp, S+1)
+    q = edges.astype(spectra.dtype)[None, :] + shifts[:, None]
+    at = jax.vmap(lambda c, qq: _catmull_rom(c, qq)[0])(cum, q)
+    return at[:, 1:] - at[:, :-1]
+
+
+def dispersion_centroid(spectra: jnp.ndarray,
+                        x_window: tuple[int, int]) -> jnp.ndarray:
+    """Flux-weighted column centroid over the window — the drift proxy.
+
+    For light-curve DETRENDING this beats the profile-fit shift
+    estimate: shift_detrend only needs a regressor AFFINE in the true
+    drift, and the centroid of a translating, edge-clipped spectrum is
+    affine to measured 3e-4 px over a 0.5 px drift (the profile fit's
+    residual is 6% of the drift range — its Gauss-Newton model cannot
+    represent the sub-pixel flux cliff at the window's blue edge, and
+    that bias is NONLINEAR in the drift, so it survives linear
+    decorrelation). Its absolute scale is below 1 (edge clipping), so
+    report spectral_shifts for px values; use this for detrending.
+
+    Caveat: a chromatic transit (wavelength-dependent depth) tilts the
+    in-transit spectrum and moves the centroid by ~3e-3 px for a
+    0.002-amplitude rp spectrum — coefficients are fitted out of
+    transit, so this couples only through the correction's in-transit
+    regressor values; negligible against the drifts being removed.
+    """
+    x0, x1 = x_window
+    win = spectra[..., x0:x1]
+    xs = jnp.arange(x0, x1, dtype=spectra.dtype)
+    return jnp.sum(win * xs, axis=-1) / jnp.maximum(
+        jnp.sum(win, axis=-1), 1e-12)
+
+
+def shift_detrend(flux: jnp.ndarray, shifts: jnp.ndarray,
+                  oot: jnp.ndarray) -> jnp.ndarray:
+    """Divide the linear drift response out of binned light curves.
+
+    Pointing drift moves flux across fixed bin edges: F_ij = F_j *
+    (1 + c_j * delta_i) to first order, with c_j the bin's edge
+    log-gradient. Fitting c_j by least squares on OUT-OF-TRANSIT epochs
+    only (so the transit never contaminates the fit) and dividing
+    the model out removes the leak exactly for linear response — for
+    ANY gradient, including the sub-pixel flux cliff at the window's
+    blue edge where resampling approaches (realign-then-bin, or bin
+    edges that follow the drift) break down on interpolation error.
+    Only needs ``shifts`` up to an affine transform (use
+    dispersion_centroid), so regressor scale bias cancels. This is the
+    standard linear-systematics decorrelation real WFC3 pipelines apply
+    with jitter/shift vectors as regressors.
+
+    ``flux`` is (n_exp,) or (n_exp, n_chan); returns the same shape.
+    """
+    squeeze = flux.ndim == 1
+    f = flux[:, None] if squeeze else flux
+    w = oot.astype(f.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    d = (shifts - jnp.sum(shifts * w) / n)[:, None]
+    fbar = jnp.sum(f * w[:, None], axis=0) / n               # (n_chan,)
+    var = jnp.maximum(jnp.sum(w[:, None] * d * d, axis=0), 1e-9)
+    b = jnp.sum(w[:, None] * d * (f - fbar), axis=0) / var   # (n_chan,)
+    corr = f * (fbar / (fbar + b * d))
+    return corr[:, 0] if squeeze else corr
+
+
 # Projected separation beyond which an epoch counts as out-of-transit
 # baseline (planet radii are <= 0.2 R_star for every supported system).
 OOT_Z = 1.25
@@ -538,7 +718,8 @@ def out_of_transit_mask(exp_mid_s: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("y_window", "bg_rows", "n_chan",
-                                   "x_window", "optimal", "read_noise_e"))
+                                   "x_window", "optimal", "read_noise_e",
+                                   "align"))
 def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
                  exp_mid_s: jnp.ndarray, orbit: OrbitParams,
                  *, y_window: tuple[int, int], x_window: tuple[int, int],
@@ -547,7 +728,8 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
                  read_times: jnp.ndarray | None = None,
                  good_diffs: jnp.ndarray | None = None,
                  optimal: bool = False,
-                 read_noise_e: float = 12.0) -> ReducedVisit:
+                 read_noise_e: float = 12.0,
+                 align: bool = False) -> ReducedVisit:
     """Extract white + channel light curves from a visit's raw reads.
 
     Args:
@@ -567,6 +749,10 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
         frame (high S/N, transit-invariant after per-column
         normalisation), the variance model from the per-pixel shot term
         plus the estimator's read-noise floor (``read_noise_e``).
+      align: fit per-exposure dispersion-direction drifts against the
+        visit-mean spectrum (spectral_shifts) and realign the spectra
+        before channel binning, so pointing drift does not modulate the
+        channel curves. Fitted shifts come back in ``x_shifts``.
     """
     def nf(r, c):
         net = net_frame(r, gain, read_times, c)
@@ -585,23 +771,33 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
     else:
         spectra = nets[:, y_window[0]: y_window[1], :].sum(axis=1)
 
+    if align:
+        shifts = spectral_shifts(spectra, x_window)
+    else:
+        shifts = jnp.zeros(spectra.shape[0], spectra.dtype)
+
     oot = out_of_transit_mask(exp_mid_s, orbit)
 
     def normalise(flux):
         base = jnp.sum(flux * oot) / jnp.maximum(jnp.sum(oot), 1.0)
         return flux / base
 
-    white = normalise(spectra[:, x_window[0]: x_window[1]].sum(axis=1))
-
     edges = jnp.linspace(x_window[0], x_window[1], n_chan + 1).astype(jnp.int32)
     cols = jnp.stack([edges[:-1], edges[1:]], axis=1)        # (n_chan, 2)
+    white_flux = spectra[:, x_window[0]: x_window[1]].sum(axis=1)
     cum = jnp.concatenate(
         [jnp.zeros((spectra.shape[0], 1)), jnp.cumsum(spectra, axis=1)], axis=1)
     chan_flux = cum[:, edges[1:]] - cum[:, edges[:-1]]       # (n_exp, n_chan)
+    if align:
+        reg = dispersion_centroid(spectra, x_window)
+        white_flux = shift_detrend(white_flux, reg, oot)
+        chan_flux = shift_detrend(chan_flux, reg, oot)
+    white = normalise(white_flux)
     chan = jax.vmap(normalise, in_axes=1, out_axes=1)(chan_flux)
 
-    return ReducedVisit(spectra_e=spectra, white_lc=white, channel_lc=chan,
-                        channel_cols=cols)
+    spectra_out = align_spectra(spectra, shifts) if align else spectra
+    return ReducedVisit(spectra_e=spectra_out, white_lc=white,
+                        channel_lc=chan, channel_cols=cols, x_shifts=shifts)
 
 
 @jax.jit

@@ -198,6 +198,11 @@ def main(argv: list[str] | None = None) -> int:
                              "detected rows, or Horne (1986) "
                              "inverse-variance profile weighting (lower "
                              "read-noise/background scatter)")
+    parser.add_argument("--align", action="store_true",
+                        help="fit per-exposure dispersion-direction drifts "
+                             "against the visit-mean spectrum and realign "
+                             "before channel binning (removes pointing-"
+                             "drift trends from the channel curves)")
     parser.add_argument("--no-divide-white", action="store_true",
                         help="skip the white common-mode correction")
     parser.add_argument("--no-dq", action="store_true",
@@ -257,16 +262,38 @@ def main(argv: list[str] | None = None) -> int:
     def normalise(flux):
         return flux / flux[oot].mean(axis=0)
 
-    white = normalise(spectra[:, xw[0]: xw[1]].sum(axis=1))
+    shifts = None
+    if args.align:
+        from wayne_tpu.reduction import spectral_shifts
+
+        shifts = np.asarray(spectral_shifts(
+            jnp.asarray(spectra, jnp.float32), xw))
+        print(f"dispersion drift: {shifts.min():+.4f}..{shifts.max():+.4f} "
+              f"px, decorrelating the light curves")
+
     n_cols = xw[1] - xw[0]
     if args.n_chan > n_cols:
         print(f"only {n_cols} illuminated columns: clamping --n-chan "
               f"{args.n_chan} -> {n_cols}")
         args.n_chan = n_cols
     edges = np.linspace(xw[0], xw[1], args.n_chan + 1).astype(int)
-    chan = np.stack([
-        normalise(spectra[:, lo:hi].sum(axis=1))
-        for lo, hi in zip(edges[:-1], edges[1:])], axis=1)
+    white_flux = spectra[:, xw[0]: xw[1]].sum(axis=1)
+    chan_flux = np.stack([spectra[:, lo:hi].sum(axis=1)
+                          for lo, hi in zip(edges[:-1], edges[1:])], axis=1)
+    if shifts is not None:
+        # linear decorrelation against the dispersion centroid (affine
+        # in the true drift), OOT-fitted — removes the bin-edge leak
+        from wayne_tpu.reduction import dispersion_centroid, shift_detrend
+
+        reg = dispersion_centroid(jnp.asarray(spectra, jnp.float32), xw)
+        oot_j = jnp.asarray(oot)
+        white_flux = np.asarray(shift_detrend(
+            jnp.asarray(white_flux, jnp.float32), reg, oot_j))
+        chan_flux = np.asarray(shift_detrend(
+            jnp.asarray(chan_flux, jnp.float32), reg, oot_j))
+    white = normalise(white_flux)
+    chan = np.stack([normalise(chan_flux[:, j])
+                     for j in range(args.n_chan)], axis=1)
 
     rp0 = jnp.float32(cfg.planet.rp_over_rs or 0.1)
     chan_j = jnp.asarray(chan, jnp.float32)
@@ -316,6 +343,9 @@ def main(argv: list[str] | None = None) -> int:
                     "background_rows": list(bg)},
         "divide_white": not args.no_divide_white,
         "dq_repair": not args.no_dq,
+        "aligned": bool(args.align),
+        **({"x_shifts_px": [round(float(s), 4) for s in shifts]}
+           if shifts is not None else {}),
         "channels": [
             {"wl_lo_um": round(float(wl_edges[i]), 4),
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
