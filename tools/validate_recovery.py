@@ -199,6 +199,71 @@ def main() -> None:
     resid_sys = rp_clean.mean(axis=0) - rp_true
     ok_divide_white = bool(np.all(np.abs(resid_sys) < 3e-3))
 
+    # --- pointing-drift ensemble: alignment closes the drift loop ------
+    # HST visits drift along the dispersion axis (hundredths of a px per
+    # orbit); with fixed column bins that modulates each channel by
+    # delta_x * d(ln F)/dx — a CHROMATIC systematic divide-white cannot
+    # touch (the white template is achromatic by construction). Inject a
+    # 0.4 px linear drift, reduce with align=True (spectral_shifts +
+    # centroid decorrelation): recovered depths must match the
+    # drift-free pipeline's envelope, while align=False on the same
+    # frames shows the systematic the alignment is removing.
+    drift_px = np.linspace(0.0, 0.4, N_EXP).astype(np.float32)
+    visit_drift = dataclasses.replace(
+        visit, x_ref=jnp.asarray(np.float32(40.0) + drift_px))
+
+    def make_run_drift(local_cfg, align: bool):
+        @jax.jit
+        def run(m):
+            keys = jax.vmap(lambda e: jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(777), m), e)
+            )(jnp.arange(N_EXP))
+            scenes = dataclasses.replace(visit_drift, key=keys)
+
+            def sim(s):
+                res = simulate_exposure(s, tables, local_cfg)
+                return res.reads_dn, res.cr_pos, res.cr_count
+
+            reads, cr_pos, cr_count = jax.lax.map(sim, scenes)
+            good = None
+            if local_cfg.noise.cosmic_rays:
+                good = jax.vmap(lambda p, c: ~cr_bad_diff_masks(
+                    p, c, S))(cr_pos, cr_count)
+            red = reduce_visit(reads, tables.gain, mid, base.orbit,
+                               y_window=y_window, x_window=x_window,
+                               bg_rows=bg_rows, n_chan=N_CHAN,
+                               good_diffs=good, align=align,
+                               ld=base.ld, rp0=jnp.float32(0.155))
+            rp_hat, _ = fit_depths(red.channel_lc, mid, base.orbit,
+                                   base.ld, jnp.float32(0.155))
+            return rp_hat, red.x_shifts
+
+        return run
+
+    clean_drift = dataclasses.replace(cfg, noise=NoiseFlags.none())
+    rp_drift_raw = np.asarray(make_run_drift(clean_drift, False)(0)[0])
+    rp_drift_al, shifts_fit = make_run_drift(clean_drift, True)(0)
+    rp_drift_al = np.asarray(rp_drift_al)
+    shifts_fit = np.asarray(shifts_fit)
+    n_drift = max(args.n_mc // 2, 8)
+    run_drift = make_run_drift(cfg, True)
+    t0 = time.time()
+    rp_drifts = np.stack(
+        [np.asarray(run_drift(m)[0]) for m in range(n_drift)])
+    wall_drift = time.time() - t0
+    bias_drift = rp_drifts.mean(axis=0) - rp_drift_al
+    sem_drift = rp_drifts.std(axis=0, ddof=1) / np.sqrt(n_drift)
+    ok_drift_noise = bool(np.all(np.abs(bias_drift)
+                                 < np.maximum(3.0 * sem_drift, 1e-4)))
+    # aligned systematic must sit in the same envelope as the
+    # drift-free pipeline; the raw one shows what alignment removed
+    sys_drift_al = np.abs(rp_drift_al - rp_ref).max()
+    sys_drift_raw = np.abs(rp_drift_raw - rp_ref).max()
+    ok_drift_sys = bool(sys_drift_al < max(3.0e-4, 0.5 * sys_drift_raw))
+    # fitted drift series tracks the injection (up to the visit mean)
+    shift_err = np.abs((shifts_fit - shifts_fit.mean())
+                       - (drift_px - drift_px.mean())).max()
+
     # --- eclipse-mode ensemble: emission-contrast recovery -------------
     # A secondary-eclipse visit (exposures spanning the occultation) with
     # the noise chain on; the closed-form linear eclipse fit must recover
@@ -287,6 +352,19 @@ def main() -> None:
             "noise_unbiased_within_3sem": ok_sys_noise,
             "divide_white_residual_below_3e-3": ok_divide_white,
         },
+        "with_pointing_drift": {
+            "n_mc": n_drift, "wallclock_s": round(wall_drift, 1),
+            "drift_injected_px": 0.4,
+            "reduction": "spectral_shifts + model-basis-cleaned "
+                         "centroid shift_detrend (reduce_visit "
+                         "align=True, ld=)",
+            "fitted_shift_max_err_px": round(float(shift_err), 4),
+            "depth_systematic_raw": round(float(sys_drift_raw), 6),
+            "depth_systematic_aligned": round(float(sys_drift_al), 6),
+            "noise_induced_bias": [round(float(v), 6) for v in bias_drift],
+            "noise_unbiased_within_3sem": ok_drift_noise,
+            "aligned_systematic_within_envelope": ok_drift_sys,
+        },
         "eclipse_mode": {
             "n_mc": n_ecl, "wallclock_s": round(wall_ecl, 1),
             "fp_injected": fp_inj,
@@ -300,6 +378,7 @@ def main() -> None:
         },
     }
     ok = (ok_noise and ok_sys and ok_sys_noise and ok_divide_white
+          and ok_drift_noise and ok_drift_sys
           and ok_ecl_noise and ok_ecl_sys)
     with open(os.path.join(REPO, "VALIDATION.json"), "w") as fh:
         json.dump(out, fh, indent=2)

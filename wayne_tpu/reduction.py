@@ -661,16 +661,154 @@ def dispersion_centroid(spectra: jnp.ndarray,
     report spectral_shifts for px values; use this for detrending.
 
     Caveat: a chromatic transit (wavelength-dependent depth) tilts the
-    in-transit spectrum and moves the centroid by ~3e-3 px for a
-    0.002-amplitude rp spectrum — coefficients are fitted out of
-    transit, so this couples only through the correction's in-transit
-    regressor values; negligible against the drifts being removed.
+    in-transit spectrum and moves the centroid IN TRANSIT — and the
+    excursion scales with the window width: a 0.003-amplitude rp
+    spectrum over a 128-px window moves it by ~0.04 px, comparable to
+    the drifts being removed. Because shift_detrend's coefficients are
+    fitted out of transit but APPLIED in transit, that excursion
+    multiplies straight into the recovered depths (measured: 0.02 rp
+    error on the red-edge channel of the validation visit). Never feed
+    the raw centroid to shift_detrend on a transit/eclipse visit —
+    clean it first: clean_drift_regressor(transit_drift_basis(...))
+    when orbit + limb darkening are known (ppm-accurate), else
+    drift_regressor's white-dip projection.
     """
     x0, x1 = x_window
     win = spectra[..., x0:x1]
     xs = jnp.arange(x0, x1, dtype=spectra.dtype)
     return jnp.sum(win * xs, axis=-1) / jnp.maximum(
         jnp.sum(win, axis=-1), 1e-12)
+
+
+def drift_regressor(spectra: jnp.ndarray, x_window: tuple[int, int],
+                    white_flux: jnp.ndarray,
+                    oot: jnp.ndarray) -> jnp.ndarray:
+    """Transit-immune drift regressor for shift_detrend.
+
+    The dispersion centroid with its transit-correlated component
+    projected out. A chromatic transit (rp varying across the band)
+    tilts the in-transit spectrum, so the raw centroid carries an
+    in-transit excursion proportional to the white dip (~0.04 px for a
+    0.003 rp modulation over a 128-px window) on top of the pointing
+    drift; shift_detrend would then "correct" the transit itself,
+    biasing every channel by c_j times the excursion (worst at the
+    window-edge channels where c_j is steepest). The transit signature
+    t_i = max(0, 1 - white_i / white_oot_mean) — zeroed on
+    out-of-transit epochs so the white light curve's own drift leak
+    never enters the projection direction — is least-squares projected
+    out of the centroid. The removed real-drift component is
+    <drift, t>/<t, t> * t, negligible for drifts smooth across the
+    transit; with no transit in the visit t is ~0 and the projection
+    is a (Cauchy-Schwarz-bounded) no-op.
+
+    This is the MODEL-FREE fallback: the per-channel transit curves are
+    not exactly proportional to the white dip (limb darkening spreads
+    the contact shapes), so a dLC/drp-shaped residual survives
+    (measured ~2e-3 px on a 0.003-amplitude rp spectrum — 3.8e-3 rp on
+    a cliff channel). When orbit + limb darkening are available, use
+    clean_drift_regressor(transit_drift_basis(...)) instead, which
+    spans that shape and estimates coefficients through a
+    drift-orthogonal instrument.
+    """
+    reg = dispersion_centroid(spectra, x_window)
+    w = oot.astype(reg.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    wbar = jnp.maximum(jnp.sum(white_flux * w) / n, 1e-12)
+    t = jnp.maximum(1.0 - white_flux / wbar, 0.0) * (1.0 - w)
+    tc = t - jnp.mean(t)
+    rc = reg - jnp.mean(reg)
+    coef = jnp.sum(rc * tc) / jnp.maximum(jnp.sum(tc * tc), 1e-12)
+    return reg - coef * tc
+
+
+def transit_drift_basis(exp_mid_s: jnp.ndarray, orbit: OrbitParams,
+                        ld: jnp.ndarray, rp0: jnp.ndarray,
+                        n_quad: int = 32) -> jnp.ndarray:
+    """Model basis spanning a chromatic transit's centroid excursion.
+
+    The dispersion centroid of a chromatically transiting spectrum
+    carries an in-transit excursion e(i) = sum_j q_j (LC(rp_j, i) - 1).
+    With shared limb darkening the per-channel curves differ only by
+    rp_j, so to first order in the rp spread the excursion lives in
+    span{dip(rp0), dLC/drp(rp0)} — the dip captures the depth-weighted
+    mean, the derivative the ingress/egress shape of the chromatic
+    spread (measured: the white-dip-only projection leaves exactly a
+    dLC/drp-shaped residual peaking at the contacts). Two further
+    time-modulated columns dip*t, dLC/drp*t absorb the slow
+    (drift x transit, baseline-slope x transit) cross terms that are
+    odd in time. Columns are evaluated from the same occultation
+    integral the depth fit uses, so no data (and no drift) enters.
+
+    Returns (n_exp, 4); combine with clean_drift_regressor. Accuracy is
+    insensitive to rp0 at the +-0.015 level (the derivative column
+    absorbs the linear error), so a white-light guess is plenty.
+    """
+    z, in_front = projected_separation(exp_mid_s, orbit)
+
+    def lc(rp):
+        f = transit_depth_curve(z, rp, ld, n_quad)
+        return 1.0 - (1.0 - f) * in_front
+
+    lc0, dlc = jax.jvp(lc, (jnp.asarray(rp0, jnp.float32),),
+                       (jnp.float32(1.0),))
+    dip = 1.0 - lc0
+    t = ((exp_mid_s - exp_mid_s[0])
+         / jnp.maximum(exp_mid_s[-1] - exp_mid_s[0], 1e-9) * 2.0 - 1.0)
+    return jnp.stack([dip, dlc, dip * t, dlc * t], axis=1)
+
+
+def white_drift_basis(white_flux: jnp.ndarray, oot: jnp.ndarray,
+                      exp_mid_s: jnp.ndarray) -> jnp.ndarray:
+    """Data-driven contamination basis when no transit model is known.
+
+    Columns [d, d*t] with d = 1 - white/white_oot_mean — the measured
+    white dip and its time modulation. d carries the white light
+    curve's own drift leak, but that leak is SMOOTH in time, so
+    clean_drift_regressor's polynomial orthogonalisation removes it
+    from the instrument and the estimate stays drift-blind. Without the
+    dLC/drp column a contact-shaped residual survives on chromatic
+    transits (see transit_drift_basis) — prefer the model basis when
+    orbit + limb darkening are available. On a transit-free visit d is
+    noise-level and the clean is a no-op.
+    """
+    w = oot.astype(white_flux.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    wbar = jnp.maximum(jnp.sum(white_flux * w) / n, 1e-12)
+    d = 1.0 - white_flux / wbar
+    t = ((exp_mid_s - exp_mid_s[0])
+         / jnp.maximum(exp_mid_s[-1] - exp_mid_s[0], 1e-9) * 2.0 - 1.0)
+    return jnp.stack([d, d * t], axis=1)
+
+
+def clean_drift_regressor(cen: jnp.ndarray, basis: jnp.ndarray,
+                          exp_mid_s: jnp.ndarray,
+                          poly_deg: int = 2) -> jnp.ndarray:
+    """Remove a transit-shaped contamination from a drift regressor.
+
+    Fits cen = B @ gamma + smooth(t) and returns cen - B @ gamma, with
+    gamma estimated through a time-polynomial-orthogonalised instrument:
+    Bt = (I - P_poly) B, gamma = (Bt^T B)^-1 Bt^T cen. Because
+    Bt^T d = 0 EXACTLY for any drift d in the polynomial span (P_poly
+    is a symmetric projector), the estimate cannot eat polynomial
+    pointing drift no matter how large gamma is — unlike a plain
+    projection, which removes <drift, B> B along with the contamination
+    (measured: plain projection left 1.7e-3 rp error on the cliff
+    channel, the instrumented fit 3e-4). Basis columns are normalised
+    before the solve: the raw dip/derivative scales differ by ~15x and
+    the resulting conditioning costs ~3 digits in f32.
+
+    The returned series is affine in the true drift wherever the drift
+    is poly_deg-smooth — exactly what shift_detrend needs.
+    """
+    t = ((exp_mid_s - exp_mid_s[0])
+         / jnp.maximum(exp_mid_s[-1] - exp_mid_s[0], 1e-9) * 2.0 - 1.0)
+    T = jnp.stack([t ** k for k in range(poly_deg + 1)], axis=1)
+    B = basis / jnp.maximum(
+        jnp.linalg.norm(basis, axis=0), 1e-12)[None, :]
+    Bt = B - T @ jnp.linalg.solve(T.T @ T, T.T @ B)
+    gam = jnp.linalg.solve(Bt.T @ B + 1e-9 * jnp.eye(B.shape[1]),
+                           Bt.T @ cen)
+    return cen - B @ gam
 
 
 def shift_detrend(flux: jnp.ndarray, shifts: jnp.ndarray,
@@ -729,7 +867,9 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
                  good_diffs: jnp.ndarray | None = None,
                  optimal: bool = False,
                  read_noise_e: float = 12.0,
-                 align: bool = False) -> ReducedVisit:
+                 align: bool = False,
+                 ld: jnp.ndarray | None = None,
+                 rp0: jnp.ndarray | float = 0.155) -> ReducedVisit:
     """Extract white + channel light curves from a visit's raw reads.
 
     Args:
@@ -753,6 +893,13 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
         visit-mean spectrum (spectral_shifts) and realign the spectra
         before channel binning, so pointing drift does not modulate the
         channel curves. Fitted shifts come back in ``x_shifts``.
+      ld, rp0: limb-darkening coefficients and an Rp/Rs guess (+-0.015
+        is fine). When given with align=True, the drift regressor is
+        cleaned with the MODEL transit basis (transit_drift_basis +
+        clean_drift_regressor) — required for ppm-accurate depths on a
+        chromatic transit; without ld the white-dip projection
+        (drift_regressor) is used, which leaves a dLC/drp-shaped
+        residual at the window-edge channels.
     """
     def nf(r, c):
         net = net_frame(r, gain, read_times, c)
@@ -789,7 +936,12 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
         [jnp.zeros((spectra.shape[0], 1)), jnp.cumsum(spectra, axis=1)], axis=1)
     chan_flux = cum[:, edges[1:]] - cum[:, edges[:-1]]       # (n_exp, n_chan)
     if align:
-        reg = dispersion_centroid(spectra, x_window)
+        if ld is not None:
+            basis = transit_drift_basis(exp_mid_s, orbit, ld, rp0)
+        else:
+            basis = white_drift_basis(white_flux, oot, exp_mid_s)
+        reg = clean_drift_regressor(
+            dispersion_centroid(spectra, x_window), basis, exp_mid_s)
         white_flux = shift_detrend(white_flux, reg, oot)
         chan_flux = shift_detrend(chan_flux, reg, oot)
     white = normalise(white_flux)

@@ -281,12 +281,28 @@ def main(argv: list[str] | None = None) -> int:
     chan_flux = np.stack([spectra[:, lo:hi].sum(axis=1)
                           for lo, hi in zip(edges[:-1], edges[1:])], axis=1)
     if shifts is not None:
-        # linear decorrelation against the dispersion centroid (affine
-        # in the true drift), OOT-fitted — removes the bin-edge leak
-        from wayne_tpu.reduction import dispersion_centroid, shift_detrend
+        # linear decorrelation against the transit-cleaned dispersion
+        # centroid (affine in the true drift), OOT-fitted — removes the
+        # bin-edge leak without eating a chromatic transit
+        from wayne_tpu.reduction import (clean_drift_regressor,
+                                         dispersion_centroid,
+                                         drift_regressor, shift_detrend,
+                                         transit_drift_basis)
 
-        reg = dispersion_centroid(jnp.asarray(spectra, jnp.float32), xw)
         oot_j = jnp.asarray(oot)
+        cen = dispersion_centroid(jnp.asarray(spectra, jnp.float32), xw)
+        if args.mode == "transit":
+            # model-basis clean: spans the chromatic transit's centroid
+            # excursion exactly, estimated drift-orthogonally
+            basis = transit_drift_basis(
+                t, orbit, ld, jnp.float32(cfg.planet.rp_over_rs or 0.1))
+            reg = clean_drift_regressor(cen, basis, t)
+        else:
+            # eclipse dips are achromatic to the fp level — the
+            # white-dip projection suffices
+            reg = drift_regressor(jnp.asarray(spectra, jnp.float32), xw,
+                                  jnp.asarray(white_flux, jnp.float32),
+                                  oot_j)
         white_flux = np.asarray(shift_detrend(
             jnp.asarray(white_flux, jnp.float32), reg, oot_j))
         chan_flux = np.asarray(shift_detrend(
