@@ -415,7 +415,10 @@ def ramp_slope_frame(reads_dn: jnp.ndarray,
     dt = t - tbar
     denom = jnp.sum(dt * dt)
     sbar = reads_dn.mean(axis=0)
-    slope = jnp.tensordot(dt, reads_dn - sbar[None], axes=1) / denom
+    # precision=HIGHEST: this contraction feeds ppm-level light curves,
+    # and TPU dots round f32 inputs to bf16 by default (CLAUDE.md).
+    slope = jnp.tensordot(dt, reads_dn - sbar[None], axes=1,
+                          precision=jax.lax.Precision.HIGHEST) / denom
     return slope * (t[-1] - t[0])
 
 
@@ -800,15 +803,21 @@ def clean_drift_regressor(cen: jnp.ndarray, basis: jnp.ndarray,
     The returned series is affine in the true drift wherever the drift
     is poly_deg-smooth — exactly what shift_detrend needs.
     """
-    t = ((exp_mid_s - exp_mid_s[0])
-         / jnp.maximum(exp_mid_s[-1] - exp_mid_s[0], 1e-9) * 2.0 - 1.0)
-    T = jnp.stack([t ** k for k in range(poly_deg + 1)], axis=1)
-    B = basis / jnp.maximum(
-        jnp.linalg.norm(basis, axis=0), 1e-12)[None, :]
-    Bt = B - T @ jnp.linalg.solve(T.T @ T, T.T @ B)
-    gam = jnp.linalg.solve(Bt.T @ B + 1e-9 * jnp.eye(B.shape[1]),
-                           Bt.T @ cen)
-    return cen - B @ gam
+    # Full-f32 matmuls throughout: the dip and dLC/drp basis columns are
+    # ~0.99-correlated, so the instrumented normal equations are
+    # near-singular and the TPU's default bf16 rounding of matmul INPUTS
+    # turns gamma into garbage (measured: recovered depths collapsed to
+    # the fit clip bound on chip while CPU was exact — CLAUDE.md hazard).
+    with jax.default_matmul_precision("highest"):
+        t = ((exp_mid_s - exp_mid_s[0])
+             / jnp.maximum(exp_mid_s[-1] - exp_mid_s[0], 1e-9) * 2.0 - 1.0)
+        T = jnp.stack([t ** k for k in range(poly_deg + 1)], axis=1)
+        B = basis / jnp.maximum(
+            jnp.linalg.norm(basis, axis=0), 1e-12)[None, :]
+        Bt = B - T @ jnp.linalg.solve(T.T @ T, T.T @ B)
+        gam = jnp.linalg.solve(Bt.T @ B + 1e-9 * jnp.eye(B.shape[1]),
+                               Bt.T @ cen)
+        return cen - B @ gam
 
 
 def shift_detrend(flux: jnp.ndarray, shifts: jnp.ndarray,
