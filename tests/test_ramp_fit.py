@@ -1,0 +1,180 @@
+"""Joint white-light ramp+transit fitting (reduction.fit_white_ramp).
+
+The reference's validation pipeline (Iraclis; SURVEY.md section 4) fits
+WFC3 white light curves as transit x (linear slope) x (per-orbit
+exponential ramp) — the same parametric family the simulator injects
+(trends.visit_trend_factor). These tests close that loop: inject the
+trend, fit it back jointly with the transit, and recover absolute white
+depths plus detrended channel depths without divide-white.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wayne_tpu.ops.transit import transit_depth_curve
+from wayne_tpu.ops.kepler import projected_separation
+from wayne_tpu.reduction import (fit_depths, fit_white_ramp, orbit_phase,
+                                 ramp_detrend, reduce_visit)
+from wayne_tpu.scene import example_scene
+from wayne_tpu.trends import TrendParams, visit_trend_factor
+
+ORBIT_S = 95.47 * 60.0          # HST orbital period
+RP_W = 0.1595
+
+
+def _orbit_times(n_orbits=4, per_orbit=14, cadence_s=90.0, offset_s=60.0):
+    """Exposure mid-times + true orbit clocks for a gapped HST visit."""
+    t, t_orb, first = [], [], []
+    for k in range(n_orbits):
+        start = k * ORBIT_S
+        for i in range(per_orbit):
+            ti = start + offset_s + i * cadence_s
+            t.append(ti)
+            t_orb.append(ti - start)
+            first.append(1.0 if k == 0 else 0.0)
+    return (np.asarray(t, np.float32), np.asarray(t_orb, np.float32),
+            np.asarray(first, np.float32))
+
+
+def _white_model(t, t_orb, first, trends, orbit, ld, rp):
+    z, in_front = projected_separation(jnp.asarray(t), orbit)
+    f = transit_depth_curve(z, jnp.float32(rp), ld, 32)
+    tr = 1.0 - (1.0 - f) * in_front
+    sys = visit_trend_factor(jnp.asarray(t), jnp.asarray(t_orb),
+                             jnp.asarray(first), trends)
+    return np.asarray(tr * sys)
+
+
+def test_orbit_phase_segments_gapped_visit():
+    t, t_orb_true, first_true = _orbit_times()
+    t_orb, first = orbit_phase(jnp.asarray(t))
+    # reducer's orbit clock zeroes on the first exposure of each orbit:
+    # true clock minus the constant 60 s readout offset
+    np.testing.assert_allclose(np.asarray(t_orb), t_orb_true - 60.0,
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(first), first_true > 0.5)
+
+
+def test_fit_white_ramp_noise_free():
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
+                                visit_slope_per_s=0.01 / 86400.0,
+                                hook_orbit1_scale=2.0)
+    t, t_orb, first = _orbit_times()
+    lc = _white_model(t, t_orb, first, trends, base.orbit, base.ld, RP_W)
+    fit = fit_white_ramp(jnp.asarray(lc), jnp.asarray(t), base.orbit,
+                         base.ld, 0.15)
+    assert abs(float(fit.rp) - RP_W) < 5e-4, float(fit.rp)
+    # slope recovered in frac/day; hook amplitudes keep orbit-1 ~2x
+    assert abs(float(fit.slope_per_day) - 0.01) < 0.002
+    # template matches the injected systematic up to a constant factor
+    inj = np.asarray(visit_trend_factor(
+        jnp.asarray(t), jnp.asarray(t_orb), jnp.asarray(first), trends))
+    tpl = np.asarray(fit.template)
+    ratio = inj / tpl
+    assert np.abs(ratio / ratio.mean() - 1.0).max() < 1e-3
+    # residual chi2 is tiny on noise-free data
+    assert float(fit.chi2) < 1e-7 * lc.size
+
+
+def test_fit_white_ramp_flat_visit_no_false_transit():
+    """On a trend-only, transit-free window the fit must not hallucinate
+    a deep transit (rp pinned near the clip floor; template still good)."""
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.004, hook_tau_s=250.0,
+                                visit_slope_per_s=0.02 / 86400.0)
+    t, t_orb, first = _orbit_times(n_orbits=3)
+    t = t + 4.0 * ORBIT_S                    # transit far outside window
+    sys = np.asarray(visit_trend_factor(
+        jnp.asarray(t), jnp.asarray(t_orb), jnp.asarray(first), trends))
+    fit = fit_white_ramp(jnp.asarray(sys), jnp.asarray(t), base.orbit,
+                         base.ld, 0.15)
+    tpl = np.asarray(fit.template)
+    ratio = sys / tpl
+    assert np.abs(ratio / ratio.mean() - 1.0).max() < 2e-3
+
+
+def test_ramp_detrend_recovers_channel_depths():
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
+                                visit_slope_per_s=0.01 / 86400.0)
+    t, t_orb, first = _orbit_times()
+    rng = np.random.default_rng(5)
+    rp_chan = RP_W + 0.003 * np.sin(np.arange(6))
+    chans = np.stack([
+        _white_model(t, t_orb, first, trends, base.orbit, base.ld, rp)
+        + 2e-5 * rng.standard_normal(t.size).astype(np.float32)
+        for rp in rp_chan], axis=1)
+    white = chans.mean(axis=1)
+    fit = fit_white_ramp(jnp.asarray(white), jnp.asarray(t), base.orbit,
+                         base.ld, 0.15)
+    corrected = ramp_detrend(jnp.asarray(chans), fit, jnp.asarray(t),
+                             base.orbit)
+    rp_hat, _ = fit_depths(corrected, jnp.asarray(t), base.orbit, base.ld,
+                           jnp.float32(0.15))
+    np.testing.assert_allclose(np.asarray(rp_hat), rp_chan, atol=5e-4)
+
+
+def test_ramp_fit_closes_simulator_loop():
+    """End to end: simulate an orbit-structured visit with the hook+slope
+    trend ON plus photon/read noise, reduce it, and recover the injected
+    depths via the joint ramp fit — no divide-white anywhere."""
+    from wayne_tpu.calibration import synthetic_tables
+    from wayne_tpu.config import ExposureStatic, NoiseFlags
+    from wayne_tpu.ops.visit import simulate_visit
+
+    S, NL, NSAMP, N_ORB, PER_ORB = 128, 64, 4, 3, 12
+    flags = dataclasses.replace(
+        NoiseFlags.none(), poisson=True, read_noise=True, sky=True,
+        dark=True, visit_trend=True)
+    cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=4, nsamp=NSAMP,
+                         samp_seq="SPARS10", scan=True, noise=flags,
+                         band_px=48)
+    tables = synthetic_tables("G141", subarray=S, n_lambda=NL,
+                              samp_seq="SPARS10", nsamp=NSAMP)
+    base = example_scene(NL, scan_speed=1.0)
+    wl = np.asarray(tables.wl_centers)
+    rp = RP_W + 0.004 * np.sin(10.0 * wl)
+    base = dataclasses.replace(
+        base, x_ref=jnp.float32(30.0), y_ref=jnp.float32(30.0),
+        rp_over_rs=jnp.asarray(rp, jnp.float32))
+    n_exp = N_ORB * PER_ORB
+    starts, orbit_starts, first = [], [], []
+    # centre the transit (t0 = 7200 s on example_scene's clock) in orbit 2
+    t_shift = 7200.0 - (1.5 * ORBIT_S)
+    for k in range(N_ORB):
+        o = k * ORBIT_S + t_shift
+        for i in range(PER_ORB):
+            starts.append(o + 90.0 + i * 120.0)
+            orbit_starts.append(o)
+            first.append(1.0 if k == 0 else 0.0)
+    starts = np.asarray(starts, np.float32)
+    scenes = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_exp,) + x.shape), base)
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.PRNGKey(17), i))(jnp.arange(n_exp))
+    scenes = dataclasses.replace(
+        scenes, exp_start_s=jnp.asarray(starts),
+        orbit_start_s=jnp.asarray(orbit_starts, jnp.float32),
+        is_first_orbit=jnp.asarray(first, jnp.float32), key=keys)
+    out = simulate_visit(scenes, tables, cfg, chunk=6)
+    exptime = float(tables.read_times[-1])
+    mid = jnp.asarray(starts + exptime / 2.0)
+
+    red = reduce_visit(out.reads_dn, tables.gain, mid, base.orbit,
+                       y_window=(20, 75), x_window=(72, 126),
+                       bg_rows=(100, 126), n_chan=6)
+    fit = fit_white_ramp(red.white_lc, mid, base.orbit, base.ld, 0.15)
+    # absolute white depth: something divide-white cannot provide
+    assert abs(float(fit.rp) - RP_W) < max(4.0 * float(fit.rp_sigma),
+                                           0.004), (
+        float(fit.rp), float(fit.rp_sigma))
+    corrected = ramp_detrend(red.channel_lc, fit, mid, base.orbit)
+    rp_hat, rp_sig = fit_depths(corrected, mid, base.orbit, base.ld,
+                                jnp.float32(0.15))
+    rp_hat, rp_sig = np.asarray(rp_hat), np.asarray(rp_sig)
+    tol = np.maximum(6.0 * rp_sig, 0.006)
+    assert np.all(np.abs(rp_hat - RP_W) < tol), (rp_hat, rp_sig)

@@ -1036,6 +1036,166 @@ def common_mode_correct(white_lc: jnp.ndarray, channel_lc: jnp.ndarray,
     return channel_lc / template[:, None]
 
 
+def orbit_phase(exp_mid_s: jnp.ndarray,
+                gap_s: float = 1200.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-exposure (time since orbit start, first-orbit mask) inferred
+    from the exposure timeline alone — what a reducer can know without
+    the simulator's visit plan.
+
+    HST Earth-occultation gaps (~45-50 min) dwarf the exposure cadence
+    (exptime + overhead, <= ~10 min), so any inter-exposure gap above
+    ``gap_s`` starts a new orbit. The orbit clock zero is the first
+    exposure of the orbit — offset from the simulator's true orbit
+    start by roughly one (constant) readout latency per orbit, which
+    the fitted hook amplitude absorbs (exp(-(t+dt)/tau) =
+    exp(-dt/tau) * exp(-t/tau)). jit-safe: static shapes, one cummax.
+    """
+    t = jnp.asarray(exp_mid_s)
+    n = t.shape[0]
+    gap = jnp.diff(t, prepend=t[:1])
+    new_orbit = gap > gap_s
+    orbit_id = jnp.cumsum(new_orbit.astype(jnp.int32))
+    marks = jnp.where(new_orbit | (jnp.arange(n) == 0), t, -jnp.inf)
+    orbit_start = jax.lax.cummax(marks)
+    return t - orbit_start, orbit_id == 0
+
+
+@_register
+@dataclass
+class RampFit:
+    """Joint white-light ramp + transit fit (fit_white_ramp)."""
+
+    rp: jnp.ndarray              # fitted white-light Rp/Rs
+    rp_sigma: jnp.ndarray        # its 1-sigma from the LM curvature
+    c: jnp.ndarray               # out-of-transit flux normalisation
+    slope_per_day: jnp.ndarray   # visit-long linear slope (frac/day)
+    hook_amp: jnp.ndarray        # orbit-ramp amplitude (orbits >= 2)
+    hook_amp_first: jnp.ndarray  # orbit-ramp amplitude in orbit 1
+    hook_tau_s: jnp.ndarray      # orbit-ramp e-folding time (s)
+    template: jnp.ndarray        # (n_exp,) fitted systematic (no c, no
+    #                              transit): divide it out of any curve
+    chi2: jnp.ndarray            # sum of squared residuals at the fit
+
+
+@partial(jax.jit, static_argnames=("gap_s", "n_iter", "n_quad"))
+def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
+                   orbit: OrbitParams, ld: jnp.ndarray,
+                   rp_init: jnp.ndarray | float = 0.15,
+                   *, gap_s: float = 1200.0, n_iter: int = 60,
+                   n_quad: int = 32) -> RampFit:
+    """Jointly fit the white light curve as transit x instrument ramp.
+
+    The physically-motivated alternative to divide-white: real WFC3
+    analyses (Iraclis; reference SURVEY.md section 4's validation
+    pipeline) fit the white curve with the transit model TIMES the
+    charge-trapping systematic
+
+        F(t) = c * (1 - ra * t) * (1 - rb * exp(-t_orb / tau)) * T(t; rp)
+
+    with a separate ramp amplitude for the first orbit (stronger
+    trapping from a freshly annealed detector — the same form the
+    simulator injects, trends.visit_trend_factor). Divide-white only
+    ever yields RELATIVE (channel - white) depths; this fit recovers
+    the ABSOLUTE white depth and a parametric systematic template for
+    ramp_detrend.
+
+    Implementation: Levenberg-Marquardt on theta = (c, rp, ra[/day],
+    rb, rb_first, log tau) with jacfwd Jacobians through the real
+    occultation integral, fixed ``n_iter`` damped steps (lax.fori_loop,
+    accept/reject arithmetic — no data-dependent control flow), and
+    full-f32 normal equations (TPU bf16-input hazard, CLAUDE.md).
+    Orbit structure comes from orbit_phase(exp_mid_s, gap_s). The tau
+    gradient vanishes at rb = 0, so amplitudes start at 2e-3 — LM
+    damping handles the rest.
+    """
+    lc = jnp.asarray(white_lc, jnp.float32)
+    t = jnp.asarray(exp_mid_s, jnp.float32)
+    t_orb, first = orbit_phase(t, gap_s)
+    firstf = first.astype(jnp.float32)
+    t_day = (t - t.mean()) / 86400.0
+    z, in_front = projected_separation(t, orbit)
+    oot = out_of_transit_mask(t, orbit).astype(jnp.float32)
+    c0 = jnp.sum(lc * oot) / jnp.maximum(jnp.sum(oot), 1.0)
+
+    def model(theta):
+        c, rp, ra, rb, rbf, log_tau = (theta[0], theta[1], theta[2],
+                                       theta[3], theta[4], theta[5])
+        tau = jnp.clip(jnp.exp(log_tau), 30.0, 20000.0)
+        amp = jnp.where(firstf > 0.5, rbf, rb)
+        sys = (1.0 - ra * t_day) * (1.0 - amp * jnp.exp(-t_orb / tau))
+        f = transit_depth_curve(z, jnp.clip(rp, 0.01, 0.5), ld, n_quad)
+        tr = 1.0 - (1.0 - f) * in_front
+        return c * sys * tr, sys
+
+    def resid(theta):
+        return model(theta)[0] - lc
+
+    rp0 = jnp.asarray(rp_init, jnp.float32).reshape(())
+    theta0 = jnp.stack([c0, rp0, jnp.float32(0.0), jnp.float32(2e-3),
+                        jnp.float32(4e-3), jnp.float32(jnp.log(250.0))])
+    hp = jax.lax.Precision.HIGHEST
+    eye = jnp.eye(6, dtype=jnp.float32)
+
+    def normal_eqs(theta):
+        J = jax.jacfwd(resid)(theta)                     # (n, 6)
+        r = resid(theta)
+        JTJ = jnp.einsum("ni,nj->ij", J, J, precision=hp)
+        g = jnp.einsum("ni,n->i", J, r, precision=hp)
+        return JTJ, g
+
+    def step(_, state):
+        theta, lam, chi2 = state
+        JTJ, g = normal_eqs(theta)
+        ridge = 1e-7 * jnp.trace(JTJ) / 6.0 + 1e-12
+        A = JTJ + lam * jnp.diag(jnp.diag(JTJ)) + ridge * eye
+        dth = jnp.linalg.solve(A, g)
+        theta_new = theta - dth
+        chi2_new = jnp.sum(resid(theta_new) ** 2)
+        ok = chi2_new < chi2                 # NaN compares False: reject
+        theta = jnp.where(ok, theta_new, theta)
+        lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-8, 1e8)
+        chi2 = jnp.where(ok, chi2_new, chi2)
+        return theta, lam, chi2
+
+    chi2_0 = jnp.sum(resid(theta0) ** 2)
+    theta, _, chi2 = jax.lax.fori_loop(
+        0, n_iter, step, (theta0, jnp.float32(1e-3), chi2_0))
+
+    _, sys = model(theta)
+    JTJ, _ = normal_eqs(theta)
+    n = lc.shape[0]
+    noise_var = chi2 / jnp.maximum(n - 6, 1)
+    cov = jnp.linalg.inv(JTJ + 1e-9 * eye)
+    rp_sigma = jnp.sqrt(jnp.maximum(cov[1, 1] * noise_var, 0.0))
+    return RampFit(rp=jnp.clip(theta[1], 0.01, 0.5), rp_sigma=rp_sigma,
+                   c=theta[0], slope_per_day=theta[2], hook_amp=theta[3],
+                   hook_amp_first=theta[4],
+                   hook_tau_s=jnp.clip(jnp.exp(theta[5]), 30.0, 20000.0),
+                   template=sys, chi2=chi2)
+
+
+@jax.jit
+def ramp_detrend(channel_lc: jnp.ndarray, ramp: RampFit,
+                 exp_mid_s: jnp.ndarray,
+                 orbit: OrbitParams) -> jnp.ndarray:
+    """Divide the fitted parametric systematic out of channel curves and
+    re-normalise each to its out-of-transit baseline.
+
+    The model-fit counterpart of common_mode_correct: the template is
+    the white fit's (slope x hook) series — wavelength-independent like
+    the divide-white template, but PARAMETRIC, so white-curve photon
+    noise does not propagate into every channel (divide-white injects
+    the white residuals into each channel; the fitted template is
+    smooth by construction).
+    """
+    oot = out_of_transit_mask(jnp.asarray(exp_mid_s), orbit)
+    w = oot.astype(channel_lc.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    corr = channel_lc / ramp.template[:, None]
+    base = jnp.sum(corr * w[:, None], axis=0) / n
+    return corr / base[None, :]
+
+
 @partial(jax.jit, static_argnames=("n_quad", "n_newton"))
 def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                orbit: OrbitParams, ld: jnp.ndarray, rp_init: jnp.ndarray,
