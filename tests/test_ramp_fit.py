@@ -178,3 +178,39 @@ def test_ramp_fit_closes_simulator_loop():
     rp_hat, rp_sig = np.asarray(rp_hat), np.asarray(rp_sig)
     tol = np.maximum(6.0 * rp_sig, 0.006)
     assert np.all(np.abs(rp_hat - RP_W) < tol), (rp_hat, rp_sig)
+
+
+def test_run_reduce_cli_detrend_ramp(tmp_path):
+    """File-level loop with --detrend ramp: generate a visit (hook+slope
+    on by default), reduce it with the joint parametric fit, and recover
+    both the absolute white depth and the channel depths."""
+    import json
+
+    import yaml
+
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.run_reduce import main as reduce_main
+
+    pars = {"grism": "G141", "subarray": 128, "NSAMP": 4,
+            "SAMPSEQ": "SPARS10", "scan": True, "x_ref": 30.0,
+            "y_ref": 40.0, "num_orbits": 3, "exposures_per_orbit": 6,
+            "n_lambda": 64, "n_sub": 4, "rp_over_rs": 0.14,
+            "start_mjd": 55999.93, "t0": 56000.0, "period": 0.813475,
+            "sma_over_rs": 4.855, "inclination": 82.1, "seed": 9}
+    ppath = tmp_path / "pars.yml"
+    ppath.write_text(yaml.safe_dump(pars))
+    outdir = tmp_path / "visit"
+    obs = Observation(load_yaml(str(ppath)))
+    obs.generate(str(outdir), chunk=6, progress=lambda s: None)
+
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                      "--n-chan", "4", "--cpu", "--detrend", "ramp"])
+    assert rc == 0
+    rep = json.loads((outdir / "reduced.json").read_text())
+    assert rep["detrend"] == "ramp" and not rep["divide_white"]
+    wf = rep["white_ramp_fit"]
+    assert abs(wf["rp_over_rs"] - 0.14) < max(5.0 * wf["rp_sigma"],
+                                              5e-3), wf
+    for c in rep["channels"]:
+        assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c

@@ -205,6 +205,15 @@ def main(argv: list[str] | None = None) -> int:
                              "drift trends from the channel curves)")
     parser.add_argument("--no-divide-white", action="store_true",
                         help="skip the white common-mode correction")
+    parser.add_argument("--detrend", choices=("divide-white", "ramp", "none"),
+                        default=None,
+                        help="systematics removal before the channel fits: "
+                             "divide-white (empirical common-mode template, "
+                             "the default), ramp (joint Iraclis-style white "
+                             "fit of transit x slope x per-orbit exponential "
+                             "ramp, then divide the fitted parametric "
+                             "template — also reports the ABSOLUTE white "
+                             "Rp/Rs), or none. Overrides --no-divide-white.")
     parser.add_argument("--no-dq", action="store_true",
                         help="ignore the DQ planes (skip the cosmic-ray/"
                              "saturation/hot-pixel read repair)")
@@ -313,6 +322,9 @@ def main(argv: list[str] | None = None) -> int:
 
     rp0 = jnp.float32(cfg.planet.rp_over_rs or 0.1)
     chan_j = jnp.asarray(chan, jnp.float32)
+    detrend = args.detrend or ("none" if args.no_divide_white
+                               else "divide-white")
+    white_fit_report = None
     if args.mode == "eclipse":
         from wayne_tpu.ops.kepler import projected_separation
         from wayne_tpu.ops.transit import eclipse_visibility
@@ -327,8 +339,12 @@ def main(argv: list[str] | None = None) -> int:
                 "no secondary-eclipse coverage in this visit (planet "
                 "visibility barely changes) — check start_mjd/t0/period "
                 "or use --mode transit")
+        if detrend == "ramp":
+            raise SystemExit(
+                "--detrend ramp supports --mode transit only (the eclipse "
+                "white fit is linear in fp; use divide-white)")
         white_j = jnp.asarray(white, jnp.float32)
-        if not args.no_divide_white:
+        if detrend == "divide-white":
             # Eclipse-aware common mode: the transit-model template would
             # divide the eclipse signal itself out of the channels, so
             # build the template against the fitted white ECLIPSE model.
@@ -337,9 +353,29 @@ def main(argv: list[str] | None = None) -> int:
         rp_hat, rp_sig = fit_eclipse_depths(chan_j, t, orbit, rp0)
         value_key, sigma_key = "fp_over_fs", "fp_sigma"
     else:
-        if not args.no_divide_white:
+        if detrend == "divide-white":
             chan_j = common_mode_correct(jnp.asarray(white, jnp.float32),
                                          chan_j, t, orbit, ld, rp0)
+        elif detrend == "ramp":
+            from wayne_tpu.reduction import fit_white_ramp, ramp_detrend
+
+            wfit = fit_white_ramp(jnp.asarray(white, jnp.float32), t,
+                                  orbit, ld, rp0)
+            chan_j = ramp_detrend(chan_j, wfit, t, orbit)
+            white_fit_report = {
+                "rp_over_rs": round(float(wfit.rp), 6),
+                "rp_sigma": round(float(wfit.rp_sigma), 6),
+                "slope_per_day": round(float(wfit.slope_per_day), 6),
+                "hook_amp": round(float(wfit.hook_amp), 6),
+                "hook_amp_first_orbit": round(float(wfit.hook_amp_first), 6),
+                "hook_tau_s": round(float(wfit.hook_tau_s), 2),
+            }
+            print(f"white ramp fit: rp={white_fit_report['rp_over_rs']:.5f}"
+                  f" +- {white_fit_report['rp_sigma']:.5f}, slope "
+                  f"{white_fit_report['slope_per_day']:+.5f}/day, hook "
+                  f"{white_fit_report['hook_amp']:.5f}"
+                  f" (x{wfit.hook_amp_first / jnp.maximum(wfit.hook_amp, 1e-9):.2f}"
+                  f" orbit 1), tau {white_fit_report['hook_tau_s']:.0f} s")
         rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld, rp0)
         value_key, sigma_key = "rp_over_rs", "rp_sigma"
 
@@ -357,7 +393,10 @@ def main(argv: list[str] | None = None) -> int:
         "extraction": args.extract,
         "windows": {"rows": list(yw), "cols": list(xw),
                     "background_rows": list(bg)},
-        "divide_white": not args.no_divide_white,
+        "detrend": detrend,
+        "divide_white": detrend == "divide-white",
+        **({"white_ramp_fit": white_fit_report}
+           if white_fit_report is not None else {}),
         "dq_repair": not args.no_dq,
         "aligned": bool(args.align),
         **({"x_shifts_px": [round(float(s), 4) for s in shifts]}
