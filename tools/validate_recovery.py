@@ -21,7 +21,10 @@ A second ensemble then turns the time-domain systematics ON (sinusoidal
 standard WFC3 divide-white analysis (common_mode_correct): recovered
 channel depths must stay noise-unbiased and the divide-white residual
 below the documented envelope — i.e. a realistic pipeline recovers the
-injected spectrum from fully-corrupted frames.
+injected spectrum from fully-corrupted frames. The SAME frames are
+also reduced with the parametric alternative (fit_white_ramp +
+ramp_detrend — the Iraclis-style joint transit x ramp white fit),
+which must additionally recover the ABSOLUTE white-light depth.
 
 Usage: python tools/validate_recovery.py [--n-mc 32] [--cpu]
 """
@@ -56,7 +59,8 @@ def main() -> None:
     from wayne_tpu.config import ExposureStatic, NoiseFlags
     from wayne_tpu.ops.exposure import simulate_exposure
     from wayne_tpu.reduction import (
-        common_mode_correct, cr_bad_diff_masks, fit_depths, reduce_visit)
+        common_mode_correct, cr_bad_diff_masks, fit_depths, fit_white_ramp,
+        ramp_detrend, reduce_visit)
     from wayne_tpu.scene import example_scene
 
     S, NL, NSAMP, N_EXP, N_CHAN = 256, 256, 5, 48, 8
@@ -95,7 +99,9 @@ def main() -> None:
     y_window = (40, 100)    # scan band + margins
     bg_rows = (180, 250)
 
-    def make_run(local_cfg, divide_white: bool = False):
+    def make_run(local_cfg, divide_white: bool = False,
+                 detrend: str | None = None):
+        detrend = detrend or ("divide-white" if divide_white else "none")
         # One jitted program reused across all realisations (a fresh
         # jax.jit per call would re-trace the whole visit every time).
         @jax.jit
@@ -121,27 +127,33 @@ def main() -> None:
                                bg_rows=bg_rows, n_chan=N_CHAN,
                                good_diffs=good)
             chan = red.channel_lc
-            if divide_white:
+            white_rp = jnp.float32(jnp.nan)
+            if detrend == "divide-white":
                 chan = common_mode_correct(red.white_lc, chan, mid,
                                            base.orbit, base.ld,
                                            jnp.float32(0.155))
+            elif detrend == "ramp":
+                wfit = fit_white_ramp(red.white_lc, mid, base.orbit,
+                                      base.ld, jnp.float32(0.155))
+                chan = ramp_detrend(chan, wfit, mid, base.orbit)
+                white_rp = wfit.rp
             rp_hat, rp_sig = fit_depths(chan, mid, base.orbit,
                                         base.ld, jnp.float32(0.155))
-            return rp_hat, rp_sig, red.channel_cols
+            return rp_hat, rp_sig, red.channel_cols, white_rp
 
         return run
 
     realisation = make_run(cfg)
 
     # Noise-free reference through the identical pipeline.
-    rp_ref, _, cols = make_run(dataclasses.replace(
+    rp_ref, _, cols, _ = make_run(dataclasses.replace(
         cfg, noise=NoiseFlags.none()))(0)
     rp_ref = np.asarray(rp_ref)
 
     t0 = time.time()
     rp_hats, rp_sigs = [], []
     for m in range(args.n_mc):
-        rp_hat, rp_sig, _ = realisation(m)
+        rp_hat, rp_sig, _, _ = realisation(m)
         rp_hats.append(np.asarray(rp_hat))
         rp_sigs.append(np.asarray(rp_sig))
         print(f"realisation {m + 1}/{args.n_mc}", file=sys.stderr, flush=True)
@@ -198,6 +210,38 @@ def main() -> None:
                                < np.maximum(3.0 * sem_sys, 1e-4)))
     resid_sys = rp_clean.mean(axis=0) - rp_true
     ok_divide_white = bool(np.all(np.abs(resid_sys) < 3e-3))
+
+    # --- same systematics ensemble, parametric ramp-fit reduction ------
+    # The Iraclis-style alternative to divide-white: jointly fit the
+    # white curve as transit x slope x orbit-ramp (fit_white_ramp) and
+    # divide the fitted PARAMETRIC template out of the channels. Also
+    # recovers the absolute white-light depth, which divide-white
+    # cannot. Same frames (same keys), so the comparison is paired.
+    run_ramp = make_run(dataclasses.replace(cfg, noise=flags_sys),
+                        detrend="ramp")
+    run_ramp_clean = make_run(
+        dataclasses.replace(cfg, noise=dataclasses.replace(
+            NoiseFlags.none(), ssv=True, visit_trend=True)),
+        detrend="ramp")
+    t0 = time.time()
+    ramp_out = [run_ramp(m) for m in range(n_sys)]
+    rp_ramp = np.stack([np.asarray(o[0]) for o in ramp_out])
+    white_ramp = np.array([float(o[3]) for o in ramp_out])
+    ramp_clean_out = [run_ramp_clean(m) for m in range(n_sys)]
+    rp_ramp_clean = np.stack([np.asarray(o[0]) for o in ramp_clean_out])
+    white_ramp_clean = np.array([float(o[3]) for o in ramp_clean_out])
+    wall_ramp = time.time() - t0
+    dev_ramp = rp_ramp - rp_ramp_clean
+    bias_ramp = dev_ramp.mean(axis=0)
+    sem_ramp = dev_ramp.std(axis=0, ddof=1) / np.sqrt(n_sys)
+    ok_ramp_noise = bool(np.all(np.abs(bias_ramp)
+                                < np.maximum(3.0 * sem_ramp, 1e-4)))
+    resid_ramp = rp_ramp_clean.mean(axis=0) - rp_true
+    ok_ramp_resid = bool(np.all(np.abs(resid_ramp) < 3e-3))
+    # absolute white depth: within the channel-depth envelope of the
+    # flux-weighted injected value (rp_true's mean is a fair proxy)
+    white_err = abs(float(white_ramp.mean()) - float(rp_true.mean()))
+    ok_ramp_white = bool(white_err < 3e-3)
 
     # --- pointing-drift ensemble: alignment closes the drift loop ------
     # HST visits drift along the dispersion axis (hundredths of a px per
@@ -352,6 +396,24 @@ def main() -> None:
             "noise_unbiased_within_3sem": ok_sys_noise,
             "divide_white_residual_below_3e-3": ok_divide_white,
         },
+        "with_systematics_ramp_fit": {
+            "n_mc": n_sys, "wallclock_s": round(wall_ramp, 1),
+            "flags": "poisson+read+sky+dark+cosmic_rays"
+                     "+ssv(sin+rw)+visit_trend",
+            "reduction": "DQ-aware CR repair + joint white ramp fit "
+                         "(fit_white_ramp) + ramp_detrend + fit_depths",
+            "rp_recovered_mean": [round(float(v), 6)
+                                  for v in rp_ramp.mean(axis=0)],
+            "noise_induced_bias": [round(float(v), 6) for v in bias_ramp],
+            "parametric_residual": [round(float(v), 6)
+                                    for v in resid_ramp],
+            "white_rp_recovered_mean": round(float(white_ramp.mean()), 6),
+            "white_rp_noise_free": round(float(white_ramp_clean.mean()), 6),
+            "white_rp_injected_proxy": round(float(rp_true.mean()), 6),
+            "noise_unbiased_within_3sem": ok_ramp_noise,
+            "parametric_residual_below_3e-3": ok_ramp_resid,
+            "white_rp_within_3e-3": ok_ramp_white,
+        },
         "with_pointing_drift": {
             "n_mc": n_drift, "wallclock_s": round(wall_drift, 1),
             "drift_injected_px": 0.4,
@@ -378,6 +440,7 @@ def main() -> None:
         },
     }
     ok = (ok_noise and ok_sys and ok_sys_noise and ok_divide_white
+          and ok_ramp_noise and ok_ramp_resid and ok_ramp_white
           and ok_drift_noise and ok_drift_sys
           and ok_ecl_noise and ok_ecl_sys)
     with open(os.path.join(REPO, "VALIDATION.json"), "w") as fh:
