@@ -1,0 +1,76 @@
+"""On-device ensemble MCMC: sampler correctness + white-light posterior.
+
+The Gaussian test checks the Goodman-Weare stretch move against a known
+target (the detailed-balance smoke test every sampler must pass); the
+posterior test closes the loop with the white ramp+transit model:
+posterior median ~ truth, width consistent with the LM curvature.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wayne_tpu.mcmc import ensemble_sample, sample_white_posterior
+from wayne_tpu.scene import example_scene
+from wayne_tpu.trends import TrendParams, visit_trend_factor
+
+from tests.test_ramp_fit import _orbit_times, _white_model
+
+
+def test_ensemble_sampler_recovers_gaussian():
+    cov = jnp.asarray(np.array([[1.0, 0.6], [0.6, 0.8]], np.float32))
+    prec = jnp.linalg.inv(cov)
+    mu = jnp.asarray([1.5, -0.5], jnp.float32)
+
+    def log_prob(x):
+        d = x - mu
+        return -0.5 * d @ prec @ d
+
+    key = jax.random.PRNGKey(0)
+    init = mu[None, :] + 0.1 * jax.random.normal(key, (32, 2))
+    chain = ensemble_sample(log_prob, init, jax.random.PRNGKey(1), 3000)
+    kept = np.asarray(chain.samples[500:]).reshape(-1, 2)
+    acc = float(chain.acceptance)
+    assert 0.15 < acc < 0.95, acc
+    np.testing.assert_allclose(kept.mean(axis=0), np.asarray(mu),
+                               atol=0.05)
+    emp_cov = np.cov(kept.T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), rtol=0.2,
+                               atol=0.05)
+
+
+def test_ensemble_sampler_respects_support():
+    """-inf log-prob regions are never entered (flat prior truncation)."""
+    def log_prob(x):
+        return jnp.where(jnp.all(x > 0.0), -0.5 * jnp.sum(x ** 2),
+                         -jnp.inf)
+
+    init = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (16, 2))) + 0.1
+    chain = ensemble_sample(log_prob, init, jax.random.PRNGKey(3), 500)
+    assert float(jnp.min(chain.samples)) > 0.0
+
+
+def test_white_posterior_recovers_depth():
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
+                                visit_slope_per_s=0.01 / 86400.0)
+    t, t_orb, first = _orbit_times()
+    rng = np.random.default_rng(11)
+    sigma = 3e-4
+    rp_true = 0.1595
+    lc = (_white_model(t, t_orb, first, trends, base.orbit, base.ld,
+                       rp_true)
+          + sigma * rng.standard_normal(t.size).astype(np.float32))
+    post = sample_white_posterior(
+        jnp.asarray(lc), jnp.asarray(t), base.orbit, base.ld, 0.15,
+        jax.random.PRNGKey(4), n_steps=1500, n_burn=400)
+    med = float(post.rp_median)
+    width = 0.5 * (float(post.rp_minus) + float(post.rp_plus))
+    assert 0.1 < float(post.acceptance) < 0.95
+    # median within 4 posterior sigmas of truth, width sane (not
+    # collapsed, not orders of magnitude off the per-point noise level)
+    assert abs(med - rp_true) < 4.0 * max(width, 1e-4), (med, width)
+    assert 1e-5 < width < 3e-3, width
+    # the noise scale is sampled too: exp(median log_sigma) ~ sigma
+    ls = np.median(np.asarray(post.samples[:, 6]))
+    assert abs(np.exp(ls) / sigma - 1.0) < 0.5

@@ -28,6 +28,10 @@ Layout
 - :mod:`wayne_tpu.observation`  — visit planning and orchestration
 - :mod:`wayne_tpu.trends`       — scan-speed variations, ramps, pointing drift
 - :mod:`wayne_tpu.io`           — FITS (ima-style) writer/reader, native fast path
+- :mod:`wayne_tpu.reduction`    — on-device reduction: extraction, DQ repair,
+  alignment, divide-white / parametric ramp detrending, depth fitting
+- :mod:`wayne_tpu.mcmc`         — on-device affine-invariant ensemble MCMC
+  (posterior depths; vmap-able over channels)
 - :mod:`wayne_tpu.oracle`       — fp64 NumPy reference implementation for tests
 """
 

@@ -1,0 +1,214 @@
+"""On-device affine-invariant ensemble MCMC (emcee equivalent).
+
+Real WFC3 transmission-spectroscopy analyses (Iraclis and the pipelines
+the reference's outputs feed — SURVEY.md section 0/4) quote POSTERIOR
+depths from ensemble MCMC, usually emcee's Goodman & Weare (2010)
+stretch move. This module is that sampler rebuilt TPU-first: the whole
+chain is one compiled program — ``lax.scan`` over steps, ``vmap`` over
+walkers, counter-based ``jax.random`` keys — so a full posterior runs
+on device with zero host round-trips, and the sampler itself can be
+``vmap``-ed over spectral channels to sample every channel's posterior
+simultaneously (something serial emcee cannot express).
+
+Design notes (TPU):
+  - The stretch move updates the two half-ensembles alternately; each
+    half-update is a single vmapped evaluation of ``log_prob`` over
+    n_walkers/2 proposals — batched, static-shape work, no Python loop.
+  - Rejection is arithmetic (``jnp.where``), not control flow, so the
+    program is branch-free under ``jit``.
+  - The chain tensor (n_steps, n_walkers, ndim) stays in HBM until the
+    caller fetches it; thinning happens on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from wayne_tpu.ops.kepler import OrbitParams, projected_separation
+from wayne_tpu.ops.transit import transit_depth_curve
+
+
+def _register(cls):
+    names = [f.name for f in fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=names,
+                                            meta_fields=[])
+
+
+@_register
+@dataclass
+class EnsembleChain:
+    """Output of ensemble_sample."""
+
+    samples: jnp.ndarray       # (n_kept, n_walkers, ndim)
+    log_probs: jnp.ndarray     # (n_kept, n_walkers)
+    acceptance: jnp.ndarray    # scalar mean acceptance fraction
+
+
+@partial(jax.jit, static_argnames=("log_prob", "n_steps", "thin"))
+def ensemble_sample(log_prob: Callable[[jnp.ndarray], jnp.ndarray],
+                    init: jnp.ndarray, key: jnp.ndarray,
+                    n_steps: int, *, a: float = 2.0,
+                    thin: int = 1) -> EnsembleChain:
+    """Goodman & Weare (2010) stretch-move ensemble sampler.
+
+    Args:
+      log_prob: maps a (ndim,) parameter vector to a scalar log
+        density (``-inf`` outside the prior support is fine). It is
+        vmapped internally — keep it jit-compatible.
+      init: (n_walkers, ndim) starting walkers; n_walkers must be even
+        and should be >= 2*ndim (emcee's rule of thumb).
+      key: PRNG key; the whole chain is deterministic in (init, key).
+      n_steps: ensemble updates (each moves every walker once).
+      a: stretch scale (2.0 is the standard choice).
+      thin: keep every ``thin``-th step.
+
+    Returns EnsembleChain with samples (n_steps//thin, n_walkers, ndim).
+    """
+    n_walkers, ndim = init.shape
+    if n_walkers % 2:
+        raise ValueError("n_walkers must be even")
+    half = n_walkers // 2
+    lp_batch = jax.vmap(log_prob)
+
+    # The two half-ensembles are STATIC slices, so each half-update is a
+    # closed function of its bounds resolved at trace time — no dynamic
+    # slicing, no control flow.
+    def make_half_update(lo: int, hi: int, clo: int, chi: int):
+        def update(x, lp, k):
+            k_z, k_pick, k_acc = jax.random.split(k, 3)
+            movers = x[lo:hi]                       # (half, ndim)
+            comp = x[clo:chi]                       # (half, ndim)
+            u = jax.random.uniform(k_z, (half,))
+            z = ((a - 1.0) * u + 1.0) ** 2 / a      # g(z) ~ 1/sqrt(z)
+            j = jax.random.randint(k_pick, (half,), 0, half)
+            partner = comp[j]                       # (half, ndim)
+            prop = partner + z[:, None] * (movers - partner)
+            lp_prop = lp_batch(prop)
+            lp_cur = lp[lo:hi]
+            log_ratio = (ndim - 1) * jnp.log(z) + lp_prop - lp_cur
+            accept = jnp.log(
+                jax.random.uniform(k_acc, (half,))) < log_ratio
+            new_movers = jnp.where(accept[:, None], prop, movers)
+            new_lp = jnp.where(accept, lp_prop, lp_cur)
+            x = x.at[lo:hi].set(new_movers)
+            lp = lp.at[lo:hi].set(new_lp)
+            return x, lp, jnp.mean(accept.astype(jnp.float32))
+        return update
+
+    update_a = make_half_update(0, half, half, n_walkers)
+    update_b = make_half_update(half, n_walkers, 0, half)
+
+    def step(carry, k):
+        x, lp = carry
+        k1, k2 = jax.random.split(k)
+        x, lp, acc1 = update_a(x, lp, k1)
+        x, lp, acc2 = update_b(x, lp, k2)
+        return (x, lp), (x, lp, 0.5 * (acc1 + acc2))
+
+    lp0 = lp_batch(init)
+    keys = jax.random.split(key, n_steps)
+    (_, _), (xs, lps, accs) = jax.lax.scan(step, (init, lp0), keys)
+    return EnsembleChain(samples=xs[::thin], log_probs=lps[::thin],
+                         acceptance=jnp.mean(accs))
+
+
+def _white_ramp_model(theta, t_day, t_orb, firstf, z, in_front, ld,
+                      n_quad):
+    c, rp, ra, rb, rbf, log_tau = (theta[0], theta[1], theta[2],
+                                   theta[3], theta[4], theta[5])
+    tau = jnp.exp(log_tau)
+    amp = jnp.where(firstf > 0.5, rbf, rb)
+    sys = (1.0 - ra * t_day) * (1.0 - amp * jnp.exp(-t_orb / tau))
+    f = transit_depth_curve(z, rp, ld, n_quad)
+    return c * sys * (1.0 - (1.0 - f) * in_front)
+
+
+@_register
+@dataclass
+class WhitePosterior:
+    """Marginal posterior summaries from sample_white_posterior."""
+
+    rp_median: jnp.ndarray
+    rp_minus: jnp.ndarray        # median - 16th percentile
+    rp_plus: jnp.ndarray         # 84th percentile - median
+    samples: jnp.ndarray         # (n_kept * n_walkers, 7) flattened,
+    #                              post burn-in: (c, rp, ra, rb, rbf,
+    #                              log_tau, log_sigma)
+    acceptance: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_walkers", "n_burn",
+                                   "gap_s", "n_quad"))
+def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
+                           orbit: OrbitParams, ld: jnp.ndarray,
+                           rp_init: jnp.ndarray | float,
+                           key: jnp.ndarray, *, n_steps: int = 2000,
+                           n_walkers: int = 32, n_burn: int = 500,
+                           gap_s: float = 1200.0,
+                           n_quad: int = 32) -> WhitePosterior:
+    """Full posterior over the joint white-light ramp+transit model.
+
+    Samples theta = (c, rp, ra, rb, rb_first, log tau, log sigma) — the
+    fit_white_ramp parameters plus a free noise scale — under the
+    Gaussian likelihood and broad flat priors, with walkers initialised
+    in a small ball around the Levenberg-Marquardt solution
+    (reduction.fit_white_ramp). One compiled program; the occultation
+    integral is re-evaluated inside every proposal's log-density via
+    the same transit_depth_curve the fitters use.
+    """
+    from wayne_tpu.reduction import (fit_white_ramp, orbit_phase,
+                                     out_of_transit_mask)
+
+    lc = jnp.asarray(white_lc, jnp.float32)
+    t = jnp.asarray(exp_mid_s, jnp.float32)
+    n = lc.shape[0]
+    t_orb, first = orbit_phase(t, gap_s)
+    firstf = first.astype(jnp.float32)
+    t_day = (t - t.mean()) / 86400.0
+    z, in_front = projected_separation(t, orbit)
+
+    lm = fit_white_ramp(lc, t, orbit, ld, rp_init, gap_s=gap_s,
+                        n_quad=n_quad)
+    resid = lc - _white_ramp_model(
+        jnp.stack([lm.c, lm.rp, lm.slope_per_day, lm.hook_amp,
+                   lm.hook_amp_first, jnp.log(lm.hook_tau_s)]),
+        t_day, t_orb, firstf, z, in_front, ld, n_quad)
+    sigma0 = jnp.maximum(jnp.std(resid), 1e-6)
+
+    lo = jnp.array([0.2, 0.01, -1.0, -0.05, -0.05,
+                    jnp.log(30.0), jnp.log(1e-6)], jnp.float32)
+    hi = jnp.array([5.0, 0.5, 1.0, 0.05, 0.05,
+                    jnp.log(20000.0), jnp.log(0.1)], jnp.float32)
+
+    def log_prob(theta):
+        inside = jnp.all((theta > lo) & (theta < hi))
+        m = _white_ramp_model(theta[:6], t_day, t_orb, firstf, z,
+                              in_front, ld, n_quad)
+        sig = jnp.exp(theta[6])
+        loglike = (-0.5 * jnp.sum(((m - lc) / sig) ** 2)
+                   - n * theta[6])
+        return jnp.where(inside, loglike, -jnp.inf)
+
+    center = jnp.stack([lm.c, lm.rp, lm.slope_per_day, lm.hook_amp,
+                        lm.hook_amp_first, jnp.log(lm.hook_tau_s),
+                        jnp.log(sigma0)])
+    center = jnp.clip(center, lo + 1e-4, hi - 1e-4)
+    scale = jnp.array([1e-3, 1e-3, 1e-3, 1e-4, 1e-4, 0.05, 0.05],
+                      jnp.float32)
+    k_init, k_run = jax.random.split(jnp.asarray(key))
+    init = center[None, :] + scale[None, :] * jax.random.normal(
+        k_init, (n_walkers, 7))
+    init = jnp.clip(init, lo + 1e-5, hi - 1e-5)
+
+    chain = ensemble_sample(log_prob, init, k_run, n_steps)
+    kept = chain.samples[n_burn:].reshape(-1, 7)
+    q16, q50, q84 = jnp.percentile(kept[:, 1],
+                                   jnp.array([16.0, 50.0, 84.0]))
+    return WhitePosterior(rp_median=q50, rp_minus=q50 - q16,
+                          rp_plus=q84 - q50, samples=kept,
+                          acceptance=chain.acceptance)
