@@ -74,3 +74,33 @@ def test_white_posterior_recovers_depth():
     # the noise scale is sampled too: exp(median log_sigma) ~ sigma
     ls = np.median(np.asarray(post.samples[:, 6]))
     assert abs(np.exp(ls) / sigma - 1.0) < 0.5
+
+
+def test_channel_posteriors_vmapped():
+    """All channels sampled in one program: medians track the injected
+    per-channel depths, widths are finite and sane."""
+    from wayne_tpu.mcmc import sample_channel_posteriors
+    from wayne_tpu.ops.kepler import projected_separation
+    from wayne_tpu.ops.transit import transit_depth_curve
+
+    base = example_scene(64)
+    t, _, _ = _orbit_times()
+    rng = np.random.default_rng(3)
+    rp_chan = np.array([0.155, 0.158, 0.1595, 0.162], np.float32)
+    z, in_front = projected_separation(jnp.asarray(t), base.orbit)
+    chans = np.stack([
+        np.asarray((1.0 - (1.0 - transit_depth_curve(z, jnp.float32(rp),
+                                                     base.ld, 32))
+                    * in_front))
+        + 4e-4 * rng.standard_normal(t.size).astype(np.float32)
+        for rp in rp_chan], axis=1)
+    post = sample_channel_posteriors(
+        jnp.asarray(chans), jnp.asarray(t), base.orbit, base.ld, 0.158,
+        jax.random.PRNGKey(7), n_steps=1200, n_burn=300)
+    med = np.asarray(post.rp_median)
+    width = 0.5 * (np.asarray(post.rp_minus) + np.asarray(post.rp_plus))
+    acc = np.asarray(post.acceptance)
+    assert np.all((acc > 0.1) & (acc < 0.95)), acc
+    assert np.all(np.abs(med - rp_chan) < 4.0 * np.maximum(width, 1e-4)), (
+        med, rp_chan, width)
+    assert np.all((width > 1e-5) & (width < 5e-3)), width

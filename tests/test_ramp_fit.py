@@ -205,12 +205,21 @@ def test_run_reduce_cli_detrend_ramp(tmp_path):
     obs.generate(str(outdir), chunk=6, progress=lambda s: None)
 
     rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
-                      "--n-chan", "4", "--cpu", "--detrend", "ramp"])
+                      "--n-chan", "4", "--cpu", "--detrend", "ramp",
+                      "--mcmc", "800"])
     assert rc == 0
     rep = json.loads((outdir / "reduced.json").read_text())
     assert rep["detrend"] == "ramp" and not rep["divide_white"]
     wf = rep["white_ramp_fit"]
     assert abs(wf["rp_over_rs"] - 0.14) < max(5.0 * wf["rp_sigma"],
                                               5e-3), wf
+    # posterior depths ride along (--mcmc): median consistent with the
+    # injected value within the quoted percentile widths
+    wp = rep["white_posterior"]
+    w_width = 0.5 * (wp["rp_plus"] + wp["rp_minus"])
+    assert abs(wp["rp_over_rs_median"] - 0.14) < max(5.0 * w_width,
+                                                     5e-3), wp
     for c in rep["channels"]:
         assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c
+        cw = 0.5 * (c["rp_mcmc_plus"] + c["rp_mcmc_minus"])
+        assert abs(c["rp_mcmc_median"] - 0.14) < max(5.0 * cw, 5e-3), c

@@ -212,3 +212,78 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     return WhitePosterior(rp_median=q50, rp_minus=q50 - q16,
                           rp_plus=q84 - q50, samples=kept,
                           acceptance=chain.acceptance)
+
+
+@_register
+@dataclass
+class ChannelPosteriors:
+    """Per-channel depth posteriors from sample_channel_posteriors."""
+
+    rp_median: jnp.ndarray     # (n_chan,)
+    rp_minus: jnp.ndarray      # (n_chan,) median - 16th percentile
+    rp_plus: jnp.ndarray       # (n_chan,) 84th percentile - median
+    acceptance: jnp.ndarray    # (n_chan,)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_walkers", "n_burn",
+                                   "n_quad"))
+def sample_channel_posteriors(channel_lc: jnp.ndarray,
+                              exp_mid_s: jnp.ndarray, orbit: OrbitParams,
+                              ld: jnp.ndarray,
+                              rp_init: jnp.ndarray | float,
+                              key: jnp.ndarray, *, n_steps: int = 1500,
+                              n_walkers: int = 16, n_burn: int = 400,
+                              n_quad: int = 32) -> ChannelPosteriors:
+    """EVERY channel's depth posterior in one compiled device program.
+
+    The whole sampler is vmapped over the channel axis — n_chan
+    independent 16-walker ensembles advance in lockstep as one batched
+    computation, so the per-step work is a single (n_chan * n_walkers)
+    batch of transit-model evaluations on the VPU/MXU. This is the
+    TPU-native shape serial emcee cannot express: posterior
+    transmission spectroscopy of a full visit in one dispatch.
+
+    ``channel_lc`` (n_exp, n_chan) should already be detrended
+    (ramp_detrend / common_mode_correct / shift_detrend); each channel
+    is modelled as c * T(t; rp) with a free per-channel noise scale:
+    theta = (c, rp, log_sigma).
+    """
+    lcs = jnp.asarray(channel_lc, jnp.float32).T       # (n_chan, n_exp)
+    t = jnp.asarray(exp_mid_s, jnp.float32)
+    n = t.shape[0]
+    n_chan = lcs.shape[0]
+    z, in_front = projected_separation(t, orbit)
+
+    lo = jnp.array([0.2, 0.01, jnp.log(1e-6)], jnp.float32)
+    hi = jnp.array([5.0, 0.5, jnp.log(0.1)], jnp.float32)
+    rp0 = jnp.broadcast_to(jnp.asarray(rp_init, jnp.float32), (n_chan,))
+
+    def one(lc, rp_c, k):
+        def log_prob(theta):
+            inside = jnp.all((theta > lo) & (theta < hi))
+            f = transit_depth_curve(z, theta[1], ld, n_quad)
+            m = theta[0] * (1.0 - (1.0 - f) * in_front)
+            loglike = (-0.5 * jnp.sum(((m - lc) / jnp.exp(theta[2])) ** 2)
+                       - n * theta[2])
+            return jnp.where(inside, loglike, -jnp.inf)
+
+        resid = lc - jnp.mean(lc)
+        sigma0 = jnp.clip(jnp.std(resid), 1e-5, 0.05)
+        center = jnp.clip(jnp.stack([jnp.mean(lc), rp_c,
+                                     jnp.log(sigma0)]),
+                          lo + 1e-4, hi - 1e-4)
+        k_init, k_run = jax.random.split(k)
+        scale = jnp.array([3e-4, 1e-3, 0.05], jnp.float32)
+        init = center[None, :] + scale[None, :] * jax.random.normal(
+            k_init, (n_walkers, 3))
+        init = jnp.clip(init, lo + 1e-5, hi - 1e-5)
+        chain = ensemble_sample(log_prob, init, k_run, n_steps)
+        kept = chain.samples[n_burn:, :, 1].reshape(-1)
+        q16, q50, q84 = jnp.percentile(kept,
+                                       jnp.array([16.0, 50.0, 84.0]))
+        return q50, q50 - q16, q84 - q50, chain.acceptance
+
+    keys = jax.random.split(jnp.asarray(key), n_chan)
+    med, minus, plus, acc = jax.vmap(one)(lcs, rp0, keys)
+    return ChannelPosteriors(rp_median=med, rp_minus=minus,
+                             rp_plus=plus, acceptance=acc)

@@ -214,6 +214,13 @@ def main(argv: list[str] | None = None) -> int:
                              "ramp, then divide the fitted parametric "
                              "template — also reports the ABSOLUTE white "
                              "Rp/Rs), or none. Overrides --no-divide-white.")
+    parser.add_argument("--mcmc", type=int, nargs="?", const=1500,
+                        default=0, metavar="N_STEPS",
+                        help="also sample posterior depths on device "
+                             "(transit mode): joint ramp+transit white "
+                             "posterior plus every channel's depth "
+                             "posterior, vmapped into one program "
+                             "(default 1500 steps when given bare)")
     parser.add_argument("--no-dq", action="store_true",
                         help="ignore the DQ planes (skip the cosmic-ray/"
                              "saturation/hot-pixel read repair)")
@@ -379,6 +386,37 @@ def main(argv: list[str] | None = None) -> int:
         rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld, rp0)
         value_key, sigma_key = "rp_over_rs", "rp_sigma"
 
+    white_post_report, chan_post = None, None
+    if args.mcmc:
+        if args.mode != "transit":
+            raise SystemExit("--mcmc supports --mode transit only")
+        import jax
+
+        from wayne_tpu.mcmc import (sample_channel_posteriors,
+                                    sample_white_posterior)
+
+        n_burn = max(args.mcmc // 4, 100)
+        wpost = sample_white_posterior(
+            jnp.asarray(white, jnp.float32), t, orbit, ld, rp0,
+            jax.random.PRNGKey(20250817), n_steps=args.mcmc,
+            n_burn=n_burn)
+        chan_post = sample_channel_posteriors(
+            chan_j, t, orbit, ld, rp0, jax.random.PRNGKey(43),
+            n_steps=args.mcmc, n_burn=n_burn)
+        white_post_report = {
+            "n_steps": args.mcmc, "n_burn": n_burn,
+            "rp_over_rs_median": round(float(wpost.rp_median), 6),
+            "rp_plus": round(float(wpost.rp_plus), 6),
+            "rp_minus": round(float(wpost.rp_minus), 6),
+            "acceptance": round(float(wpost.acceptance), 3),
+        }
+        print(f"white posterior: rp = "
+              f"{white_post_report['rp_over_rs_median']:.5f} "
+              f"+{white_post_report['rp_plus']:.5f} "
+              f"-{white_post_report['rp_minus']:.5f} "
+              f"(acc {white_post_report['acceptance']:.2f}; channel "
+              f"posteriors sampled in one vmapped program)")
+
     # Channel wavelengths from the configured dispersion solution.
     tp = grism.get_trace(cfg.x_ref, cfg.y_ref)
     from wayne_tpu.ops.dispersion import x_to_wl
@@ -401,11 +439,17 @@ def main(argv: list[str] | None = None) -> int:
         "aligned": bool(args.align),
         **({"x_shifts_px": [round(float(s), 4) for s in shifts]}
            if shifts is not None else {}),
+        **({"white_posterior": white_post_report}
+           if white_post_report is not None else {}),
         "channels": [
             {"wl_lo_um": round(float(wl_edges[i]), 4),
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
              value_key: round(float(rp_hat[i]), 6),
-             sigma_key: round(float(rp_sig[i]), 6)}
+             sigma_key: round(float(rp_sig[i]), 6),
+             **({"rp_mcmc_median": round(float(chan_post.rp_median[i]), 6),
+                 "rp_mcmc_plus": round(float(chan_post.rp_plus[i]), 6),
+                 "rp_mcmc_minus": round(float(chan_post.rp_minus[i]), 6)}
+                if chan_post is not None else {})}
             for i in range(args.n_chan)],
         "white_lc": [round(float(v), 6) for v in white],
         "mid_times_s": [round(float(v), 2) for v in mids],
