@@ -162,6 +162,19 @@ def test_run_reduce_cli_recovers_depth(tmp_path):
     for c in rep["channels"]:
         assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c
     assert rep["channels"][0]["wl_lo_um"] < rep["channels"][-1]["wl_hi_um"]
+    assert rep["wavelength_zero_point"]["source"] == "yaml"
+
+    # real-pipeline wavelength anchoring: --direct-image measures the
+    # source centroid from the visit-opening imaging exposure and must
+    # land on the commanded pointing through the full noise chain
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                      "--n-chan", "4", "--cpu", "--detrend", "none",
+                      "--direct-image"])
+    assert rc == 0
+    rep = json.loads((outdir / "reduced.json").read_text())
+    zp = rep["wavelength_zero_point"]
+    assert zp["source"] == "direct_image"
+    assert abs(zp["x_ref"] - 30.0) < 0.1 and abs(zp["y_ref"] - 40.0) < 0.1
 
 
 def test_fit_eclipse_depths_unit():

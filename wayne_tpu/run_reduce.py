@@ -40,6 +40,42 @@ def collect_visit(visit_dir: str) -> list[str]:
     return paths
 
 
+def centroid_direct_image(path: str) -> tuple[float, float]:
+    """Source centroid (x, y) from a visit-opening direct image.
+
+    What real pipelines (Iraclis) do with the undispersed imaging-filter
+    exposure: locate the star and anchor the grism wavelength solution
+    at its position (the aXe trace/dispersion polynomials are functions
+    of the DIRECT-image reference pixel). Works on the CDS frame of the
+    multiaccum ima, masks DQ-flagged pixels (a cosmic ray can out-peak
+    the star on a single pixel), finds the peak of a 3x3 box sum, and
+    returns the flux-weighted centroid of an 8-px window around it.
+    """
+    from wayne_tpu.io.ima import read_ima
+    from wayne_tpu.reduction import DQ_BAD_BITS
+
+    _, reads, _, dq = read_ima(path, with_dq=True)
+    frame = (reads[-1] - reads[0]).astype(np.float64)
+    bad = (dq[-1] & DQ_BAD_BITS) != 0
+    frame[bad] = 0.0
+    frame -= np.median(frame)
+    # 3x3 box sum by shifted adds (no scipy): robust peak finding
+    s = np.zeros_like(frame)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s += np.roll(np.roll(frame, dy, axis=0), dx, axis=1)
+    iy, ix = np.unravel_index(int(np.argmax(s)), s.shape)
+    w = 8
+    y0, y1 = max(iy - w, 0), min(iy + w + 1, frame.shape[0])
+    x0, x1 = max(ix - w, 0), min(ix + w + 1, frame.shape[1])
+    sub = np.clip(frame[y0:y1, x0:x1], 0.0, None)
+    tot = sub.sum()
+    if tot <= 0:
+        raise ValueError(f"no source flux in direct image {path!r}")
+    ys, xs = np.mgrid[y0:y1, x0:x1]
+    return float((sub * xs).sum() / tot), float((sub * ys).sum() / tot)
+
+
 def extract_from_files(paths: list[str], gain: float,
                        estimator: str = "cds", use_dq: bool = True,
                        extract: str = "box", read_noise_e: float = 12.0):
@@ -224,6 +260,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--no-dq", action="store_true",
                         help="ignore the DQ planes (skip the cosmic-ray/"
                              "saturation/hot-pixel read repair)")
+    parser.add_argument("--direct-image", action="store_true",
+                        help="anchor the wavelength solution at the "
+                             "source centroid measured from the visit's "
+                             "*_direct.fits (what real pipelines do) "
+                             "instead of the YAML x_ref/y_ref")
     parser.add_argument("--plot", action="store_true",
                         help="also write a quicklook PNG (needs matplotlib)")
     parser.add_argument("--cpu", action="store_true")
@@ -418,7 +459,20 @@ def main(argv: list[str] | None = None) -> int:
               f"posteriors sampled in one vmapped program)")
 
     # Channel wavelengths from the configured dispersion solution.
-    tp = grism.get_trace(cfg.x_ref, cfg.y_ref)
+    xref_used, yref_used, wl_source = cfg.x_ref, cfg.y_ref, "yaml"
+    if args.direct_image:
+        dpaths = sorted(glob.glob(
+            os.path.join(args.visit_dir, "*_direct.fits")))
+        if not dpaths:
+            raise SystemExit(
+                f"--direct-image: no *_direct.fits in {args.visit_dir!r} "
+                "(Observation.generate() writes one at visit start)")
+        xref_used, yref_used = centroid_direct_image(dpaths[0])
+        wl_source = "direct_image"
+        print(f"direct-image centroid: x_ref={xref_used:.3f}, "
+              f"y_ref={yref_used:.3f} (YAML: {cfg.x_ref:.3f}, "
+              f"{cfg.y_ref:.3f}) — anchoring the wavelength solution")
+    tp = grism.get_trace(xref_used, yref_used)
     from wayne_tpu.ops.dispersion import x_to_wl
 
     wl_edges = np.asarray(x_to_wl(jnp.asarray(edges, jnp.float32), tp))
@@ -433,6 +487,9 @@ def main(argv: list[str] | None = None) -> int:
                     "background_rows": list(bg)},
         "detrend": detrend,
         "divide_white": detrend == "divide-white",
+        "wavelength_zero_point": {
+            "source": wl_source, "x_ref": round(float(xref_used), 3),
+            "y_ref": round(float(yref_used), 3)},
         **({"white_ramp_fit": white_fit_report}
            if white_fit_report is not None else {}),
         "dq_repair": not args.no_dq,
