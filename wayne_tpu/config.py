@@ -430,6 +430,7 @@ _REF_KEY_ALIASES: dict[str, tuple[str | None, str]] = {
     "planet_spectrum_file": ("planet", "spectrum_file"),
     "ld_coeffs": ("planet", "ld_coeffs"),
     "limb_darkening": ("planet", "ld_coeffs"),
+    "ld_file": ("planet", "ld_file"),
     # trends block
     "ssv_amplitude": ("trends", "ssv_amplitude"),
     "ssv_period": ("trends", "ssv_period_s"),

@@ -246,7 +246,9 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
     ``channel_lc`` (n_exp, n_chan) should already be detrended
     (ramp_detrend / common_mode_correct / shift_detrend); each channel
     is modelled as c * T(t; rp) with a free per-channel noise scale:
-    theta = (c, rp, log_sigma).
+    theta = (c, rp, log_sigma). ``ld`` may be shared (4,) or
+    per-channel (n_chan, 4) Claret coefficients (chromatic limb
+    darkening — see fit_depths).
     """
     lcs = jnp.asarray(channel_lc, jnp.float32).T       # (n_chan, n_exp)
     t = jnp.asarray(exp_mid_s, jnp.float32)
@@ -257,11 +259,14 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
     lo = jnp.array([0.2, 0.01, jnp.log(1e-6)], jnp.float32)
     hi = jnp.array([5.0, 0.5, jnp.log(0.1)], jnp.float32)
     rp0 = jnp.broadcast_to(jnp.asarray(rp_init, jnp.float32), (n_chan,))
+    ld = jnp.asarray(ld, jnp.float32)
+    ld_chan = jnp.broadcast_to(ld if ld.ndim == 2 else ld[None, :],
+                               (n_chan, 4))
 
-    def one(lc, rp_c, k):
+    def one(lc, rp_c, ld_c, k):
         def log_prob(theta):
             inside = jnp.all((theta > lo) & (theta < hi))
-            f = transit_depth_curve(z, theta[1], ld, n_quad)
+            f = transit_depth_curve(z, theta[1], ld_c, n_quad)
             m = theta[0] * (1.0 - (1.0 - f) * in_front)
             loglike = (-0.5 * jnp.sum(((m - lc) / jnp.exp(theta[2])) ** 2)
                        - n * theta[2])
@@ -284,6 +289,6 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
         return q50, q50 - q16, q84 - q50, chain.acceptance
 
     keys = jax.random.split(jnp.asarray(key), n_chan)
-    med, minus, plus, acc = jax.vmap(one)(lcs, rp0, keys)
+    med, minus, plus, acc = jax.vmap(one)(lcs, rp0, ld_chan, keys)
     return ChannelPosteriors(rp_median=med, rp_minus=minus,
                              rp_plus=plus, acceptance=acc)

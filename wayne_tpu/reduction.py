@@ -1203,35 +1203,46 @@ def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     """Per-channel Rp/Rs by Newton iterations on the chi^2 of the real
     transit model (autodiff through the occultation integral).
 
+    ``ld`` is either shared (4,) Claret coefficients or per-channel
+    (n_chan, 4) — limb darkening IS chromatic (stronger in the blue),
+    and fitting every channel with band-mean coefficients tilts the
+    recovered spectrum because the LD error maps into a depth error
+    with opposite sign at the band edges. With an ld_file configured,
+    run_reduce feeds the per-channel rows automatically.
+
     Returns (rp_hat (n_chan,), rp_sigma (n_chan,)) where sigma comes from
     the chi^2 curvature and the per-channel scatter.
     """
     z, in_front = projected_separation(exp_mid_s, orbit)
+    n_chan = channel_lc.shape[1]
+    ld = jnp.asarray(ld, jnp.float32)
+    ld_chan = jnp.broadcast_to(ld if ld.ndim == 2 else ld[None, :],
+                               (n_chan, 4))
 
-    def model(rp):
-        f = transit_depth_curve(z, rp, ld, n_quad)
+    def model(rp, ld_c):
+        f = transit_depth_curve(z, rp, ld_c, n_quad)
         return 1.0 - (1.0 - f) * in_front
 
-    def chi2(rp, lc):
-        return jnp.sum((model(rp) - lc) ** 2)
+    def chi2(rp, lc, ld_c):
+        return jnp.sum((model(rp, ld_c) - lc) ** 2)
 
     d1 = jax.grad(chi2)
-    d2 = jax.grad(lambda rp, lc: d1(rp, lc))
+    d2 = jax.grad(lambda rp, lc, ld_c: d1(rp, lc, ld_c))
 
-    def fit_one(lc, rp0):
+    def fit_one(lc, rp0, ld_c):
         def body(_, rp):
-            g = d1(rp, lc)
-            h = d2(rp, lc)
+            g = d1(rp, lc, ld_c)
+            h = d2(rp, lc, ld_c)
             step = g / jnp.where(jnp.abs(h) > 1e-12, h, 1e-12)
             return jnp.clip(rp - step, 0.01, 0.5)
 
         rp = jax.lax.fori_loop(0, n_newton, body, rp0)
-        resid = model(rp) - lc
+        resid = model(rp, ld_c) - lc
         n = lc.shape[0]
         noise_var = jnp.sum(resid**2) / jnp.maximum(n - 1, 1)
-        h = d2(rp, lc)
+        h = d2(rp, lc, ld_c)
         sigma = jnp.sqrt(2.0 * noise_var / jnp.maximum(h, 1e-12))
         return rp, sigma
 
-    rp0 = jnp.broadcast_to(rp_init, (channel_lc.shape[1],))
-    return jax.vmap(fit_one, in_axes=(1, 0))(channel_lc, rp0)
+    rp0 = jnp.broadcast_to(rp_init, (n_chan,))
+    return jax.vmap(fit_one, in_axes=(1, 0, 0))(channel_lc, rp0, ld_chan)

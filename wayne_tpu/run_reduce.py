@@ -303,10 +303,12 @@ def main(argv: list[str] | None = None) -> int:
     # System model on the visit clock (first exposure start = 0).
     planet = Planet(cfg.planet, visit_start_mjd=float(hdr0["EXPSTART"]))
     orbit = planet.orbit_params()
-    ld = jnp.asarray(planet.ld_on_grid(
+    ld_grid = jnp.asarray(planet.ld_on_grid(
         np.asarray(grism.tables.wl_centers)), jnp.float32)
-    if ld.ndim == 2:          # per-channel tables: use the band mean
-        ld = jnp.mean(ld, axis=0)
+    # broadband (white-light) coefficients: band mean of a chromatic
+    # table; per-channel rows are rebuilt after the channel edges are
+    # known (fit_depths takes (n_chan, 4))
+    ld = jnp.mean(ld_grid, axis=0) if ld_grid.ndim == 2 else ld_grid
 
     # Light curves: white + n_chan channels over the detected columns.
     from wayne_tpu.reduction import out_of_transit_mask
@@ -334,6 +336,44 @@ def main(argv: list[str] | None = None) -> int:
               f"{args.n_chan} -> {n_cols}")
         args.n_chan = n_cols
     edges = np.linspace(xw[0], xw[1], args.n_chan + 1).astype(int)
+    # Channel wavelengths from the configured dispersion solution.
+    xref_used, yref_used, wl_source = cfg.x_ref, cfg.y_ref, "yaml"
+    if args.direct_image:
+        dpaths = sorted(glob.glob(
+            os.path.join(args.visit_dir, "*_direct.fits")))
+        if not dpaths:
+            raise SystemExit(
+                f"--direct-image: no *_direct.fits in {args.visit_dir!r} "
+                "(Observation.generate() writes one at visit start)")
+        xref_used, yref_used = centroid_direct_image(dpaths[0])
+        wl_source = "direct_image"
+        print(f"direct-image centroid: x_ref={xref_used:.3f}, "
+              f"y_ref={yref_used:.3f} (YAML: {cfg.x_ref:.3f}, "
+              f"{cfg.y_ref:.3f}) — anchoring the wavelength solution")
+    tp = grism.get_trace(xref_used, yref_used)
+    from wayne_tpu.ops.dispersion import x_to_wl
+
+    wl_edges = np.asarray(x_to_wl(jnp.asarray(edges, jnp.float32), tp))
+
+
+    # Per-channel limb darkening when a chromatic table is configured:
+    # average the grid rows falling in each channel's wavelength range
+    # (band-mean LD tilts the recovered spectrum at the band edges).
+    ld_chan = ld
+    if ld_grid.ndim == 2:
+        wl_c = np.asarray(grism.tables.wl_centers)
+        g = np.asarray(ld_grid)
+        rows = []
+        for lo_um, hi_um in zip(wl_edges[:-1], wl_edges[1:]):
+            lo_um, hi_um = min(lo_um, hi_um), max(lo_um, hi_um)
+            sel = (wl_c >= lo_um) & (wl_c < hi_um)
+            rows.append(g[sel].mean(axis=0) if sel.any()
+                        else g[np.argmin(np.abs(
+                            wl_c - 0.5 * (lo_um + hi_um)))])
+        ld_chan = jnp.asarray(np.stack(rows), jnp.float32)
+        print("chromatic limb darkening: per-channel coefficients "
+              "from the configured ld table")
+
     white_flux = spectra[:, xw[0]: xw[1]].sum(axis=1)
     chan_flux = np.stack([spectra[:, lo:hi].sum(axis=1)
                           for lo, hi in zip(edges[:-1], edges[1:])], axis=1)
@@ -424,7 +464,7 @@ def main(argv: list[str] | None = None) -> int:
                   f"{white_fit_report['hook_amp']:.5f}"
                   f" (x{wfit.hook_amp_first / jnp.maximum(wfit.hook_amp, 1e-9):.2f}"
                   f" orbit 1), tau {white_fit_report['hook_tau_s']:.0f} s")
-        rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld, rp0)
+        rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld_chan, rp0)
         value_key, sigma_key = "rp_over_rs", "rp_sigma"
 
     white_post_report, chan_post = None, None
@@ -442,7 +482,7 @@ def main(argv: list[str] | None = None) -> int:
             jax.random.PRNGKey(20250817), n_steps=args.mcmc,
             n_burn=n_burn)
         chan_post = sample_channel_posteriors(
-            chan_j, t, orbit, ld, rp0, jax.random.PRNGKey(43),
+            chan_j, t, orbit, ld_chan, rp0, jax.random.PRNGKey(43),
             n_steps=args.mcmc, n_burn=n_burn)
         white_post_report = {
             "n_steps": args.mcmc, "n_burn": n_burn,
@@ -457,25 +497,6 @@ def main(argv: list[str] | None = None) -> int:
               f"-{white_post_report['rp_minus']:.5f} "
               f"(acc {white_post_report['acceptance']:.2f}; channel "
               f"posteriors sampled in one vmapped program)")
-
-    # Channel wavelengths from the configured dispersion solution.
-    xref_used, yref_used, wl_source = cfg.x_ref, cfg.y_ref, "yaml"
-    if args.direct_image:
-        dpaths = sorted(glob.glob(
-            os.path.join(args.visit_dir, "*_direct.fits")))
-        if not dpaths:
-            raise SystemExit(
-                f"--direct-image: no *_direct.fits in {args.visit_dir!r} "
-                "(Observation.generate() writes one at visit start)")
-        xref_used, yref_used = centroid_direct_image(dpaths[0])
-        wl_source = "direct_image"
-        print(f"direct-image centroid: x_ref={xref_used:.3f}, "
-              f"y_ref={yref_used:.3f} (YAML: {cfg.x_ref:.3f}, "
-              f"{cfg.y_ref:.3f}) — anchoring the wavelength solution")
-    tp = grism.get_trace(xref_used, yref_used)
-    from wayne_tpu.ops.dispersion import x_to_wl
-
-    wl_edges = np.asarray(x_to_wl(jnp.asarray(edges, jnp.float32), tp))
 
     report = {
         "n_exposures": len(paths),
