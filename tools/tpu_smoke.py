@@ -133,6 +133,63 @@ def main() -> None:
     err = np.abs((r_on * g - bias) - want) / max(sig_off.max(), 1.0)
     ok["fused_ipc_matches_conv"] = bool(err.max() < 1e-5)
 
+    # -- 2d. fit-path numerics on hardware --------------------------------
+    # TPU matmuls round f32 INPUTS to bf16 by default; every science fit
+    # must pin full precision (CLAUDE.md). Round 3 found exactly this
+    # class of bug: the instrumented drift fit collapsed on chip while
+    # CPU was exact. These checks diff the chip against fp64 NumPy.
+    from wayne_tpu.reduction import (clean_drift_regressor, fit_white_ramp,
+                                     transit_drift_basis)
+    n_e = 48
+    mid_e = jnp.asarray(np.linspace(0.0, 4 * 3600.0, n_e), jnp.float32)
+    sc64 = example_scene(64)
+    basis = transit_drift_basis(mid_e, sc64.orbit, sc64.ld,
+                                jnp.float32(0.155))
+    rng = np.random.default_rng(0)
+    drift = np.linspace(0.0, 0.4, n_e).astype(np.float32)
+    Bn = np.asarray(basis, np.float64)
+    cen = jnp.asarray(drift + (0.04 * Bn[:, 0] + 0.01 * Bn[:, 1]
+                               ).astype(np.float32)
+                      + 1e-4 * rng.standard_normal(n_e).astype(np.float32))
+    got = np.asarray(jax.jit(clean_drift_regressor)(cen, basis, mid_e))
+    tt = (np.asarray(mid_e, np.float64) - float(mid_e[0])) \
+        / (float(mid_e[-1]) - float(mid_e[0])) * 2.0 - 1.0
+    T = np.stack([tt ** k for k in range(3)], 1)
+    B = Bn / np.linalg.norm(Bn, axis=0)
+    Bt = B - T @ np.linalg.solve(T.T @ T, T.T @ B)
+    gam = np.linalg.solve(Bt.T @ B + 1e-9 * np.eye(B.shape[1]),
+                          Bt.T @ np.asarray(cen, np.float64))
+    ref = np.asarray(cen, np.float64) - B @ gam
+    ok["drift_fit_matches_fp64"] = bool(np.abs(got - ref).max() < 1e-4)
+
+    # joint ramp+transit LM fit recovers a known white curve on chip
+    from wayne_tpu.ops.kepler import projected_separation as _psep
+    from wayne_tpu.ops.transit import transit_depth_curve as _tdc
+    z_e, infr_e = _psep(mid_e, sc64.orbit)
+    tr = 1.0 - (1.0 - _tdc(z_e, jnp.float32(0.1595), sc64.ld, 32)) * infr_e
+    sysv = (1.0 - 0.01 / 86400.0 * np.asarray(mid_e)) * (
+        1.0 - 0.006 * np.exp(-np.asarray(mid_e) / 300.0))
+    wfit = fit_white_ramp(jnp.asarray(np.asarray(tr) * sysv, jnp.float32),
+                          mid_e, sc64.orbit, sc64.ld, 0.15)
+    ok["ramp_fit_rp_on_chip"] = bool(abs(float(wfit.rp) - 0.1595) < 1e-3)
+
+    # ensemble MCMC moments on chip (hardware threefry path)
+    from wayne_tpu.mcmc import ensemble_sample
+    mu = jnp.asarray([1.5, -0.5], jnp.float32)
+
+    def _lp(x):
+        d = x - mu
+        return -0.5 * jnp.sum(d * d)
+
+    init = mu[None, :] + 0.1 * jax.random.normal(jax.random.PRNGKey(5),
+                                                 (32, 2))
+    chain = ensemble_sample(_lp, init, jax.random.PRNGKey(6), 2000)
+    kept = np.asarray(chain.samples[400:]).reshape(-1, 2)
+    ok["mcmc_mean_on_chip"] = bool(
+        np.abs(kept.mean(axis=0) - np.asarray(mu)).max() < 0.06)
+    ok["mcmc_var_on_chip"] = bool(
+        np.abs(kept.var(axis=0) - 1.0).max() < 0.25)
+
     # -- 3. throughput sanity --------------------------------------------
     from wayne_tpu.ops.visit import simulate_visit
     obs512 = ObservationConfig(subarray=512, nsamp=15, samp_seq="SPARS10",
