@@ -1075,14 +1075,21 @@ class RampFit:
     template: jnp.ndarray        # (n_exp,) fitted systematic (no c, no
     #                              transit): divide it out of any curve
     chi2: jnp.ndarray            # sum of squared residuals at the fit
+    t0_offset_s: jnp.ndarray     # fitted mid-transit shift (0 unless
+    #                              fit_geometry)
+    orbit: OrbitParams           # the orbit the fit used — with
+    #                              fit_geometry, t0/sma/inc are FITTED;
+    #                              feed it to fit_depths / posteriors
 
 
-@partial(jax.jit, static_argnames=("gap_s", "n_iter", "n_quad"))
+@partial(jax.jit, static_argnames=("gap_s", "n_iter", "n_quad",
+                                   "fit_geometry", "t0_window_s"))
 def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                    orbit: OrbitParams, ld: jnp.ndarray,
                    rp_init: jnp.ndarray | float = 0.15,
                    *, gap_s: float = 1200.0, n_iter: int = 60,
-                   n_quad: int = 32) -> RampFit:
+                   n_quad: int = 32, fit_geometry: bool = False,
+                   t0_window_s: float = 600.0) -> RampFit:
     """Jointly fit the white light curve as transit x instrument ramp.
 
     The physically-motivated alternative to divide-white: real WFC3
@@ -1107,15 +1114,34 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     Orbit structure comes from orbit_phase(exp_mid_s, gap_s). The tau
     gradient vanishes at rb = 0, so amplitudes start at 2e-3 — LM
     damping handles the rest.
+
+    ``fit_geometry=True`` frees the transit GEOMETRY too — theta grows
+    by (t0 offset [s], a/Rs, cos i), the separation is recomputed from
+    the candidate orbit inside every Jacobian evaluation, and the
+    returned ``RampFit.orbit`` carries the fitted ephemeris for the
+    channel fits (real analyses fit geometry on the white curve and
+    hold it fixed per channel). The input ``orbit`` provides the
+    starting point and the fixed period.
     """
+    import dataclasses as _dc
+
     lc = jnp.asarray(white_lc, jnp.float32)
     t = jnp.asarray(exp_mid_s, jnp.float32)
     t_orb, first = orbit_phase(t, gap_s)
     firstf = first.astype(jnp.float32)
     t_day = (t - t.mean()) / 86400.0
-    z, in_front = projected_separation(t, orbit)
     oot = out_of_transit_mask(t, orbit).astype(jnp.float32)
     c0 = jnp.sum(lc * oot) / jnp.maximum(jnp.sum(oot), 1.0)
+    ndim = 9 if fit_geometry else 6
+    z_fix, infr_fix = projected_separation(t, orbit)
+
+    def orbit_of(theta):
+        if theta.shape[0] == 6:
+            return orbit
+        return _dc.replace(
+            orbit, t0_s=orbit.t0_s + theta[6],
+            sma_rs=jnp.clip(theta[7], 1.5, 50.0),
+            inc_rad=jnp.arccos(jnp.clip(theta[8], 0.0, 0.6)))
 
     def model(theta):
         c, rp, ra, rb, rbf, log_tau = (theta[0], theta[1], theta[2],
@@ -1123,6 +1149,10 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
         tau = jnp.clip(jnp.exp(log_tau), 30.0, 20000.0)
         amp = jnp.where(firstf > 0.5, rbf, rb)
         sys = (1.0 - ra * t_day) * (1.0 - amp * jnp.exp(-t_orb / tau))
+        if theta.shape[0] == 6:
+            z, in_front = z_fix, infr_fix
+        else:
+            z, in_front = projected_separation(t, orbit_of(theta))
         f = transit_depth_curve(z, jnp.clip(rp, 0.01, 0.5), ld, n_quad)
         tr = 1.0 - (1.0 - f) * in_front
         return c * sys * tr, sys
@@ -1130,48 +1160,84 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     def resid(theta):
         return model(theta)[0] - lc
 
+    hp = jax.lax.Precision.HIGHEST
+
+    def run_lm(theta0, n_steps, lam0=1e-3):
+        nd = theta0.shape[0]
+        eye_n = jnp.eye(nd, dtype=jnp.float32)
+
+        def normal_eqs(theta):
+            J = jax.jacfwd(resid)(theta)                 # (n, nd)
+            r = resid(theta)
+            JTJ = jnp.einsum("ni,nj->ij", J, J, precision=hp)
+            g = jnp.einsum("ni,n->i", J, r, precision=hp)
+            return JTJ, g
+
+        def step(_, state):
+            theta, lam, chi2 = state
+            JTJ, g = normal_eqs(theta)
+            ridge = 1e-7 * jnp.trace(JTJ) / nd + 1e-12
+            A = JTJ + lam * jnp.diag(jnp.diag(JTJ)) + ridge * eye_n
+            dth = jnp.linalg.solve(A, g)
+            theta_new = theta - dth
+            chi2_new = jnp.sum(resid(theta_new) ** 2)
+            ok = chi2_new < chi2             # NaN compares False: reject
+            theta = jnp.where(ok, theta_new, theta)
+            lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-8, 1e8)
+            chi2 = jnp.where(ok, chi2_new, chi2)
+            return theta, lam, chi2
+
+        chi2_0 = jnp.sum(resid(theta0) ** 2)
+        theta, _, chi2 = jax.lax.fori_loop(
+            0, n_steps, step, (theta0, jnp.float32(lam0), chi2_0))
+        return theta, chi2, normal_eqs
+
     rp0 = jnp.asarray(rp_init, jnp.float32).reshape(())
     theta0 = jnp.stack([c0, rp0, jnp.float32(0.0), jnp.float32(2e-3),
                         jnp.float32(4e-3), jnp.float32(jnp.log(250.0))])
-    hp = jax.lax.Precision.HIGHEST
-    eye = jnp.eye(6, dtype=jnp.float32)
+    # Stage 1: always converge the 6-parameter (fixed-geometry) fit —
+    # the geometric landscape is nonconvex from a cold start (measured:
+    # a cold 9-param LM walked rp to 0.41 on clean data); stage 2 frees
+    # (t0, a/Rs, cos i) from the converged photometric solution.
+    theta, chi2, normal_eqs = run_lm(theta0, n_iter)
+    if fit_geometry:
+        # chi2(t0) is the classic nonconvex direction: LM from dt0=0
+        # descends into the grazing (high-b, huge-rp) basin and crawls
+        # (measured: rp -> 0.41, dt0 stuck at ~9 s for a 90 s truth on
+        # clean data). Seed a grid of dt0 candidates across the
+        # ephemeris-uncertainty window, refine each with a SHORT 9-param
+        # LM — the whole grid is one vmapped program — and polish the
+        # best. The t0 landscape is smooth on the transit-duration
+        # scale, so a ~100 s grid pitch always lands in the right basin.
+        sma0 = jnp.asarray(orbit.sma_rs, jnp.float32)
+        cosi0 = jnp.cos(jnp.asarray(orbit.inc_rad, jnp.float32))
+        dt0_grid = jnp.linspace(-t0_window_s, t0_window_s, 13
+                                ).astype(jnp.float32)
 
-    def normal_eqs(theta):
-        J = jax.jacfwd(resid)(theta)                     # (n, 6)
-        r = resid(theta)
-        JTJ = jnp.einsum("ni,nj->ij", J, J, precision=hp)
-        g = jnp.einsum("ni,n->i", J, r, precision=hp)
-        return JTJ, g
+        def seed_fit(dt0):
+            th = jnp.concatenate([theta, jnp.stack([dt0, sma0, cosi0])])
+            th2, c2, _ = run_lm(th, 25)
+            return th2, c2
 
-    def step(_, state):
-        theta, lam, chi2 = state
-        JTJ, g = normal_eqs(theta)
-        ridge = 1e-7 * jnp.trace(JTJ) / 6.0 + 1e-12
-        A = JTJ + lam * jnp.diag(jnp.diag(JTJ)) + ridge * eye
-        dth = jnp.linalg.solve(A, g)
-        theta_new = theta - dth
-        chi2_new = jnp.sum(resid(theta_new) ** 2)
-        ok = chi2_new < chi2                 # NaN compares False: reject
-        theta = jnp.where(ok, theta_new, theta)
-        lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-8, 1e8)
-        chi2 = jnp.where(ok, chi2_new, chi2)
-        return theta, lam, chi2
-
-    chi2_0 = jnp.sum(resid(theta0) ** 2)
-    theta, _, chi2 = jax.lax.fori_loop(
-        0, n_iter, step, (theta0, jnp.float32(1e-3), chi2_0))
+        ths, c2s = jax.vmap(seed_fit)(dt0_grid)
+        theta = ths[jnp.argmin(c2s)]
+        theta, chi2, normal_eqs = run_lm(theta, n_iter)
 
     _, sys = model(theta)
     JTJ, _ = normal_eqs(theta)
     n = lc.shape[0]
-    noise_var = chi2 / jnp.maximum(n - 6, 1)
-    cov = jnp.linalg.inv(JTJ + 1e-9 * eye)
+    noise_var = chi2 / jnp.maximum(n - ndim, 1)
+    cov = jnp.linalg.inv(JTJ + 1e-9 * jnp.eye(ndim, dtype=jnp.float32))
     rp_sigma = jnp.sqrt(jnp.maximum(cov[1, 1] * noise_var, 0.0))
+    fitted_orbit = orbit_of(theta)
     return RampFit(rp=jnp.clip(theta[1], 0.01, 0.5), rp_sigma=rp_sigma,
                    c=theta[0], slope_per_day=theta[2], hook_amp=theta[3],
                    hook_amp_first=theta[4],
                    hook_tau_s=jnp.clip(jnp.exp(theta[5]), 30.0, 20000.0),
-                   template=sys, chi2=chi2)
+                   template=sys, chi2=chi2,
+                   t0_offset_s=(theta[6] if fit_geometry
+                                else jnp.float32(0.0)),
+                   orbit=fitted_orbit)
 
 
 @jax.jit

@@ -250,6 +250,12 @@ def main(argv: list[str] | None = None) -> int:
                              "ramp, then divide the fitted parametric "
                              "template — also reports the ABSOLUTE white "
                              "Rp/Rs), or none. Overrides --no-divide-white.")
+    parser.add_argument("--fit-geometry", action="store_true",
+                        help="with --detrend ramp: free the transit "
+                             "geometry (t0, a/Rs, inclination) in the "
+                             "white-light fit and hold the FITTED "
+                             "ephemeris for the channel fits, like real "
+                             "analyses do (YAML values seed the fit)")
     parser.add_argument("--mcmc", type=int, nargs="?", const=1500,
                         default=0, metavar="N_STEPS",
                         help="also sample posterior depths on device "
@@ -412,6 +418,10 @@ def main(argv: list[str] | None = None) -> int:
     chan_j = jnp.asarray(chan, jnp.float32)
     detrend = args.detrend or ("none" if args.no_divide_white
                                else "divide-white")
+    if args.fit_geometry and detrend != "ramp":
+        raise SystemExit("--fit-geometry requires --detrend ramp (the "
+                         "geometry is fitted jointly with the white "
+                         "ramp model)")
     white_fit_report = None
     if args.mode == "eclipse":
         from wayne_tpu.ops.kepler import projected_separation
@@ -448,7 +458,11 @@ def main(argv: list[str] | None = None) -> int:
             from wayne_tpu.reduction import fit_white_ramp, ramp_detrend
 
             wfit = fit_white_ramp(jnp.asarray(white, jnp.float32), t,
-                                  orbit, ld, rp0)
+                                  orbit, ld, rp0,
+                                  fit_geometry=args.fit_geometry)
+            if args.fit_geometry:
+                # hold the white curve's fitted ephemeris per channel
+                orbit = wfit.orbit
             chan_j = ramp_detrend(chan_j, wfit, t, orbit)
             white_fit_report = {
                 "rp_over_rs": round(float(wfit.rp), 6),
@@ -457,6 +471,12 @@ def main(argv: list[str] | None = None) -> int:
                 "hook_amp": round(float(wfit.hook_amp), 6),
                 "hook_amp_first_orbit": round(float(wfit.hook_amp_first), 6),
                 "hook_tau_s": round(float(wfit.hook_tau_s), 2),
+                **({"fitted_geometry": {
+                    "t0_offset_s": round(float(wfit.t0_offset_s), 2),
+                    "sma_over_rs": round(float(wfit.orbit.sma_rs), 4),
+                    "inclination_deg": round(float(
+                        np.rad2deg(np.asarray(wfit.orbit.inc_rad))), 3)}}
+                   if args.fit_geometry else {}),
             }
             print(f"white ramp fit: rp={white_fit_report['rp_over_rs']:.5f}"
                   f" +- {white_fit_report['rp_sigma']:.5f}, slope "
