@@ -270,3 +270,31 @@ def test_fit_white_ramp_geometry():
         float(fixed.rp), float(free.rp))
     # fixed-geometry fit keeps the input ephemeris in .orbit
     assert abs(float(fixed.orbit.t0_s) - 9700.0) < 1e-3
+
+
+def test_fit_white_ramp_eclipse_mode():
+    """eclipse=True fits Fp/Fs x ramp on a secondary-eclipse visit: the
+    same systematics family, the occultation visibility as the signal."""
+    from wayne_tpu.ops.transit import eclipse_visibility
+
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
+                                visit_slope_per_s=0.01 / 86400.0)
+    t, t_orb, first = _orbit_times(n_orbits=5, per_orbit=20)
+    # centre the secondary eclipse (t0 + P/2) in the sampled window
+    t = t + (float(base.orbit.t0_s) + float(base.orbit.period_s) / 2.0
+             - 0.5 * (t[0] + t[-1]))
+    fp_true = 1.5e-3
+    z, in_front = projected_separation(jnp.asarray(t), base.orbit)
+    vis = eclipse_visibility(z, in_front, jnp.float32(RP_W))
+    assert float(jnp.max(vis) - jnp.min(vis)) > 0.5   # coverage sanity
+    sys = np.asarray(visit_trend_factor(
+        jnp.asarray(t), jnp.asarray(t_orb), jnp.asarray(first), trends))
+    lc = sys * np.asarray(1.0 + fp_true * vis)
+
+    fit = fit_white_ramp(jnp.asarray(lc), jnp.asarray(t), base.orbit,
+                         base.ld, RP_W, eclipse=True)
+    assert abs(float(fit.rp) - fp_true) < 1e-4, float(fit.rp)
+    tpl = np.asarray(fit.template)
+    ratio = sys / tpl
+    assert np.abs(ratio / ratio.mean() - 1.0).max() < 1e-3

@@ -235,6 +235,19 @@ def test_run_reduce_eclipse_mode(tmp_path):
     for c in rep["channels"]:
         assert abs(c["fp_over_fs"] - fp) < max(5 * c["fp_sigma"], 5e-4), c
 
+    # parametric alternative: --detrend ramp fits Fp/Fs x slope x hook
+    # on the white curve (absolute white eclipse depth) and divides the
+    # fitted template before the per-channel eclipse fits
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                      "--n-chan", "4", "--mode", "eclipse", "--cpu",
+                      "--detrend", "ramp"])
+    assert rc == 0
+    rep = json.loads((outdir / "reduced.json").read_text())
+    wf = rep["white_ramp_fit"]
+    assert abs(wf["fp_over_fs"] - fp) < max(5 * wf["fp_sigma"], 5e-4), wf
+    for c in rep["channels"]:
+        assert abs(c["fp_over_fs"] - fp) < max(5 * c["fp_sigma"], 5e-4), c
+
 
 def test_run_reduce_rate_product(tmp_path):
     """calwf3-style e-/s products reduce correctly: the zeroth rate

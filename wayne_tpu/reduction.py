@@ -1065,7 +1065,8 @@ def orbit_phase(exp_mid_s: jnp.ndarray,
 class RampFit:
     """Joint white-light ramp + transit fit (fit_white_ramp)."""
 
-    rp: jnp.ndarray              # fitted white-light Rp/Rs
+    rp: jnp.ndarray              # fitted white-light depth: Rp/Rs
+    #                              (transit) or Fp/Fs (eclipse=True)
     rp_sigma: jnp.ndarray        # its 1-sigma from the LM curvature
     c: jnp.ndarray               # out-of-transit flux normalisation
     slope_per_day: jnp.ndarray   # visit-long linear slope (frac/day)
@@ -1083,13 +1084,16 @@ class RampFit:
 
 
 @partial(jax.jit, static_argnames=("gap_s", "n_iter", "n_quad",
-                                   "fit_geometry", "t0_window_s"))
+                                   "fit_geometry", "t0_window_s",
+                                   "eclipse"))
 def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                    orbit: OrbitParams, ld: jnp.ndarray,
                    rp_init: jnp.ndarray | float = 0.15,
                    *, gap_s: float = 1200.0, n_iter: int = 60,
                    n_quad: int = 32, fit_geometry: bool = False,
-                   t0_window_s: float = 600.0) -> RampFit:
+                   t0_window_s: float = 600.0,
+                   eclipse: bool = False,
+                   fp_init: jnp.ndarray | float = 1.5e-3) -> RampFit:
     """Jointly fit the white light curve as transit x instrument ramp.
 
     The physically-motivated alternative to divide-white: real WFC3
@@ -1114,6 +1118,13 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     Orbit structure comes from orbit_phase(exp_mid_s, gap_s). The tau
     gradient vanishes at rb = 0, so amplitudes start at 2e-3 — LM
     damping handles the rest.
+
+    ``eclipse=True`` swaps the transit factor for the secondary-eclipse
+    model 1 + fp * vis(t) (uniform-disk occultation visibility at the
+    geometric radius ``rp_init``): theta[1] becomes the eclipse depth
+    Fp/Fs (returned in ``RampFit.rp``), started at ``fp_init``. The
+    systematics family is identical — eclipse visits ramp the same way.
+    Not combinable with fit_geometry (fit the ephemeris on a transit).
 
     ``fit_geometry=True`` frees the transit GEOMETRY too — theta grows
     by (t0 offset [s], a/Rs, cos i), the separation is recomputed from
@@ -1153,8 +1164,13 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
             z, in_front = z_fix, infr_fix
         else:
             z, in_front = projected_separation(t, orbit_of(theta))
-        f = transit_depth_curve(z, jnp.clip(rp, 0.01, 0.5), ld, n_quad)
-        tr = 1.0 - (1.0 - f) * in_front
+        if eclipse:
+            vis = eclipse_visibility(
+                z, in_front, jnp.asarray(rp_init, jnp.float32))
+            tr = 1.0 + jnp.clip(rp, -0.02, 0.1) * vis
+        else:
+            f = transit_depth_curve(z, jnp.clip(rp, 0.01, 0.5), ld, n_quad)
+            tr = 1.0 - (1.0 - f) * in_front
         return c * sys * tr, sys
 
     def resid(theta):
@@ -1192,7 +1208,11 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
             0, n_steps, step, (theta0, jnp.float32(lam0), chi2_0))
         return theta, chi2, normal_eqs
 
-    rp0 = jnp.asarray(rp_init, jnp.float32).reshape(())
+    if fit_geometry and eclipse:
+        raise ValueError("fit_geometry is a transit-mode feature "
+                         "(fit the ephemeris on a transit visit)")
+    rp0 = jnp.asarray(fp_init if eclipse else rp_init,
+                      jnp.float32).reshape(())
     theta0 = jnp.stack([c0, rp0, jnp.float32(0.0), jnp.float32(2e-3),
                         jnp.float32(4e-3), jnp.float32(jnp.log(250.0))])
     # Stage 1: always converge the 6-parameter (fixed-geometry) fit —
@@ -1230,7 +1250,9 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     cov = jnp.linalg.inv(JTJ + 1e-9 * jnp.eye(ndim, dtype=jnp.float32))
     rp_sigma = jnp.sqrt(jnp.maximum(cov[1, 1] * noise_var, 0.0))
     fitted_orbit = orbit_of(theta)
-    return RampFit(rp=jnp.clip(theta[1], 0.01, 0.5), rp_sigma=rp_sigma,
+    depth = (jnp.clip(theta[1], -0.02, 0.1) if eclipse
+             else jnp.clip(theta[1], 0.01, 0.5))
+    return RampFit(rp=depth, rp_sigma=rp_sigma,
                    c=theta[0], slope_per_day=theta[2], hook_amp=theta[3],
                    hook_amp_first=theta[4],
                    hook_tau_s=jnp.clip(jnp.exp(theta[5]), 30.0, 20000.0),

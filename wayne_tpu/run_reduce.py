@@ -437,12 +437,27 @@ def main(argv: list[str] | None = None) -> int:
                 "no secondary-eclipse coverage in this visit (planet "
                 "visibility barely changes) — check start_mjd/t0/period "
                 "or use --mode transit")
-        if detrend == "ramp":
-            raise SystemExit(
-                "--detrend ramp supports --mode transit only (the eclipse "
-                "white fit is linear in fp; use divide-white)")
         white_j = jnp.asarray(white, jnp.float32)
-        if detrend == "divide-white":
+        if detrend == "ramp":
+            from wayne_tpu.reduction import fit_white_ramp
+
+            wfit = fit_white_ramp(white_j, t, orbit, ld, rp0,
+                                  eclipse=True)
+            # fit_eclipse_depths absorbs any per-channel baseline, so
+            # dividing the parametric systematic template suffices
+            chan_j = chan_j / wfit.template[:, None]
+            white_fit_report = {
+                "fp_over_fs": round(float(wfit.rp), 7),
+                "fp_sigma": round(float(wfit.rp_sigma), 7),
+                "slope_per_day": round(float(wfit.slope_per_day), 6),
+                "hook_amp": round(float(wfit.hook_amp), 6),
+                "hook_amp_first_orbit": round(float(wfit.hook_amp_first), 6),
+                "hook_tau_s": round(float(wfit.hook_tau_s), 2),
+            }
+            print(f"white eclipse ramp fit: fp = "
+                  f"{white_fit_report['fp_over_fs']:.6f} +- "
+                  f"{white_fit_report['fp_sigma']:.6f}")
+        elif detrend == "divide-white":
             # Eclipse-aware common mode: the transit-model template would
             # divide the eclipse signal itself out of the channels, so
             # build the template against the fitted white ECLIPSE model.
