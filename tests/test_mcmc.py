@@ -104,3 +104,37 @@ def test_channel_posteriors_vmapped():
     assert np.all(np.abs(med - rp_chan) < 4.0 * np.maximum(width, 1e-4)), (
         med, rp_chan, width)
     assert np.all((width > 1e-5) & (width < 5e-3)), width
+
+
+def test_white_posterior_with_geometry():
+    """Joint (depth, systematics, ephemeris) posterior: a perturbed-t0
+    dataset's posterior covers the true shift, and the geometry
+    marginals have finite honest widths."""
+    import dataclasses as dc
+
+    from wayne_tpu.mcmc import sample_white_posterior
+
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
+                                visit_slope_per_s=0.01 / 86400.0)
+    t, t_orb, first = _orbit_times(n_orbits=5, per_orbit=30)
+    cat = dc.replace(base.orbit, t0_s=jnp.float32(9700.0))
+    true_orbit = dc.replace(cat, t0_s=cat.t0_s + 90.0)
+    rng = np.random.default_rng(19)
+    lc = (_white_model(t, t_orb, first, trends, true_orbit, base.ld,
+                       0.1595)
+          + 3e-4 * rng.standard_normal(t.size).astype(np.float32))
+    post = sample_white_posterior(
+        jnp.asarray(lc), jnp.asarray(t), cat, base.ld, 0.15,
+        jax.random.PRNGKey(8), n_steps=1500, n_burn=500,
+        fit_geometry=True)
+    kept = np.asarray(post.samples)
+    assert kept.shape[1] == 10
+    dt0 = kept[:, 6]
+    dt0_med, dt0_sig = np.median(dt0), dt0.std()
+    assert abs(dt0_med - 90.0) < 4.0 * max(dt0_sig, 5.0), (dt0_med, dt0_sig)
+    assert 1.0 < dt0_sig < 300.0, dt0_sig
+    med = float(post.rp_median)
+    width = 0.5 * (float(post.rp_minus) + float(post.rp_plus))
+    assert abs(med - 0.1595) < 4.0 * max(width, 1e-4), (med, width)
+    assert 0.1 < float(post.acceptance) < 0.95

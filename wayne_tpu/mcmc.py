@@ -136,21 +136,23 @@ class WhitePosterior:
     rp_median: jnp.ndarray
     rp_minus: jnp.ndarray        # median - 16th percentile
     rp_plus: jnp.ndarray         # 84th percentile - median
-    samples: jnp.ndarray         # (n_kept * n_walkers, 7) flattened,
+    samples: jnp.ndarray         # (n_kept * n_walkers, ndim) flattened,
     #                              post burn-in: (c, rp, ra, rb, rbf,
-    #                              log_tau, log_sigma)
+    #                              log_tau[, dt0_s, sma_rs, cos_i],
+    #                              log_sigma)
     acceptance: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=("n_steps", "n_walkers", "n_burn",
-                                   "gap_s", "n_quad"))
+                                   "gap_s", "n_quad", "fit_geometry"))
 def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                            orbit: OrbitParams, ld: jnp.ndarray,
                            rp_init: jnp.ndarray | float,
                            key: jnp.ndarray, *, n_steps: int = 2000,
                            n_walkers: int = 32, n_burn: int = 500,
                            gap_s: float = 1200.0,
-                           n_quad: int = 32) -> WhitePosterior:
+                           n_quad: int = 32,
+                           fit_geometry: bool = False) -> WhitePosterior:
     """Full posterior over the joint white-light ramp+transit model.
 
     Samples theta = (c, rp, ra, rb, rb_first, log tau, log sigma) — the
@@ -160,6 +162,12 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     (reduction.fit_white_ramp). One compiled program; the occultation
     integral is re-evaluated inside every proposal's log-density via
     the same transit_depth_curve the fitters use.
+
+    ``fit_geometry=True`` extends theta with (t0 offset [s], a/Rs,
+    cos i) seeded from the LM geometric fit — the JOINT posterior over
+    depth, systematics and ephemeris. The honest widths along the
+    (rp, a/Rs, i, t0) degeneracy valley are exactly what the point fit
+    cannot provide.
     """
     from wayne_tpu.reduction import (fit_white_ramp, orbit_phase,
                                      out_of_transit_mask)
@@ -172,41 +180,59 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     t_day = (t - t.mean()) / 86400.0
     z, in_front = projected_separation(t, orbit)
 
+    import dataclasses as _dc
+
     lm = fit_white_ramp(lc, t, orbit, ld, rp_init, gap_s=gap_s,
-                        n_quad=n_quad)
+                        n_quad=n_quad, fit_geometry=fit_geometry)
     resid = lc - _white_ramp_model(
         jnp.stack([lm.c, lm.rp, lm.slope_per_day, lm.hook_amp,
                    lm.hook_amp_first, jnp.log(lm.hook_tau_s)]),
         t_day, t_orb, firstf, z, in_front, ld, n_quad)
     sigma0 = jnp.maximum(jnp.std(resid), 1e-6)
+    ndim = 10 if fit_geometry else 7
 
     lo = jnp.array([0.2, 0.01, -1.0, -0.05, -0.05,
-                    jnp.log(30.0), jnp.log(1e-6)], jnp.float32)
+                    jnp.log(30.0)]
+                   + ([-1800.0, 1.5, 0.0] if fit_geometry else [])
+                   + [jnp.log(1e-6)], jnp.float32)
     hi = jnp.array([5.0, 0.5, 1.0, 0.05, 0.05,
-                    jnp.log(20000.0), jnp.log(0.1)], jnp.float32)
+                    jnp.log(20000.0)]
+                   + ([1800.0, 50.0, 0.6] if fit_geometry else [])
+                   + [jnp.log(0.1)], jnp.float32)
 
     def log_prob(theta):
         inside = jnp.all((theta > lo) & (theta < hi))
-        m = _white_ramp_model(theta[:6], t_day, t_orb, firstf, z,
-                              in_front, ld, n_quad)
-        sig = jnp.exp(theta[6])
+        if fit_geometry:
+            orb = _dc.replace(
+                orbit, t0_s=orbit.t0_s + theta[6],
+                sma_rs=jnp.clip(theta[7], 1.5, 50.0),
+                inc_rad=jnp.arccos(jnp.clip(theta[8], 0.0, 0.6)))
+            zz, infr = projected_separation(t, orb)
+        else:
+            zz, infr = z, in_front
+        m = _white_ramp_model(theta[:6], t_day, t_orb, firstf, zz,
+                              infr, ld, n_quad)
+        sig = jnp.exp(theta[ndim - 1])
         loglike = (-0.5 * jnp.sum(((m - lc) / sig) ** 2)
-                   - n * theta[6])
+                   - n * theta[ndim - 1])
         return jnp.where(inside, loglike, -jnp.inf)
 
-    center = jnp.stack([lm.c, lm.rp, lm.slope_per_day, lm.hook_amp,
-                        lm.hook_amp_first, jnp.log(lm.hook_tau_s),
-                        jnp.log(sigma0)])
+    base6 = [lm.c, lm.rp, lm.slope_per_day, lm.hook_amp,
+             lm.hook_amp_first, jnp.log(lm.hook_tau_s)]
+    geo = ([lm.t0_offset_s, lm.orbit.sma_rs, jnp.cos(lm.orbit.inc_rad)]
+           if fit_geometry else [])
+    center = jnp.stack(base6 + geo + [jnp.log(sigma0)])
     center = jnp.clip(center, lo + 1e-4, hi - 1e-4)
-    scale = jnp.array([1e-3, 1e-3, 1e-3, 1e-4, 1e-4, 0.05, 0.05],
-                      jnp.float32)
+    scale = jnp.array([1e-3, 1e-3, 1e-3, 1e-4, 1e-4, 0.05]
+                      + ([5.0, 0.02, 2e-3] if fit_geometry else [])
+                      + [0.05], jnp.float32)
     k_init, k_run = jax.random.split(jnp.asarray(key))
     init = center[None, :] + scale[None, :] * jax.random.normal(
-        k_init, (n_walkers, 7))
+        k_init, (n_walkers, ndim))
     init = jnp.clip(init, lo + 1e-5, hi - 1e-5)
 
     chain = ensemble_sample(log_prob, init, k_run, n_steps)
-    kept = chain.samples[n_burn:].reshape(-1, 7)
+    kept = chain.samples[n_burn:].reshape(-1, ndim)
     q16, q50, q84 = jnp.percentile(kept[:, 1],
                                    jnp.array([16.0, 50.0, 84.0]))
     return WhitePosterior(rp_median=q50, rp_minus=q50 - q16,

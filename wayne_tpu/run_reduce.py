@@ -515,7 +515,7 @@ def main(argv: list[str] | None = None) -> int:
         wpost = sample_white_posterior(
             jnp.asarray(white, jnp.float32), t, orbit, ld, rp0,
             jax.random.PRNGKey(20250817), n_steps=args.mcmc,
-            n_burn=n_burn)
+            n_burn=n_burn, fit_geometry=args.fit_geometry)
         chan_post = sample_channel_posteriors(
             chan_j, t, orbit, ld_chan, rp0, jax.random.PRNGKey(43),
             n_steps=args.mcmc, n_burn=n_burn)
@@ -526,6 +526,16 @@ def main(argv: list[str] | None = None) -> int:
             "rp_minus": round(float(wpost.rp_minus), 6),
             "acceptance": round(float(wpost.acceptance), 3),
         }
+        if args.fit_geometry:
+            samp = np.asarray(wpost.samples)
+            q = lambda v: [round(float(x), 4) for x in
+                           np.percentile(v, [16, 50, 84])]
+            white_post_report["geometry_percentiles_16_50_84"] = {
+                "t0_offset_s": q(samp[:, 6]),
+                "sma_over_rs": q(samp[:, 7]),
+                "inclination_deg": q(np.rad2deg(np.arccos(
+                    np.clip(samp[:, 8], 0.0, 0.6)))),
+            }
         print(f"white posterior: rp = "
               f"{white_post_report['rp_over_rs_median']:.5f} "
               f"+{white_post_report['rp_plus']:.5f} "
