@@ -169,12 +169,21 @@ def test_run_reduce_cli_recovers_depth(tmp_path):
     # land on the commanded pointing through the full noise chain
     rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
                       "--n-chan", "4", "--cpu", "--detrend", "none",
-                      "--direct-image"])
+                      "--direct-image", "--save-spectra"])
     assert rc == 0
     rep = json.loads((outdir / "reduced.json").read_text())
     zp = rep["wavelength_zero_point"]
     assert zp["source"] == "direct_image"
     assert abs(zp["x_ref"] - 30.0) < 0.1 and abs(zp["y_ref"] - 40.0) < 0.1
+
+    # --save-spectra writes the extracted-spectra FITS product
+    from wayne_tpu.io.fits import read_fits
+
+    hdus = {h.get("EXTNAME"): d for h, d in
+            read_fits(str(outdir / "spectra.fits"))}
+    assert hdus["SPECTRA"].shape == (18, 128)
+    wl = hdus["WAVELENGTH"]
+    assert wl.shape == (128,) and hdus["TIME"].shape == (18,)
 
 
 def test_fit_eclipse_depths_unit():

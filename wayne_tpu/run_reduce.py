@@ -271,6 +271,12 @@ def main(argv: list[str] | None = None) -> int:
                              "source centroid measured from the visit's "
                              "*_direct.fits (what real pipelines do) "
                              "instead of the YAML x_ref/y_ref")
+    parser.add_argument("--save-spectra", action="store_true",
+                        help="also write spectra.fits: the per-exposure "
+                             "extracted spectra (SPECTRA (n_exp, S) e-), "
+                             "the column wavelength solution "
+                             "(WAVELENGTH um) and exposure mid-times "
+                             "(TIME s) as image extensions")
     parser.add_argument("--plot", action="store_true",
                         help="also write a quicklook PNG (needs matplotlib)")
     parser.add_argument("--cpu", action="store_true")
@@ -580,6 +586,25 @@ def main(argv: list[str] | None = None) -> int:
     out = args.output or os.path.join(args.visit_dir, "reduced.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
+    if args.save_spectra:
+        from wayne_tpu.io.fits import FitsHDU, write_fits
+
+        wl_cols = np.asarray(x_to_wl(
+            jnp.arange(spectra.shape[1], dtype=jnp.float32), tp))
+        spath = os.path.join(args.visit_dir, "spectra.fits")
+        write_fits(spath, [
+            FitsHDU(header={"PRODUCT": "wayne_tpu extracted spectra",
+                            "WLSRC": wl_source}),
+            FitsHDU(name="SPECTRA", data=spectra.astype(np.float32),
+                    header={"BUNIT": "ELECTRONS"}),
+            FitsHDU(name="WAVELENGTH",
+                    data=wl_cols.astype(np.float32),
+                    header={"BUNIT": "MICRONS"}),
+            FitsHDU(name="TIME",
+                    data=np.asarray(mids, np.float64),
+                    header={"BUNIT": "SECONDS"}),
+        ])
+        print(f"extracted spectra -> {spath}")
     rp = [c[value_key] for c in report["channels"]]
     label = "Rp/Rs" if args.mode == "transit" else "Fp/Fs"
     print(f"channel {label}: {min(rp):.6g}..{max(rp):.6g} -> {out}")
