@@ -138,3 +138,35 @@ def test_white_posterior_with_geometry():
     width = 0.5 * (float(post.rp_minus) + float(post.rp_plus))
     assert abs(med - 0.1595) < 4.0 * max(width, 1e-4), (med, width)
     assert 0.1 < float(post.acceptance) < 0.95
+
+
+def test_white_posterior_eclipse_mode():
+    """Eclipse-mode posterior: Fp/Fs sampled jointly with the ramp."""
+    import dataclasses as dc
+
+    from wayne_tpu.mcmc import sample_white_posterior
+    from wayne_tpu.ops.kepler import projected_separation as psep
+    from wayne_tpu.ops.transit import eclipse_visibility
+
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
+                                visit_slope_per_s=0.01 / 86400.0)
+    t, t_orb, first = _orbit_times(n_orbits=5, per_orbit=20)
+    t = t + (float(base.orbit.t0_s) + float(base.orbit.period_s) / 2.0
+             - 0.5 * (t[0] + t[-1]))
+    fp_true = 1.5e-3
+    z, infr = psep(jnp.asarray(t), base.orbit)
+    vis = eclipse_visibility(z, infr, jnp.float32(0.1595))
+    sys = np.asarray(visit_trend_factor(
+        jnp.asarray(t), jnp.asarray(t_orb), jnp.asarray(first), trends))
+    rng = np.random.default_rng(23)
+    lc = (sys * np.asarray(1.0 + fp_true * vis)
+          + 2e-4 * rng.standard_normal(t.size).astype(np.float32))
+    post = sample_white_posterior(
+        jnp.asarray(lc), jnp.asarray(t), base.orbit, base.ld, 0.1595,
+        jax.random.PRNGKey(12), n_steps=1500, n_burn=500, eclipse=True)
+    med = float(post.rp_median)
+    width = 0.5 * (float(post.rp_minus) + float(post.rp_plus))
+    assert abs(med - fp_true) < 4.0 * max(width, 2e-5), (med, width)
+    assert 1e-6 < width < 1e-3, width
+    assert 0.1 < float(post.acceptance) < 0.95

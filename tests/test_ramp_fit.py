@@ -216,7 +216,7 @@ def test_run_reduce_cli_detrend_ramp(tmp_path):
     # posterior depths ride along (--mcmc): median consistent with the
     # injected value within the quoted percentile widths
     wp = rep["white_posterior"]
-    w_width = 0.5 * (wp["rp_plus"] + wp["rp_minus"])
+    w_width = 0.5 * (wp["depth_plus"] + wp["depth_minus"])
     assert abs(wp["rp_over_rs_median"] - 0.14) < max(5.0 * w_width,
                                                      5e-3), wp
     for c in rep["channels"]:

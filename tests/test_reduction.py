@@ -249,13 +249,19 @@ def test_run_reduce_eclipse_mode(tmp_path):
     # fitted template before the per-channel eclipse fits
     rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
                       "--n-chan", "4", "--mode", "eclipse", "--cpu",
-                      "--detrend", "ramp"])
+                      "--detrend", "ramp", "--mcmc", "600"])
     assert rc == 0
     rep = json.loads((outdir / "reduced.json").read_text())
     wf = rep["white_ramp_fit"]
     assert abs(wf["fp_over_fs"] - fp) < max(5 * wf["fp_sigma"], 5e-4), wf
+    wp = rep["white_posterior"]
+    w_width = 0.5 * (wp["depth_plus"] + wp["depth_minus"])
+    assert abs(wp["fp_over_fs_median"] - fp) < max(5.0 * w_width,
+                                                   5e-4), wp
     for c in rep["channels"]:
         assert abs(c["fp_over_fs"] - fp) < max(5 * c["fp_sigma"], 5e-4), c
+        cw = 0.5 * (c["fp_mcmc_plus"] + c["fp_mcmc_minus"])
+        assert abs(c["fp_mcmc_median"] - fp) < max(5.0 * cw, 5e-4), c
 
 
 def test_run_reduce_rate_product(tmp_path):

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from wayne_tpu.ops.kepler import OrbitParams, projected_separation
-from wayne_tpu.ops.transit import transit_depth_curve
+from wayne_tpu.ops.transit import eclipse_visibility, transit_depth_curve
 
 
 def _register(cls):
@@ -118,12 +118,14 @@ def ensemble_sample(log_prob: Callable[[jnp.ndarray], jnp.ndarray],
 
 
 def _white_ramp_model(theta, t_day, t_orb, firstf, z, in_front, ld,
-                      n_quad):
+                      n_quad, vis=None):
     c, rp, ra, rb, rbf, log_tau = (theta[0], theta[1], theta[2],
                                    theta[3], theta[4], theta[5])
     tau = jnp.exp(log_tau)
     amp = jnp.where(firstf > 0.5, rbf, rb)
     sys = (1.0 - ra * t_day) * (1.0 - amp * jnp.exp(-t_orb / tau))
+    if vis is not None:                   # eclipse: theta[1] is Fp/Fs
+        return c * sys * (1.0 + rp * vis)
     f = transit_depth_curve(z, rp, ld, n_quad)
     return c * sys * (1.0 - (1.0 - f) * in_front)
 
@@ -144,7 +146,8 @@ class WhitePosterior:
 
 
 @partial(jax.jit, static_argnames=("n_steps", "n_walkers", "n_burn",
-                                   "gap_s", "n_quad", "fit_geometry"))
+                                   "gap_s", "n_quad", "fit_geometry",
+                                   "eclipse"))
 def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                            orbit: OrbitParams, ld: jnp.ndarray,
                            rp_init: jnp.ndarray | float,
@@ -152,7 +155,8 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                            n_walkers: int = 32, n_burn: int = 500,
                            gap_s: float = 1200.0,
                            n_quad: int = 32,
-                           fit_geometry: bool = False) -> WhitePosterior:
+                           fit_geometry: bool = False,
+                           eclipse: bool = False) -> WhitePosterior:
     """Full posterior over the joint white-light ramp+transit model.
 
     Samples theta = (c, rp, ra, rb, rb_first, log tau, log sigma) — the
@@ -182,20 +186,29 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
 
     import dataclasses as _dc
 
+    from wayne_tpu.ops.transit import eclipse_visibility
+
+    if eclipse and fit_geometry:
+        raise ValueError("fit the ephemeris on a transit visit")
+    vis = (eclipse_visibility(z, in_front,
+                              jnp.asarray(rp_init, jnp.float32))
+           if eclipse else None)
     lm = fit_white_ramp(lc, t, orbit, ld, rp_init, gap_s=gap_s,
-                        n_quad=n_quad, fit_geometry=fit_geometry)
+                        n_quad=n_quad, fit_geometry=fit_geometry,
+                        eclipse=eclipse)
     resid = lc - _white_ramp_model(
         jnp.stack([lm.c, lm.rp, lm.slope_per_day, lm.hook_amp,
                    lm.hook_amp_first, jnp.log(lm.hook_tau_s)]),
-        t_day, t_orb, firstf, z, in_front, ld, n_quad)
+        t_day, t_orb, firstf, z, in_front, ld, n_quad, vis)
     sigma0 = jnp.maximum(jnp.std(resid), 1e-6)
     ndim = 10 if fit_geometry else 7
 
-    lo = jnp.array([0.2, 0.01, -1.0, -0.05, -0.05,
+    depth_lo, depth_hi = (-0.02, 0.1) if eclipse else (0.01, 0.5)
+    lo = jnp.array([0.2, depth_lo, -1.0, -0.05, -0.05,
                     jnp.log(30.0)]
                    + ([-1800.0, 1.5, 0.0] if fit_geometry else [])
                    + [jnp.log(1e-6)], jnp.float32)
-    hi = jnp.array([5.0, 0.5, 1.0, 0.05, 0.05,
+    hi = jnp.array([5.0, depth_hi, 1.0, 0.05, 0.05,
                     jnp.log(20000.0)]
                    + ([1800.0, 50.0, 0.6] if fit_geometry else [])
                    + [jnp.log(0.1)], jnp.float32)
@@ -211,7 +224,7 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
         else:
             zz, infr = z, in_front
         m = _white_ramp_model(theta[:6], t_day, t_orb, firstf, zz,
-                              infr, ld, n_quad)
+                              infr, ld, n_quad, vis)
         sig = jnp.exp(theta[ndim - 1])
         loglike = (-0.5 * jnp.sum(((m - lc) / sig) ** 2)
                    - n * theta[ndim - 1])
@@ -252,14 +265,16 @@ class ChannelPosteriors:
 
 
 @partial(jax.jit, static_argnames=("n_steps", "n_walkers", "n_burn",
-                                   "n_quad"))
+                                   "n_quad", "eclipse"))
 def sample_channel_posteriors(channel_lc: jnp.ndarray,
                               exp_mid_s: jnp.ndarray, orbit: OrbitParams,
                               ld: jnp.ndarray,
                               rp_init: jnp.ndarray | float,
                               key: jnp.ndarray, *, n_steps: int = 1500,
                               n_walkers: int = 16, n_burn: int = 400,
-                              n_quad: int = 32) -> ChannelPosteriors:
+                              n_quad: int = 32, eclipse: bool = False,
+                              rp_geom: jnp.ndarray | float = 0.15
+                              ) -> ChannelPosteriors:
     """EVERY channel's depth posterior in one compiled device program.
 
     The whole sampler is vmapped over the channel axis — n_chan
@@ -274,7 +289,9 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
     is modelled as c * T(t; rp) with a free per-channel noise scale:
     theta = (c, rp, log_sigma). ``ld`` may be shared (4,) or
     per-channel (n_chan, 4) Claret coefficients (chromatic limb
-    darkening — see fit_depths).
+    darkening — see fit_depths). ``eclipse=True`` samples per-channel
+    Fp/Fs instead (model c * (1 + fp * vis) at the geometric radius
+    ``rp_geom``; ``rp_init`` then seeds the per-channel fp).
     """
     lcs = jnp.asarray(channel_lc, jnp.float32).T       # (n_chan, n_exp)
     t = jnp.asarray(exp_mid_s, jnp.float32)
@@ -282,9 +299,13 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
     n_chan = lcs.shape[0]
     z, in_front = projected_separation(t, orbit)
 
-    lo = jnp.array([0.2, 0.01, jnp.log(1e-6)], jnp.float32)
-    hi = jnp.array([5.0, 0.5, jnp.log(0.1)], jnp.float32)
+    depth_lo, depth_hi = (-0.02, 0.1) if eclipse else (0.01, 0.5)
+    lo = jnp.array([0.2, depth_lo, jnp.log(1e-6)], jnp.float32)
+    hi = jnp.array([5.0, depth_hi, jnp.log(0.1)], jnp.float32)
     rp0 = jnp.broadcast_to(jnp.asarray(rp_init, jnp.float32), (n_chan,))
+    vis = (eclipse_visibility(z, in_front,
+                              jnp.asarray(rp_geom, jnp.float32))
+           if eclipse else None)
     ld = jnp.asarray(ld, jnp.float32)
     ld_chan = jnp.broadcast_to(ld if ld.ndim == 2 else ld[None, :],
                                (n_chan, 4))
@@ -292,8 +313,11 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
     def one(lc, rp_c, ld_c, k):
         def log_prob(theta):
             inside = jnp.all((theta > lo) & (theta < hi))
-            f = transit_depth_curve(z, theta[1], ld_c, n_quad)
-            m = theta[0] * (1.0 - (1.0 - f) * in_front)
+            if eclipse:
+                m = theta[0] * (1.0 + theta[1] * vis)
+            else:
+                f = transit_depth_curve(z, theta[1], ld_c, n_quad)
+                m = theta[0] * (1.0 - (1.0 - f) * in_front)
             loglike = (-0.5 * jnp.sum(((m - lc) / jnp.exp(theta[2])) ** 2)
                        - n * theta[2])
             return jnp.where(inside, loglike, -jnp.inf)

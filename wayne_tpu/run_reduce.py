@@ -510,26 +510,29 @@ def main(argv: list[str] | None = None) -> int:
 
     white_post_report, chan_post = None, None
     if args.mcmc:
-        if args.mode != "transit":
-            raise SystemExit("--mcmc supports --mode transit only")
         import jax
 
         from wayne_tpu.mcmc import (sample_channel_posteriors,
                                     sample_white_posterior)
 
+        eclipse = args.mode == "eclipse"
         n_burn = max(args.mcmc // 4, 100)
         wpost = sample_white_posterior(
             jnp.asarray(white, jnp.float32), t, orbit, ld, rp0,
             jax.random.PRNGKey(20250817), n_steps=args.mcmc,
-            n_burn=n_burn, fit_geometry=args.fit_geometry)
+            n_burn=n_burn, fit_geometry=args.fit_geometry,
+            eclipse=eclipse)
         chan_post = sample_channel_posteriors(
-            chan_j, t, orbit, ld_chan, rp0, jax.random.PRNGKey(43),
-            n_steps=args.mcmc, n_burn=n_burn)
+            chan_j, t, orbit, ld_chan,
+            (jnp.asarray(rp_hat, jnp.float32) if eclipse else rp0),
+            jax.random.PRNGKey(43), n_steps=args.mcmc, n_burn=n_burn,
+            eclipse=eclipse, rp_geom=rp0)
+        dkey = "fp_over_fs" if eclipse else "rp_over_rs"
         white_post_report = {
             "n_steps": args.mcmc, "n_burn": n_burn,
-            "rp_over_rs_median": round(float(wpost.rp_median), 6),
-            "rp_plus": round(float(wpost.rp_plus), 6),
-            "rp_minus": round(float(wpost.rp_minus), 6),
+            f"{dkey}_median": round(float(wpost.rp_median), 7),
+            "depth_plus": round(float(wpost.rp_plus), 7),
+            "depth_minus": round(float(wpost.rp_minus), 7),
             "acceptance": round(float(wpost.acceptance), 3),
         }
         if args.fit_geometry:
@@ -542,13 +545,14 @@ def main(argv: list[str] | None = None) -> int:
                 "inclination_deg": q(np.rad2deg(np.arccos(
                     np.clip(samp[:, 8], 0.0, 0.6)))),
             }
-        print(f"white posterior: rp = "
-              f"{white_post_report['rp_over_rs_median']:.5f} "
-              f"+{white_post_report['rp_plus']:.5f} "
-              f"-{white_post_report['rp_minus']:.5f} "
+        print(f"white posterior: depth = "
+              f"{white_post_report[dkey + '_median']:.6f} "
+              f"+{white_post_report['depth_plus']:.6f} "
+              f"-{white_post_report['depth_minus']:.6f} "
               f"(acc {white_post_report['acceptance']:.2f}; channel "
               f"posteriors sampled in one vmapped program)")
 
+    mcmc_prefix = "fp" if args.mode == "eclipse" else "rp"
     report = {
         "n_exposures": len(paths),
         "grism": cfg.grism,
@@ -575,9 +579,12 @@ def main(argv: list[str] | None = None) -> int:
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
              value_key: round(float(rp_hat[i]), 6),
              sigma_key: round(float(rp_sig[i]), 6),
-             **({"rp_mcmc_median": round(float(chan_post.rp_median[i]), 6),
-                 "rp_mcmc_plus": round(float(chan_post.rp_plus[i]), 6),
-                 "rp_mcmc_minus": round(float(chan_post.rp_minus[i]), 6)}
+             **({f"{mcmc_prefix}_mcmc_median":
+                     round(float(chan_post.rp_median[i]), 7),
+                 f"{mcmc_prefix}_mcmc_plus":
+                     round(float(chan_post.rp_plus[i]), 7),
+                 f"{mcmc_prefix}_mcmc_minus":
+                     round(float(chan_post.rp_minus[i]), 7)}
                 if chan_post is not None else {})}
             for i in range(args.n_chan)],
         "white_lc": [round(float(v), 6) for v in white],
