@@ -1012,6 +1012,109 @@ def fit_eclipse_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     return fp, jnp.sqrt(jnp.maximum(var_fp, 0.0))
 
 
+@_register
+@dataclass
+class PhaseFit:
+    """Outputs of fit_phase_curve (per channel)."""
+
+    fp: jnp.ndarray            # dayside eclipse depth Fp/Fs
+    fp_sigma: jnp.ndarray      # its 1-sigma (delta method)
+    amp: jnp.ndarray           # thermal phase amplitude A in [0, 1]
+    offset_rad: jnp.ndarray    # hot-spot offset (+ = eastward)
+    slope: jnp.ndarray         # fitted linear baseline (frac over the
+    #                            visit half-span) — absorbs the
+    #                            visit-long instrument trend
+    chi2: jnp.ndarray          # weighted residual sum of squares
+
+
+@jax.jit
+def fit_phase_curve(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
+                    orbit: OrbitParams,
+                    rp_over_rs: jnp.ndarray | float) -> PhaseFit:
+    """Closed-form thermal phase-curve fit per channel.
+
+    The simulator's phase model (ops/transit.transit_light_curve) is
+    F = 1 + fp [1 - A (1 - cos(phi + phi0))/2] vis(t), phi the
+    true-anomaly phase angle (0 at mid-secondary). Expanding the cosine
+    makes it LINEAR in (c, c b0, c b1, c b2) on the basis
+    [1, vis, vis cos phi, vis sin phi]:
+
+        b0 = fp (1 - A/2),  b1 = (fp A/2) cos phi0,
+        b2 = -(fp A/2) sin phi0
+        => r = hypot(b1, b2); fp = b0 + r; A = 2 r / fp;
+           phi0 = atan2(-b2, b1)
+
+    plus a LINEAR time baseline column (phase-curve practice: the
+    visit-long instrument slope is comparable to the phase signal over
+    a full period and aliases straight into the harmonics if not fit
+    jointly — measured 3x fp bias on the simulator's default trend).
+    Each channel is then one 5x5 weighted least squares — no iteration,
+    no initial guess. In-transit epochs are weighted out (the transit
+    is fit separately; here it would bias the harmonic terms), and the
+    normal equations use explicit f32 reductions (TPU bf16 hazard).
+    fp_sigma comes from the residual scatter through the delta method
+    (autodiff of the b -> fp map). ``rp_over_rs`` is the SCALAR
+    geometric radius (sets vis and the transit mask only).
+
+    ``channel_lc`` is (n_exp,) or (n_exp, n_chan), normalised to ANY
+    baseline (c absorbs it). Visits must cover a decent phase range —
+    with eclipse-only coverage the harmonic columns are degenerate and
+    sigma blows up honestly.
+    """
+    from wayne_tpu.ops.kepler import orbital_phase_angle
+    from wayne_tpu.ops.transit import eclipse_visibility
+
+    t = jnp.asarray(exp_mid_s, jnp.float32)
+    lc = jnp.asarray(channel_lc, jnp.float32)
+    squeeze = lc.ndim == 1
+    f = lc[:, None] if squeeze else lc                     # (n, m)
+    rp = jnp.asarray(rp_over_rs, jnp.float32)
+    z, in_front = projected_separation(t, orbit)
+    vis = eclipse_visibility(z, in_front, rp)
+    phi = orbital_phase_angle(t, orbit)
+    w = out_of_transit_mask(t, orbit).astype(jnp.float32)  # (n,)
+
+    t_norm = ((t - t.mean())
+              / jnp.maximum(0.5 * (t.max() - t.min()), 1e-9))
+    X = jnp.stack([jnp.ones_like(vis), t_norm, vis,
+                   vis * jnp.cos(phi), vis * jnp.sin(phi)],
+                  axis=1)                                  # (n, 5)
+    hp = jax.lax.Precision.HIGHEST
+    XtX = jnp.einsum("ni,nj,n->ij", X, X, w, precision=hp)
+    XtY = jnp.einsum("ni,nm,n->im", X, f, w, precision=hp)
+    ridge = 1e-7 * jnp.trace(XtX) / 5.0 + 1e-12
+    a = jnp.linalg.solve(XtX + ridge * jnp.eye(5), XtY)    # (5, m)
+
+    def unpack(av):
+        b = av[2:] / jnp.maximum(av[0], 1e-9)
+        r = jnp.sqrt(b[1] ** 2 + b[2] ** 2 + 1e-20)
+        fp = b[0] + r
+        amp = 2.0 * r / jnp.maximum(fp, 1e-9)
+        off = jnp.arctan2(-b[2], b[1])
+        return fp, amp, off
+
+    fp, amp, off = jax.vmap(unpack, in_axes=1)(a)
+    slope = a[1] / jnp.maximum(a[0], 1e-9)                 # (m,)
+
+    resid = (X @ a - f) * w[:, None]
+    dof = jnp.maximum(jnp.sum(w) - 5.0, 1.0)
+    noise_var = jnp.sum(resid ** 2, axis=0) / dof          # (m,)
+    cov_u = jnp.linalg.inv(XtX + ridge * jnp.eye(5))       # unit-noise cov
+
+    def sigma_one(av, nv):
+        g = jax.grad(lambda v: unpack(v)[0])(av)           # d fp / d a
+        return jnp.sqrt(jnp.maximum(
+            nv * jnp.einsum("i,ij,j->", g, cov_u, g, precision=hp), 0.0))
+
+    fp_sigma = jax.vmap(sigma_one, in_axes=(1, 0))(a, noise_var)
+    chi2 = jnp.sum(resid ** 2, axis=0)
+    if squeeze:
+        return PhaseFit(fp=fp[0], fp_sigma=fp_sigma[0], amp=amp[0],
+                        offset_rad=off[0], slope=slope[0], chi2=chi2[0])
+    return PhaseFit(fp=fp, fp_sigma=fp_sigma, amp=amp,
+                    offset_rad=off, slope=slope, chi2=chi2)
+
+
 @partial(jax.jit, static_argnames=("n_quad", "n_newton"))
 def common_mode_correct(white_lc: jnp.ndarray, channel_lc: jnp.ndarray,
                         exp_mid_s: jnp.ndarray, orbit: OrbitParams,

@@ -219,10 +219,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("-o", "--output", default=None,
                         help="JSON report path (default <dir>/reduced.json)")
     parser.add_argument("--n-chan", type=int, default=8)
-    parser.add_argument("--mode", choices=("transit", "eclipse"),
+    parser.add_argument("--mode", choices=("transit", "eclipse", "phase"),
                         default="transit",
                         help="transit: fit per-channel Rp/Rs; eclipse: fit "
-                             "per-channel Fp/Fs (secondary-eclipse visits)")
+                             "per-channel Fp/Fs (secondary-eclipse "
+                             "visits); phase: closed-form thermal "
+                             "phase-curve fit per channel — Fp/Fs, "
+                             "modulation amplitude and hot-spot offset "
+                             "(full-orbit visits)")
     parser.add_argument("--estimator", choices=("cds", "ramp"),
                         default="cds",
                         help="per-pixel charge estimator: CDS (last minus "
@@ -471,6 +475,48 @@ def main(argv: list[str] | None = None) -> int:
             chan_j = chan_j / (white_j / (1.0 + fp_w[0] * vis))[:, None]
         rp_hat, rp_sig = fit_eclipse_depths(chan_j, t, orbit, rp0)
         value_key, sigma_key = "fp_over_fs", "fp_sigma"
+    elif args.mode == "phase":
+        from wayne_tpu.ops.kepler import (orbital_phase_angle,
+                                          projected_separation)
+        from wayne_tpu.ops.transit import eclipse_visibility
+        from wayne_tpu.reduction import fit_phase_curve
+
+        if detrend == "ramp":
+            raise SystemExit("--detrend ramp is not wired for --mode "
+                             "phase; use divide-white or none")
+        white_j = jnp.asarray(white, jnp.float32)
+        z_t, infr_t = projected_separation(t, orbit)
+        vis = eclipse_visibility(z_t, infr_t, rp0)
+        phi = orbital_phase_angle(t, orbit)
+        wfit = fit_phase_curve(white_j, t, orbit, rp0)
+        white_fit_report = {
+            "fp_over_fs": round(float(wfit.fp), 7),
+            "fp_sigma": round(float(wfit.fp_sigma), 7),
+            "phase_amplitude": round(float(wfit.amp), 4),
+            "hot_spot_offset_deg": round(
+                float(np.rad2deg(np.asarray(wfit.offset_rad))), 2),
+            "baseline_slope": round(float(wfit.slope), 6),
+        }
+        print(f"white phase fit: fp = {white_fit_report['fp_over_fs']:.6f}"
+              f" +- {white_fit_report['fp_sigma']:.6f}, A = "
+              f"{white_fit_report['phase_amplitude']:.3f}, offset "
+              f"{white_fit_report['hot_spot_offset_deg']:.1f} deg")
+        if detrend == "divide-white":
+            # phase-aware common mode: divide by white / white-MODEL so
+            # the template carries only the instrument systematics, not
+            # the phase signal itself
+            mod_w = 1.0 - wfit.amp * 0.5 * (
+                1.0 - jnp.cos(phi + wfit.offset_rad))
+            model_w = 1.0 + wfit.fp * mod_w * vis
+            chan_j = chan_j / (white_j / model_w)[:, None]
+        pf = fit_phase_curve(chan_j, t, orbit, rp0)
+        rp_hat, rp_sig = pf.fp, pf.fp_sigma
+        phase_extra = [
+            {"phase_amplitude": round(float(pf.amp[i]), 4),
+             "hot_spot_offset_deg": round(
+                 float(np.rad2deg(np.asarray(pf.offset_rad))[i]), 2)}
+            for i in range(int(pf.fp.shape[0]))]
+        value_key, sigma_key = "fp_over_fs", "fp_sigma"
     else:
         if detrend == "divide-white":
             chan_j = common_mode_correct(jnp.asarray(white, jnp.float32),
@@ -509,6 +555,9 @@ def main(argv: list[str] | None = None) -> int:
         value_key, sigma_key = "rp_over_rs", "rp_sigma"
 
     white_post_report, chan_post = None, None
+    if args.mcmc and args.mode == "phase":
+        raise SystemExit("--mcmc is not wired for --mode phase (the "
+                         "closed-form fit already returns sigmas)")
     if args.mcmc:
         import jax
 
@@ -553,6 +602,8 @@ def main(argv: list[str] | None = None) -> int:
               f"posteriors sampled in one vmapped program)")
 
     mcmc_prefix = "fp" if args.mode == "eclipse" else "rp"
+    if args.mode != "phase":
+        phase_extra = None
     report = {
         "n_exposures": len(paths),
         "grism": cfg.grism,
@@ -566,7 +617,8 @@ def main(argv: list[str] | None = None) -> int:
         "wavelength_zero_point": {
             "source": wl_source, "x_ref": round(float(xref_used), 3),
             "y_ref": round(float(yref_used), 3)},
-        **({"white_ramp_fit": white_fit_report}
+        **({("white_phase_fit" if args.mode == "phase"
+             else "white_ramp_fit"): white_fit_report}
            if white_fit_report is not None else {}),
         "dq_repair": not args.no_dq,
         "aligned": bool(args.align),
@@ -579,6 +631,7 @@ def main(argv: list[str] | None = None) -> int:
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
              value_key: round(float(rp_hat[i]), 6),
              sigma_key: round(float(rp_sig[i]), 6),
+             **(phase_extra[i] if phase_extra is not None else {}),
              **({f"{mcmc_prefix}_mcmc_median":
                      round(float(chan_post.rp_median[i]), 7),
                  f"{mcmc_prefix}_mcmc_plus":
