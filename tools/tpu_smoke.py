@@ -173,6 +173,42 @@ def main() -> None:
                           mid_e, sc64.orbit, sc64.ld, 0.15)
     ok["ramp_fit_rp_on_chip"] = bool(abs(float(wfit.rp) - 0.1595) < 1e-3)
 
+    # phase-curve linear fit: the [1, vis] near-collinear design is
+    # exactly the bf16-fragile class — diff against the known injection
+    from wayne_tpu.ops.kepler import orbital_phase_angle
+    from wayne_tpu.ops.transit import eclipse_visibility
+    from wayne_tpu.reduction import fit_phase_curve
+    n_p = 200
+    t_p = jnp.asarray(np.linspace(0.0, float(sc64.orbit.period_s), n_p),
+                      jnp.float32)
+    z_p, infr_p = _psep(t_p, sc64.orbit)
+    vis_p = eclipse_visibility(z_p, infr_p, jnp.float32(0.1595))
+    phi_p = orbital_phase_angle(t_p, sc64.orbit)
+    fp_t, amp_t, off_t = 1.8e-3, 0.6, 0.35
+    mod_p = 1.0 - amp_t * 0.5 * (1.0 - jnp.cos(phi_p + off_t))
+    lc_p = 1.0 + fp_t * mod_p * vis_p
+    pfit = fit_phase_curve(lc_p, t_p, sc64.orbit, 0.1595)
+    ok["phase_fit_fp_on_chip"] = bool(abs(float(pfit.fp) - fp_t) < 1e-4)
+    ok["phase_fit_sigma_sane"] = bool(float(pfit.fp_sigma) < 1e-4)
+
+    # 9-param geometric LM (t0-grid seed + near-degenerate valley JTJ)
+    t0_true = 60.0
+    import dataclasses as _dc
+    orb_shift = _dc.replace(sc64.orbit,
+                            t0_s=sc64.orbit.t0_s + jnp.float32(t0_true))
+    z_g, infr_g = _psep(mid_e, orb_shift)
+    tr_g = 1.0 - (1.0 - _tdc(z_g, jnp.float32(0.1595), sc64.ld, 32)) \
+        * infr_g
+    gfit = fit_white_ramp(jnp.asarray(np.asarray(tr_g) * sysv,
+                                      jnp.float32),
+                          mid_e, sc64.orbit, sc64.ld, 0.15,
+                          fit_geometry=True, n_iter=40)
+    ok["geom_fit_rp_on_chip"] = bool(abs(float(gfit.rp) - 0.1595) < 5e-3)
+    ok["geom_fit_t0_on_chip"] = bool(
+        abs(float(gfit.t0_offset_s) - t0_true) < 20.0)
+    ok["geom_fit_sigma_finite"] = bool(
+        0.0 <= float(gfit.rp_sigma) < 0.05)
+
     # ensemble MCMC moments on chip (hardware threefry path)
     from wayne_tpu.mcmc import ensemble_sample
     mu = jnp.asarray([1.5, -0.5], jnp.float32)

@@ -119,15 +119,13 @@ def ensemble_sample(log_prob: Callable[[jnp.ndarray], jnp.ndarray],
 
 def _white_ramp_model(theta, t_day, t_orb, firstf, z, in_front, ld,
                       n_quad, vis=None):
-    c, rp, ra, rb, rbf, log_tau = (theta[0], theta[1], theta[2],
-                                   theta[3], theta[4], theta[5])
-    tau = jnp.exp(log_tau)
-    amp = jnp.where(firstf > 0.5, rbf, rb)
-    sys = (1.0 - ra * t_day) * (1.0 - amp * jnp.exp(-t_orb / tau))
-    if vis is not None:                   # eclipse: theta[1] is Fp/Fs
-        return c * sys * (1.0 + rp * vis)
-    f = transit_depth_curve(z, rp, ld, n_quad)
-    return c * sys * (1.0 - (1.0 - f) * in_front)
+    # THE shared model definition lives in reduction.py
+    # (ramp_transit_model) so the posterior always refines exactly the
+    # model the LM point fit solved — including its tau/depth clamps.
+    from wayne_tpu.reduction import ramp_transit_model
+
+    return ramp_transit_model(theta, t_day, t_orb, firstf, z, in_front,
+                              ld, n_quad, vis)[0]
 
 
 @_register
@@ -190,16 +188,24 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
 
     if eclipse and fit_geometry:
         raise ValueError("fit the ephemeris on a transit visit")
+    if not 0 <= n_burn < n_steps:
+        raise ValueError(f"n_burn ({n_burn}) must be < n_steps "
+                         f"({n_steps}) — nothing would remain after "
+                         "burn-in")
     vis = (eclipse_visibility(z, in_front,
                               jnp.asarray(rp_init, jnp.float32))
            if eclipse else None)
     lm = fit_white_ramp(lc, t, orbit, ld, rp_init, gap_s=gap_s,
                         n_quad=n_quad, fit_geometry=fit_geometry,
                         eclipse=eclipse)
+    # seed the noise scale from the residual at the FITTED ephemeris —
+    # with fit_geometry the input orbit's z would leave transit-depth
+    # residuals at the contacts and inflate sigma0 ~50x
+    z_lm, infr_lm = projected_separation(t, lm.orbit)
     resid = lc - _white_ramp_model(
         jnp.stack([lm.c, lm.rp, lm.slope_per_day, lm.hook_amp,
                    lm.hook_amp_first, jnp.log(lm.hook_tau_s)]),
-        t_day, t_orb, firstf, z, in_front, ld, n_quad, vis)
+        t_day, t_orb, firstf, z_lm, infr_lm, ld, n_quad, vis)
     sigma0 = jnp.maximum(jnp.std(resid), 1e-6)
     ndim = 10 if fit_geometry else 7
 
@@ -293,6 +299,10 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
     Fp/Fs instead (model c * (1 + fp * vis) at the geometric radius
     ``rp_geom``; ``rp_init`` then seeds the per-channel fp).
     """
+    if not 0 <= n_burn < n_steps:
+        raise ValueError(f"n_burn ({n_burn}) must be < n_steps "
+                         f"({n_steps}) — nothing would remain after "
+                         "burn-in")
     lcs = jnp.asarray(channel_lc, jnp.float32).T       # (n_chan, n_exp)
     t = jnp.asarray(exp_mid_s, jnp.float32)
     n = t.shape[0]

@@ -1079,12 +1079,6 @@ def fit_phase_curve(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     X = jnp.stack([jnp.ones_like(vis), t_norm, vis,
                    vis * jnp.cos(phi), vis * jnp.sin(phi)],
                   axis=1)                                  # (n, 5)
-    hp = jax.lax.Precision.HIGHEST
-    XtX = jnp.einsum("ni,nj,n->ij", X, X, w, precision=hp)
-    XtY = jnp.einsum("ni,nm,n->im", X, f, w, precision=hp)
-    ridge = 1e-7 * jnp.trace(XtX) / 5.0 + 1e-12
-    a = jnp.linalg.solve(XtX + ridge * jnp.eye(5), XtY)    # (5, m)
-
     def unpack(av):
         b = av[2:] / jnp.maximum(av[0], 1e-9)
         r = jnp.sqrt(b[1] ** 2 + b[2] ** 2 + 1e-20)
@@ -1093,21 +1087,32 @@ def fit_phase_curve(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
         off = jnp.arctan2(-b[2], b[1])
         return fp, amp, off
 
-    fp, amp, off = jax.vmap(unpack, in_axes=1)(a)
-    slope = a[1] / jnp.maximum(a[0], 1e-9)                 # (m,)
+    # The [1, vis] columns are ~0.99-collinear (vis = 1 outside
+    # eclipse): every contraction here — including the solve/inv
+    # internals and the X @ a reconstruction — must run full-f32 or
+    # TPU bf16 input rounding corrupts the ~1e-3 harmonic coefficients
+    # and inflates noise_var ~1000x (CLAUDE.md bf16 rule).
+    with jax.default_matmul_precision("highest"):
+        XtX = jnp.einsum("ni,nj,n->ij", X, X, w)
+        XtY = jnp.einsum("ni,nm,n->im", X, f, w)
+        ridge = 1e-7 * jnp.trace(XtX) / 5.0 + 1e-12
+        a = jnp.linalg.solve(XtX + ridge * jnp.eye(5), XtY)  # (5, m)
 
-    resid = (X @ a - f) * w[:, None]
-    dof = jnp.maximum(jnp.sum(w) - 5.0, 1.0)
-    noise_var = jnp.sum(resid ** 2, axis=0) / dof          # (m,)
-    cov_u = jnp.linalg.inv(XtX + ridge * jnp.eye(5))       # unit-noise cov
+        fp, amp, off = jax.vmap(unpack, in_axes=1)(a)
+        slope = a[1] / jnp.maximum(a[0], 1e-9)             # (m,)
 
-    def sigma_one(av, nv):
-        g = jax.grad(lambda v: unpack(v)[0])(av)           # d fp / d a
-        return jnp.sqrt(jnp.maximum(
-            nv * jnp.einsum("i,ij,j->", g, cov_u, g, precision=hp), 0.0))
+        resid = (X @ a - f) * w[:, None]
+        dof = jnp.maximum(jnp.sum(w) - 5.0, 1.0)
+        noise_var = jnp.sum(resid ** 2, axis=0) / dof      # (m,)
+        cov_u = jnp.linalg.inv(XtX + ridge * jnp.eye(5))   # unit-noise cov
 
-    fp_sigma = jax.vmap(sigma_one, in_axes=(1, 0))(a, noise_var)
-    chi2 = jnp.sum(resid ** 2, axis=0)
+        def sigma_one(av, nv):
+            g = jax.grad(lambda v: unpack(v)[0])(av)       # d fp / d a
+            return jnp.sqrt(jnp.maximum(
+                nv * jnp.einsum("i,ij,j->", g, cov_u, g), 0.0))
+
+        fp_sigma = jax.vmap(sigma_one, in_axes=(1, 0))(a, noise_var)
+        chi2 = jnp.sum(resid ** 2, axis=0)
     if squeeze:
         return PhaseFit(fp=fp[0], fp_sigma=fp_sigma[0], amp=amp[0],
                         offset_rad=off[0], slope=slope[0], chi2=chi2[0])
@@ -1161,6 +1166,34 @@ def orbit_phase(exp_mid_s: jnp.ndarray,
     marks = jnp.where(new_orbit | (jnp.arange(n) == 0), t, -jnp.inf)
     orbit_start = jax.lax.cummax(marks)
     return t - orbit_start, orbit_id == 0
+
+
+def ramp_transit_model(theta6: jnp.ndarray, t_day: jnp.ndarray,
+                       t_orb: jnp.ndarray, firstf: jnp.ndarray,
+                       z: jnp.ndarray, in_front: jnp.ndarray,
+                       ld: jnp.ndarray, n_quad: int,
+                       vis: jnp.ndarray | None = None):
+    """THE white-light ramp x signal model shared by the LM fit
+    (fit_white_ramp) and the MCMC likelihood (mcmc.sample_white_
+    posterior) — one definition so the posterior always refines the
+    same model the point fit solved.
+
+    theta6 = (c, depth, ra_per_day, rb, rb_first, log_tau); tau is
+    clamped to [30, 20000] s and the depth to its physical range
+    (transit Rp/Rs [0.01, 0.5], or eclipse Fp/Fs [-0.02, 0.1] when
+    ``vis`` is given). Returns (model flux, systematic-only factor).
+    """
+    c, rp, ra, rb, rbf, log_tau = (theta6[0], theta6[1], theta6[2],
+                                   theta6[3], theta6[4], theta6[5])
+    tau = jnp.clip(jnp.exp(log_tau), 30.0, 20000.0)
+    amp = jnp.where(firstf > 0.5, rbf, rb)
+    sys = (1.0 - ra * t_day) * (1.0 - amp * jnp.exp(-t_orb / tau))
+    if vis is not None:
+        tr = 1.0 + jnp.clip(rp, -0.02, 0.1) * vis
+    else:
+        f = transit_depth_curve(z, jnp.clip(rp, 0.01, 0.5), ld, n_quad)
+        tr = 1.0 - (1.0 - f) * in_front
+    return c * sys * tr, sys
 
 
 @_register
@@ -1258,23 +1291,15 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
             inc_rad=jnp.arccos(jnp.clip(theta[8], 0.0, 0.6)))
 
     def model(theta):
-        c, rp, ra, rb, rbf, log_tau = (theta[0], theta[1], theta[2],
-                                       theta[3], theta[4], theta[5])
-        tau = jnp.clip(jnp.exp(log_tau), 30.0, 20000.0)
-        amp = jnp.where(firstf > 0.5, rbf, rb)
-        sys = (1.0 - ra * t_day) * (1.0 - amp * jnp.exp(-t_orb / tau))
         if theta.shape[0] == 6:
             z, in_front = z_fix, infr_fix
         else:
             z, in_front = projected_separation(t, orbit_of(theta))
-        if eclipse:
-            vis = eclipse_visibility(
-                z, in_front, jnp.asarray(rp_init, jnp.float32))
-            tr = 1.0 + jnp.clip(rp, -0.02, 0.1) * vis
-        else:
-            f = transit_depth_curve(z, jnp.clip(rp, 0.01, 0.5), ld, n_quad)
-            tr = 1.0 - (1.0 - f) * in_front
-        return c * sys * tr, sys
+        vis = (eclipse_visibility(
+            z, in_front, jnp.asarray(rp_init, jnp.float32))
+            if eclipse else None)
+        return ramp_transit_model(theta[:6], t_day, t_orb, firstf, z,
+                                  in_front, ld, n_quad, vis)
 
     def resid(theta):
         return model(theta)[0] - lc
@@ -1297,7 +1322,10 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
             JTJ, g = normal_eqs(theta)
             ridge = 1e-7 * jnp.trace(JTJ) / nd + 1e-12
             A = JTJ + lam * jnp.diag(jnp.diag(JTJ)) + ridge * eye_n
-            dth = jnp.linalg.solve(A, g)
+            # full-f32 solve: the geometry JTJ sits on the near-
+            # degenerate (rp, a/Rs, i, t0) valley (CLAUDE.md bf16 rule)
+            with jax.default_matmul_precision("highest"):
+                dth = jnp.linalg.solve(A, g)
             theta_new = theta - dth
             chi2_new = jnp.sum(resid(theta_new) ** 2)
             ok = chi2_new < chi2             # NaN compares False: reject
@@ -1350,7 +1378,8 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     JTJ, _ = normal_eqs(theta)
     n = lc.shape[0]
     noise_var = chi2 / jnp.maximum(n - ndim, 1)
-    cov = jnp.linalg.inv(JTJ + 1e-9 * jnp.eye(ndim, dtype=jnp.float32))
+    with jax.default_matmul_precision("highest"):
+        cov = jnp.linalg.inv(JTJ + 1e-9 * jnp.eye(ndim, dtype=jnp.float32))
     rp_sigma = jnp.sqrt(jnp.maximum(cov[1, 1] * noise_var, 0.0))
     fitted_orbit = orbit_of(theta)
     depth = (jnp.clip(theta[1], -0.02, 0.1) if eclipse

@@ -428,10 +428,12 @@ def main(argv: list[str] | None = None) -> int:
     chan_j = jnp.asarray(chan, jnp.float32)
     detrend = args.detrend or ("none" if args.no_divide_white
                                else "divide-white")
-    if args.fit_geometry and detrend != "ramp":
-        raise SystemExit("--fit-geometry requires --detrend ramp (the "
-                         "geometry is fitted jointly with the white "
-                         "ramp model)")
+    if args.fit_geometry and (detrend != "ramp"
+                              or args.mode != "transit"):
+        raise SystemExit("--fit-geometry requires --mode transit with "
+                         "--detrend ramp (the ephemeris is fitted "
+                         "jointly with the white transit+ramp model; "
+                         "eclipse/phase visits cannot constrain it)")
     white_fit_report = None
     if args.mode == "eclipse":
         from wayne_tpu.ops.kepler import projected_separation
@@ -565,7 +567,9 @@ def main(argv: list[str] | None = None) -> int:
                                     sample_white_posterior)
 
         eclipse = args.mode == "eclipse"
-        n_burn = max(args.mcmc // 4, 100)
+        # keep at least half the chain after burn-in for short runs
+        n_burn = max(0, min(max(args.mcmc // 4, 100),
+                            args.mcmc // 2, args.mcmc - 1))
         wpost = sample_white_posterior(
             jnp.asarray(white, jnp.float32), t, orbit, ld, rp0,
             jax.random.PRNGKey(20250817), n_steps=args.mcmc,
