@@ -185,6 +185,26 @@ def test_run_reduce_cli_recovers_depth(tmp_path):
     wl = hdus["WAVELENGTH"]
     assert wl.shape == (128,) and hdus["TIME"].shape == (18,)
 
+    # explicit windows bypass auto-detection and still recover depths
+    import pytest
+
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                      "--n-chan", "4", "--cpu", "--detrend", "none",
+                      "--rows", "30:75", "--cols", "70:126",
+                      "--bg-rows", "100:126"])
+    assert rc == 0
+    rep = json.loads((outdir / "reduced.json").read_text())
+    assert rep["windows"]["rows"] == [30, 75]
+    for c in rep["channels"]:
+        assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c
+    with pytest.raises(SystemExit):     # partial specification rejected
+        reduce_main(["-d", str(outdir), "-p", str(ppath), "--cpu",
+                     "--rows", "30:75"])
+    with pytest.raises(SystemExit):     # out-of-frame range rejected
+        reduce_main(["-d", str(outdir), "-p", str(ppath), "--cpu",
+                     "--rows", "30:300", "--cols", "70:126",
+                     "--bg-rows", "100:126"])
+
 
 def test_fit_eclipse_depths_unit():
     """Linear eclipse fit recovers fp exactly on a noise-free synthetic

@@ -78,7 +78,8 @@ def centroid_direct_image(path: str) -> tuple[float, float]:
 
 def extract_from_files(paths: list[str], gain: float,
                        estimator: str = "cds", use_dq: bool = True,
-                       extract: str = "box", read_noise_e: float = 12.0):
+                       extract: str = "box", read_noise_e: float = 12.0,
+                       windows: tuple | None = None):
     """Host-side spectral extraction from ima files.
 
     ``extract='optimal'`` replaces the box sum with Horne (1986)
@@ -159,12 +160,33 @@ def extract_from_files(paths: list[str], gain: float,
     starts = np.asarray(starts)
     mids = (starts - starts.min()) * 86400.0 + exptime / 2.0
 
+    # Explicit windows (``--rows/--cols/--bg-rows``) bypass detection —
+    # needed when the auto heuristics misjudge an unusual visit (very
+    # long scans, crowded frames, partial subarray illumination).
+    med = np.median(nets, axis=0)
+    S = med.shape[0]
+    if windows is not None:
+        y_window, x_window, bg_rows = windows
+        bg = np.median(nets[:, bg_rows[0]: bg_rows[1], :], axis=1)
+        nets = nets - bg[:, None, :]
+        if extract == "optimal":
+            from wayne_tpu.reduction import (
+                optimal_extract, read_noise_var_e2, spatial_profile)
+
+            prof = spatial_profile(
+                jnp.asarray(nets.mean(axis=0), jnp.float32), y_window)
+            floor = read_noise_var_e2(read_noise_e, reads.shape[0],
+                                      ramp=estimator == "ramp")
+            spectra = np.asarray(optimal_extract(
+                jnp.asarray(nets, jnp.float32), prof, y_window, floor))
+        else:
+            spectra = nets[:, y_window[0]: y_window[1], :].sum(axis=1)
+        return spectra, mids, (y_window, x_window, bg_rows)
+
     # Auto windows from the median frame: first the rows carrying the
     # scanned spectrum (summed over all columns), then the illuminated
     # columns WITHIN those rows (a full-frame column statistic would be
     # swamped by the background rows).
-    med = np.median(nets, axis=0)
-    S = med.shape[0]
     pad = 3
     row_sig = med.sum(axis=1)
     row_sig = row_sig - np.median(row_sig)
@@ -270,6 +292,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--no-dq", action="store_true",
                         help="ignore the DQ planes (skip the cosmic-ray/"
                              "saturation/hot-pixel read repair)")
+    parser.add_argument("--rows", default=None, metavar="Y0:Y1",
+                        help="extraction rows (overrides auto-detection;"
+                             " must be given together with --cols and "
+                             "--bg-rows)")
+    parser.add_argument("--cols", default=None, metavar="X0:X1",
+                        help="dispersion columns carrying signal")
+    parser.add_argument("--bg-rows", default=None, metavar="B0:B1",
+                        help="sky-only rows for background subtraction")
     parser.add_argument("--direct-image", action="store_true",
                         help="anchor the wavelength solution at the "
                              "source centroid measured from the visit's "
@@ -310,11 +340,34 @@ def main(argv: list[str] | None = None) -> int:
     print(f"reducing {len(paths)} exposures from {args.visit_dir} "
           f"({hdr0.get('FILTER')}, SUBARRAY {cfg.subarray})")
 
+    windows = None
+    given = [args.rows, args.cols, args.bg_rows]
+    if any(v is not None for v in given):
+        if not all(v is not None for v in given):
+            raise SystemExit("--rows, --cols and --bg-rows must be "
+                             "given together (or none, for "
+                             "auto-detection)")
+
+        def _rng(spec, name):
+            try:
+                lo, hi = (int(v) for v in spec.split(":"))
+            except ValueError:
+                raise SystemExit(f"{name} must look like LO:HI, got "
+                                 f"{spec!r}")
+            if not 0 <= lo < hi <= cfg.subarray:
+                raise SystemExit(f"{name} {spec!r} outside the "
+                                 f"{cfg.subarray}^2 frame")
+            return (lo, hi)
+
+        windows = (_rng(args.rows, "--rows"), _rng(args.cols, "--cols"),
+                   _rng(args.bg_rows, "--bg-rows"))
     spectra, mids, (yw, xw, bg) = extract_from_files(
         paths, gain, args.estimator, use_dq=not args.no_dq,
         extract=args.extract,
-        read_noise_e=float(grism.tables.read_noise_e))
-    print(f"auto windows: rows {yw}, cols {xw}, background rows {bg}")
+        read_noise_e=float(grism.tables.read_noise_e),
+        windows=windows)
+    label = "explicit" if windows is not None else "auto"
+    print(f"{label} windows: rows {yw}, cols {xw}, background rows {bg}")
 
     # System model on the visit clock (first exposure start = 0).
     planet = Planet(cfg.planet, visit_start_mjd=float(hdr0["EXPSTART"]))
