@@ -3,21 +3,26 @@
 The reference's validation story is "simulate, then reduce with a
 standard WFC3 pipeline (Iraclis)". This CLI is the in-repo form of that
 consumer: it reads the ima files a visit wrote to disk (proving the
-products are consumable from the file level up), extracts background-
-subtracted spectra, builds white + channel light curves, optionally
-divides out the white common-mode systematics, and fits per-channel
-depths: transit mode fits Rp/Rs with the autodiff Newton fitter;
-eclipse mode fits the emission contrast Fp/Fs with a closed-form
-linear eclipse model (secondary-eclipse visits).
+products are consumable from the file level up), repairs DQ-flagged
+reads, extracts background-subtracted spectra (box or Horne-optimal,
+CDS or up-the-ramp), aligns dispersion drifts, removes systematics
+(divide-white or the parametric Iraclis ramp fit, optionally with free
+ephemeris), and fits per-channel science: Rp/Rs (transit, autodiff
+Newton + optional MCMC posteriors), Fp/Fs (eclipse, closed-form linear
+fit), or the full thermal phase curve (closed-form harmonic fit).
 
 Usage:
     python -m wayne_tpu.run_reduce -d out_visit/ -p pars.yml \
-        [--n-chan 8] [--mode transit|eclipse] [--no-divide-white] \
+        [--n-chan 8] [--mode transit|eclipse|phase]
+        [--estimator cds|ramp] [--extract box|optimal] [--align]
+        [--detrend divide-white|ramp|none] [--fit-geometry]
+        [--mcmc [N]] [--direct-image] [--save-spectra]
+        [--rows Y0:Y1 --cols X0:X1 --bg-rows B0:B1]
         [--plot] [-o reduced.json]
 
-Outputs a JSON report: per-channel wavelength ranges, fitted Rp/Rs
-(transit) or Fp/Fs (eclipse) and uncertainties, the white light curve
-and exposure mid-times.
+Outputs a JSON report (docs/REDUCTION.md walks the full loop):
+per-channel wavelength ranges, fitted depths and uncertainties, white
+fit/posterior blocks, the white light curve and exposure mid-times.
 """
 
 from __future__ import annotations
