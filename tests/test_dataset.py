@@ -146,3 +146,53 @@ class TestEclipseSweep:
             shard_scenes(ens, mesh), TABLES, cfg, mesh))
         tot = spectra.sum(axis=(1, 2))
         np.testing.assert_allclose(tot[1] / tot[0], 1.005, atol=2e-4)
+
+
+class TestRecoveredLabels:
+    def test_recovered_depths_track_injected_sweep(self):
+        """generate_dataset(recover=...) attaches on-device fitted
+        depths per realisation that track the swept injection. Needs a
+        science-scale fixture (the module-level 64^2 one keeps the
+        trace off-detector on purpose — plumbing tests only)."""
+        import dataclasses
+
+        S2, NL2, n_exp, n_mc = 128, 64, 16, 4
+        cfg = ExposureStatic(
+            subarray=S2, n_lambda=NL2, n_sub=2, nsamp=3,
+            samp_seq="SPARS10", scan=True, band_px=48,
+            transit_quad=16,
+            noise=dataclasses.replace(NoiseFlags.none(), poisson=True,
+                                      read_noise=True))
+        tables = synthetic_tables("G141", subarray=S2, n_lambda=NL2,
+                                  samp_seq="SPARS10", nsamp=3)
+        base = example_scene(NL2, scan_speed=1.0)
+        base = dataclasses.replace(base, x_ref=jnp.float32(30.0),
+                                   y_ref=jnp.float32(30.0))
+        starts = np.linspace(0.0, 4.0 * 3600.0, n_exp).astype(np.float32)
+        visit = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n_exp,) + x.shape), base)
+        visit = dataclasses.replace(visit, exp_start_s=jnp.asarray(starts))
+        exptime = float(tables.read_times[-1])
+        mid = jnp.asarray(starts + exptime / 2.0)
+
+        rp_inj = np.linspace(0.13, 0.18, n_mc).astype(np.float32)
+        overrides = {"rp_over_rs": jnp.asarray(rp_inj)[:, None]
+                     * jnp.ones((n_mc, NL2), jnp.float32)}
+        recover = {"exp_mid_s": mid, "orbit": base.orbit, "ld": base.ld,
+                   "rp0": 0.15, "x_window": (72, 126), "n_chan": 3}
+        with tempfile.TemporaryDirectory() as d:
+            m = generate_dataset(visit, tables, cfg, d, n_mc=n_mc,
+                                 chunk_mc=2, overrides=overrides,
+                                 labels={"rp": rp_inj}, recover=recover)
+            assert m["recovered"] is True
+            data = load_dataset(d)
+        assert data["recovered_rp"].shape == (n_mc, 3)
+        assert np.all(data["recovered_rp_sigma"] > 0)
+        # each realisation's fitted depths track ITS injected radius
+        err = np.abs(data["recovered_rp"]
+                     - data["label_rp"][:, None])
+        tol = np.maximum(6.0 * data["recovered_rp_sigma"], 0.01)
+        assert np.all(err < tol), (data["recovered_rp"], rp_inj)
+        # and the sweep ordering survives recovery
+        means = data["recovered_rp"].mean(axis=1)
+        assert np.all(np.diff(means) > 0), means

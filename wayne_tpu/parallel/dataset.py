@@ -74,7 +74,9 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
                      overrides: Mapping[str, jnp.ndarray] | None = None,
                      labels: Mapping[str, np.ndarray] | None = None,
                      mesh=None, progress=None,
-                     dq_aware: bool = True) -> dict[str, Any]:
+                     dq_aware: bool = True,
+                     recover: Mapping[str, Any] | None = None
+                     ) -> dict[str, Any]:
     """Generate an n_mc-realisation spectral dataset, resumably.
 
     Writes ``chunk_XXXX.npz`` files containing extracted spectra
@@ -82,6 +84,17 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
     ``manifest.json``. Already-present chunks are skipped on re-run.
     ``dq_aware=False`` keeps simulated cosmic rays IN the spectra
     (training-realism datasets) instead of repairing them at extraction.
+
+    ``recover`` attaches RECOVERED depth labels: each chunk is also
+    reduced on device (channel binning, OOT normalisation, optional
+    divide-white, autodiff depth fits — reduction.spectra_to_depths,
+    vmapped over realisations) and ``recovered_rp`` /
+    ``recovered_rp_sigma`` (chunk_mc, n_chan) are stored alongside the
+    spectra. Required keys: ``exp_mid_s`` (n_exp,), ``orbit``
+    (OrbitParams), ``ld`` (4,), ``rp0``, ``x_window`` (lo, hi).
+    Optional: ``n_chan`` (8), ``divide_white`` (True). Injected labels
+    alone hide reduction-systematic structure; the recovered depths
+    expose it per realisation.
     """
     os.makedirs(outdir, exist_ok=True)
     say = progress or (lambda s: None)
@@ -101,9 +114,12 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
     # writes chunk i — the sustained rate is max(device, host) instead
     # of their sum.
     def flush(pending) -> None:
-        path, dev_spectra, c0 = pending
+        path, dev_spectra, dev_recovered, c0 = pending
         spectra = np.asarray(dev_spectra)     # blocks on transfer only
         payload = {"spectra_e": spectra}
+        if dev_recovered is not None:
+            payload["recovered_rp"] = np.asarray(dev_recovered[0])
+            payload["recovered_rp_sigma"] = np.asarray(dev_recovered[1])
         if labels:
             for k, v in labels.items():
                 payload[f"label_{k}"] = np.asarray(v)[c0: c0 + chunk_mc]
@@ -129,13 +145,23 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         ens = shard_scenes(ens, mesh)
         spectra = simulate_ensemble_spectra(ens, tables, cfg, mesh,
                                             dq_aware=dq_aware)
+        recovered = None
+        if recover is not None:
+            from wayne_tpu.reduction import spectra_to_depths
+
+            recovered = spectra_to_depths(
+                spectra, recover["exp_mid_s"], recover["orbit"],
+                recover["ld"], recover["rp0"],
+                x_window=tuple(recover["x_window"]),
+                n_chan=int(recover.get("n_chan", 8)),
+                divide_white=bool(recover.get("divide_white", True)))
         try:
             spectra.copy_to_host_async()
         except Exception:  # pragma: no cover - backend-dependent
             pass
         if pending is not None:
             flush(pending)
-        pending = (path, spectra, c0)
+        pending = (path, spectra, recovered, c0)
     if pending is not None:
         flush(pending)
 
@@ -143,6 +169,7 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         "n_mc": n_mc, "chunk_mc": chunk_mc, "n_exp": n_exp,
         "subarray": cfg.subarray, "seed": seed, "dq_aware": dq_aware,
         "labels": sorted(labels) if labels else [],
+        "recovered": recover is not None,
         "chunks": written,
     }
     with open(os.path.join(outdir, "manifest.json"), "w") as fh:

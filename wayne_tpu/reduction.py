@@ -1416,6 +1416,63 @@ def ramp_detrend(channel_lc: jnp.ndarray, ramp: RampFit,
     return corr / base[None, :]
 
 
+@partial(jax.jit, static_argnames=("x_window", "n_chan", "divide_white",
+                                   "n_quad", "n_newton"))
+def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
+                      orbit: OrbitParams, ld: jnp.ndarray,
+                      rp_init: jnp.ndarray | float, *,
+                      x_window: tuple[int, int], n_chan: int = 8,
+                      divide_white: bool = True, n_quad: int = 32,
+                      n_newton: int = 12
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched extracted spectra -> fitted channel depths (dataset QA).
+
+    The ensemble/dataset path (parallel/ensemble.py) already produces
+    background-subtracted spectra on device; this bins them into
+    channels, normalises against the out-of-transit baseline,
+    optionally applies divide-white, and fits per-channel depths —
+    vmapped over realisations, one compiled program. Feed it
+    (mc, n_exp, S) for (mc, n_chan) depths + sigmas, or a single
+    (n_exp, S) visit for (n_chan,).
+
+    This is how dataset generation attaches RECOVERED labels
+    (generate_dataset(recover=...)): training on injected labels alone
+    hides reduction-systematic structure; the recovered depths expose
+    it per realisation.
+    """
+    sp = jnp.asarray(spectra_e, jnp.float32)
+    squeeze = sp.ndim == 2
+    if squeeze:
+        sp = sp[None]
+    t = jnp.asarray(exp_mid_s, jnp.float32)
+    oot = out_of_transit_mask(t, orbit).astype(jnp.float32)
+    edges = jnp.linspace(x_window[0], x_window[1],
+                         n_chan + 1).astype(jnp.int32)
+    rp0 = jnp.asarray(rp_init, jnp.float32)
+
+    def one(s):
+        white = s[:, x_window[0]: x_window[1]].sum(axis=1)
+        cum = jnp.concatenate(
+            [jnp.zeros((s.shape[0], 1)), jnp.cumsum(s, axis=1)], axis=1)
+        chan = cum[:, edges[1:]] - cum[:, edges[:-1]]
+
+        def norm(f):
+            base = jnp.sum(f * oot) / jnp.maximum(jnp.sum(oot), 1.0)
+            return f / base
+
+        white = norm(white)
+        chan = jax.vmap(norm, in_axes=1, out_axes=1)(chan)
+        if divide_white:
+            chan = common_mode_correct(white, chan, t, orbit, ld, rp0,
+                                       n_quad, n_newton)
+        return fit_depths(chan, t, orbit, ld, rp0, n_quad, n_newton)
+
+    rp, sig = jax.vmap(one)(sp)
+    if squeeze:
+        return rp[0], sig[0]
+    return rp, sig
+
+
 @partial(jax.jit, static_argnames=("n_quad", "n_newton"))
 def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                orbit: OrbitParams, ld: jnp.ndarray, rp_init: jnp.ndarray,
