@@ -43,6 +43,14 @@ def main(argv: list[str] | None = None) -> int:
                         help="keep simulated cosmic rays IN the spectra "
                              "(training-realism datasets) instead of the "
                              "default DQ-aware repair at extraction")
+    parser.add_argument("--recover", type=int, nargs="?", const=8,
+                        default=0, metavar="N_CHAN",
+                        help="also reduce every chunk on device and "
+                             "store recovered_rp/_sigma labels "
+                             "(N_CHAN channels, default 8) — exposes "
+                             "the reduction-systematic structure that "
+                             "injected labels alone hide (transit "
+                             "datasets only)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
     args = parser.parse_args(argv)
@@ -96,11 +104,46 @@ def main(argv: list[str] | None = None) -> int:
         overrides["fp_over_fs"] = fp_mc
         labels["fp"] = fp_mc.mean(axis=1)               # band-mean contrast
 
+    recover = None
+    if args.recover:
+        if obs.static.eclipse:
+            parser.error("--recover fits transit depths; eclipse/"
+                         "phase-curve datasets are not supported")
+        import jax
+        import jax.numpy as jnp
+
+        from wayne_tpu.ops.dispersion import trace_params, wl_to_x
+
+        tp = trace_params(obs.tables, obs.scenes.x_ref[0],
+                          obs.scenes.y_ref[0])
+        xc = np.asarray(wl_to_x(obs.tables.wl_centers, tp))
+        x_lo = int(max(np.floor(xc.min()), 0))
+        x_hi = int(min(np.ceil(xc.max()) + 1, cfg.subarray))
+        if x_hi - x_lo < args.recover:
+            parser.error("--recover: dispersed trace covers "
+                         f"{x_hi - x_lo} columns < {args.recover} "
+                         "channels")
+        ld = jnp.asarray(obs.scenes.ld[0], jnp.float32)
+        if ld.ndim == 2:
+            ld = jnp.mean(ld, axis=0)
+        exptime = float(obs.tables.read_times[-1])
+        recover = {
+            "exp_mid_s": jnp.asarray(
+                np.asarray(obs.scenes.exp_start_s) + exptime / 2.0,
+                jnp.float32),
+            "orbit": jax.tree_util.tree_map(lambda x: x[0],
+                                            obs.scenes.orbit),
+            "ld": ld, "rp0": float(cfg.planet.rp_over_rs or 0.15),
+            "x_window": (x_lo, x_hi), "n_chan": args.recover,
+        }
+        print(f"recovered labels: {args.recover} channels over columns "
+              f"[{x_lo}, {x_hi})")
+
     manifest = generate_dataset(
         obs.scenes, obs.tables, obs.static, args.outdir,
         n_mc=args.n_mc, chunk_mc=args.chunk_mc, seed=args.seed,
         overrides=overrides or None, labels=labels or None, progress=print,
-        dq_aware=not args.raw_cr)
+        dq_aware=not args.raw_cr, recover=recover)
     print(f"dataset complete: {len(manifest['chunks'])} chunks in "
           f"{args.outdir}")
     return 0
