@@ -78,15 +78,15 @@ def quicklook_reduction(report: dict, path: str) -> str:
     axes[0].set_title("white light curve")
     chans = report["channels"]
     wl = [(c["wl_lo_um"] + c["wl_hi_um"]) / 2 for c in chans]
-    eclipse = report.get("mode") == "eclipse"
-    key, skey = (("fp_over_fs", "fp_sigma") if eclipse
+    emission = report.get("mode") in ("eclipse", "phase")
+    key, skey = (("fp_over_fs", "fp_sigma") if emission
                  else ("rp_over_rs", "rp_sigma"))
     rp = [c[key] for c in chans]
     sig = [c[skey] for c in chans]
     axes[1].errorbar(wl, rp, yerr=sig, fmt="o", ms=4, capsize=3)
     axes[1].set_xlabel("wavelength (um)")
-    axes[1].set_ylabel("Fp / Fs" if eclipse else "Rp / Rs")
-    axes[1].set_title("recovered " + ("emission" if eclipse
+    axes[1].set_ylabel("Fp / Fs" if emission else "Rp / Rs")
+    axes[1].set_title("recovered " + ("emission" if emission
                                       else "transmission") + " spectrum")
     fig.tight_layout()
     fig.savefig(path, dpi=110)

@@ -1059,7 +1059,9 @@ def fit_phase_curve(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     ``channel_lc`` is (n_exp,) or (n_exp, n_chan), normalised to ANY
     baseline (c absorbs it). Visits must cover a decent phase range —
     with eclipse-only coverage the harmonic columns are degenerate and
-    sigma blows up honestly.
+    sigma blows up honestly; with NO eclipse coverage fp itself is
+    unidentifiable from the baseline (run_reduce refuses such visits;
+    library users should check vis varies by more than ~0.1).
     """
     from wayne_tpu.ops.kepler import orbital_phase_angle
     from wayne_tpu.ops.transit import eclipse_visibility
@@ -1082,8 +1084,11 @@ def fit_phase_curve(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     def unpack(av):
         b = av[2:] / jnp.maximum(av[0], 1e-9)
         r = jnp.sqrt(b[1] ** 2 + b[2] ** 2 + 1e-20)
-        fp = b[0] + r
-        amp = 2.0 * r / jnp.maximum(fp, 1e-9)
+        # physical clamps keep a coverage-degenerate solve (vis ~
+        # constant: fp unidentifiable from the baseline) from emitting
+        # absurd magnitudes; fp_sigma still reports the degeneracy
+        fp = jnp.clip(b[0] + r, -0.05, 0.5)
+        amp = jnp.clip(2.0 * r / jnp.maximum(fp, 1e-9), 0.0, 2.0)
         off = jnp.arctan2(-b[2], b[1])
         return fp, amp, off
 

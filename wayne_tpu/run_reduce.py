@@ -547,6 +547,13 @@ def main(argv: list[str] | None = None) -> int:
         white_j = jnp.asarray(white, jnp.float32)
         z_t, infr_t = projected_separation(t, orbit)
         vis = eclipse_visibility(z_t, infr_t, rp0)
+        if float(jnp.max(vis) - jnp.min(vis)) < 0.1:
+            raise SystemExit(
+                "no secondary-eclipse coverage in this visit (planet "
+                "visibility barely changes), so Fp/Fs cannot be "
+                "separated from the baseline — cover the eclipse (an "
+                "explicit exp_start_times schedule helps) or use "
+                "--mode transit")
         phi = orbital_phase_angle(t, orbit)
         wfit = fit_phase_curve(white_j, t, orbit, rp0)
         white_fit_report = {
