@@ -196,3 +196,51 @@ class TestRecoveredLabels:
         # and the sweep ordering survives recovery
         means = data["recovered_rp"].mean(axis=1)
         assert np.all(np.diff(means) > 0), means
+
+
+def test_spectra_to_depths_matches_reduce_visit_path():
+    """The dataset-QA fitter on reduce_visit's own extracted spectra
+    reproduces the reduce_visit -> divide-white -> fit_depths chain
+    exactly (same binning, normalisation and fits)."""
+    import dataclasses
+
+    from wayne_tpu.reduction import (common_mode_correct, fit_depths,
+                                     reduce_visit, spectra_to_depths)
+
+    S2, NL2, n_exp = 128, 64, 16
+    cfg = ExposureStatic(
+        subarray=S2, n_lambda=NL2, n_sub=2, nsamp=3, samp_seq="SPARS10",
+        scan=True, band_px=48, transit_quad=16,
+        noise=dataclasses.replace(NoiseFlags.none(), poisson=True,
+                                  read_noise=True))
+    tables = synthetic_tables("G141", subarray=S2, n_lambda=NL2,
+                              samp_seq="SPARS10", nsamp=3)
+    base = example_scene(NL2, scan_speed=1.0)
+    base = dataclasses.replace(base, x_ref=jnp.float32(30.0),
+                               y_ref=jnp.float32(30.0))
+    starts = np.linspace(0.0, 4.0 * 3600.0, n_exp).astype(np.float32)
+    visit = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_exp,) + x.shape), base)
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.PRNGKey(2), i))(jnp.arange(n_exp))
+    visit = dataclasses.replace(visit, exp_start_s=jnp.asarray(starts),
+                                key=keys)
+    from wayne_tpu.ops.visit import simulate_visit
+    out = simulate_visit(visit, tables, cfg, chunk=8)
+    mid = jnp.asarray(starts + float(tables.read_times[-1]) / 2.0)
+
+    xw, n_chan = (72, 126), 3
+    red = reduce_visit(out.reads_dn, tables.gain, mid, base.orbit,
+                       y_window=(20, 75), x_window=xw,
+                       bg_rows=(100, 126), n_chan=n_chan)
+    chan = common_mode_correct(red.white_lc, red.channel_lc, mid,
+                               base.orbit, base.ld, jnp.float32(0.15))
+    rp_ref, sig_ref = fit_depths(chan, mid, base.orbit, base.ld,
+                                 jnp.float32(0.15))
+    rp_qa, sig_qa = spectra_to_depths(red.spectra_e, mid, base.orbit,
+                                      base.ld, 0.15, x_window=xw,
+                                      n_chan=n_chan)
+    np.testing.assert_allclose(np.asarray(rp_qa), np.asarray(rp_ref),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sig_qa), np.asarray(sig_ref),
+                               rtol=1e-4)
