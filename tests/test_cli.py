@@ -71,6 +71,12 @@ def test_run_dataset_cli(tmp_path):
     rc = dataset_main(["-p", str(p), "-o", str(out), "--n-mc", "4",
                        "--chunk-mc", "2", "--rp-sigma", "0.002", "--cpu"])
     assert rc == 0
+    # an explicit --recover 0 is a usage error, not silently-off
+    import pytest
+    with pytest.raises(SystemExit):
+        dataset_main(["-p", str(p), "-o", str(tmp_path / "ds2"),
+                      "--n-mc", "2", "--chunk-mc", "2",
+                      "--recover", "0", "--cpu"])
 
 
 def test_cli_all_devices(tmp_path):

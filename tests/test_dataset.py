@@ -94,6 +94,38 @@ class TestGenerateDataset:
                 generate_dataset(_visit(), TABLES, CFG, d, n_mc=6,
                                  chunk_mc=4, mesh=mesh)
 
+    def test_resume_mismatch_raises(self):
+        """Resuming with settings that change what the chunks hold
+        (recover labels, seed, chunking) must fail loudly: silently
+        skipped stale chunks would misalign every concatenated row
+        after load_dataset (regression)."""
+        mesh = make_mesh(jax.devices()[:2])
+        visit = _visit()
+        recover = {"exp_mid_s": jnp.zeros(4), "orbit": jax.tree_util.tree_map(
+                       lambda x: x[0], visit.orbit),
+                   "ld": visit.ld[0], "rp0": 0.15, "x_window": (10, 50),
+                   "n_chan": 2}
+        with tempfile.TemporaryDirectory() as d:
+            generate_dataset(visit, TABLES, CFG, d, n_mc=4, chunk_mc=2,
+                             mesh=mesh)
+            # turning recover ON over chunks generated without it
+            with pytest.raises(ValueError, match="resume mismatch"):
+                generate_dataset(visit, TABLES, CFG, d, n_mc=4,
+                                 chunk_mc=2, mesh=mesh, recover=recover)
+            # different seed / chunking over the same outdir
+            with pytest.raises(ValueError, match="resume mismatch"):
+                generate_dataset(visit, TABLES, CFG, d, n_mc=4,
+                                 chunk_mc=2, seed=99, mesh=mesh)
+            with pytest.raises(ValueError, match="resume mismatch"):
+                generate_dataset(visit, TABLES, CFG, d, n_mc=4,
+                                 chunk_mc=4, mesh=mesh)
+        # n_chan < 1 is rejected up front
+        with tempfile.TemporaryDirectory() as d:
+            with pytest.raises(ValueError, match="n_chan"):
+                generate_dataset(visit, TABLES, CFG, d, n_mc=4,
+                                 chunk_mc=2, mesh=mesh,
+                                 recover={**recover, "n_chan": 0})
+
 
 class TestTorchAdapter:
     def test_dataset_and_dataloader(self):

@@ -64,6 +64,27 @@ def test_fit_phase_curve_scale_invariant_and_noisy():
                                atol=1e-5)   # f32 conditioning floor
 
 
+def test_degenerate_coverage_clamps_values_not_sigma():
+    """Eclipse-free coverage (vis ~ constant) makes fp unidentifiable:
+    the REPORTED fp/amp are clamped to physical ranges, but fp_sigma
+    must stay honestly huge — clipping inside the delta-method map
+    would zero the gradient and report sigma = 0 exactly when the fit
+    is most degenerate (regression)."""
+    base = example_scene(64)
+    period = float(base.orbit.period_s)
+    # a window far from both transit and eclipse: vis = 1 throughout
+    t = np.linspace(0.2 * period, 0.3 * period, 80).astype(np.float32)
+    rng = np.random.default_rng(3)
+    lc = 1.0 + 2e-4 * rng.standard_normal(t.size).astype(np.float32)
+    fit = fit_phase_curve(jnp.asarray(lc), jnp.asarray(t), base.orbit,
+                          0.1595)
+    assert -0.0501 <= float(fit.fp) <= 0.5001, float(fit.fp)
+    assert 0.0 <= float(fit.amp) <= 2.0001, float(fit.amp)
+    # degenerate => sigma far above any real signal scale (~1e-3 on a
+    # hot Jupiter; measured 0.044 here), and NEVER the clipped-map 0.0
+    assert float(fit.fp_sigma) > 0.01, float(fit.fp_sigma)
+
+
 def test_phase_curve_simulator_loop():
     """End to end: simulate a coarse full-orbit phase-curve visit with
     photon noise, reduce it, and recover (fp, A) from the extracted

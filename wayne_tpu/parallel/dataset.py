@@ -105,6 +105,40 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
     d_mc = mesh.shape["mc"]
     if chunk_mc % d_mc != 0:
         raise ValueError(f"chunk_mc must be a multiple of mesh mc={d_mc}")
+    if recover is not None and int(recover.get("n_chan", 8)) < 1:
+        raise ValueError("recover n_chan must be >= 1")
+
+    # Resume safety: skipped chunks and the settings that shaped them
+    # must match THIS invocation, or the concatenated dataset silently
+    # mixes incompatible rows (e.g. old chunks without recovered_rp
+    # shifting every later realisation's recovered labels).
+    recover_desc = None
+    if recover is not None:
+        recover_desc = {
+            "n_chan": int(recover.get("n_chan", 8)),
+            "x_window": [int(x) for x in recover["x_window"]],
+            "rp0": float(recover["rp0"]),
+            "divide_white": bool(recover.get("divide_white", True)),
+        }
+    expected_keys = {"spectra_e"}
+    if recover is not None:
+        expected_keys |= {"recovered_rp", "recovered_rp_sigma"}
+    if labels:
+        expected_keys |= {f"label_{k}" for k in labels}
+    manifest_path = os.path.join(outdir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            prev = json.load(fh)
+        checks = {"chunk_mc": chunk_mc, "seed": seed, "dq_aware": dq_aware,
+                  "labels": sorted(labels) if labels else [],
+                  "recover": recover_desc}
+        for key, cur in checks.items():
+            if key in prev and prev[key] != cur:
+                raise ValueError(
+                    f"resume mismatch in {manifest_path}: {key} was "
+                    f"{prev[key]!r}, this run uses {cur!r} — existing "
+                    f"chunks would be inconsistent; delete {outdir} or "
+                    f"match the original settings")
 
     n_exp = jax.tree_util.tree_leaves(visit_scenes)[0].shape[0]
     written = []
@@ -131,6 +165,13 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         path = os.path.join(outdir, f"chunk_{c0 // chunk_mc:04d}.npz")
         written.append(os.path.basename(path))
         if os.path.exists(path):
+            with np.load(path) as z:
+                have = set(z.files)
+            if have != expected_keys:
+                raise ValueError(
+                    f"resume mismatch: {path} holds {sorted(have)}, this "
+                    f"run expects {sorted(expected_keys)} — delete the "
+                    f"stale chunks or use a fresh outdir")
             say(f"chunk {c0 // chunk_mc}: exists, skipping")
             continue
         over = None
@@ -170,6 +211,7 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         "subarray": cfg.subarray, "seed": seed, "dq_aware": dq_aware,
         "labels": sorted(labels) if labels else [],
         "recovered": recover is not None,
+        "recover": recover_desc,
         "chunks": written,
     }
     with open(os.path.join(outdir, "manifest.json"), "w") as fh:

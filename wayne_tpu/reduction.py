@@ -1053,7 +1053,9 @@ def fit_phase_curve(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     is fit separately; here it would bias the harmonic terms), and the
     normal equations use explicit f32 reductions (TPU bf16 hazard).
     fp_sigma comes from the residual scatter through the delta method
-    (autodiff of the b -> fp map). ``rp_over_rs`` is the SCALAR
+    (autodiff of the UNCLIPPED b -> fp map, so degeneracy shows up as
+    a huge sigma even when the reported fp/amp central values are
+    clamped to physical ranges). ``rp_over_rs`` is the SCALAR
     geometric radius (sets vis and the transit mask only).
 
     ``channel_lc`` is (n_exp,) or (n_exp, n_chan), normalised to ANY
@@ -1082,15 +1084,18 @@ def fit_phase_curve(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                    vis * jnp.cos(phi), vis * jnp.sin(phi)],
                   axis=1)                                  # (n, 5)
     def unpack(av):
+        # UNCLIPPED fp/r: fp_sigma differentiates through this, so a
+        # coverage-degenerate solve (vis ~ constant: fp unidentifiable
+        # from the baseline) keeps its honestly-huge sigma. The
+        # physical clamps are applied to the REPORTED central values
+        # only, after the vmap below — clipping here would zero the
+        # delta-method gradient and report sigma = 0 exactly when the
+        # fit is most degenerate.
         b = av[2:] / jnp.maximum(av[0], 1e-9)
         r = jnp.sqrt(b[1] ** 2 + b[2] ** 2 + 1e-20)
-        # physical clamps keep a coverage-degenerate solve (vis ~
-        # constant: fp unidentifiable from the baseline) from emitting
-        # absurd magnitudes; fp_sigma still reports the degeneracy
-        fp = jnp.clip(b[0] + r, -0.05, 0.5)
-        amp = jnp.clip(2.0 * r / jnp.maximum(fp, 1e-9), 0.0, 2.0)
+        fp = b[0] + r
         off = jnp.arctan2(-b[2], b[1])
-        return fp, amp, off
+        return fp, r, off
 
     # The [1, vis] columns are ~0.99-collinear (vis = 1 outside
     # eclipse): every contraction here — including the solve/inv
@@ -1103,7 +1108,12 @@ def fit_phase_curve(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
         ridge = 1e-7 * jnp.trace(XtX) / 5.0 + 1e-12
         a = jnp.linalg.solve(XtX + ridge * jnp.eye(5), XtY)  # (5, m)
 
-        fp, amp, off = jax.vmap(unpack, in_axes=1)(a)
+        fp_raw, r_harm, off = jax.vmap(unpack, in_axes=1)(a)
+        # physical clamps on the reported values keep degenerate
+        # solves from emitting absurd magnitudes (measured 5.7e12 on
+        # an eclipse-free visit); sigma below uses the raw map.
+        fp = jnp.clip(fp_raw, -0.05, 0.5)
+        amp = jnp.clip(2.0 * r_harm / jnp.maximum(fp, 1e-9), 0.0, 2.0)
         slope = a[1] / jnp.maximum(a[0], 1e-9)             # (m,)
 
         resid = (X @ a - f) * w[:, None]

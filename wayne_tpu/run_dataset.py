@@ -44,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
                              "(training-realism datasets) instead of the "
                              "default DQ-aware repair at extraction")
     parser.add_argument("--recover", type=int, nargs="?", const=8,
-                        default=0, metavar="N_CHAN",
+                        default=None, metavar="N_CHAN",
                         help="also reduce every chunk on device and "
                              "store recovered_rp/_sigma labels "
                              "(N_CHAN channels, default 8) — exposes "
@@ -105,7 +105,9 @@ def main(argv: list[str] | None = None) -> int:
         labels["fp"] = fp_mc.mean(axis=1)               # band-mean contrast
 
     recover = None
-    if args.recover:
+    if args.recover is not None:
+        if args.recover < 1:
+            parser.error("--recover needs at least 1 channel")
         if obs.static.eclipse:
             parser.error("--recover fits transit depths; eclipse/"
                          "phase-curve datasets are not supported")

@@ -165,58 +165,46 @@ def extract_from_files(paths: list[str], gain: float,
     starts = np.asarray(starts)
     mids = (starts - starts.min()) * 86400.0 + exptime / 2.0
 
-    # Explicit windows (``--rows/--cols/--bg-rows``) bypass detection —
-    # needed when the auto heuristics misjudge an unusual visit (very
-    # long scans, crowded frames, partial subarray illumination).
-    med = np.median(nets, axis=0)
-    S = med.shape[0]
+    S = nets.shape[1]
     if windows is not None:
+        # Explicit windows (``--rows/--cols/--bg-rows``) bypass
+        # detection — needed when the auto heuristics misjudge an
+        # unusual visit (very long scans, crowded frames, partial
+        # subarray illumination).
         y_window, x_window, bg_rows = windows
-        bg = np.median(nets[:, bg_rows[0]: bg_rows[1], :], axis=1)
-        nets = nets - bg[:, None, :]
-        if extract == "optimal":
-            from wayne_tpu.reduction import (
-                optimal_extract, read_noise_var_e2, spatial_profile)
-
-            prof = spatial_profile(
-                jnp.asarray(nets.mean(axis=0), jnp.float32), y_window)
-            floor = read_noise_var_e2(read_noise_e, reads.shape[0],
-                                      ramp=estimator == "ramp")
-            spectra = np.asarray(optimal_extract(
-                jnp.asarray(nets, jnp.float32), prof, y_window, floor))
-        else:
-            spectra = nets[:, y_window[0]: y_window[1], :].sum(axis=1)
-        return spectra, mids, (y_window, x_window, bg_rows)
-
-    # Auto windows from the median frame: first the rows carrying the
-    # scanned spectrum (summed over all columns), then the illuminated
-    # columns WITHIN those rows (a full-frame column statistic would be
-    # swamped by the background rows).
-    pad = 3
-    row_sig = med.sum(axis=1)
-    row_sig = row_sig - np.median(row_sig)
-    rows = np.where(row_sig > 0.05 * row_sig.max())[0]
-    if rows.size == 0:
-        raise SystemExit(
-            "no signal rows detected — the frames look background-only "
-            "(was the spectrum off the detector? the simulator warns "
-            "'spectrum lands outside the subarray' at generation time)")
-    y_window = (max(int(rows.min()) - pad, 0), min(int(rows.max()) + pad + 1, S))
-    col_sig = med[y_window[0]: y_window[1]].sum(axis=0)
-    col_sig = col_sig - np.median(col_sig)
-    cols = np.where(col_sig > 0.1 * col_sig.max())[0]
-    if cols.size == 0:
-        raise SystemExit(
-            "no illuminated columns detected inside the signal rows — "
-            "frames appear to carry no dispersed spectrum")
-    x_window = (max(int(cols.min()) - pad, 0), min(int(cols.max()) + pad + 1, S))
-    # Background rows: the larger sky-only margin above or below the
-    # spectrum, with a generous gap against PSF tails.
-    gap = 4 * pad
-    if y_window[0] > S - y_window[1]:
-        bg_rows = (0, max(y_window[0] - gap, 1))
     else:
-        bg_rows = (min(y_window[1] + gap, S - 1), S)
+        # Auto windows from the median frame: first the rows carrying
+        # the scanned spectrum (summed over all columns), then the
+        # illuminated columns WITHIN those rows (a full-frame column
+        # statistic would be swamped by the background rows).
+        med = np.median(nets, axis=0)
+        pad = 3
+        row_sig = med.sum(axis=1)
+        row_sig = row_sig - np.median(row_sig)
+        rows = np.where(row_sig > 0.05 * row_sig.max())[0]
+        if rows.size == 0:
+            raise SystemExit(
+                "no signal rows detected — the frames look background-only "
+                "(was the spectrum off the detector? the simulator warns "
+                "'spectrum lands outside the subarray' at generation time)")
+        y_window = (max(int(rows.min()) - pad, 0),
+                    min(int(rows.max()) + pad + 1, S))
+        col_sig = med[y_window[0]: y_window[1]].sum(axis=0)
+        col_sig = col_sig - np.median(col_sig)
+        cols = np.where(col_sig > 0.1 * col_sig.max())[0]
+        if cols.size == 0:
+            raise SystemExit(
+                "no illuminated columns detected inside the signal rows — "
+                "frames appear to carry no dispersed spectrum")
+        x_window = (max(int(cols.min()) - pad, 0),
+                    min(int(cols.max()) + pad + 1, S))
+        # Background rows: the larger sky-only margin above or below
+        # the spectrum, with a generous gap against PSF tails.
+        gap = 4 * pad
+        if y_window[0] > S - y_window[1]:
+            bg_rows = (0, max(y_window[0] - gap, 1))
+        else:
+            bg_rows = (min(y_window[1] + gap, S - 1), S)
 
     bg = np.median(nets[:, bg_rows[0]: bg_rows[1], :], axis=1)  # per-col sky
     nets = nets - bg[:, None, :]
