@@ -230,6 +230,40 @@ class TestRecoveredLabels:
         assert np.all(np.diff(means) > 0), means
 
 
+def test_spectra_to_depths_subtract_bg_removes_dilution():
+    """Ensemble spectra are FULL-FRAME column sums: unsubtracted sky
+    background B dilutes the normalised dip by F/(F+B), biasing depths
+    low. subtract_bg=True estimates B per exposure from the off-trace
+    columns (median) and restores the injected depth (regression: the
+    recover labels shipped diluted whenever sky was on)."""
+    from wayne_tpu.ops.kepler import projected_separation
+    from wayne_tpu.ops.transit import transit_depth_curve
+    from wayne_tpu.reduction import spectra_to_depths
+    from wayne_tpu.scene import example_scene
+
+    base = example_scene(32)
+    orbit = base.orbit
+    ld = base.ld
+    rp_true = 0.15
+    t0 = float(orbit.t0_s)
+    t = jnp.asarray(np.linspace(t0 - 3.0 * 3600, t0 + 3.0 * 3600, 48),
+                    jnp.float32)
+    z, infr = projected_separation(t, orbit)
+    f = transit_depth_curve(z, jnp.float32(rp_true), ld, 32)
+    lc = 1.0 - (1.0 - f) * infr                            # (48,)
+    S, lo, hi = 64, 16, 48
+    F0, B = 3.2e5, 5e3                                     # e-/col: B/F ~ 0.5
+    spectra = np.full((48, S), B, np.float32)
+    spectra[:, lo:hi] += (F0 / (hi - lo)) * np.asarray(lc)[:, None]
+    kw = dict(x_window=(lo, hi), n_chan=4, divide_white=False)
+    rp_raw, _ = spectra_to_depths(spectra, t, orbit, ld, rp_true, **kw)
+    rp_fix, _ = spectra_to_depths(spectra, t, orbit, ld, rp_true,
+                                  subtract_bg=True, **kw)
+    # diluted: rp ~ rp_true * sqrt(F/(F+B_win)); corrected: exact
+    assert np.all(np.asarray(rp_raw) < rp_true - 0.01), rp_raw
+    np.testing.assert_allclose(np.asarray(rp_fix), rp_true, atol=1e-3)
+
+
 def test_spectra_to_depths_matches_reduce_visit_path():
     """The dataset-QA fitter on reduce_visit's own extracted spectra
     reproduces the reduce_visit -> divide-white -> fit_depths chain

@@ -257,6 +257,46 @@ def test_run_reduce_cli_dq_repair(tmp_path):
     assert err_dq < err_nodq + 5e-4, (err_dq, err_nodq)
 
 
+def test_column_repair_budget_covers_high_cr_rates():
+    """The compacted hit budget in _cr_hit_deltas must sit far above
+    the expected TOTAL hit count even at high per-interval rates
+    (lam ~ 200: large subarrays x long read intervals). The earlier
+    flat budget (H//2 + 3*MAX_CR) crossed the mean total near lam ~ 216
+    and silently dropped valid hits — each dropped hit leaves a full
+    ~700 e- CR step in the extracted spectrum (regression). Also the
+    only test that exercises the compaction branch itself."""
+    from wayne_tpu.reduction import extract_spectra_cr
+
+    rng = np.random.RandomState(11)
+    nsamp, s, lam = 8, 64, 200.0
+    # auto_max_cr sizing: lam + 6 sqrt(lam) + 4, rounded up to x8
+    need = lam + 6.0 * lam ** 0.5 + 4.0
+    n_cr = int(-(-need // 8) * 8)
+    H = nsamp * n_cr
+    assert H // 2 + 3 * n_cr < H          # compaction branch is active
+    rate = rng.uniform(5.0, 50.0, (s, s)).astype(np.float32)
+    t = np.arange(nsamp + 1, dtype=np.float32)
+    reads = (rate[None] * t[:, None, None]).copy()
+    cr_pos = np.zeros((nsamp, 2, n_cr), np.int32)
+    cr_count = np.minimum(rng.poisson(lam, nsamp), n_cr).astype(np.int32)
+    for k in range(nsamp):
+        ys = rng.randint(0, s, cr_count[k])
+        xs = rng.randint(0, s, cr_count[k])
+        cr_pos[k, 0, : cr_count[k]] = ys
+        cr_pos[k, 1, : cr_count[k]] = xs
+        for rr in range(k + 1, nsamp + 1):
+            np.add.at(reads[rr], (ys, xs), 700.0)
+    spec = np.asarray(extract_spectra_cr(jnp.asarray(reads),
+                                         jnp.asarray(cr_pos),
+                                         jnp.asarray(cr_count)))
+    truth = (rate * (t[-1] - t[0])).sum(axis=0)            # clean CDS
+    # ~1600 hits: every one must be repaired — one dropped hit alone
+    # leaves a 700 e- column error; residuals here are neighbour-
+    # estimate noise only (measured < 200 per column at this density)
+    assert np.max(np.abs(spec - truth)) < 350.0, \
+        np.max(np.abs(spec - truth))
+
+
 def test_sparse_repair_matches_dense_on_isolated_hits():
     """repair_read_stack_sparse computes the identical correction to the
     dense repair when hit pixels' column neighbours are clean (the

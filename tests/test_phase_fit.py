@@ -40,6 +40,7 @@ def test_fit_phase_curve_exact():
     assert abs(float(fit.fp) - fp) < 1e-5, float(fit.fp)
     assert abs(float(fit.amp) - amp) < 5e-3, float(fit.amp)
     assert abs(float(fit.offset_rad) - off) < 2e-3, float(fit.offset_rad)
+    assert float(fit.amp_sigma) < 0.05, float(fit.amp_sigma)  # noise-free
 
 
 def test_fit_phase_curve_scale_invariant_and_noisy():
@@ -83,6 +84,10 @@ def test_degenerate_coverage_clamps_values_not_sigma():
     # degenerate => sigma far above any real signal scale (~1e-3 on a
     # hot Jupiter; measured 0.044 here), and NEVER the clipped-map 0.0
     assert float(fit.fp_sigma) > 0.01, float(fit.fp_sigma)
+    # the clamped amp (pinned at 2.0) must carry an inflated sigma too
+    # (measured 0.23 here vs < 5e-3 on a well-covered noise-free fit) —
+    # consumers can tell a measurement from a clamp artifact
+    assert float(fit.amp_sigma) > 0.1, float(fit.amp_sigma)
 
 
 def test_phase_curve_simulator_loop():

@@ -231,6 +231,35 @@ def test_fit_eclipse_depths_unit():
     assert np.all(np.asarray(fp_sig) < 1e-5)              # noise-free
 
 
+def test_fit_eclipse_depths_ignores_transit_epochs():
+    """A visit covering BOTH events must not let the ~2.5% transit dip
+    (unmodelled in the eclipse fit, ~15x the eclipse signal) bias fp:
+    in-transit epochs are weighted out of the normal equations
+    (regression)."""
+    import jax.numpy as jnp
+
+    from wayne_tpu.ops.kepler import OrbitParams, projected_separation
+    from wayne_tpu.ops.transit import (transit_depth_curve,
+                                       uniform_disk_hidden_frac)
+    from wayne_tpu.reduction import fit_eclipse_depths
+
+    period = 2.0 * 86400.0
+    orbit = OrbitParams.create(period, 0.0, 8.0, np.deg2rad(90.0))
+    t = jnp.linspace(-0.1 * period, 0.65 * period, 151)   # transit + eclipse
+    rp = jnp.float32(0.12)
+    ld = jnp.array([0.4, 0.1, 0.05, -0.02], jnp.float32)
+    z, infr = projected_separation(t, orbit)
+    vis = 1.0 - uniform_disk_hidden_frac(z, rp) * (1.0 - infr)
+    f_tr = transit_depth_curve(z, rp, ld, 32)
+    trans = 1.0 - (1.0 - f_tr) * infr                     # the transit dip
+    assert float(trans.min()) < 0.99                      # dip IS covered
+    fp_true = jnp.array([1e-3, 5e-4])
+    lc = 0.97 * (1.0 + fp_true[None, :] * vis[:, None]) * trans[:, None]
+    fp_hat, _ = fit_eclipse_depths(lc, t, orbit, rp)
+    np.testing.assert_allclose(np.asarray(fp_hat), np.asarray(fp_true),
+                               atol=5e-6)
+
+
 def test_run_reduce_eclipse_mode(tmp_path):
     """Eclipse visits round-trip: simulate with eclipse_depth, reduce
     with --mode eclipse, recover the injected Fp/Fs per channel."""

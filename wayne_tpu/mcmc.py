@@ -68,6 +68,13 @@ def ensemble_sample(log_prob: Callable[[jnp.ndarray], jnp.ndarray],
       thin: keep every ``thin``-th step.
 
     Returns EnsembleChain with samples (n_steps//thin, n_walkers, ndim).
+
+    ``log_prob`` is a STATIC jit argument: every distinct closure
+    object is a fresh trace + compile (minutes on this TPU backend) and
+    stays pinned in the jit cache. Looping over targets? Hoist one
+    closure over traced data (as sample_channel_posteriors does via
+    vmap), or call from inside an outer jit — never build a new lambda
+    per iteration (CLAUDE.md jit-in-loop rule).
     """
     n_walkers, ndim = init.shape
     if n_walkers % 2:
@@ -145,7 +152,7 @@ class WhitePosterior:
 
 @partial(jax.jit, static_argnames=("n_steps", "n_walkers", "n_burn",
                                    "gap_s", "n_quad", "fit_geometry",
-                                   "eclipse"))
+                                   "t0_window_s", "eclipse"))
 def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                            orbit: OrbitParams, ld: jnp.ndarray,
                            rp_init: jnp.ndarray | float,
@@ -154,6 +161,7 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                            gap_s: float = 1200.0,
                            n_quad: int = 32,
                            fit_geometry: bool = False,
+                           t0_window_s: float = 600.0,
                            eclipse: bool = False) -> WhitePosterior:
     """Full posterior over the joint white-light ramp+transit model.
 
@@ -169,7 +177,11 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     cos i) seeded from the LM geometric fit — the JOINT posterior over
     depth, systematics and ephemeris. The honest widths along the
     (rp, a/Rs, i, t0) degeneracy valley are exactly what the point fit
-    cannot provide.
+    cannot provide. ``t0_window_s`` must cover the true mid-transit
+    offset from the catalog ephemeris: it sets BOTH the LM seeding
+    grid's span (chi2(t0) is multimodal — a seed in the wrong basin
+    initialises every walker there and the stretch move cannot jump
+    out) and the flat t0 prior (+- 3 * t0_window_s).
     """
     from wayne_tpu.reduction import (fit_white_ramp, orbit_phase,
                                      out_of_transit_mask)
@@ -184,8 +196,6 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
 
     import dataclasses as _dc
 
-    from wayne_tpu.ops.transit import eclipse_visibility
-
     if eclipse and fit_geometry:
         raise ValueError("fit the ephemeris on a transit visit")
     if not 0 <= n_burn < n_steps:
@@ -197,7 +207,7 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
            if eclipse else None)
     lm = fit_white_ramp(lc, t, orbit, ld, rp_init, gap_s=gap_s,
                         n_quad=n_quad, fit_geometry=fit_geometry,
-                        eclipse=eclipse)
+                        t0_window_s=t0_window_s, eclipse=eclipse)
     # seed the noise scale from the residual at the FITTED ephemeris —
     # with fit_geometry the input orbit's z would leave transit-depth
     # residuals at the contacts and inflate sigma0 ~50x
@@ -210,13 +220,14 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     ndim = 10 if fit_geometry else 7
 
     depth_lo, depth_hi = (-0.02, 0.1) if eclipse else (0.01, 0.5)
+    t0_span = 3.0 * t0_window_s   # prior tracks the LM seeding window
     lo = jnp.array([0.2, depth_lo, -1.0, -0.05, -0.05,
                     jnp.log(30.0)]
-                   + ([-1800.0, 1.5, 0.0] if fit_geometry else [])
+                   + ([-t0_span, 1.5, 0.0] if fit_geometry else [])
                    + [jnp.log(1e-6)], jnp.float32)
     hi = jnp.array([5.0, depth_hi, 1.0, 0.05, 0.05,
                     jnp.log(20000.0)]
-                   + ([1800.0, 50.0, 0.6] if fit_geometry else [])
+                   + ([t0_span, 50.0, 0.6] if fit_geometry else [])
                    + [jnp.log(0.1)], jnp.float32)
 
     def log_prob(theta):

@@ -92,9 +92,12 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
     ``recovered_rp_sigma`` (chunk_mc, n_chan) are stored alongside the
     spectra. Required keys: ``exp_mid_s`` (n_exp,), ``orbit``
     (OrbitParams), ``ld`` (4,), ``rp0``, ``x_window`` (lo, hi).
-    Optional: ``n_chan`` (8), ``divide_white`` (True). Injected labels
-    alone hide reduction-systematic structure; the recovered depths
-    expose it per realisation.
+    Optional: ``n_chan`` (8), ``divide_white`` (True), ``subtract_bg``
+    (True — the ensemble spectra are full-frame column sums, so the
+    sky background must be removed before fitting or every depth is
+    diluted by F/(F+B)). Injected labels alone hide
+    reduction-systematic structure; the recovered depths expose it per
+    realisation.
     """
     os.makedirs(outdir, exist_ok=True)
     say = progress or (lambda s: None)
@@ -119,6 +122,7 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
             "x_window": [int(x) for x in recover["x_window"]],
             "rp0": float(recover["rp0"]),
             "divide_white": bool(recover.get("divide_white", True)),
+            "subtract_bg": bool(recover.get("subtract_bg", True)),
         }
     expected_keys = {"spectra_e"}
     if recover is not None:
@@ -195,7 +199,11 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
                 recover["ld"], recover["rp0"],
                 x_window=tuple(recover["x_window"]),
                 n_chan=int(recover.get("n_chan", 8)),
-                divide_white=bool(recover.get("divide_white", True)))
+                divide_white=bool(recover.get("divide_white", True)),
+                # ensemble spectra are full-frame column sums: remove
+                # the sky background or every depth is diluted (see
+                # reduction.spectra_to_depths)
+                subtract_bg=bool(recover.get("subtract_bg", True)))
         try:
             spectra.copy_to_host_async()
         except Exception:  # pragma: no cover - backend-dependent

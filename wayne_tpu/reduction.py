@@ -168,8 +168,13 @@ def repair_read_stack(reads_dn: jnp.ndarray,
     goodf = good.astype(diffs.dtype)
     own_sum = jnp.sum(diffs * goodf, axis=-3, keepdims=True)
     nb_sum = jnp.sum(est * goodf, axis=-3, keepdims=True)
-    scale_ok = jnp.abs(nb_sum) > 0.05 * jnp.abs(own_sum) + 1e-3
-    scale = own_sum / jnp.where(scale_ok, nb_sum, 1.0)
+    scale = own_sum / jnp.where(nb_sum == 0.0, 1.0, nb_sum)
+    # sign/magnitude guards match the sparse paths: in low-signal
+    # regions own/nb sums are noise-dominated with arbitrary sign — an
+    # unclamped ratio could invert (scale < 0) or blow up a repaired
+    # ramp segment.
+    scale_ok = (jnp.abs(nb_sum) > 0.05 * jnp.abs(own_sum) + 1e-3) \
+        & (scale > 0.0) & (scale < 8.0)
     est = jnp.where(scale_ok, est * scale, est)
 
     repaired = jnp.where(good, diffs, est)
@@ -292,14 +297,31 @@ def _cr_hit_deltas(reads_dn: jnp.ndarray, cr_pos: jnp.ndarray,
 
     # Compact away the per-interval padding before any heavy op: the
     # hit-list bound is lam + 6 sigma + 4 PER INTERVAL (auto_max_cr), so
-    # summing bounds over nsamp intervals over-provisions by ~2x; half
-    # the flat bound plus a 3*MAX_CR cushion still sits >=10 sigma above
-    # the total-count distribution. The row-gathers below scale with H —
-    # measured as the dominant repair cost at full padding.
+    # summing bounds over nsamp intervals over-provisions the padded
+    # total. The row-gathers below scale with H — measured as the
+    # dominant repair cost at full padding. The budget comes from the
+    # TOTAL-count distribution: inverting the per-interval bound
+    # recovers a conservative rate lam, and the total over nsamp
+    # intervals is Poisson(nsamp*lam), so mean + 10 sigma + nsamp is
+    # safe at ANY rate. (A flat H//2 + 3*n_cr budget sat ~0 sigma above
+    # the mean once lam ~ 200 — large subarrays x long read intervals —
+    # and silently dropped valid hits.)
     H = nsamp * n_cr
-    h_budget = min(H, H // 2 + 3 * n_cr) if nsamp > 2 else H
+    if nsamp > 2:
+        u = max((-6.0 + (20.0 + 4.0 * n_cr) ** 0.5) / 2.0, 0.0)
+        mean_total = nsamp * u * u
+        stat = int(mean_total + 10.0 * max(mean_total, 1.0) ** 0.5
+                   + nsamp) + 1
+        h_budget = min(H, max(H // 2 + 3 * n_cr, stat))
+    else:
+        h_budget = H
     if h_budget < H:
-        order = jnp.argsort(~valid)          # valid entries first, stable
+        # Keep the LARGEST corrupted diffs if the valid count ever
+        # exceeds the budget (possible only with a manually undersized
+        # max_cr_per_read): degradation is graceful, not arbitrary.
+        d_mag = jnp.abs(reads_dn[k_idx + 1, ys, xs]
+                        - reads_dn[k_idx, ys, xs])
+        order = jnp.argsort(jnp.where(valid, -d_mag, jnp.inf))
         sel = order[:h_budget]
         k_idx, ys, xs = k_idx[sel], ys[sel], xs[sel]
         valid, mult = valid[sel], mult[sel]
@@ -977,31 +999,36 @@ def fit_eclipse_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     with v(t) the planet's visible fraction (closed-form uniform-disk
     occultation) — so each channel is a 2x2 weighted least squares in
     (a0, a1) = (c, c fp), no iteration needed. ``channel_lc`` may be
-    normalised by ANY baseline (c absorbs it).
+    normalised by ANY baseline (c absorbs it). In-TRANSIT epochs are
+    weighted out (as in fit_phase_curve): a long visit covering both
+    events would otherwise feed the ~2.5% transit dip — unmodelled
+    structure ~15x the eclipse signal — straight into the normal
+    equations. Eclipse-only visits are unaffected (the mask is all-one).
 
     Returns (fp_hat (n_chan,), fp_sigma (n_chan,)) with sigma from the
     residual scatter and the normal-equation covariance.
     """
     z, in_front = projected_separation(exp_mid_s, orbit)
     vis = eclipse_visibility(z, in_front, rp_over_rs)
+    w = out_of_transit_mask(exp_mid_s, orbit).astype(channel_lc.dtype)
 
     # Explicit f32 reductions, NOT matmuls: on TPU an (n, 2) A.T @ A /
     # A.T @ y lowers to bf16 MXU dots by default, whose ~0.4% rounding
     # is a DETERMINISTIC fp artifact larger than the ~1e-3 eclipse
     # depths being fitted (measured: every channel returned the same
     # spurious 4.4e-3). Elementwise multiply + sum stays on the f32 VPU.
-    n = channel_lc.shape[0]
-    s1 = jnp.sum(vis)
-    s2 = jnp.sum(vis * vis)
-    y0 = jnp.sum(channel_lc, axis=0)                           # (n_chan,)
-    y1 = jnp.sum(vis[:, None] * channel_lc, axis=0)
+    n = jnp.sum(w)
+    s1 = jnp.sum(w * vis)
+    s2 = jnp.sum(w * vis * vis)
+    y0 = jnp.sum(w[:, None] * channel_lc, axis=0)              # (n_chan,)
+    y1 = jnp.sum((w * vis)[:, None] * channel_lc, axis=0)
     det = n * s2 - s1 * s1
     a0 = (s2 * y0 - s1 * y1) / det
     a1 = (n * y1 - s1 * y0) / det
     fp = a1 / a0
     model = a0[None, :] + a1[None, :] * vis[:, None]
-    resid = channel_lc - model
-    noise_var = jnp.sum(resid ** 2, axis=0) / jnp.maximum(n - 2, 1)
+    resid = (channel_lc - model) * w[:, None]
+    noise_var = jnp.sum(resid ** 2, axis=0) / jnp.maximum(n - 2.0, 1.0)
     # var(fp) via first-order propagation of (a0, a1); cov = inv(AtA)
     cov00 = s2 / det
     cov11 = n / det
@@ -1020,6 +1047,8 @@ class PhaseFit:
     fp: jnp.ndarray            # dayside eclipse depth Fp/Fs
     fp_sigma: jnp.ndarray      # its 1-sigma (delta method)
     amp: jnp.ndarray           # thermal phase amplitude A in [0, 1]
+    amp_sigma: jnp.ndarray     # its 1-sigma (delta method, unclipped —
+    #                            huge when A is a clamp artifact)
     offset_rad: jnp.ndarray    # hot-spot offset (+ = eastward)
     slope: jnp.ndarray         # fitted linear baseline (frac over the
     #                            visit half-span) — absorbs the
@@ -1121,18 +1150,29 @@ def fit_phase_curve(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
         noise_var = jnp.sum(resid ** 2, axis=0) / dof      # (m,)
         cov_u = jnp.linalg.inv(XtX + ridge * jnp.eye(5))   # unit-noise cov
 
-        def sigma_one(av, nv):
-            g = jax.grad(lambda v: unpack(v)[0])(av)       # d fp / d a
-            return jnp.sqrt(jnp.maximum(
-                nv * jnp.einsum("i,ij,j->", g, cov_u, g), 0.0))
+        def amp_raw(av):
+            fpv, rv, _ = unpack(av)
+            denom = jnp.where(jnp.abs(fpv) > 1e-9, fpv, 1e-9)
+            return 2.0 * rv / denom
 
-        fp_sigma = jax.vmap(sigma_one, in_axes=(1, 0))(a, noise_var)
+        def sigma_one(av, nv):
+            def dm(fn):                       # delta method, raw maps
+                g = jax.grad(fn)(av)
+                return jnp.sqrt(jnp.maximum(
+                    nv * jnp.einsum("i,ij,j->", g, cov_u, g), 0.0))
+
+            return dm(lambda v: unpack(v)[0]), dm(amp_raw)
+
+        fp_sigma, amp_sigma = jax.vmap(sigma_one, in_axes=(1, 0))(
+            a, noise_var)
         chi2 = jnp.sum(resid ** 2, axis=0)
     if squeeze:
         return PhaseFit(fp=fp[0], fp_sigma=fp_sigma[0], amp=amp[0],
-                        offset_rad=off[0], slope=slope[0], chi2=chi2[0])
+                        amp_sigma=amp_sigma[0], offset_rad=off[0],
+                        slope=slope[0], chi2=chi2[0])
     return PhaseFit(fp=fp, fp_sigma=fp_sigma, amp=amp,
-                    offset_rad=off, slope=slope, chi2=chi2)
+                    amp_sigma=amp_sigma, offset_rad=off, slope=slope,
+                    chi2=chi2)
 
 
 @partial(jax.jit, static_argnames=("n_quad", "n_newton"))
@@ -1432,28 +1472,38 @@ def ramp_detrend(channel_lc: jnp.ndarray, ramp: RampFit,
 
 
 @partial(jax.jit, static_argnames=("x_window", "n_chan", "divide_white",
-                                   "n_quad", "n_newton"))
+                                   "subtract_bg", "n_quad", "n_newton"))
 def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
                       orbit: OrbitParams, ld: jnp.ndarray,
                       rp_init: jnp.ndarray | float, *,
                       x_window: tuple[int, int], n_chan: int = 8,
-                      divide_white: bool = True, n_quad: int = 32,
+                      divide_white: bool = True,
+                      subtract_bg: bool = False, n_quad: int = 32,
                       n_newton: int = 12
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched extracted spectra -> fitted channel depths (dataset QA).
 
-    The ensemble/dataset path (parallel/ensemble.py) already produces
-    background-subtracted spectra on device; this bins them into
-    channels, normalises against the out-of-transit baseline,
-    optionally applies divide-white, and fits per-channel depths —
-    vmapped over realisations, one compiled program. Feed it
-    (mc, n_exp, S) for (mc, n_chan) depths + sigmas, or a single
-    (n_exp, S) visit for (n_chan,).
+    Bins extracted spectra into channels, normalises against the
+    out-of-transit baseline, optionally applies divide-white, and fits
+    per-channel depths — vmapped over realisations, one compiled
+    program. Feed it (mc, n_exp, S) for (mc, n_chan) depths + sigmas,
+    or a single (n_exp, S) visit for (n_chan,).
+
+    ``subtract_bg``: the ensemble path's spectra (parallel/ensemble.py)
+    are FULL-FRAME column sums with no sky subtraction — with sky on,
+    the unsubtracted background B dilutes every normalised dip by
+    F/(F+B) and biases depths low by ~rp*B/(2F). When enabled, each
+    exposure's per-column background is estimated as the MEDIAN of the
+    off-trace columns (outside ``x_window``; median for robustness to
+    0th/2nd-order contamination) and removed from the white/channel
+    fluxes. Leave it off for spectra that are already
+    background-subtracted (e.g. reduce_visit products).
 
     This is how dataset generation attaches RECOVERED labels
-    (generate_dataset(recover=...)): training on injected labels alone
-    hides reduction-systematic structure; the recovered depths expose
-    it per realisation.
+    (generate_dataset(recover=...), which enables subtract_bg by
+    default): training on injected labels alone hides
+    reduction-systematic structure; the recovered depths expose it per
+    realisation.
     """
     sp = jnp.asarray(spectra_e, jnp.float32)
     squeeze = sp.ndim == 2
@@ -1463,6 +1513,9 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
     oot = out_of_transit_mask(t, orbit).astype(jnp.float32)
     edges = jnp.linspace(x_window[0], x_window[1],
                          n_chan + 1).astype(jnp.int32)
+    S = sp.shape[-1]
+    widths = (edges[1:] - edges[:-1]).astype(jnp.float32)    # (n_chan,)
+    has_outside = x_window[0] > 0 or x_window[1] < S
     rp0 = jnp.asarray(rp_init, jnp.float32)
 
     def one(s):
@@ -1470,6 +1523,12 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
         cum = jnp.concatenate(
             [jnp.zeros((s.shape[0], 1)), jnp.cumsum(s, axis=1)], axis=1)
         chan = cum[:, edges[1:]] - cum[:, edges[:-1]]
+        if subtract_bg and has_outside:
+            s_out = jnp.concatenate(
+                [s[:, : x_window[0]], s[:, x_window[1]:]], axis=1)
+            bg_col = jnp.median(s_out, axis=1)               # (n_exp,)
+            white = white - (x_window[1] - x_window[0]) * bg_col
+            chan = chan - bg_col[:, None] * widths[None, :]
 
         def norm(f):
             base = jnp.sum(f * oot) / jnp.maximum(jnp.sum(oot), 1.0)

@@ -548,6 +548,7 @@ def main(argv: list[str] | None = None) -> int:
             "fp_over_fs": round(float(wfit.fp), 7),
             "fp_sigma": round(float(wfit.fp_sigma), 7),
             "phase_amplitude": round(float(wfit.amp), 4),
+            "phase_amplitude_sigma": round(float(wfit.amp_sigma), 4),
             "hot_spot_offset_deg": round(
                 float(np.rad2deg(np.asarray(wfit.offset_rad))), 2),
             "baseline_slope": round(float(wfit.slope), 6),
@@ -568,6 +569,7 @@ def main(argv: list[str] | None = None) -> int:
         rp_hat, rp_sig = pf.fp, pf.fp_sigma
         phase_extra = [
             {"phase_amplitude": round(float(pf.amp[i]), 4),
+             "phase_amplitude_sigma": round(float(pf.amp_sigma[i]), 4),
              "hot_spot_offset_deg": round(
                  float(np.rad2deg(np.asarray(pf.offset_rad))[i]), 2)}
             for i in range(int(pf.fp.shape[0]))]
