@@ -218,6 +218,12 @@ class TestRecoveredLabels:
                                  labels={"rp": rp_inj}, recover=recover)
             assert m["recovered"] is True
             data = load_dataset(d)
+            # the torch adapter exposes recovered labels per item
+            from wayne_tpu.parallel.torch_data import WayneSpectraDataset
+            _, lab = WayneSpectraDataset(d)[1]
+            np.testing.assert_allclose(lab["recovered_rp"],
+                                       data["recovered_rp"][1])
+            assert lab["recovered_rp_sigma"].shape == (3,)
         assert data["recovered_rp"].shape == (n_mc, 3)
         assert np.all(data["recovered_rp_sigma"] > 0)
         # each realisation's fitted depths track ITS injected radius

@@ -21,9 +21,12 @@ class WayneSpectraDataset:
     """Map-style dataset over a generate_dataset() output directory.
 
     Each item is ``(spectra, labels_dict)`` for one Monte-Carlo
-    realisation: spectra (n_exp, S) float32, labels scalar/array per key.
-    Implements ``__len__``/``__getitem__`` so it plugs directly into
-    ``torch.utils.data.DataLoader`` (torch is only required to collate).
+    realisation: spectra (n_exp, S) float32, labels scalar/array per
+    key. Datasets generated with ``recover=`` also carry
+    ``recovered_rp`` / ``recovered_rp_sigma`` (n_chan,) in the labels
+    dict. Implements ``__len__``/``__getitem__`` so it plugs directly
+    into ``torch.utils.data.DataLoader`` (torch is only required to
+    collate).
     """
 
     def __init__(self, outdir: str, cache_chunks: int = 4,
@@ -34,6 +37,7 @@ class WayneSpectraDataset:
         self.chunk_mc = int(self.manifest["chunk_mc"])
         self.n_mc = int(self.manifest["n_mc"])
         self.label_keys = list(self.manifest.get("labels", []))
+        self.recovered = bool(self.manifest.get("recovered", False))
         self._cache: OrderedDict[int, dict] = OrderedDict()
         self._cache_max = cache_chunks
         self._as_torch = as_torch
@@ -60,6 +64,9 @@ class WayneSpectraDataset:
         data = self._chunk(ci)
         spectra = data["spectra_e"][off].astype(np.float32)
         labels = {k: data[f"label_{k}"][off] for k in self.label_keys}
+        if self.recovered:
+            labels["recovered_rp"] = data["recovered_rp"][off]
+            labels["recovered_rp_sigma"] = data["recovered_rp_sigma"][off]
         if self._as_torch:
             import torch
             spectra = torch.from_numpy(np.ascontiguousarray(spectra))
