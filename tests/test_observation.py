@@ -173,8 +173,12 @@ class TestDirectImage:
             obs.generate(d, chunk=4, progress=lambda s: None)
             di = [f for f in os.listdir(d) if "direct" in f]
             assert len(di) == 1
-            hdr, reads, times = read_ima(os.path.join(d, di[0]))
+            hdr, reads, times, dq = read_ima(os.path.join(d, di[0]),
+                                             with_dq=True)
         assert hdr["FILTER"] == "F140W"
+        # same detector model as the spectra: DQ planes present (hot
+        # pixels / CR bits flaggable), one per read
+        assert dq is not None and dq.shape == reads.shape
         assert hdr["OBSTYPE"] == "IMAGING"
         assert hdr["NSAMP"] == obs.cfg.direct_image_nsamp + 1
         assert reads.shape[0] == obs.cfg.direct_image_nsamp + 1

@@ -78,6 +78,27 @@ class TestDecayWeights:
         w = np.asarray(decay_weights(t, exptime_s=50.0))
         assert w[2, 0] < w[2, 1]   # the older stimulus contributes less
 
+    def test_back_to_back_clamps_lower_bound_only(self):
+        """Gap < t_min: the window is [t_min, gap+texp], NOT shifted to
+        [t_min, t_min+texp] — only the lower bound is clamped, as the
+        docstring states (regression)."""
+        t = jnp.asarray([0.0, 50.0])
+        w = np.asarray(decay_weights(t, exptime_s=50.0, t_min_s=1.0))
+        want = 1000.0 * np.log(50.0 / 1.0) / 50.0
+        np.testing.assert_allclose(w[1, 0], want, rtol=1e-5)
+
+    def test_external_stimulus_times(self):
+        """stim_end_s yields (N, M) weights against arbitrary stimulus
+        shutter-close times (how the visit-opening direct image is
+        prepended to the stimulus stack)."""
+        t = jnp.asarray([100.0, 400.0])
+        w = np.asarray(decay_weights(t, exptime_s=50.0,
+                                     stim_end_s=jnp.asarray([0.0])))
+        assert w.shape == (2, 1)
+        np.testing.assert_allclose(
+            w[0, 0], 1000.0 * np.log(150.0 / 100.0) / 50.0, rtol=1e-5)
+        assert w[1, 0] < w[0, 0]
+
 
 def test_stimulus_sigmoid_gating():
     assert float(stimulus_sigmoid(jnp.float32(5e4), 5e4, 1e4)) == \
@@ -98,6 +119,36 @@ def test_first_exposure_zero_and_trace_localised():
     row_power = rates[3].sum(axis=1)
     assert abs(int(np.argmax(row_power)) - 20) <= 3
     assert row_power[45:].max() < 0.05 * row_power.max()
+
+
+def test_direct_image_glows_into_first_exposure():
+    """The visit-opening direct image is the classic WFC3 persistence
+    source (the undispersed PSF spot concentrates the star's whole
+    bandpass): with persistence.direct_image on (default) exposure 0
+    carries a nonzero afterglow localised at the spot; with it off,
+    exposure 0 is zero (spectrum stimuli are all strictly later)."""
+    from wayne_tpu.observation import Observation
+
+    pars = dict(grism="G141", subarray=64, NSAMP=2, SAMPSEQ="RAPID",
+                scan=False, x_ref=15.0, y_ref=20.0, num_orbits=1,
+                exposures_per_orbit=3, n_lambda=32, n_sub=2,
+                persistence={"enabled": True, "amplitude_e_s": 2.0,
+                             "x0_e": 500.0, "dx_e": 50.0})
+    obs = Observation(config_from_dict(pars))
+    obs._ensure_persistence()
+    rates = np.asarray(obs.scenes.persist_rate)
+    assert rates[0].max() > 0.0
+    y_pk, x_pk = np.unravel_index(int(np.argmax(rates[0])),
+                                  rates[0].shape)
+    assert abs(y_pk - 20) <= 2 and abs(x_pk - 15) <= 2, (y_pk, x_pk)
+    # every later exposure inherits at least as much total stimulus
+    assert rates[1].max() > 0.0
+
+    pars["persistence"]["direct_image"] = False
+    obs2 = Observation(config_from_dict(pars))
+    obs2._ensure_persistence()
+    np.testing.assert_array_equal(
+        np.asarray(obs2.scenes.persist_rate)[0], 0.0)
 
 
 def test_weak_stimulus_produces_negligible_persistence():
@@ -186,8 +237,11 @@ class TestConfig:
 
 def test_observation_generate_with_persistence(tmp_path):
     """End-to-end: the YAML flag flows through Observation.generate —
-    exposure 0 is untouched, later exposures carry the afterglow, and
-    the product records PERSIST."""
+    exposure 0 is untouched when the direct-image stimulus is off,
+    later exposures carry the afterglow, and the product records
+    PERSIST. (With direct_image on — the default — exposure 0 ALSO
+    glows from the visit-opening direct image; see
+    test_direct_image_glows_into_first_exposure.)"""
     from wayne_tpu.io.ima import read_ima
     from wayne_tpu.observation import Observation
 
@@ -196,7 +250,8 @@ def test_observation_generate_with_persistence(tmp_path):
             "exposures_per_orbit": 4, "n_lambda": 32, "n_sub": 2}
     cfg_off = config_from_dict(base)
     cfg_on = config_from_dict({**base, "persistence": {
-        "amplitude_e_s": 2.0, "x0_e": 500.0, "dx_e": 50.0}})
+        "amplitude_e_s": 2.0, "x0_e": 500.0, "dx_e": 50.0,
+        "direct_image": False}})
 
     p_off = Observation(cfg_off).generate(str(tmp_path / "off"), chunk=4,
                                           resume=False)

@@ -207,6 +207,12 @@ class PersistenceConfig:
     dx_e: float = 18000.0           # sigmoid width (e-)
     gamma: float = 1.0              # power-law decay index
     t_min_s: float = 1.0            # clamp on time-since-stimulus
+    direct_image: bool = True       # include the visit-opening direct
+    #                                 image as a stimulus (its saturated
+    #                                 PSF spot is the classic WFC3
+    #                                 persistence source)
+    di_gap_s: float = 60.0          # overhead between direct-image end
+    #                                 and the first grism exposure
 
 
 @dataclass

@@ -106,8 +106,7 @@ class Observation:
         x_all, y0_all = jax.vmap(ends)(self.scenes.x_ref, self.scenes.y_ref)
         x_all, y0_all = np.asarray(x_all), np.asarray(y0_all)   # (n, 2), (n,)
         speed = np.asarray(self.scenes.scan_speed)
-        y_end = y0_all + np.where(speed == 0.0, 1.0, np.sign(speed)) \
-            * np.abs(speed) * self.detector_exptime
+        y_end = y0_all + speed * self.detector_exptime
         y_lo = np.minimum(y0_all, y_end)
         y_hi = np.maximum(y0_all, y_end)
         S = cfg.subarray
@@ -247,8 +246,24 @@ class Observation:
             return
         from wayne_tpu.ops.persistence import visit_persistence_rates
 
-        rates = visit_persistence_rates(self.scenes, self.tables,
-                                        self.static, pcfg, chunk=chunk)
+        extra_fluence = extra_end = None
+        if pcfg.direct_image:
+            # The visit-opening direct image concentrates the star's
+            # whole filter bandpass into one PSF spot — the strongest
+            # persistence stimulus of the visit (saturates for bright
+            # targets). Its ideal fluence leads the stimulus stack,
+            # ending di_gap_s before the first grism exposure.
+            res_di, tab_di, _ = self.simulate_direct_image(ideal=True)
+            di_exptime = float(tab_di.read_times[-1])
+            bg_di = (self.scenes.sky_level[0] * tab_di.sky_frame
+                     + tab_di.dark_map) * di_exptime
+            extra_fluence = (res_di.ideal_e
+                             + bg_di * tab_di.active_mask)
+            extra_end = (float(np.asarray(self.scenes.exp_start_s)[0])
+                         - pcfg.di_gap_s)
+        rates = visit_persistence_rates(
+            self.scenes, self.tables, self.static, pcfg, chunk=chunk,
+            extra_fluence=extra_fluence, extra_end_s=extra_end)
         self.scenes = dataclasses.replace(self.scenes, persist_rate=rates)
 
     # ------------------------------------------------------------------
@@ -351,13 +366,13 @@ class Observation:
                     host = self._fetch_chunk(resp)   # blocks on transfer
                     futures.append(writer.submit(
                         self._write_chunk, (c0p, host), outdir, n,
-                        read_times, gain, rn, chunk, resume, say))
+                        read_times, gain, rn, resume, say))
             while pending:
                 c0p, resp = pending.pop(0)
                 host = self._fetch_chunk(resp)
                 futures.append(writer.submit(
                     self._write_chunk, (c0p, host), outdir, n, read_times,
-                    gain, rn, chunk, resume, say))
+                    gain, rn, resume, say))
         paths: list[str] = [p for f in futures for p in f.result()]
         wall = time.time() - t_start
         say(f"visit complete: {len(paths)} exposures in "
@@ -398,16 +413,16 @@ class Observation:
             cr_count=np.asarray(res.cr_count),
             saturated_frac=np.asarray(res.saturated_frac))
 
-    def _write_chunk(self, item, outdir, n, read_times, gain, rn, chunk,
-                     resume, say) -> list[str]:
-        from wayne_tpu.io.ima import cr_dq_planes, saturation_dq, static_dq_plane
-
-        c0, res = item
+    def _detector_planes(self):
+        """Calibration-known detector DQ (hot + reference pixels) and
+        the bias/gain planes the default ERR model propagates through
+        (per-pixel maps when the corresponding noise flag wrote that
+        structure into SCI; docs/API.md 'ERR model'). Cached — shared
+        by the spectra chunks and the direct image so every product of
+        the visit carries the same detector model."""
         if not hasattr(self, "_static_dq"):
-            # Calibration-known detector DQ (hot + reference pixels) and
-            # the bias/gain planes the default ERR model propagates
-            # through (per-pixel maps when the corresponding noise flag
-            # wrote that structure into SCI; docs/API.md 'ERR model').
+            from wayne_tpu.io.ima import static_dq_plane
+
             self._static_dq = static_dq_plane(
                 np.asarray(self.tables.dark_map),
                 np.asarray(self.tables.active_mask))
@@ -422,6 +437,32 @@ class Observation:
             self._bias_e_map = (
                 np.asarray(self.tables.bias_map, np.float32)
                 if self.cfg.noise.bias else None)
+        return (self._static_dq, self._bias_pedestal_e, self._gain_map,
+                self._bias_e_map)
+
+    def _exposure_dq(self, reads, gain, cr_pos, cr_count, tables):
+        """Per-read DQ planes for one exposure (CR + static + saturation),
+        the same recipe for spectra and the direct image."""
+        from wayne_tpu.io.ima import cr_dq_planes, saturation_dq
+
+        static_dq, _, _, _ = self._detector_planes()
+        nr, s = reads.shape[0], reads.shape[1]
+        cfg = self.cfg
+        dq = (cr_dq_planes(cr_pos, cr_count, nr, s)
+              if cfg.noise.cosmic_rays else None)
+        if static_dq is not None:
+            dq = (np.broadcast_to(static_dq, (nr, s, s)).copy()
+                  if dq is None else dq | static_dq[None])
+        if cfg.noise.non_linearity:   # saturation exists only then
+            from wayne_tpu.calibration import nonlin_fw_deficit
+            dq = saturation_dq(reads, gain, float(tables.full_well_e),
+                               nonlin_fw_deficit(tables), dq)
+        return dq
+
+    def _write_chunk(self, item, outdir, n, read_times, gain, rn,
+                     resume, say) -> list[str]:
+        c0, res = item
+        _, bias_ped, gain_map, bias_e_map = self._detector_planes()
         reads = np.asarray(res.reads_dn)   # (chunk, NR, S, S) device->host
         if getattr(self, "_debug", False):
             from wayne_tpu.utils.guards import check_exposure_result
@@ -429,7 +470,6 @@ class Observation:
             self._summary["exposures"].append(dict(chunk=c0, **stats))
         cr_pos = np.asarray(res.cr_pos)
         cr_count = np.asarray(res.cr_count)
-        nr, s = reads.shape[1], reads.shape[2]
         cfg = self.cfg
         paths = []
         for j in range(reads.shape[0]):
@@ -439,16 +479,8 @@ class Observation:
             path = self._exp_path(outdir, i)
             if resume and os.path.exists(path):
                 continue
-            dq = (cr_dq_planes(cr_pos[j], cr_count[j], nr, s)
-                  if cfg.noise.cosmic_rays else None)
-            if self._static_dq is not None:
-                dq = (np.broadcast_to(self._static_dq, (nr, s, s)).copy()
-                      if dq is None else dq | self._static_dq[None])
-            if cfg.noise.non_linearity:   # saturation exists only then
-                from wayne_tpu.calibration import nonlin_fw_deficit
-                dq = saturation_dq(
-                    reads[j], gain, float(self.tables.full_well_e),
-                    nonlin_fw_deficit(self.tables), dq)
+            dq = self._exposure_dq(reads[j], gain, cr_pos[j], cr_count[j],
+                                   self.tables)
             primary = default_primary_header(
                 targname=cfg.star.name, grism=cfg.grism, nsamp=cfg.nsamp,
                 samp_seq=cfg.samp_seq, subarray=cfg.subarray,
@@ -460,10 +492,10 @@ class Observation:
                        "PERSIST": bool(cfg.persistence.enabled)})
             write_ima(path, reads[j], read_times, primary, gain=gain,
                       read_noise_e=rn, dq=dq,
-                      bias_pedestal_e=self._bias_pedestal_e,
+                      bias_pedestal_e=bias_ped,
                       units=cfg.output_units,
-                      gain_map=self._gain_map,
-                      bias_e_map=self._bias_e_map)
+                      gain_map=gain_map,
+                      bias_e_map=bias_e_map)
             paths.append(path)
             say(f"exposure {i + 1}/{n} written")
         return paths
@@ -473,7 +505,7 @@ class Observation:
         return self.cfg.direct_image_filter or (
             "F105W" if self.cfg.grism.upper() == "G102" else "F140W")
 
-    def simulate_direct_image(self):
+    def simulate_direct_image(self, ideal: bool = False):
         """Run the direct image through the REAL detector chain.
 
         Real WFC3 grism visits open with an undispersed imaging-filter
@@ -484,12 +516,15 @@ class Observation:
         runs the SAME fused exposure kernel with the SAME noise chain as
         the spectra, producing a genuine multiaccum product.
 
+        ``ideal=True`` runs it noise-free with the ideal accumulation
+        materialised — the persistence stimulus driver.
+
         Returns (ExposureResult, imaging Tables, ExposureStatic).
         """
         import dataclasses as _dc
 
         from wayne_tpu.calibration import imaging_tables
-        from wayne_tpu.config import ExposureStatic
+        from wayne_tpu.config import ExposureStatic, NoiseFlags
         from wayne_tpu.ops.exposure import simulate_exposure
 
         cfg = self.cfg
@@ -499,7 +534,9 @@ class Observation:
         static = ExposureStatic(
             subarray=cfg.subarray, n_lambda=cfg.n_lambda, n_sub=2,
             nsamp=nsamp_di, samp_seq="RAPID", scan=False,
-            noise=cfg.noise, max_cr_per_read=self.static.max_cr_per_read,
+            noise=NoiseFlags.none() if ideal else cfg.noise,
+            compute_ideal=ideal,
+            max_cr_per_read=self.static.max_cr_per_read,
             transit_quad=16, x_psf=True)
         one = jax.tree_util.tree_map(lambda a: a[0], self.scenes)
         scene = _dc.replace(
@@ -531,12 +568,21 @@ class Observation:
             scan_rate_pix_s=0.0,
             extra={"OBSTYPE": "IMAGING", "XREF": x0, "YREF": y0,
                    "SIMSEED": self.cfg.seed})
-        write_ima(path,
-                  np.asarray(res.reads_dn),
+        # Same DQ recipe and per-pixel ERR inputs as every spectral
+        # product of the visit — pipelines reading the direct image for
+        # the wavelength zero-point see hot pixels flagged and a
+        # consistent error model.
+        reads = np.asarray(res.reads_dn)
+        gain = float(self.tables.gain)
+        _, bias_ped, gain_map, bias_e_map = self._detector_planes()
+        dq = self._exposure_dq(reads, gain, np.asarray(res.cr_pos),
+                               np.asarray(res.cr_count), tab)
+        write_ima(path, reads,
                   np.asarray(tab.read_times, np.float64), hdr,
-                  gain=float(self.tables.gain),
+                  gain=gain,
                   read_noise_e=float(self.tables.read_noise_e),
-                  bias_pedestal_e=(
-                      float(np.asarray(self.tables.bias_map).mean())
-                      if self.cfg.noise.bias else 0.0),
-                  units=self.cfg.output_units)
+                  dq=dq,
+                  bias_pedestal_e=bias_ped,
+                  units=self.cfg.output_units,
+                  gain_map=gain_map,
+                  bias_e_map=bias_e_map)

@@ -52,32 +52,42 @@ from wayne_tpu.scene import Scene
 
 
 def decay_weights(exp_start_s: jnp.ndarray, exptime_s: float,
-                  gamma: float = 1.0, t_min_s: float = 1.0) -> jnp.ndarray:
-    """Mean (t/1000)^(-gamma) decay over each later exposure: (N, N).
+                  gamma: float = 1.0, t_min_s: float = 1.0,
+                  stim_end_s: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Mean (t/1000)^(-gamma) decay over each later exposure: (N, M).
 
     W[i, j] = (1/texp) * integral_{T_i - E_j}^{T_i + texp - E_j}
-              (t / 1000)^(-gamma) dt   for j < i, else 0,
+              (t / 1000)^(-gamma) dt   for stimulus j before target i,
+              else 0,
 
-    with E_j = T_j + texp (exposure j's shutter close) and the lower
-    bound clamped to ``t_min_s`` (the power law is a fit to t >~ 100 s
-    behaviour; the clamp keeps back-to-back exposures finite without
-    changing the minutes-scale tail).
+    with ONLY the lower bound clamped to ``t_min_s`` (the power law is
+    a fit to t >~ 100 s behaviour; the clamp keeps back-to-back
+    exposures finite without changing the minutes-scale tail — the
+    upper bound stays at the true elapsed time so the window never
+    shifts).
+
+    ``stim_end_s`` (M,) gives arbitrary stimulus shutter-close times
+    (e.g. the visit-opening direct image prepended to the exposure
+    stack); by default the stimuli are the visit's own exposures,
+    E_j = T_j + texp, and W is the strictly-causal (N, N) lower
+    triangle (a target never persists from itself: its own shutter
+    close is AFTER its start).
     """
     t = jnp.asarray(exp_start_s, jnp.float32)
-    n = t.shape[0]
-    # elapsed since stimulus j's end at target i's start/end (N, N)
-    a = t[:, None] - (t[None, :] + exptime_s)
-    causal = a >= -1e-3                       # j strictly before i
-    a = jnp.maximum(a, t_min_s)
-    b = jnp.maximum(a + exptime_s, a + 1e-6)
+    ends = (t + exptime_s if stim_end_s is None
+            else jnp.asarray(stim_end_s, jnp.float32))
+    # elapsed since stimulus j's end at target i's start (N, M)
+    a_raw = t[:, None] - ends[None, :]
+    causal = a_raw >= -1e-3                   # j strictly before i
+    a = jnp.maximum(a_raw, t_min_s)
+    b = jnp.maximum(a_raw + exptime_s, a + 1e-6)
     if abs(gamma - 1.0) < 1e-6:
         integral = 1000.0 * (jnp.log(b) - jnp.log(a))
     else:
         g1 = 1.0 - gamma
         integral = (1000.0 ** gamma) * (b ** g1 - a ** g1) / g1
     w = integral / exptime_s
-    eye_lower = jnp.tril(jnp.ones((n, n), jnp.float32), k=-1)
-    return w * causal.astype(jnp.float32) * eye_lower
+    return w * causal.astype(jnp.float32)
 
 
 def stimulus_sigmoid(fluence_e: jnp.ndarray, x0_e: float,
@@ -91,43 +101,62 @@ def stimulus_sigmoid(fluence_e: jnp.ndarray, x0_e: float,
 def persistence_rates(fluence_stack: jnp.ndarray, exp_start_s: jnp.ndarray,
                       exptime_s: float, amplitude_e_s: float, x0_e: float,
                       dx_e: float, gamma: float = 1.0,
-                      t_min_s: float = 1.0) -> jnp.ndarray:
+                      t_min_s: float = 1.0,
+                      stim_end_s: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-exposure persistence rate maps (N, S, S), e-/s.
 
     One MXU tensordot over the stimulus stack; default (bf16-input)
     matmul precision is deliberate — persistence is an e-/s-level
     systematic, 0.4% rounding of it is far below every science gate.
+    ``fluence_stack`` is (M, S, S) with ``stim_end_s`` (M,) when the
+    stimuli are not the N target exposures themselves (e.g. the
+    direct image prepended).
     """
     sig = stimulus_sigmoid(fluence_stack, x0_e, dx_e)
-    w = decay_weights(exp_start_s, exptime_s, gamma, t_min_s)
+    w = decay_weights(exp_start_s, exptime_s, gamma, t_min_s, stim_end_s)
     return amplitude_e_s * jnp.tensordot(w, sig, axes=1)
 
 
 def visit_persistence_rates(scenes: Scene, tables: Tables,
                             cfg: ExposureStatic, pcfg: PersistenceConfig,
-                            chunk: int = 8) -> jnp.ndarray:
+                            chunk: int = 8,
+                            extra_fluence: jnp.ndarray | None = None,
+                            extra_end_s: float | None = None
+                            ) -> jnp.ndarray:
     """Compute the whole visit's persistence maps from its own Scenes.
 
     Runs the visit once noise-free (the ideal accumulation IS the
     stimulus driver), adds the deterministic sky+dark fluence, and folds
     the decay tensordot. Costs one extra physics-only pass of the visit
     (~2/3 of a full-noise pass) when persistence is enabled.
+
+    ``extra_fluence`` (S, S) with ``extra_end_s`` prepends one extra
+    stimulus — the visit-opening DIRECT IMAGE, whose undispersed PSF
+    spot concentrates the star's whole filter bandpass into a few
+    pixels and is the classic WFC3 persistence source (far stronger
+    than spectrum-on-spectrum afterglow; Observation wires it in).
     """
     import dataclasses
 
     from wayne_tpu.ops.visit import pad_scenes, simulate_visit
 
-    n = jax.tree_util.tree_leaves(scenes)[0].shape[0]
     ideal_cfg = dataclasses.replace(
         cfg, noise=NoiseFlags.none(), compute_ideal=True, use_pallas=False)
-    padded, _ = pad_scenes(scenes, chunk)
+    padded, n = pad_scenes(scenes, chunk)
     ideal = simulate_visit(padded, tables, ideal_cfg, chunk).ideal_e[:n]
     exptime = float(tables.read_times[-1])
     bg = (scenes.sky_level[:, None, None] * tables.sky_frame[None]
           + tables.dark_map[None]) * exptime
     fluence = ideal + bg * tables.active_mask[None]
+    stim_end = None
+    if extra_fluence is not None:
+        fluence = jnp.concatenate([extra_fluence[None], fluence], axis=0)
+        stim_end = jnp.concatenate(
+            [jnp.asarray([extra_end_s], jnp.float32),
+             jnp.asarray(scenes.exp_start_s, jnp.float32) + exptime])
     x0 = pcfg.x0_e if pcfg.x0_e > 0 else 0.95 * float(tables.full_well_e)
     return persistence_rates(
         fluence, scenes.exp_start_s, exptime,
         amplitude_e_s=pcfg.amplitude_e_s, x0_e=float(x0),
-        dx_e=pcfg.dx_e, gamma=pcfg.gamma, t_min_s=pcfg.t_min_s)
+        dx_e=pcfg.dx_e, gamma=pcfg.gamma, t_min_s=pcfg.t_min_s,
+        stim_end_s=stim_end)

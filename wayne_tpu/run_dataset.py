@@ -141,6 +141,14 @@ def main(argv: list[str] | None = None) -> int:
         print(f"recovered labels: {args.recover} channels over columns "
               f"[{x_lo}, {x_hi})")
 
+    # persistence: enabled in YAML must reach the MC realisations too —
+    # the frame-product path attaches the per-exposure afterglow maps in
+    # generate(); datasets share the one stimulus solution across
+    # realisations (the noise-free ideal drives it, and per-realisation
+    # physics sweeps perturb the stimulus by far less than the
+    # systematic itself).
+    obs._ensure_persistence()
+
     manifest = generate_dataset(
         obs.scenes, obs.tables, obs.static, args.outdir,
         n_mc=args.n_mc, chunk_mc=args.chunk_mc, seed=args.seed,

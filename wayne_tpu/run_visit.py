@@ -116,14 +116,30 @@ def main(argv: list[str] | None = None) -> int:
 
         mesh = make_mesh(jax.devices())
         print(f"sharding exposures over {mesh.devices.size} devices")
-    paths = obs.generate(cfg.outdir if not args.outdir else args.outdir,
-                         chunk=args.chunk, progress=print,
+    paths = obs.generate(cfg.outdir, chunk=args.chunk, progress=print,
                          resume=not args.no_resume, debug=args.debug,
                          mesh=mesh)
     print(f"wrote {len(paths)} exposures to {cfg.outdir}")
     if args.quicklook:
+        # Quicklook from the files just written — re-simulating the
+        # visit on device would double the wall-clock (and recompile on
+        # this backend) for frames already on disk.
+        from types import SimpleNamespace
+
+        import numpy as np
+
         from wayne_tpu.diagnostics import visit_quicklooks
-        res = obs.simulate(chunk=args.chunk)
+        from wayne_tpu.io.ima import read_ima
+
+        stacks = []
+        for i in range(obs.plan.n_exposures):
+            hdr, reads, times = read_ima(obs._exp_path(cfg.outdir, i))
+            if str(hdr.get("BUNIT", "COUNTS")).upper().startswith(
+                    "ELECTRONS"):   # rate product -> accumulated DN
+                reads = (reads * np.asarray(times)[:, None, None]
+                         / float(obs.tables.gain))
+            stacks.append(reads)
+        res = SimpleNamespace(reads_dn=np.stack(stacks))
         pngs = visit_quicklooks(obs, res, cfg.outdir)
         print(f"quicklooks: {', '.join(pngs)}")
     return 0
