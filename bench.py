@@ -95,9 +95,15 @@ def main() -> None:
     if N_EXPOSURES / best < 300.0:
         # The remote compile service occasionally emits a badly optimised
         # binary (observed ~20x slow, consistent across trials in one
-        # process). Recompiling usually fixes it — retry once.
+        # process). Recompiling usually fixes it — retry once. The
+        # persistent disk cache must be disabled AND its entries dropped
+        # first: jax.clear_caches() only clears in-memory caches, and a
+        # re-trace produces the identical cache key, so the disk cache
+        # would hand the same degraded executable straight back.
         log("[bench] degraded binary suspected; clearing caches + "
             "recompiling once")
+        jax.config.update("jax_compilation_cache_dir", None)
+        shutil.rmtree(cache, ignore_errors=True)
         jax.clear_caches()
         t0 = time.time()
         out = simulate_visit(scenes, obs.tables, cfg, CHUNK)

@@ -54,19 +54,45 @@ def main() -> None:
             jax.random.PRNGKey(0), i))(jnp.arange(n))
         return dataclasses.replace(sc, key=keys)
 
-    def time_visit(name, cfg, base, n=304, chunk=16, tab=None):
+    cache_dir = os.path.join(REPO, ".jax_cache")
+
+    def clear_compile_caches():
+        # Degraded-binary retry (CLAUDE.md: the remote compile service
+        # occasionally emits a ~20x-slow executable, consistent across
+        # trials in-process). jax.clear_caches() alone is not enough:
+        # the persistent disk cache would hand the same binary straight
+        # back (identical cache key) — disable it and drop the entries.
+        import shutil
+
+        jax.config.update("jax_compilation_cache_dir", None)
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        jax.clear_caches()
+
+    def time_visit(name, cfg, base, n=304, chunk=16, tab=None,
+                   floor_exp_s=250.0):
         tab = tables if tab is None else tab
         scenes = visit_scenes(base, n)
-        t0 = time.time()
-        out = simulate_visit(scenes, tab, cfg, chunk)
-        out.reads_dn.block_until_ready()
-        compile_s = time.time() - t0
-        best = float("inf")
-        for _ in range(3):
+
+        def compile_and_measure():
             t0 = time.time()
             out = simulate_visit(scenes, tab, cfg, chunk)
             out.reads_dn.block_until_ready()
-            best = min(best, time.time() - t0)
+            compile_s = time.time() - t0
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                out = simulate_visit(scenes, tab, cfg, chunk)
+                out.reads_dn.block_until_ready()
+                best = min(best, time.time() - t0)
+            return best, compile_s
+
+        best, compile_s = compile_and_measure()
+        if on_tpu and n / best < floor_exp_s:
+            log(f"{name}: {n / best:.0f} exp/s is under the {floor_exp_s} "
+                f"floor — degraded binary suspected, recompiling once")
+            clear_compile_caches()
+            best2, _ = compile_and_measure()
+            best = min(best, best2)
         results[name] = {"n_exposures": n, "wallclock_s": round(best, 4),
                          "exposures_per_sec": round(n / best, 1),
                          "compile_s": round(compile_s, 1)}
@@ -134,7 +160,7 @@ def main() -> None:
         base_scan, x_ref=jnp.float32(450.0), y_ref=jnp.float32(500.0))
     cfg_ff = dataclasses.replace(cfg4, subarray=1024, max_cr_per_read=448)
     time_visit("4b_full_frame_1024_visit", cfg_ff, base_ff, n=64, chunk=8,
-               tab=tables_ff)
+               tab=tables_ff, floor_exp_s=30.0)   # known-good ~210 exp/s
 
     # 5: Monte-Carlo ensemble, G102 + G141, on-device extraction
     mesh = make_mesh(jax.devices()[:1])
@@ -145,15 +171,24 @@ def main() -> None:
                               samp_seq="SPARS10", nsamp=15)
         visit = visit_scenes(base_scan, n_exp)
         ens = shard_scenes(mc_scenes(visit, n_mc), mesh)
-        cfg5 = dataclasses.replace(cfg4, use_pallas=pallas)
-        t0 = time.time()
-        sp = simulate_ensemble_spectra(ens, gt, cfg5, mesh)
-        sp.block_until_ready()
-        compile5 = time.time() - t0
-        t0 = time.time()
-        sp = simulate_ensemble_spectra(ens, gt, cfg5, mesh)
-        sp.block_until_ready()
-        dt = time.time() - t0
+
+        def run_ens():   # config 5 IS config 4 + on-device extraction
+            t0 = time.time()
+            sp = simulate_ensemble_spectra(ens, gt, cfg4, mesh)
+            sp.block_until_ready()
+            compile_s = time.time() - t0
+            t0 = time.time()
+            sp = simulate_ensemble_spectra(ens, gt, cfg4, mesh)
+            sp.block_until_ready()
+            return time.time() - t0, compile_s
+
+        dt, compile5 = run_ens()
+        if on_tpu and n_mc / dt < 2.0:   # known-good ~18 visits/s/chip
+            log(f"config5 {grism}: {n_mc / dt:.1f} visits/s under floor "
+                "— degraded binary suspected, recompiling once")
+            clear_compile_caches()
+            dt2, _ = run_ens()
+            dt = min(dt, dt2)
         ens_total[grism] = {
             "n_mc": n_mc, "n_exp": n_exp, "wallclock_s": round(dt, 3),
             "visits_per_sec_per_chip": round(n_mc / dt, 2),

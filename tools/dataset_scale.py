@@ -18,7 +18,6 @@ artifact is the measurement, not the 1 GB of spectra).
 Usage: python tools/dataset_scale.py [n_per_grism] (run on the TPU)
 """
 
-import dataclasses
 import json
 import os
 import shutil
@@ -55,20 +54,20 @@ def main() -> None:
     S, NL, N_EXP, CHUNK_MC = 512, 512, 76, 20
     if n_per_grism % CHUNK_MC:
         n_per_grism -= n_per_grism % CHUNK_MC
+        log(f"n_per_grism truncated to the chunk multiple {n_per_grism}")
+    # Phase 2 must generate NEW chunks beyond phase 1's, or the measured
+    # rate divides by zero visits.
+    n_per_grism = max(n_per_grism, 11 * CHUNK_MC)
     cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=8, nsamp=15,
                          samp_seq="SPARS10", scan=True, band_px=32,
                          max_cr_per_read=160, use_pallas=on_tpu)
     mesh = make_mesh(jax.devices()[:1])
     base = example_scene(NL, scan_speed=1.0)
 
-    def visit(n):
-        sc = jax.tree_util.tree_map(
-            lambda a: jnp.broadcast_to(a[None], (n,) + a.shape), base)
-        keys = jax.vmap(lambda i: jax.random.fold_in(
-            jax.random.PRNGKey(11), i))(jnp.arange(n))
-        return dataclasses.replace(sc, key=keys)
-
-    scenes = visit(N_EXP)
+    # (no per-exposure keys here: generate_dataset's mc_scenes replaces
+    # the key leaf with seed+global-index derivations anyway)
+    scenes = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (N_EXP,) + a.shape), base)
     rng = np.random.RandomState(42)
 
     record: dict = {"backend": jax.default_backend(),

@@ -99,9 +99,7 @@ def main() -> None:
     y_window = (40, 100)    # scan band + margins
     bg_rows = (180, 250)
 
-    def make_run(local_cfg, divide_white: bool = False,
-                 detrend: str | None = None):
-        detrend = detrend or ("divide-white" if divide_white else "none")
+    def make_run(local_cfg, detrend: str = "none"):
         # One jitted program reused across all realisations (a fresh
         # jax.jit per call would re-trace the whole visit every time).
         @jax.jit
@@ -127,6 +125,22 @@ def main() -> None:
                                bg_rows=bg_rows, n_chan=N_CHAN,
                                good_diffs=good)
             chan = red.channel_lc
+            if detrend == "both":
+                # one simulate+reduce pass feeds BOTH detrenders (the
+                # frames are identical by construction; simulating them
+                # twice doubled the ensemble wall-clock and the flaky-
+                # compile count)
+                chan_dw = common_mode_correct(red.white_lc, chan, mid,
+                                              base.orbit, base.ld,
+                                              jnp.float32(0.155))
+                rp_dw, _ = fit_depths(chan_dw, mid, base.orbit,
+                                      base.ld, jnp.float32(0.155))
+                wfit = fit_white_ramp(red.white_lc, mid, base.orbit,
+                                      base.ld, jnp.float32(0.155))
+                chan_rd = ramp_detrend(chan, wfit, mid, base.orbit)
+                rp_rd, _ = fit_depths(chan_rd, mid, base.orbit,
+                                      base.ld, jnp.float32(0.155))
+                return rp_dw, rp_rd, red.channel_cols, wfit.rp
             white_rp = jnp.float32(jnp.nan)
             if detrend == "divide-white":
                 chan = common_mode_correct(red.white_lc, chan, mid,
@@ -189,19 +203,31 @@ def main() -> None:
     flags_sys = dataclasses.replace(
         flags, ssv=True, visit_trend=True)
     n_sys = max(args.n_mc // 2, 8)
+    # ONE simulate+reduce pass per realisation feeds both reductions
+    # (divide-white AND the Iraclis-style parametric ramp fit): the
+    # frames are identical by construction, so simulating them per
+    # detrender doubled the ensemble wall-clock and compile count.
     run_sys = make_run(dataclasses.replace(cfg, noise=flags_sys),
-                       divide_white=True)
+                       detrend="both")
     # Per-realisation noise-free counterpart: realisation m's random-walk
     # SSV draw is keyed by m alone (scene.key), so running the SAME m
     # with the stochastic noise off isolates the noise-induced deviation
     # per realisation — a draw-to-draw divide-white residual does not
-    # masquerade as noise bias.
+    # masquerade as noise bias. Same frames => the ramp comparison is
+    # paired too.
     run_clean = make_run(dataclasses.replace(cfg, noise=dataclasses.replace(
-        NoiseFlags.none(), ssv=True, visit_trend=True)), divide_white=True)
+        NoiseFlags.none(), ssv=True, visit_trend=True)), detrend="both")
     t0 = time.time()
-    rp_sys = np.stack([np.asarray(run_sys(m)[0]) for m in range(n_sys)])
-    rp_clean = np.stack([np.asarray(run_clean(m)[0]) for m in range(n_sys)])
+    sys_out = [run_sys(m) for m in range(n_sys)]
+    clean_out = [run_clean(m) for m in range(n_sys)]
     wall_sys = time.time() - t0
+    rp_sys = np.stack([np.asarray(o[0]) for o in sys_out])
+    rp_ramp = np.stack([np.asarray(o[1]) for o in sys_out])
+    white_ramp = np.array([float(o[3]) for o in sys_out])
+    rp_clean = np.stack([np.asarray(o[0]) for o in clean_out])
+    rp_ramp_clean = np.stack([np.asarray(o[1]) for o in clean_out])
+    white_ramp_clean = np.array([float(o[3]) for o in clean_out])
+    wall_ramp = wall_sys      # shared pass: one simulation, two reductions
     dev = rp_sys - rp_clean                  # noise effect, walk held fixed
     mean_sys = rp_sys.mean(axis=0)
     bias_sys = dev.mean(axis=0)
@@ -210,27 +236,6 @@ def main() -> None:
                                < np.maximum(3.0 * sem_sys, 1e-4)))
     resid_sys = rp_clean.mean(axis=0) - rp_true
     ok_divide_white = bool(np.all(np.abs(resid_sys) < 3e-3))
-
-    # --- same systematics ensemble, parametric ramp-fit reduction ------
-    # The Iraclis-style alternative to divide-white: jointly fit the
-    # white curve as transit x slope x orbit-ramp (fit_white_ramp) and
-    # divide the fitted PARAMETRIC template out of the channels. Also
-    # recovers the absolute white-light depth, which divide-white
-    # cannot. Same frames (same keys), so the comparison is paired.
-    run_ramp = make_run(dataclasses.replace(cfg, noise=flags_sys),
-                        detrend="ramp")
-    run_ramp_clean = make_run(
-        dataclasses.replace(cfg, noise=dataclasses.replace(
-            NoiseFlags.none(), ssv=True, visit_trend=True)),
-        detrend="ramp")
-    t0 = time.time()
-    ramp_out = [run_ramp(m) for m in range(n_sys)]
-    rp_ramp = np.stack([np.asarray(o[0]) for o in ramp_out])
-    white_ramp = np.array([float(o[3]) for o in ramp_out])
-    ramp_clean_out = [run_ramp_clean(m) for m in range(n_sys)]
-    rp_ramp_clean = np.stack([np.asarray(o[0]) for o in ramp_clean_out])
-    white_ramp_clean = np.array([float(o[3]) for o in ramp_clean_out])
-    wall_ramp = time.time() - t0
     dev_ramp = rp_ramp - rp_ramp_clean
     bias_ramp = dev_ramp.mean(axis=0)
     sem_ramp = dev_ramp.std(axis=0, ddof=1) / np.sqrt(n_sys)
@@ -398,6 +403,7 @@ def main() -> None:
         },
         "with_systematics_ramp_fit": {
             "n_mc": n_sys, "wallclock_s": round(wall_ramp, 1),
+            "shared_simulation_pass": True,   # same frames/wall as above
             "flags": "poisson+read+sky+dark+cosmic_rays"
                      "+ssv(sin+rw)+visit_trend",
             "reduction": "DQ-aware CR repair + joint white ramp fit "
