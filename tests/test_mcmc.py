@@ -140,6 +140,39 @@ def test_white_posterior_with_geometry():
     assert 0.1 < float(post.acceptance) < 0.95
 
 
+def test_white_posterior_t0_window_covers_stale_ephemeris():
+    """A catalog t0 stale by MORE than the default 600 s seeding window
+    is recoverable by widening t0_window_s: the LM t0 grid AND the flat
+    prior both track it, so walkers start in the right chi2 basin
+    instead of confidently sampling a wrong mode (regression: the prior
+    spanned +-1800 s while the seed grid was hardcoded to +-600)."""
+    import dataclasses as dc
+
+    from wayne_tpu.mcmc import sample_white_posterior
+
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
+                                visit_slope_per_s=0.01 / 86400.0)
+    t, t_orb, first = _orbit_times(n_orbits=5, per_orbit=30)
+    cat = dc.replace(base.orbit, t0_s=jnp.float32(9700.0))
+    true_orbit = dc.replace(cat, t0_s=cat.t0_s + 1100.0)
+    rng = np.random.default_rng(23)
+    lc = (_white_model(t, t_orb, first, trends, true_orbit, base.ld,
+                       0.1595)
+          + 3e-4 * rng.standard_normal(t.size).astype(np.float32))
+    post = sample_white_posterior(
+        jnp.asarray(lc), jnp.asarray(t), cat, base.ld, 0.15,
+        jax.random.PRNGKey(21), n_steps=1500, n_burn=500,
+        fit_geometry=True, t0_window_s=1500.0)
+    dt0 = np.asarray(post.samples)[:, 6]
+    dt0_med, dt0_sig = np.median(dt0), dt0.std()
+    assert abs(dt0_med - 1100.0) < 4.0 * max(dt0_sig, 10.0), (
+        dt0_med, dt0_sig)
+    med = float(post.rp_median)
+    width = 0.5 * (float(post.rp_minus) + float(post.rp_plus))
+    assert abs(med - 0.1595) < 4.0 * max(width, 1e-4), (med, width)
+
+
 def test_white_posterior_eclipse_mode():
     """Eclipse-mode posterior: Fp/Fs sampled jointly with the ramp."""
     import dataclasses as dc
