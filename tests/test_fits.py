@@ -163,8 +163,56 @@ def test_ima_e_per_s_units():
         sci = {h["SAMPNUM"]: a for h, a in hdus[1:] if h.get("EXTNAME") == "SCI"}
         np.testing.assert_allclose(sci[2], reads[2] * 2.5 / times[2], rtol=1e-5)
         np.testing.assert_allclose(sci[0], 0.0)   # zeroth read has no rate
+        # real ima files declare units per SCI EXTENSION too — a reader
+        # keying off the extension header must not see raw-DN COUNTS
+        # on rate planes (regression)
+        for h, _ in hdus[1:]:
+            if h.get("EXTNAME") == "SCI":
+                assert h["BUNIT"] == "ELECTRONS/S", h
     with pytest.raises(ValueError):
         write_ima("/tmp/x.fits", reads, times, _primary(4), units="adu")
+
+
+def test_fits_standard_details():
+    """Standard-compliance details strict validators check: data blocks
+    are ZERO-padded (headers space-padded), the primary header carries
+    EXTEND=T when extensions follow, long/unicode string values cannot
+    corrupt a card, and TIME-OBS never reads ':60.000' (regressions)."""
+    from wayne_tpu.io.fits import card
+    from wayne_tpu.io.ima import default_primary_header
+
+    reads, times = _make_reads()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "pad.fits")
+        write_ima(path, reads, times, _primary(4), use_native=False)
+        raw = open(path, "rb").read()
+        assert len(raw) % 2880 == 0
+        hdus = read_fits(path)
+        assert hdus[0][0].get("EXTEND") is True
+        # locate the first SCI data block and check its padding bytes
+        n = reads[0].size * 4
+        hdr_end = raw.index(b"XTENSION")          # first extension header
+        # walk blocks: find the block holding data by parsing via reader
+        # instead — simpler: every byte of padding after the LAST data
+        # block must be zero (file ends with a padded TIME plane)
+        tail = raw[-((-n) % 2880):] if n % 2880 else b""
+        assert all(b == 0 for b in tail), "data padding must be zeros"
+        assert hdr_end > 0
+
+    # long string value: the card stays 80 bytes with a closing quote
+    c = card("TARGNAME", "A" * 120)
+    assert len(c) == 80 and c.rstrip().endswith(b"'")
+    # unicode values are sanitised, not a UnicodeEncodeError mid-write
+    c2 = card("TARGNAME", "β Pic b")
+    assert len(c2) == 80
+    # a start time whose seconds round to 60.000 carries into the minute
+    mjd = 56000.0 + (3 * 3600 + 59 * 60 + 59.99997) / 86400.0
+    hdr = default_primary_header(
+        targname="t", grism="G141", nsamp=3, samp_seq="RAPID",
+        subarray=64, expstart_mjd=mjd, exptime_s=10.0, scan=False,
+        scan_rate_pix_s=0.0)
+    hh, mm, ss = hdr["TIME-OBS"].split(":")
+    assert float(ss) < 60.0, hdr["TIME-OBS"]
 
 
 def test_saturation_dq_flagging():

@@ -37,7 +37,10 @@ def _fmt_value(value: Any) -> str:
         if "." not in s and "E" not in s and "N" not in s:
             s += "."
         return s
-    s = str(value).replace("'", "''")
+    # header cards are ASCII by definition; replace anything else rather
+    # than raising mid-visit-write on e.g. a unicode target name
+    s = str(value).encode("ascii", "replace").decode("ascii")
+    s = s.replace("'", "''")
     return f"'{s:<8s}'"
 
 
@@ -49,6 +52,14 @@ def card(key: str, value: Any = None, comment: str = "") -> bytes:
     if key in ("COMMENT", "HISTORY", ""):
         return f"{key:<8s}{str(value or comment):<72s}"[:80].encode("ascii")
     v = _fmt_value(value)
+    if v.startswith("'") and len(v) > 70:
+        # Truncate the VALUE, never the syntax: a blind [:80] on the
+        # body would cut the closing quote and corrupt the card (the
+        # reader would swallow the rest of the card as the value).
+        inner = v[1:-1][:67]
+        if inner.count("'") % 2:          # never split an escaped ''
+            inner = inner[:-1]
+        v = f"'{inner}'"
     if v.startswith("'"):
         body = f"{key:<8s}= {v}"
     else:
@@ -98,14 +109,19 @@ class FitsHDU:
             if self.name:
                 cards.append(card("EXTNAME", self.name))
                 cards.append(card("EXTVER", self.ver))
-        elif self.name:
-            cards.append(card("EXTNAME", self.name))
+        else:
+            cards.append(card("EXTEND", True, "file contains extensions"))
+            if self.name:
+                cards.append(card("EXTNAME", self.name))
         for key, value in self.header.items():
             cards.append(card(key, value, self.comments.get(key, "")))
         cards.append(card("END"))
         out = _pad(b"".join(cards))
         if data is not None:
-            out += _pad(data.tobytes())
+            # the FITS standard zero-fills DATA blocks (headers are
+            # space-filled) — space padding here would diverge from the
+            # native writer and trip strict validators
+            out += _pad(data.tobytes(), fill=b"\0")
         return out
 
 
@@ -131,6 +147,8 @@ def header_only_bytes(*, primary: bool, name: str = "", ver: int = 1,
         if name:
             cards.append(card("EXTNAME", name))
             cards.append(card("EXTVER", ver))
+    else:
+        cards.append(card("EXTEND", True, "file contains extensions"))
     for key, value in (header or {}).items():
         cards.append(card(key, value))
     cards.append(card("END"))
@@ -144,10 +162,13 @@ def write_fits(path: str, hdus: list[FitsHDU]) -> None:
             fh.write(hdu.to_bytes(primary=(i == 0)))
 
 
-def _parse_header(raw: bytes) -> tuple[dict[str, Any], int]:
-    """Parse header cards from raw bytes; returns (header, bytes consumed)."""
+def _parse_header(raw: bytes, start: int = 0) -> tuple[dict[str, Any], int]:
+    """Parse header cards from ``raw`` at ``start``; returns
+    (header, bytes consumed). Takes the whole buffer plus an offset so
+    callers never slice-copy the remaining file per HDU (a 64 MB ima
+    has ~80 HDUs — tail copies made reads O(N^2))."""
     header: dict[str, Any] = {}
-    pos = 0
+    pos = start
     while True:
         block = raw[pos: pos + BLOCK]
         if len(block) < BLOCK:
@@ -195,7 +216,7 @@ def _parse_header(raw: bytes) -> tuple[dict[str, Any], int]:
                             header[key] = v
         if done:
             break
-    return header, pos
+    return header, pos - start
 
 
 def read_fits(path: str) -> list[tuple[dict[str, Any], np.ndarray | None]]:
@@ -205,7 +226,7 @@ def read_fits(path: str) -> list[tuple[dict[str, Any], np.ndarray | None]]:
     out: list[tuple[dict[str, Any], np.ndarray | None]] = []
     pos = 0
     while pos < len(raw):
-        header, used = _parse_header(raw[pos:])
+        header, used = _parse_header(raw, pos)
         pos += used
         naxis = int(header.get("NAXIS", 0))
         data = None
@@ -214,7 +235,8 @@ def read_fits(path: str) -> list[tuple[dict[str, Any], np.ndarray | None]]:
             dtype = np.dtype(_DTYPES[int(header["BITPIX"])])
             count = int(np.prod(shape))
             nbytes = count * dtype.itemsize
-            data = np.frombuffer(raw[pos: pos + nbytes], dtype=dtype).reshape(shape)
+            data = np.frombuffer(raw, dtype=dtype, count=count,
+                                 offset=pos).reshape(shape)
             data = data.astype(data.dtype.newbyteorder("="))
             pos += nbytes + ((-nbytes) % BLOCK)
         out.append((header, data))

@@ -47,7 +47,10 @@ def default_primary_header(
     l = j // 11
     month = j + 2 - 12 * l
     year = 100 * (n - 49) + i + l
-    sec = frac * 86400.0
+    # round to the displayed ms BEFORE splitting, so 59.9999 s carries
+    # into the minute instead of formatting as an invalid ':60.000';
+    # clamp the midnight edge rather than recomputing the date
+    sec = min(round(frac * 86400.0, 3), 86399.999)
     hh, mm, ss = int(sec // 3600), int(sec % 3600 // 60), sec % 60
     hdr: dict[str, Any] = {
         "TELESCOP": "HST", "INSTRUME": "WFC3", "DETECTOR": "IR",
@@ -140,6 +143,7 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
         sig_e = np.maximum(sci * g - be, 0.0)
         return (np.sqrt(sig_e + read_noise_e**2) / g).astype(np.float32)
 
+    sci_bunit = "COUNTS"
     if units == "e_per_s":
         if err is None:   # propagate in DN, then convert with the rate
             err = default_err(reads_dn)
@@ -149,6 +153,10 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
         reads_dn = reads_dn * scale
         err = np.asarray(err, np.float32) * scale
         primary = dict(primary, BUNIT="ELECTRONS/S", UNITCORR="COMPLETE")
+        # real ima files declare units on EVERY SCI extension — a
+        # consumer reading the per-extension BUNIT must not mistake
+        # rate planes for raw DN
+        sci_bunit = "ELECTRONS/S"
         use_native = False   # rate planes take the python path
     elif units != "counts":
         raise ValueError(f"unknown units {units!r}")
@@ -175,7 +183,7 @@ def write_ima(path: str, reads_dn: np.ndarray, read_times: np.ndarray,
         t = np.full_like(sci, np.float32(read_times[k]), dtype=np.float32)
         meta = {"SAMPNUM": k, "SAMPTIME": float(read_times[k]),
                 "DELTATIM": float(read_times[k] - read_times[k - 1]) if k else 0.0}
-        hdus.append(FitsHDU("SCI", ver, sci, dict(meta, BUNIT="COUNTS")))
+        hdus.append(FitsHDU("SCI", ver, sci, dict(meta, BUNIT=sci_bunit)))
         hdus.append(FitsHDU("ERR", ver, e, dict(meta)))
         hdus.append(FitsHDU("DQ", ver, d, dict(meta)))
         hdus.append(FitsHDU("SAMP", ver, samp, dict(meta)))

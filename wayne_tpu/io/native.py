@@ -20,6 +20,9 @@ _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libwaynefits.so"))
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _tried = False
+# Bump together with wayne_abi_version() in native/fitsio.cpp whenever
+# the wayne_write_ima signature changes.
+_ABI_VERSION = 3
 
 
 def _build() -> bool:
@@ -45,6 +48,17 @@ def get_lib() -> ctypes.CDLL | None:
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
+            return None
+        # ABI gate: a pre-existing .so that make could NOT rebuild (no
+        # compiler on this machine) may predate the current signature or
+        # carry another host's -march=native code — loading it anyway
+        # risks SIGILL/corruption instead of the documented silent
+        # Python fallback. Require the matching version tag.
+        try:
+            lib.wayne_abi_version.restype = ctypes.c_int
+            if int(lib.wayne_abi_version()) != _ABI_VERSION:
+                return None
+        except AttributeError:
             return None
         lib.wayne_write_ima.restype = ctypes.c_int
         lib.wayne_write_ima.argtypes = [

@@ -45,8 +45,14 @@ int write_padded(FILE* f, const void* data, long nbytes) {
 
 int write_f32_be(FILE* f, const float* src, long n, std::vector<uint32_t>& buf) {
   buf.resize((size_t)n);
-  const uint32_t* raw = reinterpret_cast<const uint32_t*>(src);
-  for (long i = 0; i < n; ++i) buf[(size_t)i] = bswap32(raw[i]);
+  // memcpy, not reinterpret_cast-and-deref: reading float storage
+  // through a uint32_t* is a strict-aliasing violation that -O3 is
+  // licensed to miscompile; memcpy lowers to the same single load.
+  for (long i = 0; i < n; ++i) {
+    uint32_t raw;
+    std::memcpy(&raw, src + i, 4);
+    buf[(size_t)i] = bswap32(raw);
+  }
   return write_padded(f, buf.data(), n * 4);
 }
 
@@ -66,8 +72,11 @@ int write_const_i16_be(FILE* f, int16_t value, long n, std::vector<uint16_t>& bu
 
 int write_i16_be(FILE* f, const int16_t* src, long n, std::vector<uint16_t>& buf16) {
   buf16.resize((size_t)n);
-  const uint16_t* raw = reinterpret_cast<const uint16_t*>(src);
-  for (long i = 0; i < n; ++i) buf16[(size_t)i] = bswap16(raw[i]);
+  for (long i = 0; i < n; ++i) {
+    uint16_t raw;
+    std::memcpy(&raw, src + i, 2);
+    buf16[(size_t)i] = bswap16(raw);
+  }
   return write_padded(f, buf16.data(), n * 2);
 }
 
@@ -176,28 +185,10 @@ int wayne_write_ima(const char* path, const uint8_t* primary_hdr,
   return rc;
 }
 
-// Batch variant: writes n_files exposures (possibly from one pinned host
-// buffer the device streamed into). paths are NUL-separated.
-int wayne_write_ima_batch(const char* paths_joined, const uint8_t* const* primary_hdrs,
-                          const long* primary_lens,
-                          const uint8_t* const* all_ext_hdrs,
-                          const long* all_ext_hdr_lens, const float* all_reads,
-                          long n_files, long nr, long h, long w,
-                          const double* read_times, float gain,
-                          float read_noise, float bias_dn) {
-  const char* p = paths_joined;
-  const long n_ext = 5 * nr;
-  for (long i = 0; i < n_files; ++i) {
-    int rc = wayne_write_ima(p, primary_hdrs[i], primary_lens[i],
-                             all_ext_hdrs + i * n_ext,
-                             all_ext_hdr_lens + i * n_ext,
-                             all_reads + i * nr * h * w, nullptr, nr, h, w,
-                             read_times, gain, read_noise, bias_dn,
-                             nullptr, nullptr);
-    if (rc) return rc;
-    p += std::strlen(p) + 1;
-  }
-  return 0;
-}
+// ABI tag checked by the ctypes loader (wayne_tpu/io/native.py):
+// a stale or foreign .so that make could not rebuild must be refused,
+// not called. Bump together with _ABI_VERSION when the signature of
+// wayne_write_ima changes.
+int wayne_abi_version(void) { return 3; }
 
 }  // extern "C"
