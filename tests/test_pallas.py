@@ -38,7 +38,7 @@ def test_deterministic_path_matches_reference_math():
     cum, add, bg, bias, gain = _inputs()
     with pltpu.force_tpu_interpret_mode():
         cum2, dn = fused_read_step(
-            jnp.array([1, 2], jnp.int32), cum, add, bg, bias, gain, NL,
+            jnp.array([1, 2, 9], jnp.int32), cum, add, bg, bias, gain, NL,
             CONSTS,
             poisson=False, read_noise=False, non_linearity=True, bias=True,
             scalar_gain=False, tile=64)
@@ -55,7 +55,7 @@ def test_flags_off_passthrough():
     cum, add, bg, bias, gain = _inputs()
     with pltpu.force_tpu_interpret_mode():
         cum2, dn = fused_read_step(
-            jnp.array([1, 2], jnp.int32), cum, add, bg, bias, gain, NL,
+            jnp.array([1, 2, 9], jnp.int32), cum, add, bg, bias, gain, NL,
             CONSTS,
             poisson=False, read_noise=False, non_linearity=False, bias=False,
             scalar_gain=True, tile=64)
@@ -74,7 +74,7 @@ def test_rng_statistics_on_tpu():
     gain = jnp.ones_like(cum)
     nl0 = jnp.zeros((3, 512, 512), jnp.float32)
     cum2, dn = fused_read_step(
-        jnp.array([7, 3], jnp.int32), cum, zero, bg, bias, gain, nl0,
+        jnp.array([7, 3, 9], jnp.int32), cum, zero, bg, bias, gain, nl0,
         jnp.array([20.0, 78000.0, 1.0], jnp.float32),
         poisson=True, read_noise=True, non_linearity=False, bias=False,
         scalar_gain=True)
@@ -84,7 +84,7 @@ def test_rng_statistics_on_tpu():
     resid = dn - cum2
     assert abs(resid.std() - 20.0) < 0.5          # read noise sigma
     a, _ = fused_read_step(
-        jnp.array([7, 3], jnp.int32), cum, zero, bg, bias, gain, nl0,
+        jnp.array([7, 3, 9], jnp.int32), cum, zero, bg, bias, gain, nl0,
         jnp.array([20.0, 78000.0, 1.0], jnp.float32),
         poisson=True, read_noise=True, non_linearity=False, bias=False,
         scalar_gain=True)
@@ -102,7 +102,7 @@ def test_banded_deterministic_path():
     cr_q = jnp.asarray([1000.0, 2500.0, 0.0], jnp.float32)
     with pltpu.force_tpu_interpret_mode():
         cum2, dn = fused_read_step_banded(
-            jnp.array([1, 2], jnp.int32), jnp.array([y0], jnp.int32),
+            jnp.array([1, 2, 9], jnp.int32), jnp.array([y0], jnp.int32),
             cum, band, bg, bias, gain, NL, cr_pos, cr_q, CONSTS,
             poisson=False, read_noise=False, non_linearity=True, bias=True,
             scalar_gain=False, with_cr=True)

@@ -38,7 +38,7 @@ def main() -> None:
     c = jnp.array([20.0, 78000.0, 1.0], jnp.float32)
     nl0 = jnp.zeros((3, 512, 512), jnp.float32)
     cum2, dn = fused_read_step(
-        jnp.array([7, 3], jnp.int32), cum, zero, jnp.full((512, 512), 12.0),
+        jnp.array([7, 3, 9], jnp.int32), cum, zero, jnp.full((512, 512), 12.0),
         bias0, gain1, nl0, c, poisson=True, read_noise=True,
         non_linearity=False, bias=False, scalar_gain=True)
     cum2, dn = np.asarray(cum2), np.asarray(dn)

@@ -137,12 +137,19 @@ def _cosmic_rays(key: jnp.ndarray, tables: Tables, cfg: ExposureStatic,
     Returns (positions (2, MAX_CR), masked charges (MAX_CR,), count) —
     positions feed the DQ planes of the ima product (flag 8192); charges
     are zeroed beyond the actual hit count so scattering them is safe.
+    The returned count is CLAMPED to MAX_CR: it must tally hits that
+    were actually deposited, never draws the static bound truncated
+    (consumers trust it for DQ planes and column-space repair).
+    Observation auto-sizes max_cr_per_read (config.auto_max_cr:
+    lam + 6 sigma + 4) so clamping there is a ~never event; direct
+    ExposureStatic users at large subarrays must size it themselves —
+    the default (16) covers ~64-128 px subarrays only.
     """
     S = cfg.subarray
     n_max = cfg.max_cr_per_read
     k_n, k_pos, k_q = jax.random.split(key, 3)
     lam = tables.cr_rate_px_s * (S * S) * dt
-    n = fast_poisson(k_n, lam, shape=())
+    n = jnp.minimum(_poisson(k_n, lam, cfg), n_max)
     pos = jax.random.randint(k_pos, (2, n_max), 0, S)
     charge = tables.cr_mean_e * jax.random.exponential(k_q, (n_max,))
     mask = (jnp.arange(n_max) < n).astype(charge.dtype)
@@ -337,7 +344,12 @@ def simulate_exposure(scene: Scene, tables: Tables,
         raw_key = scene.key
         if raw_key.dtype != jnp.uint32:
             raw_key = jax.random.key_data(raw_key)
+        # BOTH 32-bit key words reach the hardware PRNG (slots 0 and 2
+        # of the seed vector; slot 1 is the read index): one word alone
+        # is a 2^32 stream space, and 10k-visit MC datasets have enough
+        # streams for birthday collisions to correlate realisations.
         exp_seed = raw_key.reshape(-1)[-1].astype(jnp.int32)
+        exp_seed_hi = raw_key.reshape(-1)[0].astype(jnp.int32)
 
     use_fused = use_pallas and band and S <= 512 and cfg.fused_reads
     if use_fused:
@@ -399,7 +411,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
         nr_total = cfg.nsamp + 1
         assert nr_total <= MAX_READS_PER_CALL, nr_total
         reads_dn, cum = fused_exposure_readout(
-            jnp.stack([exp_seed, jnp.int32(0)]),
+            jnp.stack([exp_seed, jnp.int32(0), exp_seed_hi]),
             y0s_all, dts_all, bands_all, jnp.zeros((S, S), jnp.float32),
             bg_rate.astype(jnp.float32), tables.bias_map,
             tables.gain_map, nl_coeffs, crp_all, crq_all, pallas_consts,
@@ -436,8 +448,8 @@ def simulate_exposure(scene: Scene, tables: Tables,
             cr_q = jnp.zeros((cfg.max_cr_per_read,), dtype)
             cr_n = jnp.int32(0)
 
-        seed2 = jnp.stack([exp_seed, k.astype(jnp.int32)]) if use_pallas \
-            else None
+        seed2 = (jnp.stack([exp_seed, k.astype(jnp.int32), exp_seed_hi])
+                 if use_pallas else None)
         # Single-block banded kernel only below 512^2: it holds several
         # full frames in VMEM (~9 MB at 512; ~36 MB at 1024 would OOM).
         # Full frame falls through to the row-tiled variant below.

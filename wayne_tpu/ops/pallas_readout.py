@@ -104,8 +104,12 @@ def _nonlin(sig, nl_ref, fw):
 def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref, nl_ref,
             consts_ref, cum_out_ref, dn_ref, *, poisson, read_noise,
             non_linearity, bias, scalar_gain, bg_poisson=True):
+    # two seed operands: [0] mixes the read/tile indices, [2] carries
+    # the exposure key's SECOND 32-bit word — one word alone gives a
+    # 2^32 stream space, and at 10k-visit MC scale (~10^6-10^7 streams)
+    # birthday collisions would hand exposure pairs identical noise
     pltpu.prng_seed(seed_ref[0] + seed_ref[1] * 131071
-                    + pl.program_id(0) * 100003)
+                    + pl.program_id(0) * 100003, seed_ref[2])
     shape = cum_ref.shape
 
     # Box-Muller pairs: z_bg for the Poisson regimes, z_rn for read noise.
@@ -149,7 +153,7 @@ def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
     the XLA graph at all. Pallas grids are sequential per core, so one
     (S, S) block loses no parallelism and removes tile-straddle handling.
     """
-    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * 131071)
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * 131071, seed_ref[2])
     shape = cum_ref.shape
     W = band_ref.shape[0]
 
@@ -217,7 +221,7 @@ def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
     disjoint streams.
     """
     k = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + (seed_ref[1] + k) * 100003)
+    pltpu.prng_seed(seed_ref[0] + (seed_ref[1] + k) * 100003, seed_ref[2])
     shape = cum_ref.shape
     W = bands_ref.shape[1]
 
@@ -305,7 +309,7 @@ def fused_exposure_readout(
     represented by zero entries: dt = 0, zero band, zero CR charge).
 
     Args:
-      seed2: (2,) int32 (exposure seed, global read offset of this call).
+      seed2: (3,) int32 (exposure seed word 0, global read offset of this call, exposure seed word 1).
       y0s: (NR,) int32 8-aligned band start rows.
       dts: (NR,) f32 interval durations ending at each read.
       bands: (NR, W, S) EXPECTED signal electrons per interval
@@ -377,7 +381,7 @@ def _fused_probe(S: int, W: int, nr: int, n_cr: int, kind: str) -> bool:
         f32 = jnp.float32
         sh = jax.ShapeDtypeStruct
         fused_exposure_readout.lower(
-            sh((2,), jnp.int32), sh((nr,), jnp.int32), sh((nr,), f32),
+            sh((3,), jnp.int32), sh((nr,), jnp.int32), sh((nr,), f32),
             sh((nr, W, S), f32), sh((S, S), f32), sh((S, S), f32),
             sh((S, S), f32), sh((S, S), f32), sh((3, S, S), f32),
             sh((nr, 2, n_cr), jnp.int32), sh((nr, n_cr), f32),
@@ -416,7 +420,7 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
     """One fused detector read step.
 
     Args:
-      seed2: (2,) int32 — (exposure seed, read index).
+      seed2: (3,) int32 — (exposure seed word 0, read index, seed word 1).
       cum_e: (S, S) accumulated charge before this interval.
       add_frame: (S, S) already-sampled signal band + cosmic rays.
       bg_lam: (S, S) expected background electrons this interval.
@@ -471,7 +475,7 @@ def fused_read_step_banded(
     Poisson + accumulate + readout, one single-block kernel.
 
     Args:
-      seed2: (2,) int32 (exposure seed, read index).
+      seed2: (3,) int32 (exposure seed word 0, read index, seed word 1).
       y0: (1,) int32 band start row (clamped to [0, S - W]).
       band: (W, S) already-sampled signal electrons this interval.
       nl_coeffs: (3, S, S) per-pixel cubic non-linearity planes (c1, c2, c3).

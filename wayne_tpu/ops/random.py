@@ -8,7 +8,8 @@ branch-free three-regime sampler (all regimes computed everywhere —
 SPMD-friendly — with the loop kept short):
 
   - lam < 3: exact fixed-iteration inverse-transform sampling, J=12
-    cumulative terms (truncation P(K > 12 | lam < 3) < 1e-5);
+    cumulative terms (truncation P(K > 12 | lam < 3) < 2e-5 —
+    the worst case sits just below lam = 3);
   - 3 <= lam < 100: Cornish-Fisher corrected Gaussian
     round(lam + sqrt(lam) z + (z^2 - 1)/6) — matches mean, variance AND
     skewness of the Poisson law (the residual error is invisible under

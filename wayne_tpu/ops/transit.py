@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -187,8 +188,6 @@ def transit_light_curve(times: jnp.ndarray, orbit: OrbitParams,
       (NT, NL) relative flux; in (1 - depth, 1] for the transit-only
       model, up to 1 + fp with planet light included.
     """
-    import jax
-
     z, in_front = projected_separation(times, orbit)
     nt, nl = times.shape[0], rp_over_rs.shape[0]
     if ld.ndim == 2:

@@ -95,8 +95,6 @@ def ssv_random_walk(key: jnp.ndarray, n_seg: int,
     of the exposure equals ``ssv_rw_amp`` (no mean normalisation; the
     total-flux wander IS the systematic).
     """
-    import jax
-
     steps = jax.random.normal(key, (n_seg,), jnp.float32)
     walk = jnp.cumsum(steps) / jnp.sqrt(float(n_seg))
     return 1.0 + p.ssv_rw_amp * walk
