@@ -24,6 +24,32 @@ def test_exposure_generator_frames():
                                float(stare.ideal_e.sum()), rtol=2e-3)
 
 
+def test_grism_instance_geometry_and_seedless_rng():
+    """A pre-built Grism instance's geometry wins over the constructor
+    defaults (the ExposureStatic must match its tables), and seedless
+    calls advance the RNG like the reference's global generator —
+    repeated frames must NOT be bit-identical (regressions)."""
+    import dataclasses
+
+    from wayne_tpu.models.grism import make_grism
+
+    g = make_grism("G141", subarray=64, n_lambda=32, samp_seq="RAPID",
+                   nsamp=2)
+    noise = dataclasses.replace(NoiseFlags.none(), poisson=True,
+                                read_noise=True)
+    gen = ExposureGenerator(g, n_sub=2, noise=noise)   # defaults say 512
+    a = gen.staring_frame(15.0, 20.0)
+    assert a.reads_dn.shape == (3, 64, 64)             # instance geometry
+    b = gen.staring_frame(15.0, 20.0)
+    assert np.abs(np.asarray(a.reads_dn)
+                  - np.asarray(b.reads_dn)).max() > 0.0
+    # explicit seeds stay reproducible
+    c = gen.staring_frame(15.0, 20.0, seed=5)
+    d = gen.staring_frame(15.0, 20.0, seed=5)
+    np.testing.assert_array_equal(np.asarray(c.reads_dn),
+                                  np.asarray(d.reads_dn))
+
+
 def test_run_parameter_file():
     pars = {
         "observation": dict(grism="G141", subarray=128, NSAMP=3,

@@ -170,6 +170,15 @@ class TestVisitPlan:
         plan = plan_visit(2, 100.0, 20.0, 56000.0, exposures_per_orbit=4)
         assert plan.n_exposures == 8
 
+    def test_autofill_charges_no_trailing_overhead(self):
+        """The LAST exposure of an orbit needs only exptime (not its
+        trailing overhead) to end inside the window: exptime=900 s +
+        overhead=150 s fits 3 exposures in the 3000 s window (t=2100
+        ends at 3000), not floor(3000/1050)=2 (regression)."""
+        plan = plan_visit(1, 900.0, 150.0, 56000.0)
+        assert plan.n_exposures == 3, plan.n_exposures
+        assert plan.exp_start_s[-1] + 900.0 <= 50 * 60.0 + 1e-9
+
     def test_mjd_conversion(self):
         plan = plan_visit(1, 100.0, 20.0, 56000.0)
         mjd = plan.exp_start_mjd()

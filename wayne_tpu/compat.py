@@ -58,11 +58,18 @@ class ExposureGenerator:
         if isinstance(grism, str):
             grism = make_grism(grism, subarray=subarray, n_lambda=n_lambda,
                                samp_seq=samp_seq, nsamp=nsamp)
+        else:
+            # a pre-built Grism instance carries its own geometry — the
+            # ExposureStatic must match its tables, or the kernel
+            # applies (e.g.) 256^2 detector maps to a 512^2 frame
+            subarray, n_lambda = grism.subarray, grism.n_lambda
+            samp_seq, nsamp = grism.samp_seq, grism.nsamp
         self.grism = grism
         self.tables = grism.tables
         self.noise = noise if noise is not None else NoiseFlags()
         self.nsamp, self.samp_seq, self.n_sub = nsamp, samp_seq, n_sub
         self.subarray, self.n_lambda = subarray, n_lambda
+        self._n_calls = 0
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         nl = self.tables.wl_centers.shape[0]
         if stellar_flux is None:
@@ -90,11 +97,18 @@ class ExposureGenerator:
     def _frame(self, scan: bool, x_ref, y_ref, scan_speed, exp_start_s,
                seed) -> ExposureResult:
         f32 = jnp.float32
+        if seed is not None:
+            key = jax.random.PRNGKey(seed)
+        else:
+            # reference semantics: each call advances the RNG — reusing
+            # the template key verbatim would hand every seedless call
+            # the bit-identical noise realisation
+            key = jax.random.fold_in(self._template.key, self._n_calls)
+            self._n_calls += 1
         scene = dataclasses.replace(
             self._template, x_ref=f32(x_ref), y_ref=f32(y_ref),
             scan_speed=f32(scan_speed), exp_start_s=f32(exp_start_s),
-            key=(jax.random.PRNGKey(seed) if seed is not None
-                 else self._template.key))
+            key=key)
         return simulate_exposure(scene, self.tables, self._config(scan))
 
     def staring_frame(self, x_ref: float, y_ref: float,

@@ -29,6 +29,8 @@ class Grism:
                  **detector_kwargs):
         self.subarray = subarray
         self.n_lambda = n_lambda
+        self.samp_seq = samp_seq
+        self.nsamp = nsamp
         self.tables = cal.synthetic_tables(
             self.name, subarray=subarray, n_lambda=n_lambda,
             samp_seq=samp_seq, nsamp=nsamp, **detector_kwargs)

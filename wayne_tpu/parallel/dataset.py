@@ -108,6 +108,13 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
     d_mc = mesh.shape["mc"]
     if chunk_mc % d_mc != 0:
         raise ValueError(f"chunk_mc must be a multiple of mesh mc={d_mc}")
+    n_exp_check = jax.tree_util.tree_leaves(visit_scenes)[0].shape[0]
+    d_exp = mesh.shape["exp"]
+    if n_exp_check % d_exp != 0:
+        raise ValueError(
+            f"visit has {n_exp_check} exposures, not shardable over the "
+            f"mesh exp={d_exp} axis — pad the visit or choose a mesh "
+            f"whose exp axis divides it")
     if recover is not None and int(recover.get("n_chan", 8)) < 1:
         raise ValueError("recover n_chan must be >= 1")
 

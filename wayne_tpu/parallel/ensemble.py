@@ -80,9 +80,7 @@ def extract_spectra(reads_dn: jnp.ndarray,
     return net.sum(axis=-2)
 
 
-def _batch_spec(leaf, n_batch_axes: int) -> P:
-    names = ("mc", "exp")[:n_batch_axes]
-    return P(*names, *([None] * (leaf.ndim - n_batch_axes)))
+from wayne_tpu.parallel.mesh import _leaf_spec as _batch_spec
 
 
 # One jitted ensemble program per (mesh, cfg, pytree ranks): building a
@@ -146,8 +144,12 @@ def simulate_ensemble_spectra(scenes: Scene, tables: Tables,
     reduction.extract_spectra_cr); False keeps the raw CR-contaminated
     spectra and the full extraction rate.
     """
+    # key on the FULL tree structure + leaf ranks (CLAUDE.md cache
+    # invariant): rank tuples alone collide for structures that differ
+    # only in which optional leaves are present
     ranks = tuple(x.ndim for x in jax.tree_util.tree_leaves(scenes))
-    key = (mesh, cfg, ranks, ramp, dq_aware)
+    key = (mesh, cfg, jax.tree_util.tree_structure(scenes), ranks, ramp,
+           dq_aware)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = _JIT_CACHE[key] = _ensemble_fn(mesh, cfg, scenes, tables,

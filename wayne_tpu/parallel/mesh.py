@@ -24,6 +24,8 @@ def make_mesh(devices=None, mc_shards: int | None = None) -> Mesh:
             if n % cand == 0 and cand > 1 and n // cand > 1:
                 mc_shards = n // cand
                 break
+    if mc_shards < 1:
+        raise ValueError(f"mc_shards must be >= 1, got {mc_shards}")
     if n % mc_shards != 0:
         raise ValueError(f"{n} devices not divisible into mc_shards={mc_shards}")
     return Mesh(devices.reshape(mc_shards, n // mc_shards), ("mc", "exp"))

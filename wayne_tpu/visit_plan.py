@@ -46,7 +46,12 @@ def plan_visit(n_orbits: int, exptime_s: float, overhead_s: float,
     """
     cadence = exptime_s + overhead_s
     if exposures_per_orbit <= 0:
-        exposures_per_orbit = max(1, int(np.floor(VISIBILITY_S / cadence)))
+        # the last exposure needs only exptime (not its trailing
+        # overhead) to end inside the window: floor(V/cadence) charged
+        # the overhead and under-filled orbits by one whenever an extra
+        # exposure would still fit
+        exposures_per_orbit = max(
+            1, int(np.floor((VISIBILITY_S - exptime_s) / cadence)) + 1)
     starts, orbits, orbit_starts = [], [], []
     for k in range(n_orbits):
         t_orbit = k * HST_PERIOD_S
@@ -57,6 +62,14 @@ def plan_visit(n_orbits: int, exptime_s: float, overhead_s: float,
                 break
             starts.append(t)
             orbits.append(k)
+            # hook-systematic clock anchor: the orbit's VISIBILITY
+            # start (t_orbit) — charge trapping begins when flux first
+            # hits the detector after occultation, which includes the
+            # acquisition/direct-image trim time BEFORE the first grism
+            # exposure. plan_from_start_times cannot know the window
+            # start and approximates it with each orbit's first
+            # exposure (documented there): explicit-schedule visits
+            # carry a slightly fuller first-orbit hook.
             orbit_starts.append(t_orbit)
     return VisitPlan(
         exp_start_s=np.asarray(starts, np.float64),
@@ -78,7 +91,12 @@ def plan_from_start_times(start_mjd_list, exptime_s: float,
     from gaps: a gap longer than ``orbit_gap_s`` (default a quarter HST
     period, well above any in-orbit cadence and below the ~45-min
     occultation gap) starts a new orbit whose clock begins at that
-    exposure's start.
+    exposure's start. NOTE this anchor is an approximation: the cadence
+    planner (plan_visit) anchors the clock at the orbit's VISIBILITY
+    start, which for orbit 1 precedes the first exposure by the
+    acquisition trim — an explicit list carries no window information,
+    so its first-orbit hook runs slightly fuller. Real analyses fit (or
+    discard) the first orbit anyway.
     """
     t = np.asarray(start_mjd_list, np.float64).ravel()
     if t.size == 0:
