@@ -136,6 +136,39 @@ class TestNameResolution:
             load_catalog(str(bad))
 
 
+def test_nested_sections_route_shared_field_names():
+    """star: and planet: blocks share field names ('name',
+    'spectrum_file') — each must land on ITS OWN dataclass. Flattening
+    them into one dict sent planet.name to the star, silently skipping
+    catalog resolution and swapping spectra (regression, confirmed by
+    execution)."""
+    from wayne_tpu.config import config_from_dict
+
+    cfg = config_from_dict({"planet": {"name": "HD 209458 b"},
+                            "star": {"name": "MyStar"}})
+    assert cfg.planet.name == "HD 209458 b"
+    assert cfg.star.name == "MyStar"
+    # the named system actually resolved (exodata-equivalent path)
+    assert abs(cfg.planet.period_days - 3.52475) < 0.01
+    cfg2 = config_from_dict({"planet": {"spectrum_file": "trans.dat",
+                                        "rp_over_rs": 0.1}})
+    assert cfg2.planet.spectrum_file == "trans.dat"
+    assert not cfg2.star.spectrum_file
+
+
+def test_start_jd_converts_to_mjd():
+    """The reference-style start_JD key carries a Julian Date; storing
+    it raw in the MJD field put the visit ~2.4 million days from the
+    catalog ephemeris (regression)."""
+    from wayne_tpu.config import config_from_dict
+
+    cfg = config_from_dict({"start_JD": 2456000.9})
+    assert abs(cfg.start_mjd - 56000.4) < 1e-6
+    # small values are taken as MJD already (defensive)
+    cfg2 = config_from_dict({"start_JD": 56000.4})
+    assert abs(cfg2.start_mjd - 56000.4) < 1e-6
+
+
 def test_sample_rate_drives_n_sub():
     """Reference 'sample_rate' (s per temporal subsample) controls the
     subsegment count when explicit n_sub is not given."""

@@ -49,6 +49,22 @@ def test_deposit_matrix_reversed_edges():
     np.testing.assert_allclose(np.asarray(X.sum(axis=1)), 1.0, atol=1e-6)
 
 
+def test_deposit_matrix_degenerate_bins_keep_flux():
+    """f32 bin edges that coincide (the imaging_tables 'undispersed'
+    encoding collapses all bins onto x_ref) must deposit as POINT
+    sources, not zero rows — 48% of direct-image flux silently vanished
+    at x_ref ~ 256 (regression, confirmed by execution)."""
+    import jax.numpy as jnp
+
+    from wayne_tpu.ops.dispersion import x_deposit_matrix
+
+    # 65 edges all within 1e-6 px of column 256: every bin degenerate
+    edges = jnp.asarray(256.0 + np.linspace(0, 1e-6, 65), jnp.float32)
+    X = np.asarray(x_deposit_matrix(edges, 512))
+    np.testing.assert_allclose(X.sum(axis=1), 1.0, atol=1e-6)
+    assert np.all(X[:, 256] == 1.0)          # all flux in the containing px
+
+
 def test_flat_plane_shape_and_range():
     fp = flat_plane(TABLES, TP)
     assert fp.shape == (128, 128)

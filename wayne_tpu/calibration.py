@@ -158,11 +158,14 @@ def sample_sequence_times(samp_seq: str, nsamp: int, subarray: int) -> np.ndarra
     between full-frame reads), and the inter-read *wait* is what the
     sequencer holds fixed — so a subarray interval is
     ``wait + subarray_frame_time`` with ``wait = interval - 2.932``.
-    This reproduces the widely published anchor values, e.g. GRISM256
-    SPARS10 NSAMP=15 EXPTIME = 103.129 s (0.278 + 14 x 7.3465).
-
-    Exact STScI per-microsecond tables can be loaded over this seam with
-    :func:`load_sequence_table`; loaded tables take precedence.
+    This reproduces the published anchor values to ~10 ms — e.g.
+    GRISM256 SPARS10 NSAMP=15 EXPTIME = 103.122 s here vs the published
+    103.129 s (the handbook frame times are quoted to the ms, so the
+    per-read wait carries sub-ms truncation). The STRUCTURE (uniform
+    RAPID, SPARS first-frame+n-second, STEP ramp) is exact; for
+    per-microsecond parity with real ima SAMPTIME/DELTATIM load the
+    exact STScI tables over this seam with :func:`load_sequence_table`
+    — loaded tables take precedence.
     """
     if subarray not in RAPID_FRAME_TIME:
         raise ValueError(f"unknown subarray {subarray}")
@@ -200,13 +203,22 @@ def load_sequence_table(path: str) -> None:
 
     with open(path) as fh:
         raw = json.load(fh)
+    # Validate EVERYTHING before touching the process-global registry:
+    # raising mid-loop would leave a half-loaded registry that silently
+    # changes timing for later visits in the process.
+    staged: dict[tuple[str, int], np.ndarray] = {}
     for key, vals in raw.items():
-        seq, _, sub = key.partition("/")
+        seq, sep, sub = key.partition("/")
+        if not sep or not sub.isdigit():
+            raise ValueError(
+                f"bad sequence-table key {key!r}: expected 'SEQ/subarray' "
+                "(e.g. 'SPARS10/256')")
         arr = np.asarray(vals, dtype=np.float64)
         if arr.ndim != 1 or len(arr) < 2 or arr[0] != 0.0 or np.any(np.diff(arr) <= 0):
             raise ValueError(f"bad sequence table for {key!r}: need "
                              "strictly increasing cumulative times from 0.0")
-        _SEQUENCE_OVERRIDES[(seq.upper(), int(sub))] = arr
+        staged[(seq.upper(), int(sub))] = arr
+    _SEQUENCE_OVERRIDES.update(staged)
 
 
 import contextlib

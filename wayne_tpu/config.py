@@ -547,12 +547,21 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
     """
     cfg = ObservationConfig()
     flat: dict[str, Any] = {}
+    sectioned: list[tuple[str, str, Any]] = []
     noise_kv: dict[str, Any] = {}
     calib_kv: dict[str, Any] = {}
+    section_of = {"star": "star", "target": "star", "planet": "planet",
+                  "trends": "trends", "systematics": "trends"}
     for key, value in params.items():
-        if key in ("observation", "star", "target", "planet", "trends",
-                   "systematics") and isinstance(value, Mapping):
+        if key == "observation" and isinstance(value, Mapping):
             flat.update(value)
+        elif key in section_of and isinstance(value, Mapping):
+            # keep the section origin: star: and planet: share field
+            # names ('name', 'spectrum_file') that must never
+            # cross-route — flattening them into one dict sent a
+            # planet's name/spectrum to the star
+            sectioned.extend(
+                (section_of[key], k, v) for k, v in value.items())
         elif key == "noise" and isinstance(value, Mapping):
             noise_kv.update(value)
         elif key == "calibration" and isinstance(value, Mapping):
@@ -624,23 +633,15 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
         cfg.noise = dataclasses.replace(cfg.noise, **noise_updates)
 
     explicit: set[tuple[str | None, str]] = set()
-    for key, value in flat.items():
-        section_field = _REF_KEY_ALIASES.get(key)
-        if section_field is None:
-            # Accept canonical field names directly on any section.
-            if hasattr(cfg, key):
-                section_field = (None, key)
-            elif hasattr(cfg.star, key):
-                section_field = ("star", key)
-            elif hasattr(cfg.planet, key):
-                section_field = ("planet", key)
-            elif hasattr(cfg.trends, key):
-                section_field = ("trends", key)
-            elif key in calib_fields:
-                section_field = ("calibration", key)
-            else:
-                continue  # unknown keys are ignored, like the reference
-        section, name = section_field
+
+    def assign(section: str | None, name: str, value) -> None:
+        if section == "calibration":
+            # same semantics as the calibration: block — a commented-out
+            # (None/empty) entry keeps the synthetic default, and paths
+            # are always strings
+            if value in (None, ""):
+                return
+            value = str(value)
         # Reference x_shifts/y_shifts accept either a drift rate (scalar)
         # or an explicit per-exposure offset list.
         if (name in ("drift_x_per_exp", "drift_y_per_exp")
@@ -657,6 +658,42 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
         obj = cfg if section is None else getattr(cfg, section)
         setattr(obj, name, _coerce(value, getattr(obj, name)))
         explicit.add((section, name))
+
+    # section-scoped keys first: the block they came from wins
+    for sec, key, value in sectioned:
+        if hasattr(getattr(cfg, sec), key):
+            assign(sec, key, value)
+            continue
+        alias = _REF_KEY_ALIASES.get(key)
+        if alias is not None and alias[0] == sec:
+            assign(sec, alias[1], value)
+            continue
+        # not a field of this section — generic routing below (explicit
+        # top-level keys still take precedence over leaked ones)
+        flat.setdefault(key, value)
+
+    for key, value in flat.items():
+        if (key == "start_JD" and isinstance(value, (int, float))
+                and value > 2400000.0):
+            # a true Julian Date: convert to the MJD the planner uses
+            # (EXPSTART headers and catalog t0 are MJD)
+            value = float(value) - 2400000.5
+        section_field = _REF_KEY_ALIASES.get(key)
+        if section_field is None:
+            # Accept canonical field names directly on any section.
+            if hasattr(cfg, key):
+                section_field = (None, key)
+            elif hasattr(cfg.star, key):
+                section_field = ("star", key)
+            elif hasattr(cfg.planet, key):
+                section_field = ("planet", key)
+            elif hasattr(cfg.trends, key):
+                section_field = ("trends", key)
+            elif key in calib_fields:
+                section_field = ("calibration", key)
+            else:
+                continue  # unknown keys are ignored, like the reference
+        assign(*section_field, value)
 
     if ("planet", "name") in explicit:
         _resolve_planet_name(cfg, explicit, catalog)

@@ -88,11 +88,21 @@ def x_deposit_matrix(x_edges: jnp.ndarray, n_pix: int) -> jnp.ndarray:
     """
     lo = jnp.minimum(x_edges[:-1], x_edges[1:])[:, None]
     hi = jnp.maximum(x_edges[:-1], x_edges[1:])[:, None]
-    width = jnp.maximum(hi - lo, 1e-9)
+    raw_w = hi - lo
+    width = jnp.maximum(raw_w, 1e-9)
     grid = jnp.arange(n_pix, dtype=x_edges.dtype)[None, :]
     overlap = jnp.clip(jnp.minimum(hi, grid + 0.5) - jnp.maximum(lo, grid - 0.5),
                        0.0, None)
-    return overlap / width
+    # Degenerate bins (f32 edges coincide or sit ULPs apart — e.g. the
+    # imaging_tables 'undispersed' encoding collapses every bin onto
+    # x_ref): overlap rounds to 0 while width is floored, silently
+    # DROPPING the bin's flux. Deposit such bins as POINT sources into
+    # the containing pixel instead — physically exact for boxes far
+    # below a pixel.
+    centre = 0.5 * (lo + hi)
+    point = (jnp.round(centre) == grid).astype(x_edges.dtype)
+    eps = 1e-5 * jnp.maximum(jnp.abs(centre), 1.0)   # ~f32 ULP headroom
+    return jnp.where(raw_w <= eps, point, overlap / width)
 
 
 def x_deposit_matrix_gaussian(x_edges: jnp.ndarray, n_pix: int,

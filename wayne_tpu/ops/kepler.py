@@ -67,6 +67,22 @@ def true_anomaly(mean_anomaly: jnp.ndarray, ecc: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * jnp.arctan(beta * jnp.tan(0.5 * E))
 
 
+def transit_true_anomaly(t: jnp.ndarray, orbit: OrbitParams
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(nu(t), nu_tr): true anomaly over the grid + its mid-transit value.
+
+    The single Kepler solve shared by :func:`orbital_phase_angle` and
+    :func:`projected_separation` — t0 anchors the mean anomaly at the
+    transit's true anomaly nu_tr = pi/2 - omega.
+    """
+    e = orbit.ecc
+    nu_tr = jnp.pi / 2.0 - orbit.omega_rad
+    E_tr = 2.0 * jnp.arctan(jnp.sqrt((1.0 - e) / (1.0 + e)) * jnp.tan(0.5 * nu_tr))
+    M_tr = E_tr - e * jnp.sin(E_tr)
+    M = M_tr + 2.0 * jnp.pi * (t - orbit.t0_s) / orbit.period_s
+    return true_anomaly(M, e), nu_tr
+
+
 def orbital_phase_angle(t: jnp.ndarray, orbit: OrbitParams) -> jnp.ndarray:
     """True-anomaly-based phase angle: 0 at mid-secondary-eclipse,
     +-pi at mid-transit, increasing with time.
@@ -75,12 +91,7 @@ def orbital_phase_angle(t: jnp.ndarray, orbit: OrbitParams) -> jnp.ndarray:
     orbits it tracks the actual orbital position, so thermal phase-curve
     modulation stays aligned with the (eccentricity-shifted) eclipse.
     """
-    e = orbit.ecc
-    nu_tr = jnp.pi / 2.0 - orbit.omega_rad
-    E_tr = 2.0 * jnp.arctan(jnp.sqrt((1.0 - e) / (1.0 + e)) * jnp.tan(0.5 * nu_tr))
-    M_tr = E_tr - e * jnp.sin(E_tr)
-    M = M_tr + 2.0 * jnp.pi * (t - orbit.t0_s) / orbit.period_s
-    nu = true_anomaly(M, e)
+    nu, nu_tr = transit_true_anomaly(t, orbit)
     raw = nu - nu_tr - jnp.pi
     # wrap to (-pi, pi]: true_anomaly's arctan form is branch-cut at +-pi
     return jnp.arctan2(jnp.sin(raw), jnp.cos(raw))
@@ -99,12 +110,7 @@ def projected_separation(t: jnp.ndarray, orbit: OrbitParams) -> tuple[jnp.ndarra
     z = r * sqrt(1 - sin^2(omega + nu) sin^2 i).
     """
     e = orbit.ecc
-    # Mean anomaly at mid-transit: from true anomaly at transit.
-    nu_tr = jnp.pi / 2.0 - orbit.omega_rad
-    E_tr = 2.0 * jnp.arctan(jnp.sqrt((1.0 - e) / (1.0 + e)) * jnp.tan(0.5 * nu_tr))
-    M_tr = E_tr - e * jnp.sin(E_tr)
-    M = M_tr + 2.0 * jnp.pi * (t - orbit.t0_s) / orbit.period_s
-    nu = true_anomaly(M, e)
+    nu, _ = transit_true_anomaly(t, orbit)
     r = orbit.sma_rs * (1.0 - e * e) / (1.0 + e * jnp.cos(nu))
     sin_wnu = jnp.sin(orbit.omega_rad + nu)
     z2 = 1.0 - (sin_wnu * jnp.sin(orbit.inc_rad)) ** 2
