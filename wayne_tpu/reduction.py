@@ -22,6 +22,24 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
+
+
+def _channel_edges(x_window: tuple[int, int], n_chan: int) -> jnp.ndarray:
+    """Static integer channel edges over [x_lo, x_hi).
+
+    Computed in float64 NumPy at trace time (x_window/n_chan are static)
+    so the on-device binning matches the CLI's host-side edges exactly —
+    f32 linspace + int truncation could place an interior edge one
+    column off. Zero-width channels (n_chan > window width) would yield
+    0/0 -> NaN light curves silently, so they are rejected here."""
+    lo, hi = int(x_window[0]), int(x_window[1])
+    if n_chan > hi - lo:
+        raise ValueError(
+            f"n_chan={n_chan} exceeds the {hi - lo}-column window "
+            f"{x_window}: zero-width channels would produce NaN curves")
+    return jnp.asarray(_np.linspace(lo, hi, n_chan + 1).astype(_np.int64),
+                       jnp.int32)
 
 from wayne_tpu.ops.kepler import OrbitParams, projected_separation
 from wayne_tpu.ops.transit import eclipse_visibility, transit_depth_curve
@@ -960,7 +978,7 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
         base = jnp.sum(flux * oot) / jnp.maximum(jnp.sum(oot), 1.0)
         return flux / base
 
-    edges = jnp.linspace(x_window[0], x_window[1], n_chan + 1).astype(jnp.int32)
+    edges = _channel_edges(x_window, n_chan)
     cols = jnp.stack([edges[:-1], edges[1:]], axis=1)        # (n_chan, 2)
     white_flux = spectra[:, x_window[0]: x_window[1]].sum(axis=1)
     cum = jnp.concatenate(
@@ -1511,8 +1529,7 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
         sp = sp[None]
     t = jnp.asarray(exp_mid_s, jnp.float32)
     oot = out_of_transit_mask(t, orbit).astype(jnp.float32)
-    edges = jnp.linspace(x_window[0], x_window[1],
-                         n_chan + 1).astype(jnp.int32)
+    edges = _channel_edges(x_window, n_chan)
     S = sp.shape[-1]
     widths = (edges[1:] - edges[:-1]).astype(jnp.float32)    # (n_chan,)
     has_outside = x_window[0] > 0 or x_window[1] < S

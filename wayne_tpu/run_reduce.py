@@ -64,11 +64,14 @@ def centroid_direct_image(path: str) -> tuple[float, float]:
     bad = (dq[-1] & DQ_BAD_BITS) != 0
     frame[bad] = 0.0
     frame -= np.median(frame)
-    # 3x3 box sum by shifted adds (no scipy): robust peak finding
+    # 3x3 box sum by shifted adds on a zero-padded frame (no scipy):
+    # np.roll would WRAP, mixing opposite-edge flux into edge pixels and
+    # displacing the peak for sources within 1 px of the frame boundary
+    pad = np.pad(frame, 1)
     s = np.zeros_like(frame)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            s += np.roll(np.roll(frame, dy, axis=0), dx, axis=1)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            s += pad[dy:dy + frame.shape[0], dx:dx + frame.shape[1]]
     iy, ix = np.unravel_index(int(np.argmax(s)), s.shape)
     w = 8
     y0, y1 = max(iy - w, 0), min(iy + w + 1, frame.shape[0])
@@ -105,12 +108,21 @@ def extract_from_files(paths: list[str], gain: float,
     interval-difference reconstruction (reduction.repair_read_stack)
     before either estimator runs.
     """
+    import jax
     import jax.numpy as jnp
 
     from wayne_tpu.io.ima import read_ima
     from wayne_tpu.reduction import (
         DQ_BAD_BITS, good_diff_masks_from_dq, ramp_slope_frame,
         repair_read_stack)
+
+    # one jitted repair program reused across exposures (hot-pixel DQ
+    # bits flag essentially EVERY exposure, so this runs per file —
+    # eager op-by-op execution cost minutes on long visits; CLAUDE.md
+    # jit-hoisting rule)
+    repair_fn = jax.jit(
+        lambda stack, dq_: repair_read_stack(
+            stack, good_diff_masks_from_dq(dq_)))
 
     nets, starts, exptime = [], [], 0.0
     n_repaired = 0
@@ -121,9 +133,8 @@ def extract_from_files(paths: list[str], gain: float,
             n_repaired += 1
 
         def repair(stack):
-            good = np.asarray(good_diff_masks_from_dq(dq))
-            return np.asarray(repair_read_stack(
-                jnp.asarray(stack, jnp.float32), jnp.asarray(good)))
+            return np.asarray(repair_fn(jnp.asarray(stack, jnp.float32),
+                                        jnp.asarray(dq)))
 
         if str(hdr.get("BUNIT", "COUNTS")).upper().startswith("ELECTRONS"):
             if estimator == "ramp":
@@ -199,12 +210,18 @@ def extract_from_files(paths: list[str], gain: float,
         x_window = (max(int(cols.min()) - pad, 0),
                     min(int(cols.max()) + pad + 1, S))
         # Background rows: the larger sky-only margin above or below
-        # the spectrum, with a generous gap against PSF tails.
+        # the spectrum, with a generous gap against PSF tails. When the
+        # scan fills the frame neither margin is usable — refuse rather
+        # than silently 'subtract' rows inside the extraction window.
         gap = 4 * pad
-        if y_window[0] > S - y_window[1]:
-            bg_rows = (0, max(y_window[0] - gap, 1))
-        else:
-            bg_rows = (min(y_window[1] + gap, S - 1), S)
+        top = (min(y_window[1] + gap, S), S)
+        bot = (0, max(y_window[0] - gap, 0))
+        bg_rows = max(top, bot, key=lambda r: r[1] - r[0])
+        if bg_rows[1] - bg_rows[0] < 2:
+            raise SystemExit(
+                f"no sky-only rows left outside the detected spectrum "
+                f"(rows {y_window} of {S}) — the scan fills the frame; "
+                "pass explicit --bg-rows (with --rows/--cols)")
 
     bg = np.median(nets[:, bg_rows[0]: bg_rows[1], :], axis=1)  # per-col sky
     nets = nets - bg[:, None, :]
@@ -586,6 +603,15 @@ def main(argv: list[str] | None = None) -> int:
                                   fit_geometry=args.fit_geometry)
             if args.fit_geometry:
                 # hold the white curve's fitted ephemeris per channel
+                dt0 = abs(float(wfit.t0_offset_s))
+                if dt0 > 600.0 and (args.align or detrend != "none"):
+                    # the extraction-stage steps (OOT baseline, drift
+                    # decorrelation) ran with the STALE YAML ephemeris —
+                    # they treated true in-transit epochs as baseline
+                    print(f"warning: fitted t0 is {dt0:.0f} s from the "
+                          "parameter file's — the alignment/normalisation "
+                          "above used the stale ephemeris; re-run with "
+                          "the fitted t0 in the YAML for clean channels")
                 orbit = wfit.orbit
             chan_j = ramp_detrend(chan_j, wfit, t, orbit)
             white_fit_report = {
