@@ -6,6 +6,7 @@ import sys
 import tempfile
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -77,6 +78,26 @@ def test_run_dataset_cli(tmp_path):
         dataset_main(["-p", str(p), "-o", str(tmp_path / "ds2"),
                       "--n-mc", "2", "--chunk-mc", "2",
                       "--recover", "0", "--cpu"])
+
+
+def test_cli_quicklook_reads_files_back(tmp_path):
+    """--quicklook builds its PNGs from the files just written instead
+    of re-simulating the visit on device (which doubled wall-clock)."""
+    import yaml
+
+    pytest.importorskip("matplotlib")
+    from wayne_tpu.run_visit import main as visit_main
+
+    pars = {"grism": "G141", "subarray": 64, "NSAMP": 2,
+            "SAMPSEQ": "RAPID", "scan": True, "x_ref": 15.0, "y_ref": 20.0,
+            "num_orbits": 1, "exposures_per_orbit": 3, "n_lambda": 32,
+            "n_sub": 2, "outdir": str(tmp_path / "out")}
+    p = tmp_path / "pars.yml"
+    p.write_text(yaml.safe_dump(pars))
+    rc = visit_main(["-p", str(p), "--cpu", "--chunk", "3", "--quicklook"])
+    assert rc == 0
+    assert (tmp_path / "out" / "exposure0.png").exists()
+    assert (tmp_path / "out" / "visit_lightcurve.png").exists()
 
 
 def test_cli_all_devices(tmp_path):
