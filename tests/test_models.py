@@ -133,6 +133,29 @@ class TestPlanet:
         rp = p.rp_on_grid(np.linspace(1.1, 1.6, 7))
         np.testing.assert_allclose(rp, 0.11)
 
+    def test_catalog_entries_are_copies(self):
+        """resolve_system must hand out copies: a caller mutating the
+        result must not corrupt the module catalog for later visits in
+        the same process (regression)."""
+        a = resolve_system("WASP-43 b")
+        a["period_days"] = -1.0
+        assert resolve_system("WASP-43 b")["period_days"] > 0
+
+    def test_eclipse_file_units_and_sorting(self, tmp_path):
+        """eclipse_file values must be FRACTIONAL Fp/Fs (ppm input used
+        to silently make the eclipse outshine the star), and descending
+        wavelength order (frequency-tabulated files) is sorted on load
+        (regressions)."""
+        ppm = tmp_path / "fp_ppm.dat"
+        ppm.write_text("1.1 450\n1.4 500\n1.7 550\n")
+        with pytest.raises(ValueError, match="FRACTIONAL"):
+            Planet(PlanetConfig(eclipse_file=str(ppm)))
+        desc = tmp_path / "fp_desc.dat"
+        desc.write_text("1.7 0.0016\n1.4 0.0015\n1.1 0.0014\n")
+        p = Planet(PlanetConfig(eclipse_file=str(desc)))
+        fp = p.fp_on_grid(np.array([1.1, 1.4, 1.7]))
+        np.testing.assert_allclose(fp, [0.0014, 0.0015, 0.0016])
+
 
 class TestSpectraUtils:
     def test_rebin_conserves_integral(self):

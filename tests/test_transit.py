@@ -70,6 +70,30 @@ class TestOracleAgreement:
         f64_hi = oracle_transit_flux(z, 0.12, np.asarray(LD), n_quad=4096)
         np.testing.assert_allclose(f64_64, f64_hi, atol=2e-7)
 
+    def test_chromatic_ld_vs_fp64_oracle(self):
+        """The oracle accepts per-channel (NL, 4) Claret coefficients —
+        the shape the device's chromatic limb darkening uses — so
+        kernel LD changes stay oracle-checkable (regression: the oracle
+        summed a 2-D ld into one wrong scalar)."""
+        nl = 5
+        lds = np.stack([np.asarray(LD) * s
+                        for s in np.linspace(0.6, 1.3, nl)])   # (NL, 4)
+        z = np.linspace(0.0, 1.3, 121)
+        # per-channel oracle == per-channel scalar-LD oracle
+        grid = oracle_transit_flux(
+            np.broadcast_to(z[:, None], (z.size, nl)), 0.12,
+            lds[None, :, :])
+        for c in range(nl):
+            ref = oracle_transit_flux(z, 0.12, lds[c])
+            np.testing.assert_allclose(grid[:, c], ref, atol=1e-12)
+        # and the device kernel matches it per channel
+        for c in range(nl):
+            f32 = np.asarray(transit_depth_curve(
+                jnp.asarray(z), 0.12, jnp.asarray(lds[c], jnp.float32),
+                n_quad=64), np.float64)
+            np.testing.assert_allclose(
+                f32, oracle_transit_flux(z, 0.12, lds[c]), atol=1.5e-5)
+
 
 class TestKepler:
     def test_circular_identity(self):

@@ -41,6 +41,13 @@ class Exposure:
         data_dn = np.asarray(data_dn, np.float32)
         if self._reads and data_dn.shape != self._reads[0].shape:
             raise ValueError("read shape mismatch")
+        s = int(self.meta["subarray"])
+        if not self._reads and data_dn.shape != (s, s):
+            # the SUBARRAY header keyword must match the data geometry,
+            # or downstream tooling mis-registers the frames
+            raise ValueError(
+                f"read shape {data_dn.shape} does not match the "
+                f"product's subarray={s}")
         if self._times and time_s <= self._times[-1]:
             raise ValueError("reads must be added in increasing time order")
         self._reads.append(data_dn)

@@ -104,13 +104,30 @@ def resolve_system(name: str, catalog: dict[str, dict] | None = None) -> dict:
     precedence over the built-in benchmark table.
     """
     key = name.strip()
+    # return a COPY: callers merging/mutating the result must never
+    # corrupt the module-level catalog for later visits in the process
     if catalog and key in catalog:
-        return catalog[key]
+        return dict(catalog[key])
     if key in KNOWN_SYSTEMS:
-        return KNOWN_SYSTEMS[key]
+        return dict(KNOWN_SYSTEMS[key])
     raise KeyError(
         f"unknown system {name!r}; provide explicit PlanetConfig parameters, "
         f"a catalog_file, or one of {sorted(KNOWN_SYSTEMS)}")
+
+
+def _load_two_col(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(wavelength_um ascending, values) from a two-column text file.
+
+    Accepts Angstrom input (wavelengths > 100 -> 1e-4 scale) and ANY
+    row order — frequency-tabulated library files come descending, and
+    unsorted input silently breaks interp/rebin's ascending assumption.
+    """
+    data = np.loadtxt(path)
+    if data.ndim != 2 or data.shape[1] < 2:
+        raise ValueError(f"{path!r} needs two columns: wavelength, value")
+    wl = data[:, 0] * (1e-4 if data[:, 0].max() > 100.0 else 1.0)
+    order = np.argsort(wl)
+    return wl[order], data[order, 1]
 
 
 class Planet:
@@ -120,16 +137,34 @@ class Planet:
         self.cfg = cfg
         self.visit_start_mjd = visit_start_mjd
         if cfg.spectrum_file:
-            data = np.loadtxt(cfg.spectrum_file)
-            wl, rp = data[:, 0], data[:, 1]
-            if wl.max() > 100.0:
-                wl = wl * 1e-4
+            wl, rp = _load_two_col(cfg.spectrum_file)
             if np.median(rp) > 1.0:      # given as depth in (Rp/Rs)^2 ppm?
                 raise ValueError("planet spectrum must be Rp/Rs (got values > 1)")
             self._wl, self._rp = wl, rp
         else:
             self._wl = None
             self._rp = None
+        # parse the optional eclipse/LD files ONCE, like spectrum_file:
+        # per-call np.loadtxt repeated file I/O and deferred a missing/
+        # corrupt file to deep inside scene construction
+        self._fp_tab = None
+        if cfg.eclipse_file:
+            wl, fp = _load_two_col(cfg.eclipse_file)
+            if np.max(np.abs(fp)) > 0.5:
+                # ppm/percent units would silently make the eclipse
+                # outshine the star (the rp path has the same guard)
+                raise ValueError(
+                    "eclipse_file must give FRACTIONAL Fp/Fs (got values "
+                    f"up to {np.max(np.abs(fp)):g}; ppm input?)")
+            self._fp_tab = (wl, fp)
+        self._ld_tab = None
+        if cfg.ld_file:
+            data = np.loadtxt(cfg.ld_file)
+            if data.ndim != 2 or data.shape[1] < 5:
+                raise ValueError("ld_file needs 5 columns: wavelength, c1..c4")
+            wl = data[:, 0] * (1e-4 if data[:, 0].max() > 100.0 else 1.0)
+            order = np.argsort(wl)
+            self._ld_tab = (wl[order], data[order, 1:5])
 
     def rp_on_grid(self, wl_centers: np.ndarray) -> np.ndarray:
         if self._wl is None:
@@ -140,24 +175,20 @@ class Planet:
         """Dayside emission contrast Fp/Fs per channel (secondary-eclipse
         depth). Zero unless eclipse_depth / eclipse_file is configured —
         beyond the reference, which models transits only."""
-        if self.cfg.eclipse_file:
-            data = np.loadtxt(self.cfg.eclipse_file)
-            wl = data[:, 0] * (1e-4 if data[:, 0].max() > 100.0 else 1.0)
-            return interp_to_grid(wl, data[:, 1], np.asarray(wl_centers))
+        if self._fp_tab is not None:
+            return interp_to_grid(self._fp_tab[0], self._fp_tab[1],
+                                  np.asarray(wl_centers))
         return np.full(np.asarray(wl_centers).shape,
                        float(self.cfg.eclipse_depth))
 
     def ld_on_grid(self, wl_centers: np.ndarray) -> np.ndarray:
         """Claret coefficients: (4,) scalar set, or (NL, 4) when an
         ld_file (clablimb-style table: micron, c1..c4) is configured."""
-        if not self.cfg.ld_file:
+        if self._ld_tab is None:
             return np.asarray(self.cfg.ld_coeffs, np.float64)
-        data = np.loadtxt(self.cfg.ld_file)
-        if data.ndim != 2 or data.shape[1] < 5:
-            raise ValueError("ld_file needs 5 columns: wavelength, c1..c4")
-        wl = data[:, 0] * (1e-4 if data[:, 0].max() > 100.0 else 1.0)
+        wl, coeffs = self._ld_tab
         wl_c = np.asarray(wl_centers)
-        return np.stack([interp_to_grid(wl, data[:, 1 + i], wl_c)
+        return np.stack([interp_to_grid(wl, coeffs[:, i], wl_c)
                          for i in range(4)], axis=1)
 
     def orbit_params(self) -> OrbitParams:

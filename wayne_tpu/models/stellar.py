@@ -28,7 +28,10 @@ class Star:
             if wl.max() > 100.0:          # Angstrom input
                 wl = wl * 1e-4
                 flux = flux * 1e4          # per A -> per um
-            self._wl, self._flux = wl, flux
+            # sort ascending: frequency-tabulated files come descending,
+            # and interp/rebin silently break on non-monotonic input
+            order = np.argsort(wl)
+            self._wl, self._flux = wl[order], flux[order]
         else:
             self._wl = np.linspace(0.3, 3.0, 4096)
             self._flux = blackbody_flam_um(self._wl, cfg.temperature_k)

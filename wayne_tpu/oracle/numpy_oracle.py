@@ -43,17 +43,20 @@ def oracle_transit_flux(z, p, ld, n_quad: int = 2048) -> np.ndarray:
 
     Dense Gauss-Legendre with the sin^2 contact-point substitution; at
     n_quad=2048 this is converged to ~1e-12 and serves as truth for the
-    fp32 device quadrature.
+    fp32 device quadrature. ``ld`` is (4,) shared Claret coefficients or
+    CHROMATIC (..., 4) with leading axes broadcastable against ``z`` —
+    the shape the device path's per-channel limb darkening uses
+    (observation ld_on_grid '(4,) or (NL, 4)').
     """
     z = np.atleast_1d(np.asarray(z, np.float64))
     p = np.broadcast_to(np.asarray(p, np.float64), z.shape)
-    ld = np.asarray(ld, np.float64)
+    ld = np.broadcast_to(np.asarray(ld, np.float64), z.shape + (4,))
 
-    total = 1.0 - np.sum(ld * _N_EXP / (_N_EXP + 4.0))
+    total = 1.0 - np.sum(ld * _N_EXP / (_N_EXP + 4.0), axis=-1)
     zs = np.maximum(z, 1e-12)
     r_in = np.clip(p - zs, 0.0, 1.0)
     mu_in = np.sqrt(np.clip(1.0 - r_in**2, 0.0, 1.0))
-    core = ((1.0 - ld.sum()) * (1.0 - mu_in**2)
+    core = ((1.0 - ld.sum(axis=-1)) * (1.0 - mu_in**2)
             + np.sum(ld * 4.0 / (_N_EXP + 4.0)
                      * (1.0 - mu_in[..., None] ** ((_N_EXP + 4.0) / 2.0)), axis=-1))
 
@@ -71,7 +74,7 @@ def oracle_transit_flux(z, p, ld, n_quad: int = 2048) -> np.ndarray:
     cos_k = (zs[..., None]**2 + rs**2 - p[..., None]**2) / (2.0 * zs[..., None] * rs)
     kappa = np.arccos(np.clip(cos_k, -1.0, 1.0))
     mu = np.sqrt(np.clip(1.0 - r**2, 0.0, 1.0))
-    integrand = _intensity(mu, ld) * (kappa / np.pi) * 2.0 * r
+    integrand = _intensity(mu, ld[..., None, :]) * (kappa / np.pi) * 2.0 * r
     annulus = span * np.sum(w * du * integrand, axis=-1)
 
     occ = np.where((p <= 0.0) | (z >= 1.0 + p), 0.0, core + annulus)

@@ -29,6 +29,13 @@ def check_exposure_result(res, *, context: str = "",
     if not np.isfinite(reads).all():
         bad = (~np.isfinite(reads)).sum()
         raise SimulationError(f"{prefix}{bad} non-finite values in reads")
+    # NaN in ideal_e/saturated_frac would sail through the range checks
+    # below (NaN comparisons are False) — the sanitizer must catch it.
+    if not np.isfinite(ideal).all():
+        bad = (~np.isfinite(ideal)).sum()
+        raise SimulationError(f"{prefix}{bad} non-finite values in ideal_e")
+    if not np.isfinite(sat).all():
+        raise SimulationError(f"{prefix}non-finite saturated_frac")
     # fp32 erf-difference tails legitimately dip ~-1e-6 of peak; only a
     # physically meaningful negative excursion is an error.
     if ideal.min() < -max(1.0, 1e-5 * float(ideal.max())):

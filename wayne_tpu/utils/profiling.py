@@ -18,6 +18,16 @@ import jax
 log = logging.getLogger("wayne_tpu.profiling")
 
 
+class _StageHandle:
+    """Mutable per-stage handle: set .sync to a jax value inside the
+    ``with`` block to block on it when the stage closes."""
+
+    __slots__ = ("sync",)
+
+    def __init__(self) -> None:
+        self.sync: object = None
+
+
 class StageTimers:
     """Named wall-clock accumulators (host-side, block-until-ready aware)."""
 
@@ -26,14 +36,19 @@ class StageTimers:
         self.counts: dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
-    def stage(self, name: str, *, sync: object = None) -> Iterator[None]:
-        """Time a stage; pass a jax array as ``sync`` to include device time."""
+    def stage(self, name: str) -> Iterator["_StageHandle"]:
+        """Time a stage. To include the device time of async-dispatched
+        work, either block inside the block yourself or set
+        ``handle.sync = <jax value>`` on the yielded handle — a keyword
+        argument could never work (it would be bound BEFORE the block
+        body produced the array)."""
+        handle = _StageHandle()
         t0 = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
-            if sync is not None:
-                jax.block_until_ready(sync)
+            if handle.sync is not None:
+                jax.block_until_ready(handle.sync)
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1
