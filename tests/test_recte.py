@@ -1,0 +1,225 @@
+"""RECTE physical charge trapping (ops/recte.py): trap kinetics vs fp64
+integration, hook morphology, thinning exactness through the kernel,
+config plumbing, Observation integration. Beyond the reference — the
+reference's ramp is the parametric per-orbit hook only (SURVEY.md:393);
+RECTE (Zhou et al. 2017) drives it from the illumination history."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wayne_tpu.calibration import synthetic_tables
+from wayne_tpu.config import (
+    ExposureStatic, NoiseFlags, RecteConfig, config_from_dict,
+)
+from wayne_tpu.ops.recte import (
+    RecteParams, _evolve_constant_rate, thin_and_release, trap_deltas,
+    visit_trap_maps, white_ramp,
+)
+from wayne_tpu.ops.visit import simulate_visit
+from wayne_tpu.scene import example_scene
+
+S, NL, NSAMP = 64, 32, 2
+CFG = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=NSAMP,
+                     samp_seq="RAPID", scan=False, max_cr_per_read=4,
+                     transit_quad=16, noise=NoiseFlags.none())
+TABLES = synthetic_tables("G141", subarray=S, n_lambda=NL, samp_seq="RAPID",
+                          nsamp=NSAMP)
+
+
+def _visit(n_exp, spacing_s=200.0):
+    base = example_scene(NL, scan_speed=0.0)
+    base = dataclasses.replace(base, x_ref=jnp.float32(15.0),
+                               y_ref=jnp.float32(20.0))
+    v = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_exp,) + x.shape), base)
+    starts = jnp.asarray(np.arange(n_exp) * spacing_s, jnp.float32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.PRNGKey(7), i))(jnp.arange(n_exp))
+    return dataclasses.replace(v, exp_start_s=starts, key=keys)
+
+
+class TestTrapKinetics:
+    def test_closed_form_matches_fp64_euler(self):
+        """E(dt) for constant illumination vs brute-force fp64 Euler
+        integration of dE/dt = eta f (1 - E/n) - E/tau."""
+        p = RecteParams()
+        f, dt, e0 = 120.0, 100.0, 40.0
+        got = float(_evolve_constant_rate(
+            jnp.float32(e0), jnp.float32(f), dt,
+            p.n_trap_f, p.eta_f, p.tau_f))
+        e = np.float64(e0)
+        n_steps = 200000
+        h = dt / n_steps
+        for _ in range(n_steps):
+            e += h * (p.eta_f * f * (1.0 - e / p.n_trap_f) - e / p.tau_f)
+        np.testing.assert_allclose(got, e, rtol=1e-4)
+
+    def test_equilibrium(self):
+        """At dt >> tau the population reaches a/b regardless of E0."""
+        p = RecteParams()
+        f = 500.0
+        a = p.eta_f * f
+        b = a / p.n_trap_f + 1.0 / p.tau_f
+        for e0 in (0.0, p.n_trap_f):
+            got = float(_evolve_constant_rate(
+                jnp.float32(e0), jnp.float32(f), 1e6,
+                p.n_trap_f, p.eta_f, p.tau_f))
+            np.testing.assert_allclose(got, a / b, rtol=1e-5)
+
+    def test_dark_pixel_only_releases(self):
+        """f = 0: pure exponential decay, deficit strictly negative."""
+        rates = jnp.zeros((3, 4, 4), jnp.float32)
+        t = jnp.asarray([0.0, 200.0, 400.0], jnp.float32)
+        deficit, _, _ = trap_deltas(rates, t, 100.0, f0_s=0.5, f0_f=0.5)
+        d = np.asarray(deficit)
+        assert (d < 0.0).all()
+        # later exposures release less (the traps drain)
+        assert d[0].min() < d[1].min() < d[2].min() < 0.0
+
+
+class TestHookMorphology:
+    def test_orbit1_deficit_decreases_then_second_orbit_rebounds(self):
+        """Traps fill through orbit 1 (deficit shrinks exposure to
+        exposure = upward flux ramp, the hook); after an occultation gap
+        the fast traps have drained so orbit 2 hooks again — but less
+        than orbit 1 (slow traps stay filled), the RECTE signature."""
+        f = 200.0
+        texp, cad = 100.0, 120.0
+        n_per = 6
+        t1 = np.arange(n_per) * cad
+        t2 = t1 + t1[-1] + cad + 2700.0        # ~45 min Earth occultation
+        t = jnp.asarray(np.concatenate([t1, t2]), jnp.float32)
+        rates = jnp.full((12, 2, 2), f, jnp.float32)
+        deficit, _, _ = trap_deltas(rates, t, texp)
+        d = np.asarray(deficit)[:, 0, 0]
+        assert (np.diff(d[:n_per]) < 0.0).all()          # orbit-1 hook
+        assert d[n_per] > d[n_per - 1]                   # rebound after gap
+        assert d[n_per] < d[0]                           # weaker than orbit 1
+
+    def test_white_ramp_shape_and_grad(self):
+        texp, cad = 100.0, 120.0
+        t = jnp.asarray(np.arange(8) * cad, jnp.float32)
+        ramp = np.asarray(white_ramp(150.0, t, texp))
+        assert ramp.shape == (8,)
+        assert (ramp > 0.9).all() and (ramp < 1.0).all()
+        assert (np.diff(ramp) > 0.0).all()               # monotone hook
+        # differentiable in the initial trap fill (the fitted per-visit
+        # parameter): more pre-filled traps -> shallower ramp
+        g = jax.grad(lambda f0: white_ramp(150.0, t, texp,
+                                           f0_f=f0)[0])(jnp.float32(0.0))
+        assert float(g) > 0.0
+
+    def test_pre_filled_traps_flatten_the_hook(self):
+        t = jnp.asarray(np.arange(6) * 120.0, jnp.float32)
+        fresh = np.asarray(white_ramp(150.0, t, 100.0))
+        pumped = np.asarray(white_ramp(150.0, t, 100.0, f0_s=0.8, f0_f=0.8))
+        assert (pumped[0] > fresh[0])                    # smaller deficit
+        assert (pumped[-1] - pumped[0]) < (fresh[-1] - fresh[0])
+
+
+class TestThinAndRelease:
+    def test_split_reconstructs_deficit(self):
+        fluence = jnp.asarray([[1000.0, 0.0], [50.0, 2.0]], jnp.float32)
+        deficit = jnp.asarray([[12.0, -3.0], [-1.0, 1.5]], jnp.float32)
+        mult, rel = thin_and_release(deficit, fluence, 100.0)
+        m, r = np.asarray(mult), np.asarray(rel)
+        assert ((m >= 0.0) & (m <= 1.0)).all()
+        # capture pixels: thinned expectation removes exactly the deficit
+        np.testing.assert_allclose((1.0 - m[0, 0]) * 1000.0, 12.0,
+                                   rtol=1e-5)
+        assert r[0, 0] == 0.0
+        # release pixels: nonnegative rate, no thinning
+        np.testing.assert_allclose(r[0, 1], 3.0 / 100.0, rtol=1e-6)
+        assert m[0, 1] == 1.0
+        # capture above fluence (numerical corner) clamps, never negative
+        m2, _ = thin_and_release(jnp.asarray([[5.0]]), jnp.asarray([[2.0]]),
+                                 100.0)
+        assert float(m2[0, 0]) == 0.0
+
+
+def test_kernel_thinning_reproduces_deficit_exactly():
+    """Deterministic chain (sky+dark on, all noise off): the trapped
+    visit's final read differs from the trap-free one by exactly
+    -deficit/gain on the active area — the thinning + release split is
+    charge-conserving through the real kernel."""
+    cfg = dataclasses.replace(CFG, noise=dataclasses.replace(
+        NoiseFlags.none(), sky=True, dark=True))
+    scenes = _visit(4)
+    rcfg = RecteConfig(enabled=True)
+    mult, rel = visit_trap_maps(scenes, TABLES, cfg, rcfg, chunk=4)
+    exptime = float(TABLES.read_times[-1])
+    # reconstruct the signed deficit the maps encode
+    base = simulate_visit(scenes, TABLES, cfg, chunk=4).reads_dn
+    trapped = dataclasses.replace(scenes, trap_mult=mult,
+                                  persist_rate=rel)
+    got = simulate_visit(trapped, TABLES, cfg, chunk=4).reads_dn
+    diff_e = (np.asarray(got[:, -1]) - np.asarray(base[:, -1])) \
+        * float(TABLES.gain)
+    # fluence the maps were built against (flat off in this chain)
+    ideal = simulate_visit(
+        scenes, TABLES,
+        dataclasses.replace(cfg, noise=NoiseFlags.none(),
+                            compute_ideal=True),
+        chunk=4).ideal_e
+    bg = (np.asarray(scenes.sky_level)[:, None, None]
+          * np.asarray(TABLES.sky_frame)[None]
+          + np.asarray(TABLES.dark_map)[None]) * exptime
+    fluence = np.asarray(ideal) + bg * np.asarray(TABLES.active_mask)[None]
+    want = -((1.0 - np.asarray(mult)) * fluence
+             - np.asarray(rel) * exptime
+             * np.asarray(TABLES.active_mask)[None])
+    np.testing.assert_allclose(diff_e, want, atol=0.05, rtol=1e-3)
+    # and the hook is visible: exposure 0 loses more charge than exp 3
+    assert diff_e[0].sum() < diff_e[3].sum() <= 0.0
+
+
+class TestConfig:
+    def test_bool_key(self):
+        assert config_from_dict({"recte": True}).recte.enabled
+        assert not config_from_dict({"recte": False}).recte.enabled
+        assert not config_from_dict({}).recte.enabled
+
+    def test_mapping_key_implies_enabled(self):
+        cfg = config_from_dict({"recte": {"tau_f": 300.0, "f0_s": 0.2}})
+        assert cfg.recte.enabled
+        assert cfg.recte.tau_f == 300.0
+        assert cfg.recte.f0_s == 0.2
+        assert cfg.recte.n_trap_s == 1525.38     # untouched default
+
+    def test_unknown_key_raises(self):
+        with pytest.raises(ValueError, match="recte"):
+            config_from_dict({"recte": {"tua_f": 300.0}})
+
+
+def test_observation_hook_ramps_white_light():
+    """End-to-end through Observation: with recte on (parametric hook
+    off) the deterministic white-light curve ramps upward through the
+    first orbit, tracking ops/recte.white_ramp."""
+    from wayne_tpu.observation import Observation
+
+    base = dict(grism="G141", subarray=128, NSAMP=2, SAMPSEQ="RAPID",
+                scan=False, x_ref=20.0, y_ref=60.0, num_orbits=1,
+                exposures_per_orbit=6, n_lambda=32, n_sub=2,
+                noise=False)
+    obs_off = Observation(config_from_dict(base))
+    obs_on = Observation(config_from_dict({**base, "recte": True}))
+    res_off = obs_off.simulate(chunk=6)
+    res_on = obs_on.simulate(chunk=6)
+    assert obs_on.scenes.trap_mult is not None
+    assert obs_off.scenes.trap_mult is None
+    # CDS (last - zeroth read) removes the deterministic bias pedestal
+    # that noise=False keeps: the white-light metric must be source
+    # charge, not pedestal (the pedestal dwarfs this faint test trace).
+    def wl(res):
+        cds = res.reads_dn[:, -1] - res.reads_dn[:, 0]
+        return np.asarray(cds.sum(axis=(1, 2)))
+
+    rel = wl(res_on) / wl(res_off)
+    assert (rel < 0.99).all()                      # ~2% charge deficit
+    assert (np.diff(rel) > 0.0).all()              # upward hook
+    # and the ramp amplitude over the orbit is physically significant
+    assert rel[-1] - rel[0] > 1e-4

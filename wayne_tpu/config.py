@@ -216,6 +216,29 @@ class PersistenceConfig:
 
 
 @dataclass
+class RecteConfig:
+    """Physical charge-trapping ramp, RECTE model (YAML ``recte:`` —
+    ``true`` or a mapping of these fields). A physically-motivated
+    alternative to the parametric hook trend: two trap populations per
+    pixel capture and release charge following the illumination history
+    (Zhou et al. 2017, AJ 153, 243); see :mod:`wayne_tpu.ops.recte` for
+    the model and the TPU-first thinning formulation. When enabled,
+    disable the parametric hook (``trends: {hook_amp: 0}``) unless you
+    deliberately want both ramps stacked."""
+
+    enabled: bool = False
+    n_trap_s: float = 1525.38   # slow-trap count per pixel (Zhou+17)
+    eta_s: float = 0.013318     # slow capture efficiency
+    tau_s: float = 1.63e4       # slow release timescale (s)
+    n_trap_f: float = 162.38    # fast-trap count per pixel
+    eta_f: float = 0.008407     # fast capture efficiency
+    tau_f: float = 281.463      # fast release timescale (s)
+    f0_s: float = 0.0           # initial slow-trap fill fraction at visit
+    #                             start (pre-visit pumping; 0 = fresh)
+    f0_f: float = 0.0           # initial fast-trap fill fraction
+
+
+@dataclass
 class CalibrationConfig:
     """Optional real STScI calibration products (YAML ``calibration:``
     block). Empty paths keep the synthetic tables; each given file
@@ -269,6 +292,7 @@ class ObservationConfig:
         default_factory=CalibrationConfig)
     persistence: PersistenceConfig = field(
         default_factory=PersistenceConfig)
+    recte: RecteConfig = field(default_factory=RecteConfig)
     n_lambda: int = 512
     n_sub: int = 0           # 0 -> auto from SSV period (see auto_n_sub)
     sample_rate_s: float = 0.0  # reference 'sample_rate': seconds per
@@ -596,6 +620,25 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
         else:
             cfg.persistence = dataclasses.replace(
                 cfg.persistence, enabled=_coerce(pers, True))
+
+    # recte: true/false, or a mapping of RecteConfig fields (a mapping
+    # implies enabled unless it says otherwise).
+    rec = flat.pop("recte", None)
+    if rec is not None:
+        rec_fields = {f.name for f in dataclasses.fields(RecteConfig)}
+        if isinstance(rec, Mapping):
+            unknown = set(rec) - rec_fields
+            if unknown:
+                raise ValueError(
+                    f"unknown recte keys {sorted(unknown)}; "
+                    f"allowed: {sorted(rec_fields)}")
+            kv = {k: _coerce(v, getattr(cfg.recte, k))
+                  for k, v in rec.items()}
+            kv.setdefault("enabled", True)
+            cfg.recte = dataclasses.replace(cfg.recte, **kv)
+        else:
+            cfg.recte = dataclasses.replace(
+                cfg.recte, enabled=_coerce(rec, True))
 
     calib_fields = {f.name for f in dataclasses.fields(CalibrationConfig)}
     unknown_cal = set(calib_kv) - calib_fields

@@ -267,9 +267,33 @@ class Observation:
         self.scenes = dataclasses.replace(self.scenes, persist_rate=rates)
 
     # ------------------------------------------------------------------
+    def _ensure_recte(self, chunk: int = 8) -> None:
+        """Attach RECTE charge-trap maps to the Scenes (ops/recte.py).
+
+        Lazy, once per Observation, only when ``recte:`` is enabled.
+        Must run AFTER :meth:`_ensure_persistence`: the trap RELEASE
+        rate is real arriving charge and joins the persistence rate
+        leaf, while the capture side rides the multiplicative
+        ``trap_mult`` leaf. Like persistence, costs one noise-free
+        stimulus pass of the visit.
+        """
+        rcfg = self.cfg.recte
+        if not rcfg.enabled or self.scenes.trap_mult is not None:
+            return
+        from wayne_tpu.ops.recte import visit_trap_maps
+
+        trap_mult, release = visit_trap_maps(
+            self.scenes, self.tables, self.static, rcfg, chunk=chunk)
+        persist = self.scenes.persist_rate
+        persist = release if persist is None else persist + release
+        self.scenes = dataclasses.replace(
+            self.scenes, trap_mult=trap_mult, persist_rate=persist)
+
+    # ------------------------------------------------------------------
     def simulate(self, chunk: int = 8):
         """Run the entire visit on-device; returns batched ExposureResult."""
         self._ensure_persistence(chunk)
+        self._ensure_recte(chunk)
         scenes, n = pad_scenes(self.scenes, chunk)
         out = simulate_visit(scenes, self.tables, self.static, chunk)
         return jax.tree_util.tree_map(lambda x: x[:n], out)
@@ -306,6 +330,7 @@ class Observation:
 
         self._write_direct_image(outdir, resume=resume)
         self._ensure_persistence(chunk)
+        self._ensure_recte(chunk)
 
         # With a mesh, one device-step computes chunk exposures on EACH
         # device; the host loop advances by the group size.

@@ -245,6 +245,15 @@ def simulate_exposure(scene: Scene, tables: Tables,
         bg_rate = bg_rate + scene.sky_level * tables.sky_frame
     if flags.dark:
         bg_rate = bg_rate + tables.dark_map
+    has_trap = scene.trap_mult is not None
+    if has_trap:
+        # RECTE charge-trap capture (ops/recte.py): a Bernoulli thinning
+        # of a Poisson process is again Poisson, so scaling the EXPECTED
+        # sky+dark rate by the per-pixel escape fraction is statistically
+        # exact for the captured side. Trap RELEASE (and prior-exposure
+        # persistence) joins below UN-thinned: the deficit behind
+        # trap_mult is already net of release.
+        bg_rate = bg_rate * scene.trap_mult
     has_persist = scene.persist_rate is not None
     if has_persist:
         # Image persistence from earlier exposures (ops/persistence.py):
@@ -324,6 +333,14 @@ def simulate_exposure(scene: Scene, tables: Tables,
         resp = (jax.lax.dynamic_slice(response, (y0, 0), (W, S))
                 if band else response)
         frame = frame * resp
+        if has_trap:
+            # Charge-trap thinning of the source expectation (see
+            # bg_rate above). Like the hook trend — the parametric ramp
+            # this model replaces — the deficit is part of the expected
+            # signal, so it lands in ideal_e too.
+            tm = (jax.lax.dynamic_slice(scene.trap_mult, (y0, 0), (W, S))
+                  if band else scene.trap_mult)
+            frame = frame * tm.astype(dtype)
         return frame, y0
 
     def add_band(full: jnp.ndarray, band_frame: jnp.ndarray,

@@ -148,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
     # physics sweeps perturb the stimulus by far less than the
     # systematic itself).
     obs._ensure_persistence()
+    obs._ensure_recte()   # charge-trap maps share the same Scene-leaf ride
 
     manifest = generate_dataset(
         obs.scenes, obs.tables, obs.static, args.outdir,

@@ -55,6 +55,12 @@ class Scene:
     #                               (ops/persistence.py); None (the
     #                               default) is pytree-invisible, so
     #                               existing Scenes/caches are untouched
+    trap_mult: jnp.ndarray | None = None      # (S, S) RECTE charge-trap
+    #                               thinning plane in (0, 1] (ops/recte.py):
+    #                               the fraction of this exposure's
+    #                               expected source+sky+dark charge that
+    #                               escapes capture. Trap RELEASE arrives
+    #                               via persist_rate. None = no trapping.
 
 
 def example_scene(n_lambda: int, *, seed: int = 0,
