@@ -177,6 +177,71 @@ def test_kernel_thinning_reproduces_deficit_exactly():
     assert diff_e[0].sum() < diff_e[3].sum() <= 0.0
 
 
+def test_closed_loop_depth_recovery_under_recte():
+    """Simulate -> reduce closed loop with the RECTE ramp ON: the
+    standard analysis chain (white ramp fit -> parametric detrend ->
+    per-channel depth fit) absorbs the physical charge-trap systematic.
+    Within an orbit RECTE's ramp is an exponential approach to trap
+    equilibrium — exactly the family fit_white_ramp fits — so the
+    physically-simulated hook must reduce out just like the parametric
+    one. Also asserts the systematic is actually large enough to bias
+    an uncorrected fit (else this test would prove nothing)."""
+    from wayne_tpu.reduction import (
+        fit_depths, fit_white_ramp, ramp_detrend, reduce_visit,
+    )
+
+    S2, NL2, NSAMP2, N_EXP = 128, 64, 4, 40
+    flags = dataclasses.replace(
+        NoiseFlags.none(), poisson=True, read_noise=True, sky=True,
+        dark=True)
+    cfg = ExposureStatic(subarray=S2, n_lambda=NL2, n_sub=4, nsamp=NSAMP2,
+                         samp_seq="SPARS10", scan=True, noise=flags,
+                         band_px=48)
+    tables = synthetic_tables("G141", subarray=S2, n_lambda=NL2,
+                              samp_seq="SPARS10", nsamp=NSAMP2)
+    base = example_scene(NL2, scan_speed=1.0)
+    base = dataclasses.replace(
+        base, x_ref=jnp.float32(30.0), y_ref=jnp.float32(30.0),
+        rp_over_rs=jnp.full((NL2,), 0.1595, jnp.float32))
+    starts = np.linspace(0.0, 4.0 * 3600.0, N_EXP)   # transit at t0=2h
+    scenes = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (N_EXP,) + x.shape), base)
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.PRNGKey(5), i))(jnp.arange(N_EXP))
+    scenes = dataclasses.replace(
+        scenes, exp_start_s=jnp.asarray(starts, jnp.float32), key=keys)
+    # attach the physical trap maps (what Observation._ensure_recte does)
+    mult, rel = visit_trap_maps(scenes, tables, cfg, RecteConfig(),
+                                chunk=8)
+    scenes = dataclasses.replace(scenes, trap_mult=mult, persist_rate=rel)
+
+    out = simulate_visit(scenes, tables, cfg, chunk=8)
+    exptime = float(tables.read_times[-1])
+    mid = jnp.asarray(starts + exptime / 2.0, jnp.float32)
+    red = reduce_visit(out.reads_dn, tables.gain, mid, base.orbit,
+                       y_window=(20, 75), x_window=(72, 126),
+                       bg_rows=(100, 126), n_chan=6)
+
+    # the trap ramp must be big enough to matter: uncorrected channel
+    # fits shifted from truth by more than the corrected tolerance
+    raw_rp, _ = fit_depths(red.channel_lc, mid, base.orbit, base.ld,
+                           jnp.float32(0.15))
+    raw_err = np.abs(np.asarray(raw_rp) - 0.1595).mean()
+    assert raw_err > 0.002, raw_err
+
+    ramp = fit_white_ramp(red.white_lc, mid, base.orbit, base.ld,
+                          rp_init=0.15)
+    # absolute white depth recovered by the joint transit x ramp fit
+    assert abs(float(ramp.rp) - 0.1595) < 0.004, float(ramp.rp)
+    corrected = ramp_detrend(red.channel_lc, ramp, mid, base.orbit)
+    cor_rp, cor_sig = fit_depths(corrected, mid, base.orbit, base.ld,
+                                 jnp.float32(0.15))
+    cor_rp, cor_sig = np.asarray(cor_rp), np.asarray(cor_sig)
+    tol = np.maximum(6.0 * cor_sig, 0.006)
+    assert np.all(np.abs(cor_rp - 0.1595) < tol), (cor_rp, cor_sig)
+    assert np.abs(cor_rp - 0.1595).mean() < raw_err
+
+
 class TestConfig:
     def test_bool_key(self):
         assert config_from_dict({"recte": True}).recte.enabled
