@@ -242,6 +242,123 @@ def test_closed_loop_depth_recovery_under_recte():
     assert np.abs(cor_rp - 0.1595).mean() < raw_err
 
 
+class TestFitWhiteRecte:
+    """fit_white_recte: the physical-model white fit (reduction side)."""
+
+    def _make_curve(self, rp=0.16, f0_s=0.3, f0_f=0.1, rate=180.0,
+                    ra=0.004, noise=0.0, seed=0):
+        from wayne_tpu.ops.kepler import projected_separation
+        from wayne_tpu.ops.transit import transit_depth_curve
+        from wayne_tpu.scene import example_scene
+
+        base = example_scene(8)
+        n, texp, cad = 48, 90.0, 300.0
+        # transit at the orbit's t0; centre the visit on it
+        t0 = float(np.asarray(base.orbit.t0_s))
+        mids = jnp.asarray(t0 + (np.arange(n) - n / 2) * cad, jnp.float32)
+        starts = mids - texp / 2.0
+        z, in_front = projected_separation(mids, base.orbit)
+        f = transit_depth_curve(z, jnp.float32(rp), base.ld, 32)
+        tr = 1.0 - (1.0 - f) * in_front
+        ramp = white_ramp(rate, starts, texp, f0_s=f0_s, f0_f=f0_f)
+        t_day = (mids - mids.mean()) / 86400.0
+        lc = 1.0 * (1.0 - ra * t_day) * ramp * tr
+        if noise:
+            lc = lc + noise * jax.random.normal(
+                jax.random.PRNGKey(seed), lc.shape)
+        return lc, mids, base, texp, rate
+
+    def test_recovers_depth_and_trap_state(self):
+        from wayne_tpu.reduction import fit_white_recte
+
+        lc, mids, base, texp, rate = self._make_curve(noise=2e-4)
+        fit = fit_white_recte(lc, mids, base.orbit, base.ld, 0.15,
+                              rate_e_s=rate, exptime_s=texp)
+        assert abs(float(fit.rp) - 0.16) < 2e-3, float(fit.rp)
+        assert float(fit.rp_sigma) > 0.0
+        # trap state recovered: the self-consistency check that matters
+        # is the TEMPLATE (f0 x rate_scale trade against each other)
+        truth_ramp = np.asarray(white_ramp(rate, mids - texp / 2.0, texp,
+                                           f0_s=0.3, f0_f=0.1))
+        t_day = np.asarray((mids - mids.mean()) / 86400.0)
+        truth_sys = (1.0 - 0.004 * t_day) * truth_ramp
+        got = np.asarray(fit.template)
+        np.testing.assert_allclose(got / got.mean(),
+                                   truth_sys / truth_sys.mean(),
+                                   atol=5e-4)
+
+    def test_rate_misestimate_absorbed(self):
+        """A 2x wrong effective-rate estimate must not bias the depth:
+        the fitted rate_scale calibrates it."""
+        from wayne_tpu.reduction import fit_white_recte
+
+        lc, mids, base, texp, rate = self._make_curve(noise=2e-4, seed=3)
+        fit = fit_white_recte(lc, mids, base.orbit, base.ld, 0.15,
+                              rate_e_s=rate * 2.0, exptime_s=texp)
+        assert abs(float(fit.rp) - 0.16) < 2e-3, float(fit.rp)
+        assert float(fit.rate_scale) < 0.9   # pulled toward truth (0.5)
+
+    def test_template_feeds_ramp_detrend(self):
+        from wayne_tpu.reduction import fit_white_recte, ramp_detrend
+
+        lc, mids, base, texp, rate = self._make_curve()
+        fit = fit_white_recte(lc, mids, base.orbit, base.ld, 0.15,
+                              rate_e_s=rate, exptime_s=texp)
+        chans = jnp.stack([lc, lc], axis=1)
+        out = np.asarray(ramp_detrend(chans, fit, mids, base.orbit))
+        assert out.shape == (lc.shape[0], 2)
+        assert np.isfinite(out).all()
+        # systematic removed: OOT scatter collapses to ~the transit shape
+        resid = out[:, 0] / out[:5, 0].mean()
+        assert resid[:5].std() < 5e-4
+
+
+def test_run_reduce_cli_recte_detrend(tmp_path):
+    """File-level loop with the PHYSICAL model on both sides: simulate
+    with recte: true (parametric hook off so the trap ramp is the only
+    systematic), reduce with --detrend recte — the white RECTE fit
+    recovers the depth and reports the trap state; channels recover."""
+    import json
+
+    import yaml
+
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.run_reduce import main as reduce_main
+
+    pars = {"grism": "G141", "subarray": 128, "NSAMP": 4,
+            "SAMPSEQ": "SPARS10", "scan": True, "x_ref": 30.0,
+            "y_ref": 40.0, "num_orbits": 3, "exposures_per_orbit": 6,
+            "n_lambda": 64, "n_sub": 4, "rp_over_rs": 0.14,
+            "start_mjd": 55999.93, "t0": 56000.0, "period": 0.813475,
+            "sma_over_rs": 4.855, "inclination": 82.1, "seed": 9,
+            "recte": True, "hook_amp": 0.0}
+    ppath = tmp_path / "pars.yml"
+    ppath.write_text(yaml.safe_dump(pars))
+    outdir = tmp_path / "visit"
+    obs = Observation(load_yaml(str(ppath)))
+    obs.generate(str(outdir), chunk=6, progress=lambda s: None)
+
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                      "--n-chan", "4", "--cpu", "--detrend", "recte"])
+    assert rc == 0
+    rep = json.loads((outdir / "reduced.json").read_text())
+    w = rep["white_recte_fit"]
+    assert abs(w["rp_over_rs"] - 0.14) < 0.004, w
+    assert 0.0 <= w["f0_slow"] <= 1.0 and 0.0 <= w["f0_fast"] <= 1.0
+    assert w["rate_e_s_supplied"] > 0.0
+    for c in rep["channels"]:
+        assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"],
+                                                 4e-3), c
+
+    # recte detrend is transit-only
+    import pytest
+
+    with pytest.raises(SystemExit, match="transit"):
+        reduce_main(["-d", str(outdir), "-p", str(ppath), "--cpu",
+                     "--mode", "eclipse", "--detrend", "recte"])
+
+
 class TestConfig:
     def test_bool_key(self):
         assert config_from_dict({"recte": True}).recte.enabled

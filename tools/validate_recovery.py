@@ -26,6 +26,11 @@ also reduced with the parametric alternative (fit_white_ramp +
 ramp_detrend — the Iraclis-style joint transit x ramp white fit),
 which must additionally recover the ABSOLUTE white-light depth.
 
+A further ensemble swaps the parametric hook for the PHYSICAL RECTE
+charge-trap ramp (ops/recte.py trap maps attached to the Scenes) and
+reduces with the same joint ramp fit — the physically-generated
+systematic must detrend out just like the parametric one.
+
 Usage: python tools/validate_recovery.py [--n-mc 32] [--cpu]
 """
 
@@ -99,15 +104,17 @@ def main() -> None:
     y_window = (40, 100)    # scan band + margins
     bg_rows = (180, 250)
 
-    def make_run(local_cfg, detrend: str = "none"):
+    def make_run(local_cfg, detrend: str = "none", base_visit=None):
         # One jitted program reused across all realisations (a fresh
         # jax.jit per call would re-trace the whole visit every time).
+        src_visit = visit if base_visit is None else base_visit
+
         @jax.jit
         def run(m):
             keys = jax.vmap(lambda e: jax.random.fold_in(
                 jax.random.fold_in(jax.random.PRNGKey(123), m), e)
             )(jnp.arange(N_EXP))
-            scenes = dataclasses.replace(visit, key=keys)
+            scenes = dataclasses.replace(src_visit, key=keys)
 
             def sim(s):
                 res = simulate_exposure(s, tables, local_cfg)
@@ -313,6 +320,48 @@ def main() -> None:
     shift_err = np.abs((shifts_fit - shifts_fit.mean())
                        - (drift_px - drift_px.mean())).max()
 
+    # --- RECTE physical charge-trapping ensemble ------------------------
+    # The physically-generated ramp (ops/recte.py: two-trap kinetics
+    # driven by the illumination history, NOT the parametric hook) must
+    # reduce out through the standard Iraclis-style joint white
+    # transit x ramp fit: noise-unbiased depths and residuals in the
+    # same envelope as the parametric-systematics ensemble. The trap
+    # maps are deterministic (noise-free stimulus), so one solution is
+    # shared across realisations, exactly as run_dataset does.
+    from wayne_tpu.config import RecteConfig
+    from wayne_tpu.ops.recte import visit_trap_maps
+
+    trap_mult, trap_rel = visit_trap_maps(visit, tables, cfg,
+                                          RecteConfig(), chunk=8)
+    visit_recte = dataclasses.replace(visit, trap_mult=trap_mult,
+                                      persist_rate=trap_rel)
+    run_recte = make_run(cfg, detrend="ramp", base_visit=visit_recte)
+    # Uncorrected noise-free fit: shows the trap ramp actually biases a
+    # naive reduction (otherwise this ensemble would gate nothing).
+    rp_recte_raw = np.asarray(make_run(
+        dataclasses.replace(cfg, noise=NoiseFlags.none()),
+        base_visit=visit_recte)(0)[0])
+    out_recte_ref = make_run(dataclasses.replace(
+        cfg, noise=NoiseFlags.none()), detrend="ramp",
+        base_visit=visit_recte)(0)
+    rp_recte_ref = np.asarray(out_recte_ref[0])
+    white_recte_ref = float(out_recte_ref[3])
+    n_recte = max(args.n_mc // 2, 8)
+    t0 = time.time()
+    recte_out = [run_recte(m) for m in range(n_recte)]
+    wall_recte = time.time() - t0
+    rp_rectes = np.stack([np.asarray(o[0]) for o in recte_out])
+    white_rectes = np.array([float(o[3]) for o in recte_out])
+    bias_recte = rp_rectes.mean(axis=0) - rp_recte_ref
+    sem_recte = rp_rectes.std(axis=0, ddof=1) / np.sqrt(n_recte)
+    ok_recte_noise = bool(np.all(np.abs(bias_recte)
+                                 < np.maximum(3.0 * sem_recte, 1e-4)))
+    resid_recte = rp_recte_ref - rp_true
+    ok_recte_resid = bool(np.all(np.abs(resid_recte) < 3e-3))
+    raw_recte_err = float(np.abs(rp_recte_raw - rp_true).max())
+    ok_recte_white = bool(
+        abs(float(white_rectes.mean()) - float(rp_true.mean())) < 3e-3)
+
     # --- eclipse-mode ensemble: emission-contrast recovery -------------
     # A secondary-eclipse visit (exposures spanning the occultation) with
     # the noise chain on; the closed-form linear eclipse fit must recover
@@ -433,6 +482,24 @@ def main() -> None:
             "noise_unbiased_within_3sem": ok_drift_noise,
             "aligned_systematic_within_envelope": ok_drift_sys,
         },
+        "with_recte": {
+            "n_mc": n_recte, "wallclock_s": round(wall_recte, 1),
+            "flags": "poisson+read+sky+dark+cosmic_rays"
+                     "+recte(Zhou+17 physical trap maps)",
+            "reduction": "DQ-aware CR repair + joint white ramp fit "
+                         "(fit_white_ramp) + ramp_detrend + fit_depths",
+            "uncorrected_depth_error_max": round(raw_recte_err, 6),
+            "rp_recovered_mean": [round(float(v), 6)
+                                  for v in rp_rectes.mean(axis=0)],
+            "noise_induced_bias": [round(float(v), 6) for v in bias_recte],
+            "physical_ramp_residual": [round(float(v), 6)
+                                       for v in resid_recte],
+            "white_rp_recovered_mean": round(float(white_rectes.mean()), 6),
+            "white_rp_noise_free": round(white_recte_ref, 6),
+            "noise_unbiased_within_3sem": ok_recte_noise,
+            "physical_ramp_residual_below_3e-3": ok_recte_resid,
+            "white_rp_within_3e-3": ok_recte_white,
+        },
         "eclipse_mode": {
             "n_mc": n_ecl, "wallclock_s": round(wall_ecl, 1),
             "fp_injected": fp_inj,
@@ -448,6 +515,7 @@ def main() -> None:
     ok = (ok_noise and ok_sys and ok_sys_noise and ok_divide_white
           and ok_ramp_noise and ok_ramp_resid and ok_ramp_white
           and ok_drift_noise and ok_drift_sys
+          and ok_recte_noise and ok_recte_resid and ok_recte_white
           and ok_ecl_noise and ok_ecl_sys)
     with open(os.path.join(REPO, "VALIDATION.json"), "w") as fh:
         json.dump(out, fh, indent=2)

@@ -1241,6 +1241,47 @@ def orbit_phase(exp_mid_s: jnp.ndarray,
     return t - orbit_start, orbit_id == 0
 
 
+def _lm_normal_eqs(resid, theta):
+    """(JTJ, J^T r) of a residual function — full-f32 contractions (the
+    TPU bf16-matmul-input hazard sits exactly on near-degenerate fit
+    valleys; CLAUDE.md)."""
+    hp = jax.lax.Precision.HIGHEST
+    J = jax.jacfwd(resid)(theta)                 # (n, nd)
+    r = resid(theta)
+    JTJ = jnp.einsum("ni,nj->ij", J, J, precision=hp)
+    g = jnp.einsum("ni,n->i", J, r, precision=hp)
+    return JTJ, g
+
+
+def _lm_minimize(resid, theta0, n_steps, lam0=1e-3):
+    """Damped Levenberg-Marquardt with fixed step count (lax.fori_loop,
+    accept/reject arithmetic — no data-dependent control flow). Shared
+    by fit_white_ramp and fit_white_recte. Returns (theta, chi2)."""
+    nd = theta0.shape[0]
+    eye_n = jnp.eye(nd, dtype=jnp.float32)
+
+    def step(_, state):
+        theta, lam, chi2 = state
+        JTJ, g = _lm_normal_eqs(resid, theta)
+        ridge = 1e-7 * jnp.trace(JTJ) / nd + 1e-12
+        A = JTJ + lam * jnp.diag(jnp.diag(JTJ)) + ridge * eye_n
+        # full-f32 solve: near-degenerate fit valleys (CLAUDE.md bf16 rule)
+        with jax.default_matmul_precision("highest"):
+            dth = jnp.linalg.solve(A, g)
+        theta_new = theta - dth
+        chi2_new = jnp.sum(resid(theta_new) ** 2)
+        ok = chi2_new < chi2             # NaN compares False: reject
+        theta = jnp.where(ok, theta_new, theta)
+        lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-8, 1e8)
+        chi2 = jnp.where(ok, chi2_new, chi2)
+        return theta, lam, chi2
+
+    chi2_0 = jnp.sum(resid(theta0) ** 2)
+    theta, _, chi2 = jax.lax.fori_loop(
+        0, n_steps, step, (theta0, jnp.float32(lam0), chi2_0))
+    return theta, chi2
+
+
 def ramp_transit_model(theta6: jnp.ndarray, t_day: jnp.ndarray,
                        t_orb: jnp.ndarray, firstf: jnp.ndarray,
                        z: jnp.ndarray, in_front: jnp.ndarray,
@@ -1377,40 +1418,9 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     def resid(theta):
         return model(theta)[0] - lc
 
-    hp = jax.lax.Precision.HIGHEST
-
     def run_lm(theta0, n_steps, lam0=1e-3):
-        nd = theta0.shape[0]
-        eye_n = jnp.eye(nd, dtype=jnp.float32)
-
-        def normal_eqs(theta):
-            J = jax.jacfwd(resid)(theta)                 # (n, nd)
-            r = resid(theta)
-            JTJ = jnp.einsum("ni,nj->ij", J, J, precision=hp)
-            g = jnp.einsum("ni,n->i", J, r, precision=hp)
-            return JTJ, g
-
-        def step(_, state):
-            theta, lam, chi2 = state
-            JTJ, g = normal_eqs(theta)
-            ridge = 1e-7 * jnp.trace(JTJ) / nd + 1e-12
-            A = JTJ + lam * jnp.diag(jnp.diag(JTJ)) + ridge * eye_n
-            # full-f32 solve: the geometry JTJ sits on the near-
-            # degenerate (rp, a/Rs, i, t0) valley (CLAUDE.md bf16 rule)
-            with jax.default_matmul_precision("highest"):
-                dth = jnp.linalg.solve(A, g)
-            theta_new = theta - dth
-            chi2_new = jnp.sum(resid(theta_new) ** 2)
-            ok = chi2_new < chi2             # NaN compares False: reject
-            theta = jnp.where(ok, theta_new, theta)
-            lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-8, 1e8)
-            chi2 = jnp.where(ok, chi2_new, chi2)
-            return theta, lam, chi2
-
-        chi2_0 = jnp.sum(resid(theta0) ** 2)
-        theta, _, chi2 = jax.lax.fori_loop(
-            0, n_steps, step, (theta0, jnp.float32(lam0), chi2_0))
-        return theta, chi2, normal_eqs
+        theta, chi2 = _lm_minimize(resid, theta0, n_steps, lam0)
+        return theta, chi2, partial(_lm_normal_eqs, resid)
 
     if fit_geometry and eclipse:
         raise ValueError("fit_geometry is a transit-mode feature "
@@ -1487,6 +1497,103 @@ def ramp_detrend(channel_lc: jnp.ndarray, ramp: RampFit,
     corr = channel_lc / ramp.template[:, None]
     base = jnp.sum(corr * w[:, None], axis=0) / n
     return corr / base[None, :]
+
+
+@_register
+@dataclass
+class RecteWhiteFit:
+    """Physical RECTE white-light fit (fit_white_recte)."""
+
+    rp: jnp.ndarray              # fitted white-light transit Rp/Rs
+    rp_sigma: jnp.ndarray        # its 1-sigma from the LM curvature
+    c: jnp.ndarray               # out-of-transit flux normalisation
+    slope_per_day: jnp.ndarray   # visit-long linear slope (frac/day)
+    f0_s: jnp.ndarray            # fitted initial slow-trap fill in [0, 1]
+    f0_f: jnp.ndarray            # fitted initial fast-trap fill in [0, 1]
+    rate_scale: jnp.ndarray      # fitted multiplier on the supplied
+    #                              effective illumination rate (the
+    #                              aperture mixes bright/faint pixels, so
+    #                              the effective RECTE rate is fitted)
+    template: jnp.ndarray        # (n_exp,) fitted systematic (no c, no
+    #                              transit): feed to ramp_detrend
+    chi2: jnp.ndarray            # sum of squared residuals at the fit
+
+
+@partial(jax.jit, static_argnames=("exptime_s", "n_iter", "n_quad"))
+def fit_white_recte(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
+                    orbit: OrbitParams, ld: jnp.ndarray,
+                    rp_init: jnp.ndarray | float = 0.15, *,
+                    rate_e_s: jnp.ndarray | float,
+                    exptime_s: float,
+                    n_iter: int = 80, n_quad: int = 32) -> RecteWhiteFit:
+    """Fit the white curve as transit x PHYSICAL RECTE trap ramp.
+
+    The physical-model counterpart of :func:`fit_white_ramp`: instead
+    of the parametric per-orbit exponential, the systematic is the
+    Zhou et al. (2017) two-trap charge-trapping ramp
+    (ops/recte.white_ramp) evaluated at an effective illumination rate,
+    with the per-visit parameters observers actually float — the
+    initial trap-fill fractions f0_s/f0_f (via a sigmoid to stay in
+    [0, 1]) and a log rate-scale absorbing the bright/faint mix of the
+    extraction aperture. Published trap counts/efficiencies/timescales
+    stay fixed (they are detector properties, not per-visit ones).
+
+    theta = (c, rp, ra_per_day, logit f0_s, logit f0_f, log rate_scale);
+    Levenberg-Marquardt with jacfwd through the trap-kinetics lax.scan
+    and the occultation integral (shared _lm_minimize machinery).
+
+    ``rate_e_s``: effective illuminated-pixel rate of the white
+    aperture, e-/s (e.g. OOT white flux / aperture pixels / exptime);
+    the fitted ``rate_scale`` calibrates it. ``exptime_s``: exposure
+    time (from EXPTIME); exposure STARTS are taken as mid - exptime/2.
+    Returns a :class:`RecteWhiteFit`; its ``template`` drops into
+    :func:`ramp_detrend` exactly like the parametric one.
+    """
+    from wayne_tpu.ops.recte import white_ramp as _recte_ramp
+
+    lc = jnp.asarray(white_lc, jnp.float32)
+    t = jnp.asarray(exp_mid_s, jnp.float32)
+    starts = t - 0.5 * exptime_s
+    t_day = (t - t.mean()) / 86400.0
+    oot = out_of_transit_mask(t, orbit).astype(jnp.float32)
+    c0 = jnp.sum(lc * oot) / jnp.maximum(jnp.sum(oot), 1.0)
+    z, in_front = projected_separation(t, orbit)
+    rate0 = jnp.asarray(rate_e_s, jnp.float32)
+
+    def model(theta):
+        c, rp, ra, u_s, u_f, log_rs = (theta[0], theta[1], theta[2],
+                                       theta[3], theta[4], theta[5])
+        rate = rate0 * jnp.exp(jnp.clip(log_rs, -3.0, 3.0))
+        ramp = _recte_ramp(rate, starts, exptime_s,
+                           f0_s=jax.nn.sigmoid(u_s),
+                           f0_f=jax.nn.sigmoid(u_f))
+        sys = (1.0 - ra * t_day) * ramp
+        f = transit_depth_curve(z, jnp.clip(rp, 0.01, 0.5), ld, n_quad)
+        tr = 1.0 - (1.0 - f) * in_front
+        return c * sys * tr, sys
+
+    def resid(theta):
+        return model(theta)[0] - lc
+
+    # f0 starts mid-range (sigmoid gradient vanishes at the rails);
+    # rate_scale starts at the supplied estimate.
+    theta0 = jnp.stack([c0, jnp.asarray(rp_init, jnp.float32).reshape(()),
+                        jnp.float32(0.0), jnp.float32(-1.5),
+                        jnp.float32(-1.5), jnp.float32(0.0)])
+    theta, chi2 = _lm_minimize(resid, theta0, n_iter)
+    _, sys = model(theta)
+    JTJ, _ = _lm_normal_eqs(resid, theta)
+    n = lc.shape[0]
+    noise_var = chi2 / jnp.maximum(n - 6, 1)
+    with jax.default_matmul_precision("highest"):
+        cov = jnp.linalg.inv(JTJ + 1e-9 * jnp.eye(6, dtype=jnp.float32))
+    rp_sigma = jnp.sqrt(jnp.maximum(cov[1, 1] * noise_var, 0.0))
+    return RecteWhiteFit(
+        rp=jnp.clip(theta[1], 0.01, 0.5), rp_sigma=rp_sigma,
+        c=theta[0], slope_per_day=theta[2],
+        f0_s=jax.nn.sigmoid(theta[3]), f0_f=jax.nn.sigmoid(theta[4]),
+        rate_scale=jnp.exp(jnp.clip(theta[5], -3.0, 3.0)),
+        template=sys, chi2=chi2)
 
 
 @partial(jax.jit, static_argnames=("x_window", "n_chan", "divide_white",

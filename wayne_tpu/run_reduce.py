@@ -15,7 +15,7 @@ Usage:
     python -m wayne_tpu.run_reduce -d out_visit/ -p pars.yml \
         [--n-chan 8] [--mode transit|eclipse|phase]
         [--estimator cds|ramp] [--extract box|optimal] [--align]
-        [--detrend divide-white|ramp|none] [--fit-geometry]
+        [--detrend divide-white|ramp|recte|none] [--fit-geometry]
         [--mcmc [N]] [--direct-image] [--save-spectra]
         [--rows Y0:Y1 --cols X0:X1 --bg-rows B0:B1]
         [--plot] [-o reduced.json]
@@ -277,7 +277,8 @@ def main(argv: list[str] | None = None) -> int:
                              "drift trends from the channel curves)")
     parser.add_argument("--no-divide-white", action="store_true",
                         help="skip the white common-mode correction")
-    parser.add_argument("--detrend", choices=("divide-white", "ramp", "none"),
+    parser.add_argument("--detrend",
+                        choices=("divide-white", "ramp", "recte", "none"),
                         default=None,
                         help="systematics removal before the channel fits: "
                              "divide-white (empirical common-mode template, "
@@ -285,7 +286,11 @@ def main(argv: list[str] | None = None) -> int:
                              "fit of transit x slope x per-orbit exponential "
                              "ramp, then divide the fitted parametric "
                              "template — also reports the ABSOLUTE white "
-                             "Rp/Rs), or none. Overrides --no-divide-white.")
+                             "Rp/Rs), recte (transit mode only: the same "
+                             "joint fit with the PHYSICAL Zhou+17 two-trap "
+                             "charge-trapping ramp, floating the per-visit "
+                             "initial trap fills), or none. Overrides "
+                             "--no-divide-white.")
     parser.add_argument("--fit-geometry", action="store_true",
                         help="with --detrend ramp: free the transit "
                              "geometry (t0, a/Rs, inclination) in the "
@@ -513,6 +518,10 @@ def main(argv: list[str] | None = None) -> int:
                 "visibility barely changes) — check start_mjd/t0/period "
                 "or use --mode transit")
         white_j = jnp.asarray(white, jnp.float32)
+        if detrend == "recte":
+            raise SystemExit("--detrend recte is wired for --mode "
+                             "transit only; use ramp (it has an "
+                             "eclipse=True white model) or divide-white")
         if detrend == "ramp":
             from wayne_tpu.reduction import fit_white_ramp
 
@@ -546,9 +555,9 @@ def main(argv: list[str] | None = None) -> int:
         from wayne_tpu.ops.transit import eclipse_visibility
         from wayne_tpu.reduction import fit_phase_curve
 
-        if detrend == "ramp":
-            raise SystemExit("--detrend ramp is not wired for --mode "
-                             "phase; use divide-white or none")
+        if detrend in ("ramp", "recte"):
+            raise SystemExit(f"--detrend {detrend} is not wired for "
+                             "--mode phase; use divide-white or none")
         white_j = jnp.asarray(white, jnp.float32)
         z_t, infr_t = projected_separation(t, orbit)
         vis = eclipse_visibility(z_t, infr_t, rp0)
@@ -634,6 +643,35 @@ def main(argv: list[str] | None = None) -> int:
                   f"{white_fit_report['hook_amp']:.5f}"
                   f" (x{wfit.hook_amp_first / jnp.maximum(wfit.hook_amp, 1e-9):.2f}"
                   f" orbit 1), tau {white_fit_report['hook_tau_s']:.0f} s")
+        elif detrend == "recte":
+            from wayne_tpu.reduction import fit_white_recte, ramp_detrend
+
+            # effective illuminated-pixel rate of the white aperture;
+            # the fit's rate_scale calibrates the bright/faint mix
+            exptime = float(hdr0.get("EXPTIME", mids[0] * 2.0))
+            n_ap = max((yw[1] - yw[0]) * (xw[1] - xw[0]), 1)
+            rate0 = float(np.asarray(white_flux)[oot].mean()
+                          / n_ap / exptime)
+            wfit = fit_white_recte(jnp.asarray(white, jnp.float32), t,
+                                   orbit, ld, rp0, rate_e_s=rate0,
+                                   exptime_s=exptime)
+            chan_j = ramp_detrend(chan_j, wfit, t, orbit)
+            white_fit_report = {
+                "rp_over_rs": round(float(wfit.rp), 6),
+                "rp_sigma": round(float(wfit.rp_sigma), 6),
+                "slope_per_day": round(float(wfit.slope_per_day), 6),
+                "f0_slow": round(float(wfit.f0_s), 4),
+                "f0_fast": round(float(wfit.f0_f), 4),
+                "rate_e_s_supplied": round(rate0, 3),
+                "rate_scale_fitted": round(float(wfit.rate_scale), 4),
+            }
+            print(f"white RECTE fit: rp="
+                  f"{white_fit_report['rp_over_rs']:.5f} +- "
+                  f"{white_fit_report['rp_sigma']:.5f}, trap fill "
+                  f"f0_s={white_fit_report['f0_slow']:.3f} "
+                  f"f0_f={white_fit_report['f0_fast']:.3f}, rate "
+                  f"{rate0:.1f} e-/s x "
+                  f"{white_fit_report['rate_scale_fitted']:.2f}")
         rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld_chan, rp0)
         value_key, sigma_key = "rp_over_rs", "rp_sigma"
 
@@ -703,6 +741,7 @@ def main(argv: list[str] | None = None) -> int:
             "source": wl_source, "x_ref": round(float(xref_used), 3),
             "y_ref": round(float(yref_used), 3)},
         **({("white_phase_fit" if args.mode == "phase"
+             else "white_recte_fit" if detrend == "recte"
              else "white_ramp_fit"): white_fit_report}
            if white_fit_report is not None else {}),
         "dq_repair": not args.no_dq,
