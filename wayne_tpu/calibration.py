@@ -293,6 +293,8 @@ class Tables:
     read_times: jnp.ndarray    # (NR,) s from exposure start
     gain: jnp.ndarray          # nominal e-/DN
     read_noise_e: jnp.ndarray  # CDS-equivalent per-read noise, e-
+    bias_drift_e: jnp.ndarray  # RMS per-read per-amplifier bias drift, e-
+    #                            (gated by NoiseFlags.bias_drift)
     full_well_e: jnp.ndarray   # saturation, e-
     cr_rate_px_s: jnp.ndarray  # cosmic-ray events / px / s
     cr_mean_e: jnp.ndarray     # mean CR deposit, e-
@@ -323,6 +325,7 @@ def synthetic_tables(
     cr_rate_cm2_s: float = 11.0,
     cr_mean_e: float = 1000.0,
     ipc_alpha: float = 0.015,
+    bias_drift_e: float = 3.0,
     dtype=jnp.float32,
 ) -> Tables:
     """Build a complete synthetic Tables pytree.
@@ -419,7 +422,13 @@ def synthetic_tables(
         beam0_dx=f(g["beam0_dx"]), beam0_rel=f(g["beam0_rel"]),
         beam2_rel=f(g["beam2_rel"]),
         read_times=f(read_times), gain=f(gain),
-        read_noise_e=f(read_noise_e), full_well_e=f(full_well_e),
+        read_noise_e=f(read_noise_e),
+        # Per-read, per-amplifier electronic bias drift (e- RMS): each of
+        # the detector's four readout amplifiers wanders by a few
+        # electrons between non-destructive reads; calwf3 removes it with
+        # the reference-pixel border (its BLEVCORR step). Beyond the
+        # reference, which models only a static pedestal.
+        bias_drift_e=f(bias_drift_e), full_well_e=f(full_well_e),
         cr_rate_px_s=f(cr_rate_cm2_s * PIXEL_AREA_CM2),
         cr_mean_e=f(cr_mean_e),
         # HgCdTe hybrid arrays couple ~1.5% of each pixel's sensed charge

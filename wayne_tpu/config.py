@@ -57,6 +57,12 @@ class NoiseFlags:
     ipc: bool = False             # inter-pixel capacitance coupling of the
     #                               sensed charge (beyond the reference,
     #                               which does not model IPC — default off)
+    bias_drift: bool = False      # per-read per-amplifier electronic bias
+    #                               wander (Tables.bias_drift_e RMS; beyond
+    #                               the reference, which models only the
+    #                               static pedestal — default off). Removed
+    #                               downstream by reduction.ref_pixel_correct
+    #                               on full-frame products.
 
     @classmethod
     def none(cls) -> "NoiseFlags":

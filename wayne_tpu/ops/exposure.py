@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from wayne_tpu.calibration import Tables
+from wayne_tpu.calibration import FULL_FRAME, Tables
 from wayne_tpu.config import ExposureStatic
 from wayne_tpu.ops.dispersion import (
     flat_plane, trace_params, trace_y, wl_to_x, x_deposit_matrix,
@@ -190,6 +190,34 @@ def _poisson(key, lam, cfg: ExposureStatic):
     if cfg.exact_poisson:
         return jax.random.poisson(key, jnp.maximum(lam, 0.0)).astype(lam.dtype)
     return fast_poisson(key, jnp.maximum(lam, 0.0))
+
+
+def _bias_drift_dn(scene: Scene, tables: Tables, cfg: ExposureStatic,
+                   gain_div) -> jnp.ndarray:
+    """(NR, S, S) per-read electronic bias-drift offsets in DN.
+
+    The WFC3 IR detector reads through four amplifiers (one per 512^2
+    detector quadrant); each read's amplifier bias wanders by a few
+    electrons (Tables.bias_drift_e RMS), a common-mode offset calwf3
+    removes with the reference-pixel border (beyond the reference, which
+    models only a static pedestal). The drift enters the chain where the
+    pedestal does — after non-linearity, before the gain divide — and
+    everything downstream of that point is linear, so adding the offsets
+    to the finished read stack is exactly equivalent for BOTH noise
+    backends (XLA and Pallas) with zero kernel changes. The quadrant of
+    each subarray pixel comes from its position in the full frame
+    (Tables.subarray_corner); drift hits reference pixels too — that is
+    what makes it correctable (reduction.ref_pixel_correct).
+    """
+    S, nr = cfg.subarray, cfg.nsamp + 1
+    half = FULL_FRAME // 2
+    delta_e = tables.bias_drift_e * jax.random.normal(
+        jax.random.fold_in(scene.key, 977), (nr, 4), jnp.float32)
+    gx = tables.subarray_corner[0] + jnp.arange(S, dtype=jnp.float32)
+    gy = tables.subarray_corner[1] + jnp.arange(S, dtype=jnp.float32)
+    quad = ((gy[:, None] >= half).astype(jnp.int32) * 2
+            + (gx[None, :] >= half).astype(jnp.int32))        # (S, S)
+    return delta_e[:, quad] / gain_div
 
 
 @partial(jax.jit, static_argnames="cfg")
@@ -437,7 +465,11 @@ def simulate_exposure(scene: Scene, tables: Tables,
             scalar_gain=not flags.gain_variations,
             with_cr=flags.cosmic_rays, bg_poisson=has_bg, ipc=flags.ipc)
         sat = jnp.mean((cum >= tables.full_well_e).astype(dtype))
-        return ExposureResult(reads_dn=reads_dn.astype(dtype),
+        reads_dn = reads_dn.astype(dtype)
+        if flags.bias_drift:
+            reads_dn = reads_dn + _bias_drift_dn(
+                scene, tables, cfg, gain_div).astype(dtype)
+        return ExposureResult(reads_dn=reads_dn,
                               ideal_e=ideal_e, saturated_frac=sat,
                               cr_pos=cr_pos, cr_count=cr_count)
 
@@ -520,6 +552,9 @@ def simulate_exposure(scene: Scene, tables: Tables,
     (cum_e, ideal_e), (reads, cr_pos, cr_count) = jax.lax.scan(
         step, (zero, zero), (jnp.arange(cfg.nsamp), rw_all))
     reads_dn = jnp.concatenate([read0[None], reads], axis=0)  # (NR, S, S)
+    if flags.bias_drift:
+        reads_dn = reads_dn + _bias_drift_dn(
+            scene, tables, cfg, gain_div).astype(dtype)
 
     sat = jnp.mean((cum_e >= tables.full_well_e).astype(dtype))
     return ExposureResult(reads_dn=reads_dn, ideal_e=ideal_e,

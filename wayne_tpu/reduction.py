@@ -65,9 +65,11 @@ class ReducedVisit:
 
 # DQ bits consumed by the repair (io.ima conventions): cosmic ray
 # (8192), saturation (256), hot pixel (16). Reference pixels (128) are
-# excluded on purpose — they carry no signal and sit outside every
-# extraction window.
+# excluded from the REPAIR on purpose — they carry no signal and sit
+# outside every extraction window — but ref_pixel_correct consumes them
+# as the per-read bias monitor (the calwf3 BLEVCORR role).
 DQ_COSMIC_RAY, DQ_SATURATED, DQ_HOT_PIXEL = 8192, 256, 16
+DQ_REF_PIXEL = 128
 DQ_BAD_BITS = DQ_COSMIC_RAY | DQ_SATURATED | DQ_HOT_PIXEL
 
 
@@ -115,6 +117,65 @@ def good_diff_masks_from_dq(dq: jnp.ndarray) -> jnp.ndarray:
     sat_bad = ((a | b) & DQ_SATURATED) != 0
     hot_bad = ((a | b) & DQ_HOT_PIXEL) != 0
     return ~(cr_bad | sat_bad | hot_bad)
+
+
+def ref_pixel_correct(reads: jnp.ndarray, ref_mask: jnp.ndarray,
+                      corner: tuple[float, float] | None = None,
+                      clip_sigma: float = 5.0):
+    """Per-read, per-amplifier reference-pixel bias correction.
+
+    The calwf3 BLEVCORR equivalent: the WFC3 IR detector reads through
+    four amplifiers (one per 512^2 detector quadrant) whose electronic
+    bias wanders by a few electrons between non-destructive reads
+    (simulated by NoiseFlags.bias_drift). The blind reference-pixel
+    border sees exactly that wander and nothing else, so each read's
+    per-quadrant mean reference level — relative to read 0, where every
+    static pedestal already cancels in downstream read differences —
+    measures the drift directly.
+
+    Args:
+      reads: (NR, S, S) read stack, any consistent unit (DN or e-: the
+        correction is self-referential).
+      ref_mask: (S, S) truthy where the pixel is a blind reference pixel
+        (DQ bit 128; io.ima.DQ_REF_PIXEL). A quadrant with no reference
+        pixels (any centered subarray) is left untouched — the function
+        is a safe no-op on subarray products, where the per-column
+        background subtraction absorbs the drift instead.
+      corner: (x0, y0) of the frame in the 1024^2 full frame; None =
+        centered (calibration.subarray_corner).
+      clip_sigma: one-pass outlier clip on the reference pixels (cosmic
+        rays DO hit the border) before the mean.
+
+    Returns (corrected (NR, S, S), offsets (NR, 4)): the per-read
+    per-quadrant offsets that were subtracted (offsets[0] == 0).
+    """
+    from wayne_tpu.calibration import FULL_FRAME, subarray_corner
+
+    reads = jnp.asarray(reads, jnp.float32)
+    S = reads.shape[-1]
+    if corner is None:
+        corner = subarray_corner(S)
+    half = FULL_FRAME // 2
+    gx = corner[0] + jnp.arange(S, dtype=jnp.float32)
+    gy = corner[1] + jnp.arange(S, dtype=jnp.float32)
+    quad = ((gy[:, None] >= half).astype(jnp.int32) * 2
+            + (gx[None, :] >= half).astype(jnp.int32))          # (S, S)
+    w = (jnp.asarray(ref_mask) > 0).astype(jnp.float32)[None, :, :] \
+        * (quad[None] == jnp.arange(4)[:, None, None])          # (4, S, S)
+    counts = jnp.maximum(w.sum(axis=(1, 2)), 1.0)               # (4,)
+    mean = jnp.einsum("kij,qij->kq", reads, w) / counts         # (NR, 4)
+    # One robust pass: clip reference pixels > clip_sigma from their
+    # quadrant mean (CR hits on the border), then re-average.
+    resid = reads - mean[:, quad]                               # (NR, S, S)
+    var = jnp.einsum("kij,qij->kq", resid * resid, w) / counts
+    good = (jnp.abs(resid)
+            <= clip_sigma * jnp.sqrt(var)[:, quad] + 1e-6)
+    wk = w[None] * good[:, None]                                # (NR,4,S,S)
+    counts_k = jnp.maximum(wk.sum(axis=(2, 3)), 1.0)
+    mean = jnp.einsum("kij,kqij->kq", reads, wk) / counts_k
+    has_ref = (w.sum(axis=(1, 2)) > 0).astype(jnp.float32)      # (4,)
+    offsets = (mean - mean[0]) * has_ref[None]
+    return reads - offsets[:, quad], offsets
 
 
 def repair_read_stack(reads_dn: jnp.ndarray,

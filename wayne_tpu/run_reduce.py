@@ -106,15 +106,19 @@ def extract_from_files(paths: list[str], gain: float,
     real WFC3 pipelines do: reads flagged with cosmic rays (8192),
     saturation (256) or hot pixels (16) are repaired per pixel by the
     interval-difference reconstruction (reduction.repair_read_stack)
-    before either estimator runs.
+    before either estimator runs, and full-frame products' reference
+    pixels (128) drive the per-read per-amplifier bias-drift
+    subtraction (reduction.ref_pixel_correct, the calwf3 BLEVCORR
+    step) — a no-op on subarray products, which carry no reference
+    pixels.
     """
     import jax
     import jax.numpy as jnp
 
     from wayne_tpu.io.ima import read_ima
     from wayne_tpu.reduction import (
-        DQ_BAD_BITS, good_diff_masks_from_dq, ramp_slope_frame,
-        repair_read_stack)
+        DQ_BAD_BITS, DQ_REF_PIXEL, good_diff_masks_from_dq,
+        ramp_slope_frame, ref_pixel_correct, repair_read_stack)
 
     # one jitted repair program reused across exposures (hot-pixel DQ
     # bits flag essentially EVERY exposure, so this runs per file —
@@ -123,14 +127,24 @@ def extract_from_files(paths: list[str], gain: float,
     repair_fn = jax.jit(
         lambda stack, dq_: repair_read_stack(
             stack, good_diff_masks_from_dq(dq_)))
+    refpix_fn = jax.jit(lambda stack, ref: ref_pixel_correct(stack, ref)[0])
 
     nets, starts, exptime = [], [], 0.0
     n_repaired = 0
+    n_refpix = 0
     for p in paths:
         hdr, reads, times, dq = read_ima(p, with_dq=True)
         flagged = use_dq and bool((dq & DQ_BAD_BITS).any())
         if flagged:
             n_repaired += 1
+        ref_mask = ((dq[0] & DQ_REF_PIXEL) != 0) if use_dq else None
+        has_ref = use_dq and bool(ref_mask.any())
+        if has_ref:
+            n_refpix += 1
+
+        def refpix(stack):
+            return np.asarray(refpix_fn(jnp.asarray(stack, jnp.float32),
+                                        jnp.asarray(ref_mask)))
 
         def repair(stack):
             return np.asarray(repair_fn(jnp.asarray(stack, jnp.float32),
@@ -154,10 +168,14 @@ def extract_from_files(paths: list[str], gain: float,
             # is a per-exposure-constant fraction, so depths (flux
             # ratios) are unaffected.
             acc = reads * np.asarray(times, np.float64)[:, None, None]
+            if has_ref:
+                acc = refpix(acc)
             if flagged:
                 acc = repair(acc)
             net = acc[-1] - acc[1]
         else:
+            if has_ref:
+                reads = refpix(reads)
             if flagged:
                 reads = repair(reads)
             if estimator == "ramp":
@@ -172,6 +190,10 @@ def extract_from_files(paths: list[str], gain: float,
     if n_repaired:
         print(f"DQ repair: rebuilt flagged reads in {n_repaired}/"
               f"{len(paths)} exposures (CR/saturation/hot bits)")
+    if n_refpix:
+        print(f"reference pixels: per-read amplifier bias drift "
+              f"subtracted in {n_refpix}/{len(paths)} exposures "
+              f"(DQ bit 128 border)")
     nets = np.stack(nets)                      # (n_exp, S, S) electrons
     starts = np.asarray(starts)
     mids = (starts - starts.min()) * 86400.0 + exptime / 2.0
