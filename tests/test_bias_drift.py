@@ -149,6 +149,76 @@ def test_ref_pixel_correct_noop_without_reference_pixels():
 
 
 @pytest.mark.slow
+def test_subarray_depth_recovery_with_drift():
+    """Subarray products carry no reference pixels, so the drift rides
+    into the standard analysis — this closes the documented claim that
+    the windowed background subtraction + divide-white chain absorbs it:
+    depths stay unbiased (drift behaves as extra noise, not systematic
+    bias)."""
+    from wayne_tpu.reduction import (common_mode_correct, fit_depths,
+                                     reduce_visit)
+
+    S, NL, NSAMP, N_EXP, N_CHAN = 128, 128, 3, 18, 3
+    flags = dataclasses.replace(
+        NoiseFlags.none(), poisson=True, read_noise=True, sky=True,
+        dark=True, bias_drift=True)
+    cfg0 = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=NSAMP,
+                          samp_seq="SPARS10", scan=True,
+                          noise=NoiseFlags.none(), band_px=48)
+    cfg = dataclasses.replace(cfg0, noise=flags)
+    tables = synthetic_tables("G141", subarray=S, n_lambda=NL,
+                              samp_seq="SPARS10", nsamp=NSAMP)
+    base = example_scene(NL, scan_speed=0.5)
+    wl = np.asarray(tables.wl_centers)
+    rp_inj = 0.1595 + 0.003 * np.sin(8.0 * wl)
+    base = dataclasses.replace(
+        base, x_ref=jnp.float32(20.0), y_ref=jnp.float32(30.0),
+        rp_over_rs=jnp.asarray(rp_inj, jnp.float32))
+    starts = np.linspace(0.0, 4.0 * 3600.0, N_EXP)
+    exptime = float(tables.read_times[-1])
+    mid = jnp.asarray(starts + exptime / 2.0, jnp.float32)
+    visit = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (N_EXP,) + x.shape), base)
+    visit = dataclasses.replace(
+        visit, exp_start_s=jnp.asarray(starts, jnp.float32))
+    # Bright dispersion columns only (the >50%-of-peak range is 67..127
+    # at this x_ref; a near-dark edge channel would be drift-noise
+    # dominated and its nonlinear depth fit biases low at any SNR).
+    xw, yw, bgr = (68, 122), (20, 60), (90, 125)
+
+    def make_run(local_cfg):
+        @jax.jit
+        def run(m):
+            keys = jax.vmap(lambda e: jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(5), m), e)
+            )(jnp.arange(N_EXP))
+            scenes = dataclasses.replace(visit, key=keys)
+            reads = jax.lax.map(
+                lambda s: simulate_exposure(s, tables, local_cfg).reads_dn,
+                scenes)
+            red = reduce_visit(reads, tables.gain, mid, base.orbit,
+                               y_window=yw, x_window=xw, bg_rows=bgr,
+                               n_chan=N_CHAN)
+            chan = common_mode_correct(red.white_lc, red.channel_lc, mid,
+                                       base.orbit, base.ld,
+                                       jnp.float32(0.155))
+            rp, _ = fit_depths(chan, mid, base.orbit, base.ld,
+                               jnp.float32(0.155))
+            return rp
+        return run
+
+    # Noise-free recovery through the IDENTICAL pipeline: the comparison
+    # cancels the reduction's own window/edge systematics (same design
+    # as tools/validate_recovery.py), isolating what the DRIFT adds.
+    rp_ref = np.asarray(make_run(cfg0)(0))
+    run = make_run(cfg)
+    rps = np.stack([np.asarray(run(m)) for m in range(3)])  # (3, N_CHAN)
+    sem = rps.std(axis=0) / np.sqrt(rps.shape[0]) + 1e-4
+    assert np.abs(rps.mean(axis=0) - rp_ref).max() < 2.5e-3
+    assert (np.abs(rps.mean(axis=0) - rp_ref) < 4.0 * sem).all()
+
+
+@pytest.mark.slow
 def test_full_frame_exposure_closed_loop():
     """A real 1024^2 simulated exposure: the border ring (active_mask
     zero -> DQ 128 in products) measures and removes the injected

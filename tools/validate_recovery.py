@@ -208,7 +208,13 @@ def main() -> None:
     # instrument's, and that a realistic analysis recovers the injected
     # spectrum from fully-corrupted frames.
     flags_sys = dataclasses.replace(
-        flags, ssv=True, visit_trend=True)
+        flags, ssv=True, visit_trend=True,
+        # per-read amplifier bias wander too: subarrays carry no
+        # reference pixels, so the analysis chain (windowed background
+        # rows + white normalisation) must absorb it as noise — the
+        # no-bias gates below prove it does (tests/test_bias_drift.py
+        # holds the same at unit scale)
+        bias_drift=True)
     n_sys = max(args.n_mc // 2, 8)
     # ONE simulate+reduce pass per realisation feeds both reductions
     # (divide-white AND the Iraclis-style parametric ramp fit): the
@@ -440,7 +446,7 @@ def main() -> None:
         "with_systematics": {
             "n_mc": n_sys, "wallclock_s": round(wall_sys, 1),
             "flags": "poisson+read+sky+dark+cosmic_rays"
-                     "+ssv(sin+rw)+visit_trend",
+                     "+ssv(sin+rw)+visit_trend+bias_drift",
             "reduction": "DQ-aware CR repair + divide-white "
                          "(common_mode_correct) + fit_depths",
             "rp_recovered_mean": [round(float(v), 6) for v in mean_sys],
@@ -454,7 +460,7 @@ def main() -> None:
             "n_mc": n_sys, "wallclock_s": round(wall_ramp, 1),
             "shared_simulation_pass": True,   # same frames/wall as above
             "flags": "poisson+read+sky+dark+cosmic_rays"
-                     "+ssv(sin+rw)+visit_trend",
+                     "+ssv(sin+rw)+visit_trend+bias_drift",
             "reduction": "DQ-aware CR repair + joint white ramp fit "
                          "(fit_white_ramp) + ramp_detrend + fit_depths",
             "rp_recovered_mean": [round(float(v), 6)
