@@ -112,3 +112,72 @@ def test_random_walk_ssv_in_kernel():
         jax.random.fold_in(noisy.key, 499), nsamp * K, noisy.trends))
     expected = walk.reshape(nsamp, K).mean(axis=1)
     np.testing.assert_allclose(ratio, expected, rtol=1e-4)
+
+
+def test_psf_breathing_scale_equivalence():
+    """scene.psf_scale = s must equal scaling the calibration widths by
+    s exactly — the breathing leaf IS a width multiplier, nothing else."""
+    import dataclasses
+
+    import jax
+
+    from wayne_tpu.calibration import synthetic_tables
+    from wayne_tpu.config import ExposureStatic, NoiseFlags
+    from wayne_tpu.ops.exposure import simulate_exposure
+    from wayne_tpu.scene import example_scene
+
+    cfg = ExposureStatic(subarray=64, n_lambda=32, n_sub=2, nsamp=3,
+                         samp_seq="RAPID", scan=True,
+                         noise=NoiseFlags.none())
+    tables = synthetic_tables("G141", subarray=64, n_lambda=32,
+                              samp_seq="RAPID", nsamp=3)
+    scene = example_scene(32, scan_speed=1.0)
+    scene = dataclasses.replace(scene, x_ref=jnp.float32(10.0),
+                                y_ref=jnp.float32(10.0))
+    s = 1.07
+    got = simulate_exposure(
+        dataclasses.replace(scene, psf_scale=jnp.float32(s)),
+        tables, cfg).reads_dn
+    want = simulate_exposure(
+        scene,
+        dataclasses.replace(tables,
+                            psf_sigma=tables.psf_sigma * jnp.float32(s)),
+        cfg).reads_dn
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-5)
+    # And the wider PSF genuinely lowered the peak (same total charge).
+    base = simulate_exposure(scene, tables, cfg).reads_dn
+    assert float(got[-1].max()) < float(base[-1].max())
+    np.testing.assert_allclose(float(got[-1].sum()), float(base[-1].sum()),
+                               rtol=1e-4)
+
+
+def test_breathing_and_sky_variation_wiring():
+    """Observation attaches the intra-orbit environmental leaves; the
+    defaults attach nothing (psf_scale None, constant sky)."""
+    from wayne_tpu.config import config_from_dict
+    from wayne_tpu.observation import Observation
+
+    base = {"grism": "G141", "subarray": 64, "NSAMP": 2,
+            "SAMPSEQ": "RAPID", "scan": True, "num_orbits": 2,
+            "exposures_per_orbit": 6, "n_lambda": 32, "n_sub": 2,
+            "sky_level": 1.5}
+    obs0 = Observation(config_from_dict(base))
+    assert obs0.scenes.psf_scale is None
+    np.testing.assert_allclose(np.asarray(obs0.scenes.sky_level), 1.5,
+                               atol=1e-6)
+
+    obs = Observation(config_from_dict(dict(base, trends={
+        "breathing_amp": 0.02, "sky_orbit_amp": 0.1,
+        "sky_scatter": 0.03})))
+    ps = np.asarray(obs.scenes.psf_scale)
+    assert ps.shape == (obs.plan.n_exposures,)
+    assert ps.min() >= 0.98 - 1e-6 and ps.max() <= 1.02 + 1e-6
+    assert ps.std() > 1e-3                       # it varies within orbits
+    sky = np.asarray(obs.scenes.sky_level)
+    assert sky.std() > 0.01 and (sky >= 0).all()
+    assert abs(sky.mean() - 1.5) < 0.3
+    # Environmental draws come AFTER the pointing streams: enabling them
+    # must not reshuffle the drift/jitter of an existing visit.
+    np.testing.assert_allclose(np.asarray(obs.scenes.x_ref),
+                               np.asarray(obs0.scenes.x_ref), atol=1e-6)

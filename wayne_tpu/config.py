@@ -195,6 +195,18 @@ class TrendConfig:
     ssv_resolution: float = 12.0        # subsegments per SSV period when the
     #                                     stripe pattern is super-pixel (error
     #                                     ~(1/res)^2 of peak; 12 -> ~0.3%)
+    # --- intra-orbit environmental systematics (beyond the reference) ---
+    breathing_amp: float = 0.0          # HST focus "breathing": fractional
+    #                                     PSF-width modulation over the
+    #                                     thermal/orbital cycle (~1-2% real;
+    #                                     0 = off). Keep well under the 5-
+    #                                     sigma band margin (<~5%).
+    breathing_phase: float = 0.0        # breathing phase at orbit start (rad)
+    sky_orbit_amp: float = 0.0          # fractional sky modulation over the
+    #                                     orbit (earthshine/He-1.083um airglow
+    #                                     rise near the bright limb; 0 = off)
+    sky_scatter: float = 0.0            # fractional per-exposure random sky
+    #                                     level scatter (0 = off)
 
 
 @dataclass

@@ -36,7 +36,7 @@ from wayne_tpu.models.stellar import Star
 from wayne_tpu.ops.visit import pad_scenes, simulate_visit
 from wayne_tpu.scene import Scene
 from wayne_tpu.trends import TrendParams
-from wayne_tpu.visit_plan import VisitPlan, plan_visit
+from wayne_tpu.visit_plan import HST_PERIOD_S, VisitPlan, plan_visit
 
 log = logging.getLogger("wayne_tpu")
 
@@ -210,6 +210,28 @@ class Observation:
         keys = jax.vmap(lambda i: jax.random.fold_in(
             jax.random.PRNGKey(cfg.seed), i))(jnp.arange(n))
 
+        # Intra-orbit environmental systematics (beyond the reference).
+        # Drawn AFTER every stream above so enabling them never reshuffles
+        # the drift/jitter/SSV-phase draws of existing visits.
+        orbit_phase = (2.0 * np.pi
+                       * (np.asarray(plan.exp_start_s)
+                          - np.asarray(plan.orbit_start_s)) / HST_PERIOD_S)
+        psf_scale = None
+        if tr.breathing_amp:
+            # HST focus breathing: thermal PSF-width cycle at the orbital
+            # period (synthetic sinusoid shape; amplitude ~1-2% real).
+            psf_scale = 1.0 + tr.breathing_amp * np.sin(
+                orbit_phase + tr.breathing_phase)
+        sky = np.full(n, cfg.sky_level)
+        if tr.sky_orbit_amp:
+            # Earthshine/airglow rise toward the bright limb ends of the
+            # visibility window (synthetic cosine shape, mean-preserving
+            # over a full cycle).
+            sky = sky * (1.0 + tr.sky_orbit_amp * np.cos(orbit_phase))
+        if tr.sky_scatter:
+            sky = sky * (1.0 + tr.sky_scatter * rng.standard_normal(n))
+        sky = np.maximum(sky, 0.0)
+
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         bcast = lambda v: jnp.broadcast_to(f32(v), (n,) + np.shape(v)[1:])
         return Scene(
@@ -227,8 +249,9 @@ class Observation:
                 f32(np.deg2rad(cfg.planet.phase_offset_deg)), (n,)),
             ld=jnp.broadcast_to(f32(ld), (n,) + ld.shape),
             orbit=orbit_b, trends=trends_b,
-            sky_level=bcast(np.full(n, cfg.sky_level)),
+            sky_level=f32(sky),
             key=keys,
+            psf_scale=None if psf_scale is None else f32(psf_scale),
         )
 
     # ------------------------------------------------------------------

@@ -235,9 +235,14 @@ def simulate_exposure(scene: Scene, tables: Tables,
     use_pallas = cfg.use_pallas and not cfg.exact_poisson
 
     tp = trace_params(tables, scene.x_ref, scene.y_ref)
+    # HST focus breathing (trends breathing_amp, beyond the reference):
+    # a per-exposure scalar scale on the calibration PSF widths. None is
+    # pytree-invisible, so default Scenes compile the unscaled program.
+    psf_sigma = (tables.psf_sigma if scene.psf_scale is None
+                 else tables.psf_sigma * scene.psf_scale)
     x_edges = wl_to_x(tables.wl_edges, tp)
     if cfg.x_psf:
-        X = x_deposit_matrix_gaussian(x_edges, S, tables.psf_sigma)
+        X = x_deposit_matrix_gaussian(x_edges, S, psf_sigma)
     else:
         X = x_deposit_matrix(x_edges, S)
     X = X.astype(dtype)                                      # (NL, S)
@@ -259,7 +264,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
              + tables.beam2_rel * X2)
     x_centers = wl_to_x(tables.wl_centers, tp)
     y_base = trace_y(x_centers, tp)                          # (NL,)
-    sigma = tables.psf_sigma
+    sigma = psf_sigma
 
     # Photon response plane: wavelength-dependent flat (optional) times the
     # reference-pixel mask (outer 5 px of the full frame are blind).

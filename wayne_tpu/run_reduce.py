@@ -4,7 +4,9 @@ The reference's validation story is "simulate, then reduce with a
 standard WFC3 pipeline (Iraclis)". This CLI is the in-repo form of that
 consumer: it reads the ima files a visit wrote to disk (proving the
 products are consumable from the file level up), repairs DQ-flagged
-reads, extracts background-subtracted spectra (box or Horne-optimal,
+reads, subtracts per-read amplifier bias drift from full-frame products
+via the DQ-128 reference-pixel border (the calwf3 BLEVCORR step),
+extracts background-subtracted spectra (box or Horne-optimal,
 CDS or up-the-ramp), aligns dispersion drifts, removes systematics
 (divide-white or the parametric Iraclis ramp fit, optionally with free
 ephemeris), and fits per-channel science: Rp/Rs (transit, autodiff

@@ -55,6 +55,10 @@ class Scene:
     #                               (ops/persistence.py); None (the
     #                               default) is pytree-invisible, so
     #                               existing Scenes/caches are untouched
+    psf_scale: jnp.ndarray | None = None      # scalar PSF-width multiplier
+    #                               (HST focus breathing, trends
+    #                               breathing_amp; None = 1 exactly and
+    #                               pytree-invisible)
     trap_mult: jnp.ndarray | None = None      # (S, S) RECTE charge-trap
     #                               thinning plane in (0, 1] (ops/recte.py):
     #                               the fraction of this exposure's
