@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from wayne_tpu.calibration import FULL_FRAME, subarray_corner, synthetic_tables
+from wayne_tpu.calibration import (FULL_FRAME, quadrant_map, subarray_corner,
+                                   synthetic_tables)
 from wayne_tpu.config import ExposureStatic, NoiseFlags
 from wayne_tpu.ops.exposure import simulate_exposure
 from wayne_tpu.reduction import ref_pixel_correct
@@ -33,6 +34,18 @@ def _quad_map(S: int, corner=None) -> np.ndarray:
 
 def _drift_flags() -> NoiseFlags:
     return dataclasses.replace(NoiseFlags.none(), bias=True, bias_drift=True)
+
+
+@pytest.mark.parametrize("S,corner", [(64, None), (512, None), (1024, None),
+                                      (256, (0, 0)), (128, (700, 300))])
+def test_shared_quadrant_map_matches_numpy_oracle(S, corner):
+    """calibration.quadrant_map (used by BOTH the injection in
+    ops/exposure._bias_drift_dn and the correction in
+    reduction.ref_pixel_correct) must match this test's independent
+    NumPy derivation — injection/correction quadrant agreement is what
+    makes the closed loop exact."""
+    got = np.asarray(quadrant_map(S, corner))
+    np.testing.assert_array_equal(got, _quad_map(S, corner))
 
 
 def test_injection_piecewise_constant_per_quadrant():

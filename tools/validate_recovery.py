@@ -365,6 +365,12 @@ def main() -> None:
     resid_recte = rp_recte_ref - rp_true
     ok_recte_resid = bool(np.all(np.abs(resid_recte) < 3e-3))
     raw_recte_err = float(np.abs(rp_recte_raw - rp_true).max())
+    # The raw (un-detrended) error must be LARGE or the ensemble gates
+    # nothing: if the trap maps silently stopped biasing the naive
+    # reduction (e.g. a regression drops the trap_mult Scene leaf), the
+    # corrected gates would pass vacuously. Mirrors test_recte.py's
+    # raw_err > 0.002 assertion.
+    ok_recte_raw = raw_recte_err > 2e-3
     ok_recte_white = bool(
         abs(float(white_rectes.mean()) - float(rp_true.mean())) < 3e-3)
 
@@ -566,6 +572,7 @@ def main() -> None:
             "reduction": "DQ-aware CR repair + joint white ramp fit "
                          "(fit_white_ramp) + ramp_detrend + fit_depths",
             "uncorrected_depth_error_max": round(raw_recte_err, 6),
+            "uncorrected_error_large_enough_to_gate": ok_recte_raw,
             "rp_recovered_mean": [round(float(v), 6)
                                   for v in rp_rectes.mean(axis=0)],
             "noise_induced_bias": [round(float(v), 6) for v in bias_recte],
@@ -606,7 +613,8 @@ def main() -> None:
     ok = (ok_noise and ok_sys and ok_sys_noise and ok_divide_white
           and ok_ramp_noise and ok_ramp_resid and ok_ramp_white
           and ok_drift_noise and ok_drift_sys
-          and ok_recte_noise and ok_recte_resid and ok_recte_white
+          and ok_recte_raw and ok_recte_noise and ok_recte_resid
+          and ok_recte_white
           and ok_ecl_noise and ok_ecl_sys
           and ok_star_noise and ok_star_sys)
     with open(os.path.join(REPO, "VALIDATION.json"), "w") as fh:

@@ -309,6 +309,28 @@ def subarray_corner(subarray: int) -> tuple[int, int]:
     return (c, c)
 
 
+def quadrant_map(subarray: int, corner=None) -> jnp.ndarray:
+    """(S, S) int32 amplifier-quadrant index (0..3) of each subarray pixel.
+
+    The WFC3 IR detector reads through four amplifiers, one per 512^2
+    full-frame quadrant: quad = 2*(global_y >= 512) + (global_x >= 512).
+    Bias-drift INJECTION (ops/exposure._bias_drift_dn) and CORRECTION
+    (reduction.ref_pixel_correct) must agree exactly on this layout, so
+    this is the single shared implementation — do not re-derive it.
+
+    ``corner`` is the (x0, y0) of the subarray in the full frame: a host
+    tuple or a traced (2,) array (Tables.subarray_corner); None =
+    centered placement.
+    """
+    if corner is None:
+        corner = subarray_corner(subarray)
+    half = FULL_FRAME // 2
+    gx = corner[0] + jnp.arange(subarray, dtype=jnp.float32)
+    gy = corner[1] + jnp.arange(subarray, dtype=jnp.float32)
+    return ((gy[:, None] >= half).astype(jnp.int32) * 2
+            + (gx[None, :] >= half).astype(jnp.int32))
+
+
 def synthetic_tables(
     grism: str = "G141",
     subarray: int = 512,

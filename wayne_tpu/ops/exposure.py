@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from wayne_tpu.calibration import FULL_FRAME, Tables
+from wayne_tpu.calibration import Tables, quadrant_map
 from wayne_tpu.config import ExposureStatic
 from wayne_tpu.ops.dispersion import (
     flat_plane, trace_params, trace_y, wl_to_x, x_deposit_matrix,
@@ -210,13 +210,9 @@ def _bias_drift_dn(scene: Scene, tables: Tables, cfg: ExposureStatic,
     what makes it correctable (reduction.ref_pixel_correct).
     """
     S, nr = cfg.subarray, cfg.nsamp + 1
-    half = FULL_FRAME // 2
     delta_e = tables.bias_drift_e * jax.random.normal(
         jax.random.fold_in(scene.key, 977), (nr, 4), jnp.float32)
-    gx = tables.subarray_corner[0] + jnp.arange(S, dtype=jnp.float32)
-    gy = tables.subarray_corner[1] + jnp.arange(S, dtype=jnp.float32)
-    quad = ((gy[:, None] >= half).astype(jnp.int32) * 2
-            + (gx[None, :] >= half).astype(jnp.int32))        # (S, S)
+    quad = quadrant_map(S, tables.subarray_corner)            # (S, S)
     return delta_e[:, quad] / gain_div
 
 

@@ -149,30 +149,30 @@ def ref_pixel_correct(reads: jnp.ndarray, ref_mask: jnp.ndarray,
     Returns (corrected (NR, S, S), offsets (NR, 4)): the per-read
     per-quadrant offsets that were subtracted (offsets[0] == 0).
     """
-    from wayne_tpu.calibration import FULL_FRAME, subarray_corner
+    from wayne_tpu.calibration import quadrant_map
 
     reads = jnp.asarray(reads, jnp.float32)
     S = reads.shape[-1]
-    if corner is None:
-        corner = subarray_corner(S)
-    half = FULL_FRAME // 2
-    gx = corner[0] + jnp.arange(S, dtype=jnp.float32)
-    gy = corner[1] + jnp.arange(S, dtype=jnp.float32)
-    quad = ((gy[:, None] >= half).astype(jnp.int32) * 2
-            + (gx[None, :] >= half).astype(jnp.int32))          # (S, S)
-    w = (jnp.asarray(ref_mask) > 0).astype(jnp.float32)[None, :, :] \
-        * (quad[None] == jnp.arange(4)[:, None, None])          # (4, S, S)
-    counts = jnp.maximum(w.sum(axis=(1, 2)), 1.0)               # (4,)
-    mean = jnp.einsum("kij,qij->kq", reads, w) / counts         # (NR, 4)
-    # One robust pass: clip reference pixels > clip_sigma from their
-    # quadrant mean (CR hits on the border), then re-average.
-    resid = reads - mean[:, quad]                               # (NR, S, S)
-    var = jnp.einsum("kij,qij->kq", resid * resid, w) / counts
-    good = (jnp.abs(resid)
-            <= clip_sigma * jnp.sqrt(var)[:, quad] + 1e-6)
-    wk = w[None] * good[:, None]                                # (NR,4,S,S)
-    counts_k = jnp.maximum(wk.sum(axis=(2, 3)), 1.0)
-    mean = jnp.einsum("kij,kqij->kq", reads, wk) / counts_k
+    quad = quadrant_map(S, corner)                              # (S, S)
+    # The drift being measured is ~1 DN on a ~1000-DN reference level;
+    # the TPU's default bf16 matmul-input rounding quantizes the inputs
+    # in steps of the same order, so every reference-mean contraction
+    # must run at full f32 (same hazard class as clean_drift_regressor).
+    hp = jax.default_matmul_precision("highest")
+    with hp:
+        w = (jnp.asarray(ref_mask) > 0).astype(jnp.float32)[None, :, :] \
+            * (quad[None] == jnp.arange(4)[:, None, None])      # (4, S, S)
+        counts = jnp.maximum(w.sum(axis=(1, 2)), 1.0)           # (4,)
+        mean = jnp.einsum("kij,qij->kq", reads, w) / counts     # (NR, 4)
+        # One robust pass: clip reference pixels > clip_sigma from their
+        # quadrant mean (CR hits on the border), then re-average.
+        resid = reads - mean[:, quad]                           # (NR, S, S)
+        var = jnp.einsum("kij,qij->kq", resid * resid, w) / counts
+        good = (jnp.abs(resid)
+                <= clip_sigma * jnp.sqrt(var)[:, quad] + 1e-6)
+        wk = w[None] * good[:, None]                            # (NR,4,S,S)
+        counts_k = jnp.maximum(wk.sum(axis=(2, 3)), 1.0)
+        mean = jnp.einsum("kij,kqij->kq", reads, wk) / counts_k
     has_ref = (w.sum(axis=(1, 2)) > 0).astype(jnp.float32)      # (4,)
     offsets = (mean - mean[0]) * has_ref[None]
     return reads - offsets[:, quad], offsets
