@@ -126,6 +126,49 @@ class TestGenerateDataset:
                                  chunk_mc=2, mesh=mesh,
                                  recover={**recover, "n_chan": 0})
 
+    def test_resume_content_checks(self):
+        """Per-chunk input fingerprints: GROWING a dataset (same seed,
+        labels extending the old run's as a prefix) resumes cleanly;
+        EDITED label content for an already-written chunk is rejected;
+        a short label array is rejected up front; a truncated chunk
+        file is regenerated instead of crashing the resume."""
+        mesh = make_mesh(jax.devices()[:2])
+        visit = _visit()
+        rp = np.linspace(0.9, 1.1, 8)
+        with tempfile.TemporaryDirectory() as d:
+            generate_dataset(visit, TABLES, CFG, d, n_mc=4, chunk_mc=2,
+                             labels={"rp_scale": rp[:4]}, mesh=mesh)
+            # short labels vs n_mc: loud error, not silent truncation
+            with pytest.raises(ValueError, match="rows"):
+                generate_dataset(visit, TABLES, CFG, d, n_mc=8, chunk_mc=2,
+                                 labels={"rp_scale": rp[:6]}, mesh=mesh)
+            # growth: first 2 chunks skipped, 2 new ones written
+            log = []
+            generate_dataset(visit, TABLES, CFG, d, n_mc=8, chunk_mc=2,
+                             labels={"rp_scale": rp}, mesh=mesh,
+                             progress=log.append)
+            assert sum("skip" in s for s in log) == 2
+            ds = load_dataset(d)
+            np.testing.assert_allclose(ds["label_rp_scale"], rp)
+            # edited content for chunk 0: rejected by fingerprint
+            bad = rp.copy()
+            bad[0] += 0.05
+            with pytest.raises(ValueError, match="content differs"):
+                generate_dataset(visit, TABLES, CFG, d, n_mc=8, chunk_mc=2,
+                                 labels={"rp_scale": bad}, mesh=mesh)
+            # truncated chunk file (pre-atomic-write crash artifact):
+            # regenerated, and the dataset still loads identically
+            chunk0 = os.path.join(d, "chunk_0000.npz")
+            with open(chunk0, "r+b") as fh:
+                fh.truncate(100)
+            log2 = []
+            generate_dataset(visit, TABLES, CFG, d, n_mc=8, chunk_mc=2,
+                             labels={"rp_scale": rp}, mesh=mesh,
+                             progress=log2.append)
+            assert any("regenerating" in s for s in log2)
+            ds2 = load_dataset(d)
+            np.testing.assert_allclose(ds2["spectra_e"], ds["spectra_e"])
+
 
 class TestTorchAdapter:
     def test_dataset_and_dataloader(self):

@@ -255,12 +255,34 @@ class Observation:
         )
 
     # ------------------------------------------------------------------
+    def _visit_fluence(self, chunk: int = 8):
+        """The visit's noise-free fluence stack, computed at most once.
+
+        Both charge-memory models (persistence afterglow + RECTE traps)
+        are driven by the same stimulus — the ideal accumulation plus
+        the flag-enabled background (ops/visit.visit_fluence_stack).
+        Sharing one cached stack means enabling BOTH models costs one
+        physics-only pass of the visit, not two. The cache is valid
+        because the stack is independent of the persist_rate/trap_mult
+        leaves later attached to the Scenes (persistence joins the
+        background rate, never ideal_e; trap_mult is None during the
+        stimulus pass).
+        """
+        if getattr(self, "_fluence_stack", None) is None:
+            from wayne_tpu.ops.visit import visit_fluence_stack
+
+            self._fluence_stack = visit_fluence_stack(
+                self.scenes, self.tables, self.static, chunk)
+        return self._fluence_stack
+
+    # ------------------------------------------------------------------
     def _ensure_persistence(self, chunk: int = 8) -> None:
         """Attach per-exposure image-persistence maps to the Scenes.
 
         Lazy: runs once per Observation, only when ``persistence:`` is
         enabled — one noise-free pass of the visit drives the stimulus
-        stack, then the decay tensordot yields every exposure's rate map
+        stack (shared with RECTE via :meth:`_visit_fluence`), then the
+        decay tensordot yields every exposure's rate map
         (ops/persistence.py). The maps ride the Scene pytree, so the
         chunked/sharded visit machinery needs no other change.
         """
@@ -278,15 +300,21 @@ class Observation:
             # ending di_gap_s before the first grism exposure.
             res_di, tab_di, _ = self.simulate_direct_image(ideal=True)
             di_exptime = float(tab_di.read_times[-1])
-            bg_di = (self.scenes.sky_level[0] * tab_di.sky_frame
-                     + tab_di.dark_map) * di_exptime
+            # same flag gating as visit_fluence_stack: only enabled
+            # background components actually arrive as charge
+            bg_di = 0.0
+            if self.static.noise.sky:
+                bg_di = bg_di + self.scenes.sky_level[0] * tab_di.sky_frame
+            if self.static.noise.dark:
+                bg_di = bg_di + tab_di.dark_map
             extra_fluence = (res_di.ideal_e
-                             + bg_di * tab_di.active_mask)
+                             + bg_di * di_exptime * tab_di.active_mask)
             extra_end = (float(np.asarray(self.scenes.exp_start_s)[0])
                          - pcfg.di_gap_s)
         rates = visit_persistence_rates(
             self.scenes, self.tables, self.static, pcfg, chunk=chunk,
-            extra_fluence=extra_fluence, extra_end_s=extra_end)
+            extra_fluence=extra_fluence, extra_end_s=extra_end,
+            fluence_stack=self._visit_fluence(chunk))
         self.scenes = dataclasses.replace(self.scenes, persist_rate=rates)
 
     # ------------------------------------------------------------------
@@ -297,8 +325,9 @@ class Observation:
         Must run AFTER :meth:`_ensure_persistence`: the trap RELEASE
         rate is real arriving charge and joins the persistence rate
         leaf, while the capture side rides the multiplicative
-        ``trap_mult`` leaf. Like persistence, costs one noise-free
-        stimulus pass of the visit.
+        ``trap_mult`` leaf. Shares the persistence model's stimulus
+        stack (:meth:`_visit_fluence`) — enabling both costs ONE
+        noise-free pass of the visit.
         """
         rcfg = self.cfg.recte
         if not rcfg.enabled or self.scenes.trap_mult is not None:
@@ -306,7 +335,8 @@ class Observation:
         from wayne_tpu.ops.recte import visit_trap_maps
 
         trap_mult, release = visit_trap_maps(
-            self.scenes, self.tables, self.static, rcfg, chunk=chunk)
+            self.scenes, self.tables, self.static, rcfg, chunk=chunk,
+            fluence_stack=self._visit_fluence(chunk))
         persist = self.scenes.persist_rate
         persist = release if persist is None else persist + release
         self.scenes = dataclasses.replace(

@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from wayne_tpu.calibration import Tables
-from wayne_tpu.config import ExposureStatic, NoiseFlags, PersistenceConfig
+from wayne_tpu.config import ExposureStatic, PersistenceConfig
 from wayne_tpu.scene import Scene
 
 
@@ -121,14 +121,18 @@ def visit_persistence_rates(scenes: Scene, tables: Tables,
                             cfg: ExposureStatic, pcfg: PersistenceConfig,
                             chunk: int = 8,
                             extra_fluence: jnp.ndarray | None = None,
-                            extra_end_s: float | None = None
+                            extra_end_s: float | None = None,
+                            fluence_stack: jnp.ndarray | None = None
                             ) -> jnp.ndarray:
     """Compute the whole visit's persistence maps from its own Scenes.
 
     Runs the visit once noise-free (the ideal accumulation IS the
-    stimulus driver), adds the deterministic sky+dark fluence, and folds
-    the decay tensordot. Costs one extra physics-only pass of the visit
-    (~2/3 of a full-noise pass) when persistence is enabled.
+    stimulus driver), adds the deterministic background fluence the
+    run's noise flags enable, and folds the decay tensordot. Costs one
+    extra physics-only pass of the visit (~2/3 of a full-noise pass)
+    when persistence is enabled — unless ``fluence_stack`` (N, S, S)
+    supplies the precomputed stack (ops/visit.visit_fluence_stack;
+    Observation shares one stack with the RECTE model).
 
     ``extra_fluence`` (S, S) with ``extra_end_s`` prepends one extra
     stimulus — the visit-opening DIRECT IMAGE, whose undispersed PSF
@@ -136,18 +140,12 @@ def visit_persistence_rates(scenes: Scene, tables: Tables,
     pixels and is the classic WFC3 persistence source (far stronger
     than spectrum-on-spectrum afterglow; Observation wires it in).
     """
-    import dataclasses
+    from wayne_tpu.ops.visit import visit_fluence_stack
 
-    from wayne_tpu.ops.visit import pad_scenes, simulate_visit
-
-    ideal_cfg = dataclasses.replace(
-        cfg, noise=NoiseFlags.none(), compute_ideal=True, use_pallas=False)
-    padded, n = pad_scenes(scenes, chunk)
-    ideal = simulate_visit(padded, tables, ideal_cfg, chunk).ideal_e[:n]
+    if fluence_stack is None:
+        fluence_stack = visit_fluence_stack(scenes, tables, cfg, chunk)
     exptime = float(tables.read_times[-1])
-    bg = (scenes.sky_level[:, None, None] * tables.sky_frame[None]
-          + tables.dark_map[None]) * exptime
-    fluence = ideal + bg * tables.active_mask[None]
+    fluence = fluence_stack
     stim_end = None
     if extra_fluence is not None:
         fluence = jnp.concatenate([extra_fluence[None], fluence], axis=0)

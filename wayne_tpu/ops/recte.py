@@ -46,7 +46,6 @@ one is overridable from YAML (``recte:`` block).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from functools import partial
 
@@ -80,6 +79,40 @@ def _evolve_constant_rate(e0: jnp.ndarray, f: jnp.ndarray, dt: float,
     return e_inf + (e0 - e_inf) * jnp.exp(-b * dt)
 
 
+def _exposure_gaps(exp_start_s: jnp.ndarray, exptime_s: float) -> jnp.ndarray:
+    """(N,) free-decay gap before each exposure; first gap is 0 (the
+    initial trap fill is defined AT the first exposure's start)."""
+    t = jnp.asarray(exp_start_s, jnp.float32)
+    gaps = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                            t[1:] - t[:-1] - exptime_s])
+    return jnp.maximum(gaps, 0.0)
+
+
+def _trap_step(p: RecteParams, exptime_s: float):
+    """One visit-clock step of the two-population trap state.
+
+    carry = (e_s, e_f) trapped charge; xs = (rate, gap). Free decay over
+    the gap, then the constant-rate closed form over the exposure; emits
+    the exposure's signed charge deficit. The SINGLE implementation
+    shared by the forward model (trap_deltas, per-pixel maps) and the
+    reduction-side fit model (white_ramp) — the fit must invert exactly
+    the physics the simulator applied.
+    """
+    def step(carry, xs):
+        e_s, e_f = carry
+        f, gap = xs
+        e_s = e_s * jnp.exp(-gap / p.tau_s)
+        e_f = e_f * jnp.exp(-gap / p.tau_f)
+        e_s_new = _evolve_constant_rate(e_s, f, exptime_s,
+                                        p.n_trap_s, p.eta_s, p.tau_s)
+        e_f_new = _evolve_constant_rate(e_f, f, exptime_s,
+                                        p.n_trap_f, p.eta_f, p.tau_f)
+        deficit = (e_s_new - e_s) + (e_f_new - e_f)
+        return (e_s_new, e_f_new), deficit
+
+    return step
+
+
 @partial(jax.jit, static_argnames=("exptime_s", "params", "f0_s", "f0_f"))
 def trap_deltas(rate_stack: jnp.ndarray, exp_start_s: jnp.ndarray,
                 exptime_s: float, params: RecteParams = RecteParams(),
@@ -102,30 +135,13 @@ def trap_deltas(rate_stack: jnp.ndarray, exp_start_s: jnp.ndarray,
     form above is exact for the exposure-mean rate.
     """
     p = params
-    t = jnp.asarray(exp_start_s, jnp.float32)
-    # Gap from the previous exposure's shutter close; first gap is 0 (the
-    # initial fill is defined AT the first exposure start).
-    gaps = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                            t[1:] - t[:-1] - exptime_s])
-    gaps = jnp.maximum(gaps, 0.0)
+    gaps = _exposure_gaps(exp_start_s, exptime_s)
     shape = rate_stack.shape[1:]
     e_s0 = jnp.full(shape, f0_s * p.n_trap_s, jnp.float32)
     e_f0 = jnp.full(shape, f0_f * p.n_trap_f, jnp.float32)
-
-    def step(carry, xs):
-        e_s, e_f = carry
-        f, gap = xs
-        e_s = e_s * jnp.exp(-gap / p.tau_s)
-        e_f = e_f * jnp.exp(-gap / p.tau_f)
-        e_s_new = _evolve_constant_rate(e_s, f, exptime_s,
-                                        p.n_trap_s, p.eta_s, p.tau_s)
-        e_f_new = _evolve_constant_rate(e_f, f, exptime_s,
-                                        p.n_trap_f, p.eta_f, p.tau_f)
-        deficit = (e_s_new - e_s) + (e_f_new - e_f)
-        return (e_s_new, e_f_new), deficit
-
     (e_s_end, e_f_end), deficit = jax.lax.scan(
-        step, (e_s0, e_f0), (rate_stack.astype(jnp.float32), gaps))
+        _trap_step(p, exptime_s), (e_s0, e_f0),
+        (rate_stack.astype(jnp.float32), gaps))
     return deficit, e_s_end, e_f_end
 
 
@@ -167,25 +183,13 @@ def white_ramp(rate_e_s: jnp.ndarray, exp_start_s: jnp.ndarray,
     p = params
     t = jnp.asarray(exp_start_s, jnp.float32)
     f = jnp.broadcast_to(jnp.asarray(rate_e_s, jnp.float32), t.shape)
-    gaps = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                            t[1:] - t[:-1] - exptime_s])
-    gaps = jnp.maximum(gaps, 0.0)
+    gaps = _exposure_gaps(exp_start_s, exptime_s)
     e_s0 = jnp.asarray(f0_s, jnp.float32) * p.n_trap_s
     e_f0 = jnp.asarray(f0_f, jnp.float32) * p.n_trap_f
-
-    def step(carry, xs):
-        e_s, e_f = carry
-        fi, gap = xs
-        e_s = e_s * jnp.exp(-gap / p.tau_s)
-        e_f = e_f * jnp.exp(-gap / p.tau_f)
-        e_s_new = _evolve_constant_rate(e_s, fi, exptime_s,
-                                        p.n_trap_s, p.eta_s, p.tau_s)
-        e_f_new = _evolve_constant_rate(e_f, fi, exptime_s,
-                                        p.n_trap_f, p.eta_f, p.tau_f)
-        deficit = (e_s_new - e_s) + (e_f_new - e_f)
-        return (e_s_new, e_f_new), deficit
-
-    _, deficit = jax.lax.scan(step, (e_s0, e_f0), (f, gaps))
+    # SAME step body as trap_deltas (_trap_step): the reduction-side fit
+    # model must stay the exact inverse of the forward trap physics.
+    _, deficit = jax.lax.scan(_trap_step(p, exptime_s), (e_s0, e_f0),
+                              (f, gaps))
     return 1.0 - deficit / jnp.maximum(f * exptime_s, 1e-20)
 
 
@@ -194,24 +198,17 @@ def visit_trap_maps(scenes, tables, cfg, rcfg, chunk: int = 8,
     """Compute the whole visit's (trap_mult, release_rate) Scene leaves.
 
     ``fluence_stack`` (N, S, S): optional precomputed noise-free
-    per-exposure fluence (ideal + background), e.g. shared with the
-    persistence model's stimulus pass; when None, one physics-only pass
-    of the visit is run here (same cost note as
-    ops/persistence.visit_persistence_rates).
+    per-exposure fluence (ops/visit.visit_fluence_stack — the ideal
+    accumulation plus the flag-enabled background expectation), shared
+    with the persistence model's stimulus pass by Observation; when
+    None, one physics-only pass of the visit is run here (same cost
+    note as ops/persistence.visit_persistence_rates).
     """
-    from wayne_tpu.config import NoiseFlags
-    from wayne_tpu.ops.visit import pad_scenes, simulate_visit
+    from wayne_tpu.ops.visit import visit_fluence_stack
 
     exptime = float(tables.read_times[-1])
     if fluence_stack is None:
-        ideal_cfg = dataclasses.replace(
-            cfg, noise=NoiseFlags.none(), compute_ideal=True,
-            use_pallas=False)
-        padded, n = pad_scenes(scenes, chunk)
-        ideal = simulate_visit(padded, tables, ideal_cfg, chunk).ideal_e[:n]
-        bg = (scenes.sky_level[:, None, None] * tables.sky_frame[None]
-              + tables.dark_map[None]) * exptime
-        fluence_stack = ideal + bg * tables.active_mask[None]
+        fluence_stack = visit_fluence_stack(scenes, tables, cfg, chunk)
 
     params = RecteParams(
         n_trap_s=rcfg.n_trap_s, eta_s=rcfg.eta_s, tau_s=rcfg.tau_s,

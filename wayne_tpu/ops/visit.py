@@ -111,3 +111,41 @@ def simulate_visit_sharded(scenes: Scene, tables: Tables,
 
         fn = _SHARDED_CACHE[key] = jax.jit(run)
     return fn(scenes, tables)
+
+
+def visit_fluence_stack(scenes: Scene, tables: Tables, cfg: ExposureStatic,
+                        chunk: int = 8) -> jnp.ndarray:
+    """Noise-free end-of-exposure fluence maps (N, S, S).
+
+    The ideal source accumulation plus the DETERMINISTIC expectation of
+    whatever background the run's noise flags actually enable (sky,
+    dark) — the charge that really arrives in each pixel, which is the
+    stimulus driver shared by the persistence afterglow and RECTE
+    charge-trap models (ops/persistence.py, ops/recte.py). Computed from
+    one physics-only pass of the visit; Observation shares a single
+    stack between both models instead of paying the pass twice.
+
+    Gating the background on the flags matters for consistency: the
+    trap deficit is divided by this fluence to form the thinning factor
+    the kernel applies to the ENABLED components only — an
+    unconditionally included background would understate the applied
+    deficit in sky-off/dark-off runs.
+    """
+    import dataclasses as _dc
+
+    from wayne_tpu.config import NoiseFlags
+
+    ideal_cfg = _dc.replace(cfg, noise=NoiseFlags.none(),
+                            compute_ideal=True, use_pallas=False)
+    padded, n = pad_scenes(scenes, chunk)
+    ideal = simulate_visit(padded, tables, ideal_cfg, chunk).ideal_e[:n]
+    exptime = float(tables.read_times[-1])
+    bg = None
+    if cfg.noise.sky:
+        bg = scenes.sky_level[:, None, None] * tables.sky_frame[None]
+    if cfg.noise.dark:
+        d = jnp.broadcast_to(tables.dark_map[None], ideal.shape)
+        bg = d if bg is None else bg + d
+    if bg is not None:
+        ideal = ideal + bg * exptime * tables.active_mask[None]
+    return ideal

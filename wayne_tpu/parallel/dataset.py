@@ -17,6 +17,7 @@ pieces an ML-dataset producer needs on top of parallel/ensemble.py:
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import os
 from typing import Any, Mapping
@@ -30,6 +31,39 @@ from wayne_tpu.config import ExposureStatic
 from wayne_tpu.parallel.ensemble import mc_scenes, simulate_ensemble_spectra
 from wayne_tpu.parallel.mesh import make_mesh, shard_scenes
 from wayne_tpu.scene import Scene
+
+
+def _fingerprint(tree) -> str:
+    """Content hash of a pytree of arrays/scalars (resume-safety checks)."""
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(tree):
+        a = np.asarray(leaf)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()[:16]
+
+
+def _chunk_input_fingerprints(n_mc: int, chunk_mc: int, overrides,
+                              labels) -> list[str | None]:
+    """Per-chunk content hash of the override/label slices that shaped it.
+
+    Per-chunk (not whole-array) so that GROWING a dataset — rerunning
+    with a larger n_mc whose overrides/labels extend the previous run's
+    as a prefix — still resumes cleanly, while regenerated samples or
+    edited labels for an already-written chunk are rejected.
+    """
+    out: list[str | None] = []
+    for c0 in range(0, n_mc, chunk_mc):
+        parts = []
+        if overrides:
+            parts.append({k: np.asarray(v)[c0: c0 + chunk_mc]
+                          for k, v in sorted(overrides.items())})
+        if labels:
+            parts.append({k: np.asarray(v)[c0: c0 + chunk_mc]
+                          for k, v in sorted(labels.items())})
+        out.append(_fingerprint(parts) if parts else None)
+    return out
 
 
 def sweep_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0,
@@ -59,6 +93,10 @@ def sweep_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0,
         if value.shape[0] != n_mc:
             raise ValueError(f"override {name!r} must lead with n_mc={n_mc}")
         if value.ndim == cur.ndim:          # (mc, exp, ...) verbatim
+            if value.shape[1] != n_exp:
+                raise ValueError(
+                    f"override {name!r} exposure axis is {value.shape[1]}, "
+                    f"the visit has {n_exp} exposures")
             updates[name] = value
         elif value.ndim == cur.ndim - 1:    # (mc, ...) -> broadcast over exp
             updates[name] = jnp.broadcast_to(value[:, None], cur.shape)
@@ -98,6 +136,14 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
     diluted by F/(F+B)). Injected labels alone hide
     reduction-systematic structure; the recovered depths expose it per
     realisation.
+
+    Memory note: Scene leaves are broadcast across the chunk's mc axis,
+    so the per-exposure (n_exp, S, S) persistence/RECTE maps (when those
+    models are enabled on the source visit) are replicated chunk_mc
+    times in HBM — ~chunk_mc * n_exp * S^2 * 4 B each (e.g. ~1.3 GB per
+    leaf at chunk_mc=16, n_exp=76, S=512). Lower ``chunk_mc`` when
+    enabling them at large subarrays; de-duplicating invariant leaves
+    through the ensemble machinery is future work.
     """
     os.makedirs(outdir, exist_ok=True)
     say = progress or (lambda s: None)
@@ -117,11 +163,21 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
             f"whose exp axis divides it")
     if recover is not None and int(recover.get("n_chan", 8)) < 1:
         raise ValueError("recover n_chan must be >= 1")
+    if labels:
+        for k, v in labels.items():
+            if len(np.asarray(v)) != n_mc:
+                raise ValueError(
+                    f"label {k!r} has {len(np.asarray(v))} rows, expected "
+                    f"n_mc={n_mc} — a short label array would be silently "
+                    f"truncated against the final chunks' spectra")
 
     # Resume safety: skipped chunks and the settings that shaped them
     # must match THIS invocation, or the concatenated dataset silently
     # mixes incompatible rows (e.g. old chunks without recovered_rp
-    # shifting every later realisation's recovered labels).
+    # shifting every later realisation's recovered labels). Array-valued
+    # inputs (override/label contents, recover's orbit/times/ld) are
+    # compared by content fingerprint — names alone would accept
+    # regenerated samples or a corrected ephemeris against stale chunks.
     recover_desc = None
     if recover is not None:
         recover_desc = {
@@ -130,6 +186,8 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
             "rp0": float(recover["rp0"]),
             "divide_white": bool(recover.get("divide_white", True)),
             "subtract_bg": bool(recover.get("subtract_bg", True)),
+            "inputs_sha": _fingerprint((recover["exp_mid_s"],
+                                        recover["orbit"], recover["ld"])),
         }
     expected_keys = {"spectra_e"}
     if recover is not None:
@@ -141,6 +199,7 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         with open(manifest_path) as fh:
             prev = json.load(fh)
         checks = {"chunk_mc": chunk_mc, "seed": seed, "dq_aware": dq_aware,
+                  "n_exp": n_exp_check, "subarray": cfg.subarray,
                   "labels": sorted(labels) if labels else [],
                   "recover": recover_desc}
         for key, cur in checks.items():
@@ -150,6 +209,22 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
                     f"{prev[key]!r}, this run uses {cur!r} — existing "
                     f"chunks would be inconsistent; delete {outdir} or "
                     f"match the original settings")
+        # Content check on the chunks being skipped: the overrides/label
+        # SLICES that shaped each existing chunk must be byte-identical
+        # in this run (a prefix match, so growing n_mc still resumes).
+        prev_shas = prev.get("chunk_inputs_sha") or []
+        cur_shas = _chunk_input_fingerprints(n_mc, chunk_mc, overrides,
+                                             labels)
+        n_cmp = min(len(prev_shas), len(cur_shas))
+        for i in range(n_cmp):
+            if prev_shas[i] != cur_shas[i]:
+                raise ValueError(
+                    f"resume mismatch in {manifest_path}: chunk {i}'s "
+                    f"override/label content differs from the run that "
+                    f"wrote it — regenerated samples or an edited label "
+                    f"array would silently corrupt the concatenated "
+                    f"dataset; delete {outdir} or restore the original "
+                    f"inputs")
 
     n_exp = jax.tree_util.tree_leaves(visit_scenes)[0].shape[0]
     written = []
@@ -168,7 +243,13 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         if labels:
             for k, v in labels.items():
                 payload[f"label_{k}"] = np.asarray(v)[c0: c0 + chunk_mc]
-        np.savez_compressed(path, **payload)
+        # Atomic publish: a crash mid-write must not leave a truncated
+        # chunk_XXXX.npz that a resume would trip over (the pipeline
+        # overlaps writes with device compute, so mid-write crashes are
+        # the LIKELY crash point, not a corner case).
+        tmp = path[:-4] + ".tmp.npz"
+        np.savez_compressed(tmp, **payload)
+        os.replace(tmp, path)
         say(f"chunk {c0 // chunk_mc}: wrote {spectra.shape}")
 
     pending = None
@@ -176,15 +257,22 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         path = os.path.join(outdir, f"chunk_{c0 // chunk_mc:04d}.npz")
         written.append(os.path.basename(path))
         if os.path.exists(path):
-            with np.load(path) as z:
-                have = set(z.files)
-            if have != expected_keys:
-                raise ValueError(
-                    f"resume mismatch: {path} holds {sorted(have)}, this "
-                    f"run expects {sorted(expected_keys)} — delete the "
-                    f"stale chunks or use a fresh outdir")
-            say(f"chunk {c0 // chunk_mc}: exists, skipping")
-            continue
+            try:
+                with np.load(path) as z:
+                    have = set(z.files)
+            except Exception:
+                # Pre-atomic-write partial file (or disk corruption):
+                # regenerate instead of aborting the resume.
+                say(f"chunk {c0 // chunk_mc}: corrupt/partial, regenerating")
+                os.remove(path)
+            else:
+                if have != expected_keys:
+                    raise ValueError(
+                        f"resume mismatch: {path} holds {sorted(have)}, this "
+                        f"run expects {sorted(expected_keys)} — delete the "
+                        f"stale chunks or use a fresh outdir")
+                say(f"chunk {c0 // chunk_mc}: exists, skipping")
+                continue
         over = None
         if overrides:
             over = {k: jnp.asarray(v)[c0: c0 + chunk_mc]
@@ -225,6 +313,8 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         "n_mc": n_mc, "chunk_mc": chunk_mc, "n_exp": n_exp,
         "subarray": cfg.subarray, "seed": seed, "dq_aware": dq_aware,
         "labels": sorted(labels) if labels else [],
+        "chunk_inputs_sha": _chunk_input_fingerprints(n_mc, chunk_mc,
+                                                      overrides, labels),
         "recovered": recover is not None,
         "recover": recover_desc,
         "chunks": written,
