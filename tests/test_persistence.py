@@ -216,6 +216,41 @@ def test_ensemble_path_carries_persistence():
     assert np.abs(sp - sp0).max() > 0.5     # afterglow reached the spectra
 
 
+def test_ensemble_keeps_charge_memory_maps_untiled():
+    """MC_INVARIANT_FIELDS ride the ensemble at their per-visit
+    (n_exp, S, S) shape — mc_scenes must NOT materialise n_mc HBM
+    copies (regression: the broadcast cost ~chunk_mc * n_exp * S^2 * 4 B
+    per leaf at scale) — and every realisation must see the SAME maps:
+    the ensemble spectra of a trap+persistence visit match the
+    single-visit simulation per realisation key."""
+    import jax.numpy as jnp
+
+    from wayne_tpu.parallel.ensemble import (
+        extract_spectra, mc_scenes, simulate_ensemble_spectra)
+    from wayne_tpu.parallel.mesh import make_mesh, shard_scenes
+    from wayne_tpu.ops.visit import simulate_visit
+
+    scenes = _visit(4)
+    rates = visit_persistence_rates(scenes, TABLES, CFG, PCFG, chunk=4)
+    with_p = dataclasses.replace(
+        scenes, persist_rate=rates,
+        trap_mult=jnp.full((4, S, S), 0.97, jnp.float32))
+    ens = mc_scenes(with_p, 4, seed=11)
+    assert ens.persist_rate.shape == (4, S, S)      # no mc axis
+    assert ens.trap_mult.shape == (4, S, S)
+    assert ens.rp_over_rs.ndim == with_p.rp_over_rs.ndim + 1  # tiled
+
+    mesh = make_mesh(jax.devices())
+    sp = np.asarray(simulate_ensemble_spectra(
+        shard_scenes(ens, mesh), TABLES, CFG, mesh))
+    for m in range(2):
+        one = dataclasses.replace(
+            with_p, key=jax.tree_util.tree_map(lambda k: k[m], ens.key))
+        res = simulate_visit(one, TABLES, CFG, chunk=4)
+        want = np.asarray(extract_spectra(res.reads_dn))
+        np.testing.assert_allclose(sp[m], want, rtol=1e-6, atol=1e-3)
+
+
 class TestConfig:
     def test_bool_key(self):
         assert config_from_dict({"persistence": True}).persistence.enabled

@@ -137,13 +137,10 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
     reduction-systematic structure; the recovered depths expose it per
     realisation.
 
-    Memory note: Scene leaves are broadcast across the chunk's mc axis,
-    so the per-exposure (n_exp, S, S) persistence/RECTE maps (when those
-    models are enabled on the source visit) are replicated chunk_mc
-    times in HBM — ~chunk_mc * n_exp * S^2 * 4 B each (e.g. ~1.3 GB per
-    leaf at chunk_mc=16, n_exp=76, S=512). Lower ``chunk_mc`` when
-    enabling them at large subarrays; de-duplicating invariant leaves
-    through the ensemble machinery is future work.
+    Memory note: the per-exposure (n_exp, S, S) persistence/RECTE maps
+    are MC-invariant (scene.MC_INVARIANT_FIELDS) and ride the ensemble
+    un-tiled — one shared HBM buffer per leaf, replicated across the
+    mesh's mc devices, never chunk_mc copies.
     """
     os.makedirs(outdir, exist_ok=True)
     say = progress or (lambda s: None)

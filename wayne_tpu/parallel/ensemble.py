@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from wayne_tpu.calibration import Tables
 from wayne_tpu.config import ExposureStatic
 from wayne_tpu.ops.exposure import simulate_exposure
-from wayne_tpu.scene import Scene
+from wayne_tpu.scene import MC_INVARIANT_FIELDS, Scene
 
 
 def mc_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0,
@@ -40,6 +40,11 @@ def mc_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0,
     indices: local realisation m is keyed as ``mc_offset + m``, so a
     chunked run (parallel/dataset.py) produces bit-identical draws for
     realisation i regardless of how the chunks are cut.
+
+    MC_INVARIANT_FIELDS (the charge-memory maps) are NOT tiled: they
+    stay at their per-visit (n_exp, S, S) shape — the ensemble machinery
+    replicates them across devices instead of materialising n_mc
+    byte-identical HBM copies.
     """
     n_exp = jax.tree_util.tree_leaves(visit_scenes)[0].shape[0]
     root = jax.random.PRNGKey(seed)
@@ -48,9 +53,20 @@ def mc_scenes(visit_scenes: Scene, n_mc: int, seed: int = 0,
             lambda e: jax.random.fold_in(jax.random.fold_in(root, m), e)
         )(jnp.arange(n_exp))
     )(jnp.arange(n_mc) + mc_offset)
-    tiled = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[None], (n_mc,) + x.shape), visit_scenes)
-    return dataclasses.replace(tiled, key=keys)
+
+    def tile(x):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (n_mc,) + a.shape), x)
+
+    updates: dict = {"key": keys}
+    for f in dataclasses.fields(visit_scenes):
+        if f.name == "key":
+            continue
+        v = getattr(visit_scenes, f.name)
+        if v is None:
+            continue
+        updates[f.name] = v if f.name in MC_INVARIANT_FIELDS else tile(v)
+    return dataclasses.replace(visit_scenes, **updates)
 
 
 def extract_spectra(reads_dn: jnp.ndarray,
@@ -91,9 +107,31 @@ from wayne_tpu.parallel.mesh import _leaf_spec as _batch_spec
 _JIT_CACHE: dict = {}
 
 
+def _scene_ensemble_specs(scenes: Scene):
+    """(mc, exp, ...) specs, except MC-invariant leaves: (exp, ...).
+
+    The charge-memory maps ride un-tiled at (n_exp, S, S) (see
+    mc_scenes): their exp axis shards over the mesh 'exp' axis and the
+    whole leaf is replicated across 'mc' devices — no per-realisation
+    HBM copies.
+    """
+    from jax.tree_util import GetAttrKey, tree_map_with_path
+
+    from wayne_tpu.scene import MC_INVARIANT_FIELDS
+
+    def spec(path, x):
+        name = next((p.name for p in path if isinstance(p, GetAttrKey)),
+                    None)
+        if name in MC_INVARIANT_FIELDS:
+            return P("exp", *([None] * (x.ndim - 1)))
+        return _batch_spec(x, 2)
+
+    return tree_map_with_path(spec, scenes)
+
+
 def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
                  tables: Tables, ramp: bool, dq_aware: bool):
-    scene_specs = jax.tree_util.tree_map(lambda x: _batch_spec(x, 2), scenes)
+    scene_specs = _scene_ensemble_specs(scenes)
     table_specs = jax.tree_util.tree_map(lambda _: P(), tables)
 
     # check_vma=False: jax.random.poisson's internal while_loop carries
@@ -104,6 +142,15 @@ def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
              out_specs=P("mc", "exp", None), check_vma=False)
     def run(local_scenes: Scene, local_tables: Tables) -> jnp.ndarray:
         rt = local_tables.read_times if ramp else None
+        # MC-invariant leaves carry no mc axis: pull them out of the
+        # lax.map (which peels the leading mc axis of every leaf) and
+        # reinsert per realisation — XLA sees one shared buffer.
+        from wayne_tpu.scene import MC_INVARIANT_FIELDS
+
+        inv = {n: getattr(local_scenes, n) for n in MC_INVARIANT_FIELDS
+               if getattr(local_scenes, n) is not None}
+        local_scenes = dataclasses.replace(
+            local_scenes, **{n: None for n in inv})
 
         def one(s: Scene) -> jnp.ndarray:
             res = simulate_exposure(s, local_tables, cfg)
@@ -125,7 +172,7 @@ def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
             return extract_spectra(res.reads_dn, rt)
 
         def per_mc(sc: Scene) -> jnp.ndarray:
-            return jax.vmap(one)(sc)
+            return jax.vmap(one)(dataclasses.replace(sc, **inv))
         return jax.lax.map(per_mc, local_scenes)
 
     return jax.jit(run)

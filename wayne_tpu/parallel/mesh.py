@@ -41,7 +41,21 @@ def shard_scenes(scenes, mesh: Mesh, n_batch_axes: int = 2):
 
     Leaves are sharded along their leading batch axes ((mc, exp) for
     ensembles, (exp,) for a single visit) and replicated elsewhere.
+    MC-invariant Scene fields (scene.MC_INVARIANT_FIELDS — the
+    charge-memory maps, which carry no mc axis by design) shard their
+    leading exp axis only and replicate across the 'mc' devices.
     """
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(
-            x, NamedSharding(mesh, _leaf_spec(x, n_batch_axes))), scenes)
+    from jax.tree_util import GetAttrKey, tree_map_with_path
+
+    from wayne_tpu.scene import MC_INVARIANT_FIELDS
+
+    def put(path, x):
+        name = next((p.name for p in path if isinstance(p, GetAttrKey)),
+                    None)
+        if n_batch_axes == 2 and name in MC_INVARIANT_FIELDS:
+            spec = P("exp", *([None] * (x.ndim - 1)))
+        else:
+            spec = _leaf_spec(x, n_batch_axes)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return tree_map_with_path(put, scenes)

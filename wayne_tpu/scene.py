@@ -67,6 +67,16 @@ class Scene:
     #                               via persist_rate. None = no trapping.
 
 
+# Scene fields that are IDENTICAL for every Monte-Carlo realisation of a
+# visit: the charge-memory maps are computed once from the noise-free
+# stimulus (Observation._visit_fluence) and do not depend on the RNG key
+# or the swept physics. Ensembles keep them at their per-visit
+# (n_exp, S, S) shape and replicate across the mc mesh axis instead of
+# materialising chunk_mc copies in HBM (~chunk_mc * n_exp * S^2 * 4 B
+# per leaf otherwise; see parallel/ensemble.py, parallel/mesh.py).
+MC_INVARIANT_FIELDS = frozenset({"persist_rate", "trap_mult"})
+
+
 def example_scene(n_lambda: int, *, seed: int = 0,
                   scan_speed: float = 1.0) -> Scene:
     """A synthetic WASP-43b-like scene, mainly for tests and benchmarks."""
