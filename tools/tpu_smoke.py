@@ -165,6 +165,27 @@ def main() -> None:
     ref = np.asarray(cen, np.float64) - B @ gam
     ok["drift_fit_matches_fp64"] = bool(np.abs(got - ref).max() < 1e-4)
 
+    # ref-pixel BLEVCORR on chip: the per-read quadrant reference means
+    # sit at the ~1000 DN level while the drift being measured is ~1 DN
+    # — the bf16 matmul-input hazard class (same as clean_drift above);
+    # reduction.ref_pixel_correct must recover injected offsets exactly.
+    # Fails without precision=HIGHEST on its reference-mean einsums.
+    from wayne_tpu.calibration import quadrant_map as _qmap
+    from wayne_tpu.reduction import ref_pixel_correct as _rpc
+    S_r, NR_r = 64, 8
+    rngr = np.random.RandomState(7)
+    quad_r = np.asarray(_qmap(S_r))          # centered 64^2 spans all 4
+    off_true = np.zeros((NR_r, 4), np.float32)
+    off_true[1:] = rngr.normal(0.0, 1.2, (NR_r - 1, 4)).astype(np.float32)
+    base_r = 1000.0 + rngr.normal(0.0, 2.0, (S_r, S_r)).astype(np.float32)
+    reads_r = base_r[None] + off_true[:, quad_r]
+    mask_r = np.zeros((S_r, S_r), np.float32)
+    mask_r[:5] = mask_r[-5:] = 1.0
+    mask_r[:, :5] = mask_r[:, -5:] = 1.0
+    _, off_got = _rpc(jnp.asarray(reads_r), jnp.asarray(mask_r))
+    err_off = float(np.abs(np.asarray(off_got) - off_true).max())
+    ok["refpix_offsets_on_chip"] = bool(err_off < 0.05)
+
     # joint ramp+transit LM fit recovers a known white curve on chip
     from wayne_tpu.ops.kepler import projected_separation as _psep
     from wayne_tpu.ops.transit import transit_depth_curve as _tdc
