@@ -151,6 +151,48 @@ def test_direct_image_glows_into_first_exposure():
         np.asarray(obs2.scenes.persist_rate)[0], 0.0)
 
 
+def test_prior_observation_fluence_file(tmp_path):
+    """Persistence from the PREVIOUS program: a user-supplied prior
+    fluence map (prior_fluence_file) stimulates exposure 0, localised
+    where the prior target sat, and its afterglow decays monotonically
+    across the visit (all visit-internal stimuli come later, so with
+    the direct image off the prior spot is the only source there)."""
+    from wayne_tpu.observation import Observation
+
+    prior = np.zeros((64, 64), np.float32)
+    prior[40:44, 50:54] = 60000.0                 # prior target's spot
+    fpath = tmp_path / "prior.npy"
+    np.save(fpath, prior)
+
+    pars = dict(grism="G141", subarray=64, NSAMP=2, SAMPSEQ="RAPID",
+                scan=False, x_ref=15.0, y_ref=20.0, num_orbits=1,
+                exposures_per_orbit=3, n_lambda=32, n_sub=2,
+                persistence={"enabled": True, "amplitude_e_s": 2.0,
+                             "x0_e": 500.0, "dx_e": 50.0,
+                             "direct_image": False,
+                             "prior_fluence_file": str(fpath),
+                             "prior_end_s": -300.0})
+    obs = Observation(config_from_dict(pars))
+    obs._ensure_persistence()
+    rates = np.asarray(obs.scenes.persist_rate)
+    spot = rates[:, 40:44, 50:54].mean(axis=(1, 2))
+    assert spot[0] > 0.1                          # afterglow at exposure 0
+    assert np.all(np.diff(spot) < 0.0)            # decays across the visit
+    # away from the prior spot (and with no direct image) exposure 0
+    # carries only the sigmoid's zero-fluence tail (~exp(-x0/dx) of the
+    # amplitude), orders of magnitude below the spot afterglow
+    off_spot = rates[0].copy()
+    off_spot[35:49, 45:59] = 0.0
+    assert off_spot.max() < 1e-2 * spot[0]
+
+    # wrong shape fails loudly
+    np.save(tmp_path / "bad.npy", np.zeros((32, 32), np.float32))
+    pars["persistence"]["prior_fluence_file"] = str(tmp_path / "bad.npy")
+    obs2 = Observation(config_from_dict(pars))
+    with pytest.raises(ValueError, match="expected"):
+        obs2._ensure_persistence()
+
+
 def test_weak_stimulus_produces_negligible_persistence():
     scenes = _visit(3)
     realistic = PersistenceConfig(enabled=True)   # knee at 0.95 full well

@@ -231,6 +231,15 @@ class PersistenceConfig:
     #                                 persistence source)
     di_gap_s: float = 60.0          # overhead between direct-image end
     #                                 and the first grism exposure
+    prior_fluence_file: str | None = None  # (S, S) fluence map (e-) of
+    #                                 the PREVIOUS observation's last
+    #                                 exposure (.npy or FITS image HDU):
+    #                                 afterglow from the prior program —
+    #                                 the classic "persistence from the
+    #                                 previous target" systematic
+    prior_end_s: float = -600.0     # when the prior stimulus ended, on
+    #                                 this visit's clock (negative =
+    #                                 before the first exposure)
 
 
 @dataclass

@@ -48,6 +48,19 @@ _quantize_u16 = jax.jit(
     lambda r: jnp.clip(jnp.round(r), 0.0, 65535.0).astype(jnp.uint16))
 
 
+def _load_fluence_map(path: str) -> np.ndarray:
+    """Host-side (S, S) fluence map loader: .npy or FITS (first image
+    HDU). Used for PersistenceConfig.prior_fluence_file."""
+    if path.endswith(".npy"):
+        return np.asarray(np.load(path), np.float32)
+    from wayne_tpu.io.fits import read_fits
+
+    for _, data in read_fits(path):
+        if data is not None and np.ndim(data) == 2:
+            return np.asarray(data, np.float32)
+    raise ValueError(f"{path!r} contains no 2-D image HDU")
+
+
 class Observation:
     """One simulated WFC3 IR grism visit."""
 
@@ -291,7 +304,20 @@ class Observation:
             return
         from wayne_tpu.ops.persistence import visit_persistence_rates
 
-        extra_fluence = extra_end = None
+        extras: list = []
+        ends: list = []
+        if pcfg.prior_fluence_file:
+            # Afterglow from the PREVIOUS observation (the "persistence
+            # from the prior program" systematic): a user-supplied
+            # (S, S) fluence map of the prior target's last exposure.
+            prior = _load_fluence_map(pcfg.prior_fluence_file)
+            S = self.static.subarray
+            if prior.shape != (S, S):
+                raise ValueError(
+                    f"prior_fluence_file {pcfg.prior_fluence_file!r} is "
+                    f"{prior.shape}, expected ({S}, {S}) for this subarray")
+            extras.append(jnp.asarray(prior, jnp.float32))
+            ends.append(float(pcfg.prior_end_s))
         if pcfg.direct_image:
             # The visit-opening direct image concentrates the star's
             # whole filter bandpass into one PSF spot — the strongest
@@ -307,13 +333,14 @@ class Observation:
                 bg_di = bg_di + self.scenes.sky_level[0] * tab_di.sky_frame
             if self.static.noise.dark:
                 bg_di = bg_di + tab_di.dark_map
-            extra_fluence = (res_di.ideal_e
-                             + bg_di * di_exptime * tab_di.active_mask)
-            extra_end = (float(np.asarray(self.scenes.exp_start_s)[0])
-                         - pcfg.di_gap_s)
+            extras.append(res_di.ideal_e
+                          + bg_di * di_exptime * tab_di.active_mask)
+            ends.append(float(np.asarray(self.scenes.exp_start_s)[0])
+                        - pcfg.di_gap_s)
         rates = visit_persistence_rates(
             self.scenes, self.tables, self.static, pcfg, chunk=chunk,
-            extra_fluence=extra_fluence, extra_end_s=extra_end,
+            extra_fluence=jnp.stack(extras) if extras else None,
+            extra_end_s=jnp.asarray(ends, jnp.float32) if ends else None,
             fluence_stack=self._visit_fluence(chunk))
         self.scenes = dataclasses.replace(self.scenes, persist_rate=rates)
 

@@ -121,7 +121,7 @@ def visit_persistence_rates(scenes: Scene, tables: Tables,
                             cfg: ExposureStatic, pcfg: PersistenceConfig,
                             chunk: int = 8,
                             extra_fluence: jnp.ndarray | None = None,
-                            extra_end_s: float | None = None,
+                            extra_end_s=None,
                             fluence_stack: jnp.ndarray | None = None
                             ) -> jnp.ndarray:
     """Compute the whole visit's persistence maps from its own Scenes.
@@ -134,11 +134,14 @@ def visit_persistence_rates(scenes: Scene, tables: Tables,
     supplies the precomputed stack (ops/visit.visit_fluence_stack;
     Observation shares one stack with the RECTE model).
 
-    ``extra_fluence`` (S, S) with ``extra_end_s`` prepends one extra
-    stimulus — the visit-opening DIRECT IMAGE, whose undispersed PSF
-    spot concentrates the star's whole filter bandpass into a few
-    pixels and is the classic WFC3 persistence source (far stronger
-    than spectrum-on-spectrum afterglow; Observation wires it in).
+    ``extra_fluence`` with ``extra_end_s`` prepends extra stimuli that
+    are not the visit's own exposures: a single (S, S) map with a
+    scalar end time, or an (M, S, S) stack with (M,) end times.
+    Observation wires in the visit-opening DIRECT IMAGE (whose
+    undispersed PSF spot concentrates the star's whole filter bandpass
+    into a few pixels — the classic WFC3 persistence source) and, when
+    configured, the PRIOR observation's fluence map
+    (``PersistenceConfig.prior_fluence_file``).
     """
     from wayne_tpu.ops.visit import visit_fluence_stack
 
@@ -148,10 +151,16 @@ def visit_persistence_rates(scenes: Scene, tables: Tables,
     fluence = fluence_stack
     stim_end = None
     if extra_fluence is not None:
-        fluence = jnp.concatenate([extra_fluence[None], fluence], axis=0)
+        ef = jnp.asarray(extra_fluence, jnp.float32)
+        if ef.ndim == 2:
+            ef = ef[None]
+        ee = jnp.atleast_1d(jnp.asarray(extra_end_s, jnp.float32))
+        if ef.shape[0] != ee.shape[0]:
+            raise ValueError(
+                f"{ef.shape[0]} extra stimuli but {ee.shape[0]} end times")
+        fluence = jnp.concatenate([ef, fluence], axis=0)
         stim_end = jnp.concatenate(
-            [jnp.asarray([extra_end_s], jnp.float32),
-             jnp.asarray(scenes.exp_start_s, jnp.float32) + exptime])
+            [ee, jnp.asarray(scenes.exp_start_s, jnp.float32) + exptime])
     x0 = pcfg.x0_e if pcfg.x0_e > 0 else 0.95 * float(tables.full_well_e)
     return persistence_rates(
         fluence, scenes.exp_start_s, exptime,
