@@ -122,3 +122,37 @@ def test_cli_all_devices(tmp_path):
     imas = [f for f in os.listdir(tmp_path / "out")
             if f.endswith("_ima.fits")]
     assert len(imas) == 8
+
+
+def test_reduce_cli_argument_validation(tmp_path):
+    """run_reduce argument validation fails loudly, not with NaN output:
+    explicit windows beyond the ACTUAL frame size (the YAML's subarray
+    may not match the directory), and --n-chan < 1."""
+    import yaml
+
+    from wayne_tpu.run_reduce import main as reduce_main
+    from wayne_tpu.run_visit import main as visit_main
+
+    pars = {"grism": "G141", "subarray": 64, "NSAMP": 2,
+            "SAMPSEQ": "RAPID", "scan": True, "x_ref": 15.0, "y_ref": 20.0,
+            "num_orbits": 1, "exposures_per_orbit": 3, "n_lambda": 32,
+            "n_sub": 2, "outdir": str(tmp_path / "out"),
+            "period": 0.813475, "t0": 56000.0, "sma_over_rs": 4.855,
+            "inclination": 82.1, "rp_over_rs": 0.1595}
+    p = tmp_path / "pars.yml"
+    p.write_text(yaml.safe_dump(pars))
+    assert visit_main(["-p", str(p), "--cpu", "--chunk", "3"]) == 0
+    out = str(tmp_path / "out")
+
+    # windows valid for the YAML's nominal subarray but beyond the
+    # 64^2 frames actually on disk: loud SystemExit naming the frames
+    big = {**pars, "subarray": 256}
+    pbig = tmp_path / "pars_big.yml"
+    pbig.write_text(yaml.safe_dump(big))
+    with pytest.raises(SystemExit, match="64"):
+        reduce_main(["-d", out, "-p", str(pbig), "--cpu",
+                     "--rows", "100:200", "--cols", "100:200",
+                     "--bg-rows", "210:250"])
+
+    with pytest.raises(SystemExit, match="n-chan"):
+        reduce_main(["-d", out, "-p", str(p), "--cpu", "--n-chan", "0"])

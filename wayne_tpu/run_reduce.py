@@ -131,7 +131,7 @@ def extract_from_files(paths: list[str], gain: float,
             stack, good_diff_masks_from_dq(dq_)))
     refpix_fn = jax.jit(lambda stack, ref: ref_pixel_correct(stack, ref)[0])
 
-    nets, starts, exptime = [], [], 0.0
+    nets, starts, exptimes, n_reads = [], [], [], []
     n_repaired = 0
     n_refpix = 0
     for p in paths:
@@ -188,7 +188,8 @@ def extract_from_files(paths: list[str], gain: float,
                 net = (reads[-1] - reads[0]) * gain
         nets.append(net)
         starts.append(float(hdr["EXPSTART"]))
-        exptime = float(hdr.get("EXPTIME", times[-1]))
+        exptimes.append(float(hdr.get("EXPTIME", times[-1])))
+        n_reads.append(int(reads.shape[0]))
     if n_repaired:
         print(f"DQ repair: rebuilt flagged reads in {n_repaired}/"
               f"{len(paths)} exposures (CR/saturation/hot bits)")
@@ -198,15 +199,32 @@ def extract_from_files(paths: list[str], gain: float,
               f"(DQ bit 128 border)")
     nets = np.stack(nets)                      # (n_exp, S, S) electrons
     starts = np.asarray(starts)
-    mids = (starts - starts.min()) * 86400.0 + exptime / 2.0
+    exptimes = np.asarray(exptimes)
+    # Per-exposure mid-times: a directory mixing NSAMP/EXPTIME (e.g. a
+    # shortened first exposure) must not inherit the LAST header's
+    # exposure time for every epoch — that shifts t0-sensitive fits.
+    mids = (starts - starts.min()) * 86400.0 + exptimes / 2.0
+    if not np.allclose(exptimes, exptimes[0]):
+        print(f"warning: mixed EXPTIME across exposures "
+              f"({exptimes.min():.1f}..{exptimes.max():.1f} s) — "
+              "per-exposure mid-times used; the optimal-extraction "
+              "read-noise floor uses the smallest read count")
 
     S = nets.shape[1]
     if windows is not None:
         # Explicit windows (``--rows/--cols/--bg-rows``) bypass
         # detection — needed when the auto heuristics misjudge an
         # unusual visit (very long scans, crowded frames, partial
-        # subarray illumination).
+        # subarray illumination). Bounds are checked against the ACTUAL
+        # frame size here (the YAML's subarray may not match the files).
         y_window, x_window, bg_rows = windows
+        for name, (lo, hi) in zip(("--rows", "--cols", "--bg-rows"),
+                                  windows):
+            if hi > S:
+                raise SystemExit(
+                    f"{name} {lo}:{hi} outside the {S}^2 frames in this "
+                    "directory — does the parameter file's subarray match "
+                    "the visit being reduced?")
     else:
         # Auto windows from the median frame: first the rows carrying
         # the scanned spectrum (summed over all columns), then the
@@ -255,7 +273,7 @@ def extract_from_files(paths: list[str], gain: float,
 
         prof = spatial_profile(jnp.asarray(nets.mean(axis=0), jnp.float32),
                                y_window)
-        floor = read_noise_var_e2(read_noise_e, reads.shape[0],
+        floor = read_noise_var_e2(read_noise_e, min(n_reads),
                                   ramp=estimator == "ramp")
         spectra = np.asarray(optimal_extract(
             jnp.asarray(nets, jnp.float32), prof, y_window, floor))
@@ -393,9 +411,12 @@ def main(argv: list[str] | None = None) -> int:
             except ValueError:
                 raise SystemExit(f"{name} must look like LO:HI, got "
                                  f"{spec!r}")
-            if not 0 <= lo < hi <= cfg.subarray:
-                raise SystemExit(f"{name} {spec!r} outside the "
-                                 f"{cfg.subarray}^2 frame")
+            if not 0 <= lo < hi:
+                raise SystemExit(f"{name} {spec!r} is not an increasing "
+                                 "0-based range")
+            # upper bound is checked against the ACTUAL frame size once
+            # the files are read (extract_from_files) — the YAML's
+            # subarray may not match the directory being reduced
             return (lo, hi)
 
         windows = (_rng(args.rows, "--rows"), _rng(args.cols, "--cols"),
@@ -438,12 +459,19 @@ def main(argv: list[str] | None = None) -> int:
         print(f"dispersion drift: {shifts.min():+.4f}..{shifts.max():+.4f} "
               f"px, decorrelating the light curves")
 
+    if args.n_chan < 1:
+        raise SystemExit(f"--n-chan must be >= 1, got {args.n_chan}")
     n_cols = xw[1] - xw[0]
     if args.n_chan > n_cols:
         print(f"only {n_cols} illuminated columns: clamping --n-chan "
               f"{args.n_chan} -> {n_cols}")
         args.n_chan = n_cols
-    edges = np.linspace(xw[0], xw[1], args.n_chan + 1).astype(int)
+    # SAME edge computation as the on-device library path (CLAUDE.md
+    # invariant: _channel_edges in BOTH paths, or f32 linspace + int
+    # truncation can disagree with host edges by one column).
+    from wayne_tpu.reduction import _channel_edges
+
+    edges = np.asarray(_channel_edges(xw, args.n_chan))
     # Channel wavelengths from the configured dispersion solution.
     xref_used, yref_used, wl_source = cfg.x_ref, cfg.y_ref, "yaml"
     if args.direct_image:
@@ -463,6 +491,19 @@ def main(argv: list[str] | None = None) -> int:
 
     wl_edges = np.asarray(x_to_wl(jnp.asarray(edges, jnp.float32), tp))
 
+    # White-light limb darkening from the rows INSIDE the illuminated
+    # band only — a full-table mean is tilted by out-of-band rows when
+    # the chromatic table spans more than the extraction window, and
+    # would be inconsistent with the band-selected per-channel rows
+    # built below.
+    if ld_grid.ndim == 2:
+        wl_c_all = np.asarray(grism.tables.wl_centers)
+        lo_w = float(min(wl_edges[0], wl_edges[-1]))
+        hi_w = float(max(wl_edges[0], wl_edges[-1]))
+        in_band = (wl_c_all >= lo_w) & (wl_c_all < hi_w)
+        if in_band.any():
+            ld = jnp.asarray(np.asarray(ld_grid)[in_band].mean(axis=0),
+                             jnp.float32)
 
     # Per-channel limb darkening when a chromatic table is configured:
     # average the grid rows falling in each channel's wavelength range
@@ -527,6 +568,7 @@ def main(argv: list[str] | None = None) -> int:
                          "jointly with the white transit+ramp model; "
                          "eclipse/phase visits cannot constrain it)")
     white_fit_report = None
+    t0_ref_shift_s = 0.0   # fitted-ephemeris offset vs the YAML zero point
     if args.mode == "eclipse":
         from wayne_tpu.ops.kepler import projected_separation
         from wayne_tpu.ops.transit import eclipse_visibility
@@ -637,7 +679,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.fit_geometry:
                 # hold the white curve's fitted ephemeris per channel
                 dt0 = abs(float(wfit.t0_offset_s))
-                if dt0 > 600.0 and (args.align or detrend != "none"):
+                if dt0 > 600.0:
                     # the extraction-stage steps (OOT baseline, drift
                     # decorrelation) ran with the STALE YAML ephemeris —
                     # they treated true in-transit epochs as baseline
@@ -646,6 +688,10 @@ def main(argv: list[str] | None = None) -> int:
                           "above used the stale ephemeris; re-run with "
                           "the fitted t0 in the YAML for clean channels")
                 orbit = wfit.orbit
+                # downstream t0 posteriors sample around THIS fitted
+                # ephemeris; shift them back so every reported
+                # t0_offset_s shares the YAML zero point
+                t0_ref_shift_s = float(wfit.t0_offset_s)
             chan_j = ramp_detrend(chan_j, wfit, t, orbit)
             white_fit_report = {
                 "rp_over_rs": round(float(wfit.rp), 6),
@@ -735,8 +781,12 @@ def main(argv: list[str] | None = None) -> int:
             samp = np.asarray(wpost.samples)
             q = lambda v: [round(float(x), 4) for x in
                            np.percentile(v, [16, 50, 84])]
+            # samples are drawn around the CURRENT orbit (the fitted
+            # ephemeris when --detrend ramp --fit-geometry reassigned
+            # it); add the fit's offset back so this t0_offset_s shares
+            # the YAML zero point with white_ramp_fit's
             white_post_report["geometry_percentiles_16_50_84"] = {
-                "t0_offset_s": q(samp[:, 6]),
+                "t0_offset_s": q(samp[:, 6] + t0_ref_shift_s),
                 "sma_over_rs": q(samp[:, 7]),
                 "inclination_deg": q(np.rad2deg(np.arccos(
                     np.clip(samp[:, 8], 0.0, 0.6)))),
