@@ -156,3 +156,48 @@ def test_reduce_cli_argument_validation(tmp_path):
 
     with pytest.raises(SystemExit, match="n-chan"):
         reduce_main(["-d", out, "-p", str(p), "--cpu", "--n-chan", "0"])
+
+
+def test_run_retrieve_cli(tmp_path):
+    """Forward-model retrieval CLI: generate a small noisy visit, then
+    fit its transmission spectrum THROUGH the simulator from the files
+    (wayne_tpu.run_retrieve -> retrieval.retrieve_transmission)."""
+    import json
+
+    import yaml
+
+    from wayne_tpu.run_retrieve import main as retrieve_main
+    from wayne_tpu.run_visit import main as visit_main
+
+    pars = {"grism": "G141", "subarray": 128, "NSAMP": 2,
+            "SAMPSEQ": "SPARS10", "scan": True, "scan_speed": 0.6,
+            "x_ref": 30.0, "y_ref": 30.0, "num_orbits": 3,
+            "exposures_per_orbit": 4, "n_lambda": 48, "n_sub": 2,
+            "start_mjd": 55999.93, "outdir": str(tmp_path / "out"),
+            "period": 0.813475, "t0": 56000.0, "sma_over_rs": 4.855,
+            "inclination": 82.1, "rp_over_rs": 0.1595,
+            "ld_coeffs": [0.65, -0.25, 0.45, -0.2], "mag_J": 10.0}
+    p = tmp_path / "pars.yml"
+    p.write_text(yaml.safe_dump(pars))
+    assert visit_main(["-p", str(p), "--cpu", "--chunk", "4"]) == 0
+    out = str(tmp_path / "out")
+
+    rc = retrieve_main(["-d", out, "-p", str(p), "--cpu", "--n-chan", "3",
+                        "--n-lm", "4", "--chunk", "6"])
+    assert rc == 0
+    with open(os.path.join(out, "retrieved.json")) as fh:
+        rep = json.load(fh)
+    assert rep["method"] == "forward_model_retrieval"
+    assert len(rep["channels"]) == 3
+    rp = np.asarray([c["rp_over_rs"] for c in rep["channels"]])
+    sig = np.asarray([c["rp_sigma"] for c in rep["channels"]])
+    assert np.all(np.isfinite(rp)) and np.all(sig > 0)
+    # a 12-exposure noisy visit still pins the channel means near truth
+    assert np.all(np.abs(rp - 0.1595) < 0.02), rp
+
+    # wrong YAML for the directory (different schedule): loud error
+    bad = {**pars, "start_mjd": 56000.4}
+    pbad = tmp_path / "pars_bad.yml"
+    pbad.write_text(yaml.safe_dump(bad))
+    with pytest.raises(SystemExit, match="EXPSTART"):
+        retrieve_main(["-d", out, "-p", str(pbad), "--cpu"])

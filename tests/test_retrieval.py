@@ -1,0 +1,163 @@
+"""Differentiable forward-model retrieval: fit THROUGH the simulator.
+
+The capability the JAX rebuild adds over the reference's analytic-model
+fits (wayne_tpu/retrieval.py): exact jacfwd Jacobians through the full
+exposure engine. Three gates:
+
+  1. gradients flow (finite, nonzero) from chi^2 back to the spectrum,
+  2. a noise-free closed loop recovers the injected spectrum to
+     near-machine accuracy (the model IS the generator: zero mismatch),
+  3. a noisy closed loop recovers it within the curvature errors.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wayne_tpu.calibration import synthetic_tables
+from wayne_tpu.config import ExposureStatic, NoiseFlags
+from wayne_tpu.ops.visit import simulate_visit
+from wayne_tpu.retrieval import (
+    bin_channel_map, deterministic_cfg, forward_spectra,
+    retrieve_transmission,
+)
+from wayne_tpu.scene import example_scene
+
+S, NL, NSAMP, N_EXP, N_CHAN = 128, 64, 3, 18, 4
+X_WINDOW = (72, 126)
+RP0 = 0.1595
+
+
+def _visit(noise, seed=0, rp_wiggle=0.004):
+    cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=NSAMP,
+                         samp_seq="SPARS10", scan=True, noise=noise,
+                         band_px=48)
+    tables = synthetic_tables("G141", subarray=S, n_lambda=NL,
+                              samp_seq="SPARS10", nsamp=NSAMP)
+    base = example_scene(NL, scan_speed=0.6)
+    wl = np.asarray(tables.wl_centers)
+    rp = RP0 + rp_wiggle * np.sin(9.0 * wl)
+    base = dataclasses.replace(
+        base, x_ref=jnp.float32(30.0), y_ref=jnp.float32(30.0),
+        rp_over_rs=jnp.asarray(rp, jnp.float32))
+    starts = np.linspace(0.0, 4.0 * 3600.0, N_EXP)  # transit at t0 = 2 h
+    scenes = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (N_EXP,) + x.shape), base)
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.PRNGKey(seed), i))(jnp.arange(N_EXP))
+    scenes = dataclasses.replace(
+        scenes, exp_start_s=jnp.asarray(starts, jnp.float32), key=keys)
+    return cfg, tables, scenes, rp
+
+
+def _observe(cfg, tables, scenes):
+    out = simulate_visit(scenes, tables, cfg, chunk=6)
+    net = out.reads_dn[:, -1] - out.reads_dn[:, 0]
+    return net.sum(axis=1)                              # (n_exp, S)
+
+
+def _true_chan(rp, tables, scenes, x_window, n_chan):
+    idx, in_win = bin_channel_map(scenes, tables, x_window, n_chan)
+    out = np.zeros(n_chan)
+    for c in range(n_chan):
+        m = in_win & (idx == c)
+        out[c] = rp[m].mean()
+    return out
+
+
+def test_bin_channel_map_covers_window():
+    cfg, tables, scenes, _ = _visit(NoiseFlags.none())
+    idx, in_win = bin_channel_map(scenes, tables, X_WINDOW, N_CHAN)
+    assert idx.shape == (NL,) and in_win.any()
+    assert set(np.unique(idx[in_win])) == set(range(N_CHAN))
+    with pytest.raises(ValueError, match="no wavelength-bin"):
+        bin_channel_map(scenes, tables, X_WINDOW, 50)
+
+
+def test_gradients_flow_through_forward():
+    cfg, tables, scenes, _ = _visit(NoiseFlags.none())
+    cfg_m = deterministic_cfg(cfg)
+
+    def loss(scale):
+        sc = dataclasses.replace(
+            scenes, rp_over_rs=scenes.rp_over_rs * scale)
+        sp = forward_spectra(sc, tables, cfg_m, chunk=8)
+        return jnp.sum(sp ** 2)
+
+    g = jax.grad(loss)(jnp.float32(1.0))
+    assert np.isfinite(float(g)) and abs(float(g)) > 0.0
+    # deeper transit (larger rp) removes flux -> d(sum sq)/d(scale) < 0
+    assert float(g) < 0.0
+
+
+def test_forward_matches_noise_free_data():
+    """deterministic_cfg's forward is exactly the noise-free data path."""
+    cfg, tables, scenes, _ = _visit(NoiseFlags.none())
+    obs = _observe(cfg, tables, scenes)
+    model = forward_spectra(scenes, tables, deterministic_cfg(cfg), chunk=8)
+    np.testing.assert_allclose(np.asarray(model), np.asarray(obs),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_retrieval_noise_free_exact():
+    """Zero model mismatch: noise-free data -> near-exact spectrum."""
+    cfg, tables, scenes, rp = _visit(NoiseFlags.none())
+    obs = _observe(cfg, tables, scenes)
+    res = retrieve_transmission(
+        obs, scenes, tables, cfg, x_window=X_WINDOW, n_chan=N_CHAN,
+        rp_init=0.15, chunk=8, n_lm=12,
+        sigma=np.full(N_CHAN, 1e-4))
+    truth = _true_chan(rp, tables, scenes, X_WINDOW, N_CHAN)
+    # per-channel truth is the in-channel mean of a wiggly spectrum;
+    # the piecewise-constant fit lands within a small fraction of the
+    # intra-channel variation
+    assert np.all(np.abs(res.rp - truth) < 4e-4), (res.rp, truth)
+    assert res.n_iter >= 1 and np.isfinite(res.chi2)
+
+
+def test_retrieval_with_noise_within_errors():
+    flags = dataclasses.replace(
+        NoiseFlags.none(), poisson=True, read_noise=True, sky=True,
+        dark=True, flat=True, bias=True)
+    cfg, tables, scenes, rp = _visit(flags, seed=11)
+    obs = _observe(cfg, tables, scenes)
+    res = retrieve_transmission(
+        obs, scenes, tables, cfg, x_window=X_WINDOW, n_chan=N_CHAN,
+        rp_init=0.15, chunk=8, n_lm=8)
+    truth = _true_chan(rp, tables, scenes, X_WINDOW, N_CHAN)
+    assert np.all(res.rp_sigma > 0)
+    tol = np.maximum(5.0 * res.rp_sigma, 0.01 * RP0)
+    assert np.all(np.abs(res.rp - truth) < tol), (res.rp, truth,
+                                                  res.rp_sigma)
+
+
+def test_retrieval_fit_ramp_recovers_nuisances():
+    """Joint depth + ramp fit: the visit trend is absorbed by its own
+    physical parameters, not leaked into the depths."""
+    flags = dataclasses.replace(NoiseFlags.none(), visit_trend=True)
+    cfg, tables, scenes, rp = _visit(flags)
+    # inject a strong, known ramp
+    tr = dataclasses.replace(
+        scenes.trends,
+        visit_slope_per_s=jnp.full_like(scenes.trends.visit_slope_per_s,
+                                        0.03 / 86400.0),
+        hook_amp=jnp.full_like(scenes.trends.hook_amp, 0.004))
+    scenes = dataclasses.replace(scenes, trends=tr)
+    obs = _observe(cfg, tables, scenes)
+    # start the fit from WRONG trend values
+    tr0 = dataclasses.replace(
+        scenes.trends,
+        visit_slope_per_s=jnp.zeros_like(scenes.trends.visit_slope_per_s),
+        hook_amp=jnp.zeros_like(scenes.trends.hook_amp))
+    scenes0 = dataclasses.replace(scenes, trends=tr0)
+    res = retrieve_transmission(
+        obs, scenes0, tables, cfg, x_window=X_WINDOW, n_chan=N_CHAN,
+        rp_init=0.15, fit_ramp=True, chunk=8, n_lm=15,
+        sigma=np.full(N_CHAN, 1e-4))
+    truth = _true_chan(rp, tables, scenes, X_WINDOW, N_CHAN)
+    assert np.all(np.abs(res.rp - truth) < 1e-3), (res.rp, truth)
+    assert abs(res.ramp[0] - 0.03 / 86400.0) < 0.01 / 86400.0
+    assert abs(res.ramp[1] - 0.004) < 1e-3

@@ -1,0 +1,312 @@
+"""Differentiable forward-model retrieval: fit THROUGH the simulator.
+
+Classic WFC3 analyses (and the reference's validation loop — reference:
+wayne paper workflow, simulate -> reduce -> fit an ANALYTIC transit
+model) fit each channel light curve with a parametric model that knows
+nothing about the instrument: PSF cross-talk between channels, the
+wavelength-dependent flat, non-linearity, diluting background and beam
+contamination all have to be removed (or ignored) before the fit.
+
+Because this framework's forward model is a pure JAX program, we can do
+what the reference never could: fit the transmission spectrum (and
+optional ramp nuisances) DIRECTLY to the extracted counts by
+Levenberg-Marquardt with exact ``jacfwd`` Jacobians THROUGH the full
+exposure engine — trace, deposit matrix, moving-PSF splat, flat, sky,
+dark, non-linearity, up-the-ramp sampling and the extraction estimator
+itself. Zero model mismatch by construction: the model IS the
+simulator, run with the stochastic noise sources switched off.
+
+TPU notes:
+  - forward passes keep the visit inside one jit (lax.map over chunks,
+    extraction fused per chunk so (N, NR, S, S) read stacks are never
+    materialised; jacfwd tangents multiply the per-chunk working set by
+    n_params, so the retrieval ``chunk`` default is small);
+  - the tiny (p, p) normal-equation solve runs in float64 NumPy on the
+    host — near-singular LS on the TPU MXU is destroyed by bf16 input
+    rounding (CLAUDE.md), and p ~ 10-30 makes the host solve free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wayne_tpu.calibration import Tables
+from wayne_tpu.config import ExposureStatic
+from wayne_tpu.ops.dispersion import trace_params, wl_to_x
+from wayne_tpu.ops.exposure import simulate_exposure
+from wayne_tpu.ops.visit import pad_scenes
+from wayne_tpu.reduction import _channel_edges, out_of_transit_mask
+from wayne_tpu.scene import Scene
+
+
+@dataclass
+class RetrievalResult:
+    """Forward-model retrieval output."""
+
+    rp: np.ndarray          # (n_chan,) fitted Rp/Rs per channel
+    rp_sigma: np.ndarray    # (n_chan,) 1-sigma from the J^T J curvature
+    chi2: float             # final chi^2 over all (exposure, channel) points
+    n_points: int           # number of residual points
+    n_iter: int             # LM iterations actually run
+    ramp: np.ndarray | None     # fitted [slope/s, hook_amp] if fit_ramp
+    ramp_sigma: np.ndarray | None
+
+
+def deterministic_cfg(cfg: ExposureStatic) -> ExposureStatic:
+    """The model twin of a data config: same physics, no stochasticity.
+
+    Keeps every DETERMINISTIC effect the data had (flat, sky, dark,
+    non-linearity, bias, gain structure, IPC, SSV sinusoid, visit
+    trend) so the model predicts the expected counts of the data chain,
+    and disables the sampled ones (photon/read noise, cosmic rays,
+    per-read bias wander). Pallas is forced off: the fused kernels
+    sample in-kernel and are not differentiable.
+    """
+    noise = dataclasses.replace(
+        cfg.noise, poisson=False, read_noise=False, cosmic_rays=False,
+        bias_drift=False)
+    return dataclasses.replace(cfg, noise=noise, use_pallas=False,
+                               exact_poisson=False, compute_ideal=False)
+
+
+def deterministic_scenes(scenes: Scene) -> Scene:
+    """Zero the stochastic trend components of a batched Scene.
+
+    The random-walk SSV is a per-exposure draw from Scene.key: the
+    model must not inject its OWN realisation of a noise process, so
+    its amplitude is zeroed (the deterministic SSV sinusoid stays).
+    """
+    trends = dataclasses.replace(
+        scenes.trends, ssv_rw_amp=jnp.zeros_like(scenes.trends.ssv_rw_amp))
+    return dataclasses.replace(scenes, trends=trends)
+
+
+def bin_channel_map(scenes: Scene, tables: Tables,
+                    x_window: tuple[int, int], n_chan: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side wavelength-bin -> channel assignment.
+
+    Uses exposure 0's pointing (drift is sub-pixel; channels are tens
+    of columns wide). Returns (idx (NL,) int, in_window (NL,) bool):
+    bins whose trace column falls outside ``x_window`` keep their
+    initial rp (they only contribute off-window flux).
+    Every channel must own at least one bin center, else the Jacobian
+    column is identically zero and the fit is singular — raise early.
+    """
+    x0 = jax.tree_util.tree_map(lambda x: x[0], scenes)
+    tp = trace_params(tables, x0.x_ref, x0.y_ref)
+    xc = np.asarray(wl_to_x(tables.wl_centers, tp), np.float64)
+    edges = np.asarray(_channel_edges(x_window, n_chan), np.float64)
+    idx = np.clip(np.searchsorted(edges, xc, side="right") - 1,
+                  0, n_chan - 1).astype(np.int32)
+    in_win = (xc >= edges[0]) & (xc < edges[-1])
+    owned = np.bincount(idx[in_win], minlength=n_chan)
+    if np.any(owned == 0):
+        empty = np.nonzero(owned == 0)[0]
+        raise ValueError(
+            f"channels {empty.tolist()} contain no wavelength-bin centers "
+            f"(n_lambda={xc.size} over window {x_window}); reduce n_chan "
+            f"or raise n_lambda")
+    return idx, in_win
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "estimator",
+                                   "y_window"))
+def forward_spectra(scenes: Scene, tables: Tables, cfg: ExposureStatic,
+                    chunk: int = 2, estimator: str = "cds",
+                    y_window: tuple[int, int] | None = None) -> jnp.ndarray:
+    """Expected extracted spectra (n_exp, S) of a visit, differentiably.
+
+    Mirrors ops/visit.simulate_visit but fuses the extraction into the
+    per-chunk body so the (N, NR, S, S) read stack never exists as a
+    whole-visit array — under jacfwd every intermediate is multiplied
+    by the tangent count, so this is what keeps retrieval in memory.
+
+    ``estimator``: "cds" (last - zeroth read, column-summed) or "ramp"
+    (calwf3-style least-squares slope x exposure time) — must match
+    how the observed spectra were produced. ``y_window`` restricts the
+    column sum to rows [y0, y1) — the DATA must be summed over the
+    same rows (a narrower window trades a little signal for much less
+    accumulated read noise / background variance per column).
+    """
+    padded, n = pad_scenes(scenes, chunk)
+    n_pad = jax.tree_util.tree_leaves(padded)[0].shape[0]
+    chunked = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_pad // chunk, chunk) + x.shape[1:]), padded)
+
+    def one(s: Scene) -> jnp.ndarray:
+        reads = simulate_exposure(s, tables, cfg).reads_dn   # (NR, S, S)
+        if estimator == "ramp":
+            from wayne_tpu.reduction import ramp_slope_frame
+
+            # already CDS-equivalent: slope x (t_N - t_0)
+            net = ramp_slope_frame(reads, tables.read_times)
+        else:
+            net = reads[-1] - reads[0]
+        if y_window is not None:
+            net = net[y_window[0]: y_window[1]]
+        return net.sum(axis=0)                               # (S,)
+
+    spectra = jax.lax.map(jax.vmap(one), chunked)
+    return spectra.reshape(n_pad, -1)[:n]
+
+
+def _bin_channels(spectra: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
+    """(n_exp, S) column spectra -> (n_exp, n_chan) channel sums."""
+    cum = jnp.concatenate(
+        [jnp.zeros((spectra.shape[0], 1), spectra.dtype),
+         jnp.cumsum(spectra, axis=1)], axis=1)
+    return cum[:, edges[1:]] - cum[:, edges[:-1]]
+
+
+def _normalise_oot(chan: jnp.ndarray, oot: jnp.ndarray) -> jnp.ndarray:
+    base = (chan * oot[:, None]).sum(axis=0) / jnp.maximum(oot.sum(), 1.0)
+    return chan / base[None, :]
+
+
+def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
+                          tables: Tables, cfg: ExposureStatic, *,
+                          x_window: tuple[int, int], n_chan: int = 8,
+                          rp_init: float | np.ndarray = 0.12,
+                          estimator: str = "cds",
+                          y_window: tuple[int, int] | None = None,
+                          fit_ramp: bool = False,
+                          n_lm: int = 10, chunk: int = 2,
+                          sigma: np.ndarray | None = None
+                          ) -> RetrievalResult:
+    """Fit the transmission spectrum through the full forward model.
+
+    Args:
+      spectra_obs: (n_exp, S) OBSERVED extracted spectra — raw column
+        sums (over all rows, or over ``y_window`` rows if given) of
+        the same estimator (``"cds"`` or ``"ramp"``) this function
+        will apply to the model. No background subtraction, no flat
+        fielding, no detrending: the forward model predicts the raw
+        expectation including all of those.
+      scenes: the visit's batched Scene with the TRUE observing state
+        (pointing, times, scan, trends). ``rp_over_rs`` is the initial
+        spectrum; bins outside ``x_window`` keep it.
+      cfg: the DATA config (the stochastic twin is derived internally).
+      x_window / n_chan: dispersion-direction channel definition
+        (identical convention to reduction._channel_edges).
+      rp_init: scalar or (n_chan,) starting Rp/Rs (e.g. a white fit).
+      fit_ramp: additionally fit [visit_slope_per_s, hook_amp] —
+        requires cfg.noise.visit_trend; the hook timescale/orbit-1
+        scale stay at their Scene values.
+      sigma: per-channel noise of the NORMALISED channel light curves;
+        default = out-of-transit scatter of the data.
+
+    Returns RetrievalResult (host NumPy).
+    """
+    spectra_obs = jnp.asarray(spectra_obs, jnp.float32)
+    n_exp = spectra_obs.shape[0]
+    n_scenes = jax.tree_util.tree_leaves(scenes)[0].shape[0]
+    if n_exp != n_scenes:
+        raise ValueError(f"spectra_obs has {n_exp} exposures but scenes "
+                         f"has {n_scenes}")
+    if fit_ramp and not cfg.noise.visit_trend:
+        raise ValueError("fit_ramp requires cfg.noise.visit_trend")
+
+    cfg_m = deterministic_cfg(cfg)
+    scenes_m = deterministic_scenes(scenes)
+    idx_np, in_win_np = bin_channel_map(scenes, tables, x_window, n_chan)
+    idx = jnp.asarray(idx_np)
+    in_win = jnp.asarray(in_win_np, jnp.float32)
+    edges = _channel_edges(x_window, n_chan)
+    rp_fixed = scenes.rp_over_rs[0]                           # (NL,)
+
+    orbit0 = jax.tree_util.tree_map(lambda x: x[0], scenes.orbit)
+    exptime = float(tables.read_times[-1])
+    mid = scenes.exp_start_s + 0.5 * exptime
+    oot = out_of_transit_mask(mid, orbit0).astype(jnp.float32)
+    if float(oot.sum()) < 2:
+        raise ValueError("fewer than 2 out-of-transit exposures — the "
+                         "channel light curves cannot be normalised")
+
+    data_chan = _normalise_oot(_bin_channels(spectra_obs, edges), oot)
+    if sigma is None:
+        n_oot = jnp.maximum(oot.sum(), 2.0)
+        mean = (data_chan * oot[:, None]).sum(0) / n_oot
+        var = (((data_chan - mean[None, :]) ** 2) * oot[:, None]
+               ).sum(0) / (n_oot - 1.0)
+        sigma_j = jnp.sqrt(jnp.maximum(var, 1e-12))
+    else:
+        sigma_j = jnp.asarray(sigma, jnp.float32)
+
+    n_rp = n_chan
+    theta0 = np.full(n_rp, float(np.mean(rp_init)), np.float64)
+    if np.ndim(rp_init) == 1:
+        theta0[:] = np.asarray(rp_init, np.float64)
+    if fit_ramp:
+        t0 = scenes.trends
+        theta0 = np.concatenate([theta0, [
+            float(np.asarray(t0.visit_slope_per_s).ravel()[0]),
+            float(np.asarray(t0.hook_amp).ravel()[0])]])
+
+    def build_scenes(theta: jnp.ndarray) -> Scene:
+        rp_chan = theta[:n_rp]
+        rp_bin = in_win * rp_chan[idx] + (1.0 - in_win) * rp_fixed
+        sc = dataclasses.replace(
+            scenes_m,
+            rp_over_rs=jnp.broadcast_to(rp_bin[None], (n_exp, rp_bin.size)))
+        if fit_ramp:
+            tr = dataclasses.replace(
+                sc.trends,
+                visit_slope_per_s=jnp.broadcast_to(
+                    theta[n_rp], sc.trends.visit_slope_per_s.shape),
+                hook_amp=jnp.broadcast_to(
+                    theta[n_rp + 1], sc.trends.hook_amp.shape))
+            sc = dataclasses.replace(sc, trends=tr)
+        return sc
+
+    def resid(theta: jnp.ndarray) -> jnp.ndarray:
+        model = forward_spectra(build_scenes(theta.astype(jnp.float32)),
+                                tables, cfg_m, chunk, estimator, y_window)
+        model_chan = _normalise_oot(_bin_channels(model, edges), oot)
+        return ((model_chan - data_chan) / sigma_j[None, :]).ravel()
+
+    val_jac = jax.jit(lambda th: (resid(th), jax.jacfwd(resid)(th)))
+    resid_only = jax.jit(resid)
+
+    theta = theta0.copy()
+    r, J = (np.asarray(a, np.float64) for a in val_jac(jnp.asarray(theta)))
+    chi2 = float(r @ r)
+    lam, n_iter = 1e-3, 0
+    for _ in range(n_lm):
+        n_iter += 1
+        JtJ = J.T @ J
+        g = J.T @ r
+        step = np.linalg.solve(JtJ + lam * np.diag(np.diag(JtJ))
+                               + 1e-12 * np.eye(JtJ.shape[0]), g)
+        cand = theta - step
+        r_c = np.asarray(resid_only(jnp.asarray(cand)), np.float64)
+        chi2_c = float(r_c @ r_c)
+        if chi2_c < chi2:
+            rel = np.max(np.abs(step) / np.maximum(np.abs(theta), 1e-8))
+            theta, chi2 = cand, chi2_c
+            lam = max(lam * 0.3, 1e-7)
+            r, J = (np.asarray(a, np.float64)
+                    for a in val_jac(jnp.asarray(theta)))
+            if rel < 1e-7:
+                break
+        else:
+            lam *= 10.0
+            if lam > 1e6:
+                break
+
+    # Curvature errors at the solution (raw map — no clipping inside
+    # the differentiated quantities; CLAUDE.md delta-method rule).
+    JtJ = J.T @ J
+    cov = np.linalg.pinv(JtJ)
+    sig = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    return RetrievalResult(
+        rp=theta[:n_rp].copy(), rp_sigma=sig[:n_rp].copy(),
+        chi2=chi2, n_points=int(r.size), n_iter=n_iter,
+        ramp=(theta[n_rp:].copy() if fit_ramp else None),
+        ramp_sigma=(sig[n_rp:].copy() if fit_ramp else None))

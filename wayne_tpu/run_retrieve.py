@@ -1,0 +1,222 @@
+"""Forward-model retrieval from a visit's ima FITS files.
+
+The file-level CLI for wayne_tpu/retrieval.py: instead of the classic
+extract -> background-subtract -> detrend -> analytic-fit chain
+(run_reduce), this fits the transmission spectrum DIRECTLY to raw
+extracted column sums by Levenberg-Marquardt with exact jacfwd
+Jacobians THROUGH the full exposure engine. The visit's own parameter
+file rebuilds the observing state (plan, drift, trends, calibration)
+exactly as the simulator ran it; the stochastic noise sources are
+switched off in the model twin (retrieval.deterministic_cfg), so flat,
+sky, dark, non-linearity and beam contamination are *modeled*, never
+subtracted.
+
+Usage:
+    python -m wayne_tpu.run_retrieve -d out_visit/ -p pars.yml \
+        [--n-chan 8] [--estimator cds|ramp] [--rows Y0:Y1]
+        [--cols X0:X1] [--fit-ramp] [--n-lm 10] [--chunk 2]
+        [-o retrieved.json] [--cpu]
+
+Outputs a JSON report: per-channel wavelength ranges, retrieved Rp/Rs
+with curvature errors, chi^2, and (with --fit-ramp) the fitted
+[visit slope, hook amplitude] nuisances.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def _range(spec: str, name: str) -> tuple[int, int]:
+    try:
+        lo, hi = (int(v) for v in spec.split(":"))
+    except ValueError:
+        raise SystemExit(f"{name} must look like LO:HI, got {spec!r}")
+    if not 0 <= lo < hi:
+        raise SystemExit(f"{name} {spec!r} is not an increasing range")
+    return lo, hi
+
+
+def raw_column_sums(paths: list[str], estimator: str,
+                    y_window: tuple[int, int] | None):
+    """RAW column sums (n_exp, S) in DN + EXPSTART MJDs — no gain, no
+    background subtraction, no DQ repair: the forward model predicts
+    the raw expectation (stochastic CR outliers average into the noise;
+    run_reduce is the DQ-consuming path)."""
+    from wayne_tpu.io.ima import read_ima
+    from wayne_tpu.reduction import ramp_slope_frame
+
+    import jax.numpy as jnp
+
+    spectra, starts = [], []
+    for p in paths:
+        hdr, reads, times = read_ima(p)
+        if str(hdr.get("BUNIT", "COUNTS")).upper().startswith("ELECTRONS"):
+            raise SystemExit(
+                "forward-model retrieval needs raw-DN (counts) products — "
+                "this visit was written as count-rate imas; regenerate "
+                "with output_units: counts (or use run_reduce)")
+        if estimator == "ramp":
+            net = np.asarray(ramp_slope_frame(
+                jnp.asarray(reads), jnp.asarray(times, jnp.float32)))
+        else:
+            net = (reads[-1] - reads[0]).astype(np.float64)
+        if y_window is not None:
+            net = net[y_window[0]: y_window[1]]
+        spectra.append(net.sum(axis=0))
+        starts.append(float(hdr["EXPSTART"]))
+    return np.stack(spectra), np.asarray(starts)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="wayne_tpu.run_retrieve",
+        description="Fit a visit's transmission spectrum through the "
+                    "full differentiable forward model.")
+    parser.add_argument("-d", "--visit-dir", required=True)
+    parser.add_argument("-p", "--parameter-file", required=True,
+                        help="the visit's YAML (rebuilds the observing "
+                             "state the model twin simulates)")
+    parser.add_argument("-o", "--output", default=None,
+                        help="JSON report (default <dir>/retrieved.json)")
+    parser.add_argument("--n-chan", type=int, default=8)
+    parser.add_argument("--estimator", choices=("cds", "ramp"),
+                        default="cds")
+    parser.add_argument("--rows", default=None, metavar="Y0:Y1",
+                        help="restrict the column sums (data AND model) "
+                             "to these rows — less accumulated read "
+                             "noise than the full-frame default")
+    parser.add_argument("--cols", default=None, metavar="X0:X1",
+                        help="dispersion-column channel window (default: "
+                             "the illuminated columns from the trace)")
+    parser.add_argument("--fit-ramp", action="store_true",
+                        help="jointly fit [visit slope, hook amplitude] "
+                             "through the model's visit-trend physics")
+    parser.add_argument("--n-lm", type=int, default=10)
+    parser.add_argument("--chunk", type=int, default=2,
+                        help="exposures per forward-pass chunk (jacfwd "
+                             "multiplies the working set by n_params; "
+                             "keep small on big subarrays)")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from wayne_tpu.calibration import sequence_tables_scope
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.ops.dispersion import trace_params, wl_to_x, x_to_wl
+    from wayne_tpu.reduction import _channel_edges
+    from wayne_tpu.retrieval import retrieve_transmission
+
+    cfg = load_yaml(args.parameter_file)
+    paths = sorted(glob.glob(os.path.join(args.visit_dir, "*_ima.fits")))
+    if not paths:
+        raise SystemExit(f"no *_ima.fits files in {args.visit_dir!r}")
+
+    with sequence_tables_scope(cfg.calibration.sequence_file):
+        obs = Observation(cfg)
+        # charge-memory physics the data carried must be in the model too
+        obs._ensure_persistence()
+        obs._ensure_recte()
+    scenes, tables, static = obs.scenes, obs.tables, obs.static
+
+    y_window = _range(args.rows, "--rows") if args.rows else None
+    spectra, starts_mjd = raw_column_sums(paths, args.estimator, y_window)
+    S = spectra.shape[1]
+    if y_window is not None and y_window[1] > int(tables.sky_frame.shape[0]):
+        raise SystemExit(f"--rows {args.rows} outside the {S}^2 frames")
+
+    # Match files to planned exposures by EXPSTART (a resumed/partial
+    # directory may not hold the full plan). Same mapping generate()
+    # used to write the headers (observation.py: plan.exp_start_mjd()).
+    plan_mjd = np.asarray(obs.plan.exp_start_mjd(), np.float64)
+    idx = np.argmin(np.abs(plan_mjd[None, :] - starts_mjd[:, None]), axis=1)
+    dt_s = np.abs(plan_mjd[idx] - starts_mjd) * 86400.0
+    if len(set(idx.tolist())) != idx.size or dt_s.max() > 1.0:
+        raise SystemExit(
+            "ima EXPSTARTs do not match the parameter file's visit plan "
+            f"(worst offset {dt_s.max():.1f} s) — wrong YAML for this "
+            "directory?")
+    if idx.size != np.asarray(scenes.exp_start_s).size:
+        print(f"partial visit: {idx.size} of "
+              f"{np.asarray(scenes.exp_start_s).size} planned exposures "
+              "on disk — retrieving from those")
+    import jax
+
+    scenes = jax.tree_util.tree_map(lambda x: x[jnp.asarray(idx)], scenes)
+
+    # Channel window: explicit --cols, else the illuminated columns
+    # from the exposure-0 trace (pad for PSF tails).
+    if args.cols:
+        x_window = _range(args.cols, "--cols")
+        if x_window[1] > S:
+            raise SystemExit(f"--cols {args.cols} outside the {S}-px frame")
+    else:
+        tp0 = trace_params(tables, scenes.x_ref[0], scenes.y_ref[0])
+        xs = np.asarray(wl_to_x(tables.wl_edges, tp0))
+        x_window = (int(max(np.floor(xs.min()) - 3, 0)),
+                    int(min(np.ceil(xs.max()) + 4, S)))
+    print(f"retrieving {idx.size} exposures, channels over cols "
+          f"{x_window}, rows {y_window or ('all',)}; estimator "
+          f"{args.estimator}; {args.n_chan} channels")
+
+    rp0 = float(cfg.planet.rp_over_rs or 0.1)
+    res = retrieve_transmission(
+        jnp.asarray(spectra, jnp.float32), scenes, tables, static,
+        x_window=x_window, n_chan=args.n_chan, rp_init=rp0,
+        estimator=args.estimator, y_window=y_window,
+        fit_ramp=args.fit_ramp, n_lm=args.n_lm, chunk=args.chunk)
+
+    tp0 = trace_params(tables, scenes.x_ref[0], scenes.y_ref[0])
+    edges = np.asarray(_channel_edges(x_window, args.n_chan))
+    wl_edges = np.asarray(x_to_wl(jnp.asarray(edges, jnp.float32), tp0))
+    dof = max(res.n_points - res.rp.size
+              - (2 if args.fit_ramp else 0), 1)
+    report = {
+        "method": "forward_model_retrieval",
+        "n_exposures": int(idx.size),
+        "grism": cfg.grism,
+        "estimator": args.estimator,
+        "windows": {"rows": (list(y_window) if y_window else None),
+                    "cols": list(x_window)},
+        "chi2": round(res.chi2, 3),
+        "chi2_per_dof": round(res.chi2 / dof, 4),
+        "lm_iterations": res.n_iter,
+        **({"visit_trend_fit": {
+            "slope_per_day": round(float(res.ramp[0]) * 86400.0, 6),
+            "slope_sigma_per_day": round(float(res.ramp_sigma[0])
+                                         * 86400.0, 6),
+            "hook_amp": round(float(res.ramp[1]), 6),
+            "hook_amp_sigma": round(float(res.ramp_sigma[1]), 6)}}
+           if res.ramp is not None else {}),
+        "channels": [
+            {"wl_lo_um": round(float(wl_edges[i]), 4),
+             "wl_hi_um": round(float(wl_edges[i + 1]), 4),
+             "rp_over_rs": round(float(res.rp[i]), 6),
+             "rp_sigma": round(float(res.rp_sigma[i]), 6)}
+            for i in range(args.n_chan)],
+    }
+    out = args.output or os.path.join(args.visit_dir, "retrieved.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(f"retrieved Rp/Rs: {res.rp.min():.6g}..{res.rp.max():.6g} "
+          f"(chi2/dof {report['chi2_per_dof']:.3f}, {res.n_iter} LM "
+          f"iterations) -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
