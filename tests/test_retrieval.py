@@ -161,3 +161,47 @@ def test_retrieval_fit_ramp_recovers_nuisances():
     assert np.all(np.abs(res.rp - truth) < 1e-3), (res.rp, truth)
     assert abs(res.ramp[0] - 0.03 / 86400.0) < 0.01 / 86400.0
     assert abs(res.ramp[1] - 0.004) < 1e-3
+
+
+def test_retrieval_eclipse_mode():
+    """Eclipse-mode retrieval: per-channel Fp/Fs fitted through the
+    simulator's planet-dayside physics (cfg.eclipse), rp held as the
+    occulting geometry."""
+    from wayne_tpu.ops.kepler import OrbitParams
+    from wayne_tpu.retrieval import retrieve_transmission as rt
+
+    cfg, tables, scenes, _ = _visit(NoiseFlags.none())
+    cfg = dataclasses.replace(cfg, eclipse=True)
+    wl = np.asarray(tables.wl_centers)
+    fp = 1.5e-3 + 4e-4 * np.sin(7.0 * wl)
+    per = 0.813475 * 86400.0
+    # put the SECONDARY eclipse at the visit's 2 h mark
+    orbit = OrbitParams.create(period_s=per, t0_s=2.0 * 3600.0 - per / 2.0,
+                               sma_rs=4.855, inc_rad=np.deg2rad(82.1))
+    scenes = dataclasses.replace(
+        scenes,
+        fp_over_fs=jnp.broadcast_to(
+            jnp.asarray(fp, jnp.float32)[None], (N_EXP, NL)),
+        orbit=jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (N_EXP,) + x.shape), orbit))
+    obs = _observe(cfg, tables, scenes)
+
+    # start from a WRONG flat dayside spectrum
+    scenes0 = dataclasses.replace(
+        scenes, fp_over_fs=jnp.full((N_EXP, NL), 1e-3, jnp.float32))
+    res = rt(obs, scenes0, tables, cfg, x_window=X_WINDOW, n_chan=N_CHAN,
+             rp_init=1e-3, mode="eclipse", chunk=6, n_lm=10,
+             sigma=np.full(N_CHAN, 1e-4))
+    truth = _true_chan(fp, tables, scenes, X_WINDOW, N_CHAN)
+    assert np.all(np.abs(res.rp - truth) < 2e-4), (res.rp, truth)
+
+    # a visit with NO eclipse coverage is degenerate: loud error
+    cfg_t, tables_t, scenes_t, _ = _visit(NoiseFlags.none())
+    cfg_t = dataclasses.replace(cfg_t, eclipse=True)
+    with pytest.raises(ValueError, match="eclipse coverage"):
+        rt(obs, scenes_t, tables_t, cfg_t, x_window=X_WINDOW,
+           n_chan=N_CHAN, rp_init=1e-3, mode="eclipse", chunk=6)
+    # eclipse mode without the dayside-light physics: loud error
+    with pytest.raises(ValueError, match="eclipse=True"):
+        rt(obs, scenes, tables, dataclasses.replace(cfg, eclipse=False),
+           x_window=X_WINDOW, n_chan=N_CHAN, rp_init=1e-3, mode="eclipse")

@@ -47,9 +47,13 @@ from wayne_tpu.scene import Scene
 
 @dataclass
 class RetrievalResult:
-    """Forward-model retrieval output."""
+    """Forward-model retrieval output.
 
-    rp: np.ndarray          # (n_chan,) fitted Rp/Rs per channel
+    ``rp``/``rp_sigma`` hold the fitted per-channel DEPTH parameter:
+    Rp/Rs in transit mode, Fp/Fs in eclipse mode.
+    """
+
+    rp: np.ndarray          # (n_chan,) fitted Rp/Rs (or Fp/Fs) per channel
     rp_sigma: np.ndarray    # (n_chan,) 1-sigma from the J^T J curvature
     chi2: float             # final chi^2 over all (exposure, channel) points
     n_points: int           # number of residual points
@@ -177,6 +181,7 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
                           estimator: str = "cds",
                           y_window: tuple[int, int] | None = None,
                           fit_ramp: bool = False,
+                          mode: str = "transit",
                           n_lm: int = 10, chunk: int = 2,
                           sigma: np.ndarray | None = None
                           ) -> RetrievalResult:
@@ -195,10 +200,16 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
       cfg: the DATA config (the stochastic twin is derived internally).
       x_window / n_chan: dispersion-direction channel definition
         (identical convention to reduction._channel_edges).
-      rp_init: scalar or (n_chan,) starting Rp/Rs (e.g. a white fit).
+      rp_init: scalar or (n_chan,) starting depth — Rp/Rs in transit
+        mode, Fp/Fs in eclipse mode (e.g. a white fit).
       fit_ramp: additionally fit [visit_slope_per_s, hook_amp] —
         requires cfg.noise.visit_trend; the hook timescale/orbit-1
         scale stay at their Scene values.
+      mode: "transit" fits the per-channel Rp/Rs transmission
+        spectrum; "eclipse" fits the per-channel Fp/Fs dayside
+        emission spectrum (requires cfg.eclipse and secondary-eclipse
+        coverage in the visit; the Scene's rp_over_rs stays fixed as
+        the occulting geometry).
       sigma: per-channel noise of the NORMALISED channel light curves;
         default = out-of-transit scatter of the data.
 
@@ -212,6 +223,12 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
                          f"has {n_scenes}")
     if fit_ramp and not cfg.noise.visit_trend:
         raise ValueError("fit_ramp requires cfg.noise.visit_trend")
+    if mode not in ("transit", "eclipse"):
+        raise ValueError(f"mode must be 'transit' or 'eclipse', got {mode!r}")
+    eclipse = mode == "eclipse"
+    if eclipse and not cfg.eclipse:
+        raise ValueError("mode='eclipse' needs a cfg with eclipse=True "
+                         "(the visit must model planet dayside light)")
 
     cfg_m = deterministic_cfg(cfg)
     scenes_m = deterministic_scenes(scenes)
@@ -220,6 +237,7 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
     in_win = jnp.asarray(in_win_np, jnp.float32)
     edges = _channel_edges(x_window, n_chan)
     rp_fixed = scenes.rp_over_rs[0]                           # (NL,)
+    fp_fixed = scenes.fp_over_fs[0]                           # (NL,)
 
     orbit0 = jax.tree_util.tree_map(lambda x: x[0], scenes.orbit)
     exptime = float(tables.read_times[-1])
@@ -228,6 +246,20 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
     if float(oot.sum()) < 2:
         raise ValueError("fewer than 2 out-of-transit exposures — the "
                          "channel light curves cannot be normalised")
+    if eclipse:
+        # Without occultation coverage Fp/Fs is exactly degenerate with
+        # the per-channel normalisation — fail loudly up front.
+        from wayne_tpu.ops.kepler import projected_separation
+        from wayne_tpu.ops.transit import eclipse_visibility
+
+        z_t, infr_t = projected_separation(mid, orbit0)
+        vis = eclipse_visibility(z_t, infr_t,
+                                 jnp.mean(rp_fixed))
+        if float(jnp.max(vis) - jnp.min(vis)) < 0.1:
+            raise ValueError("no secondary-eclipse coverage in this "
+                             "visit (planet visibility barely changes) "
+                             "— Fp/Fs cannot be separated from the "
+                             "baseline")
 
     data_chan = _normalise_oot(_bin_channels(spectra_obs, edges), oot)
     if sigma is None:
@@ -250,11 +282,17 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
             float(np.asarray(t0.hook_amp).ravel()[0])]])
 
     def build_scenes(theta: jnp.ndarray) -> Scene:
-        rp_chan = theta[:n_rp]
-        rp_bin = in_win * rp_chan[idx] + (1.0 - in_win) * rp_fixed
-        sc = dataclasses.replace(
-            scenes_m,
-            rp_over_rs=jnp.broadcast_to(rp_bin[None], (n_exp, rp_bin.size)))
+        d_chan = theta[:n_rp]
+        if eclipse:
+            fp_bin = in_win * d_chan[idx] + (1.0 - in_win) * fp_fixed
+            sc = dataclasses.replace(
+                scenes_m, fp_over_fs=jnp.broadcast_to(
+                    fp_bin[None], (n_exp, fp_bin.size)))
+        else:
+            rp_bin = in_win * d_chan[idx] + (1.0 - in_win) * rp_fixed
+            sc = dataclasses.replace(
+                scenes_m, rp_over_rs=jnp.broadcast_to(
+                    rp_bin[None], (n_exp, rp_bin.size)))
         if fit_ramp:
             tr = dataclasses.replace(
                 sc.trends,

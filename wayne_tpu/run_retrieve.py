@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("-o", "--output", default=None,
                         help="JSON report (default <dir>/retrieved.json)")
     parser.add_argument("--n-chan", type=int, default=8)
+    parser.add_argument("--mode", choices=("transit", "eclipse"),
+                        default="transit",
+                        help="transit: retrieve per-channel Rp/Rs; "
+                             "eclipse: per-channel Fp/Fs dayside "
+                             "emission (secondary-eclipse visits)")
     parser.add_argument("--estimator", choices=("cds", "ramp"),
                         default="cds")
     parser.add_argument("--rows", default=None, metavar="Y0:Y1",
@@ -173,11 +178,14 @@ def main(argv: list[str] | None = None) -> int:
           f"{x_window}, rows {y_window or ('all',)}; estimator "
           f"{args.estimator}; {args.n_chan} channels")
 
-    rp0 = float(cfg.planet.rp_over_rs or 0.1)
+    if args.mode == "eclipse":
+        d0 = float(cfg.planet.eclipse_depth or 1e-3)
+    else:
+        d0 = float(cfg.planet.rp_over_rs or 0.1)
     res = retrieve_transmission(
         jnp.asarray(spectra, jnp.float32), scenes, tables, static,
-        x_window=x_window, n_chan=args.n_chan, rp_init=rp0,
-        estimator=args.estimator, y_window=y_window,
+        x_window=x_window, n_chan=args.n_chan, rp_init=d0,
+        estimator=args.estimator, y_window=y_window, mode=args.mode,
         fit_ramp=args.fit_ramp, n_lm=args.n_lm, chunk=args.chunk)
 
     tp0 = trace_params(tables, scenes.x_ref[0], scenes.y_ref[0])
@@ -185,10 +193,13 @@ def main(argv: list[str] | None = None) -> int:
     wl_edges = np.asarray(x_to_wl(jnp.asarray(edges, jnp.float32), tp0))
     dof = max(res.n_points - res.rp.size
               - (2 if args.fit_ramp else 0), 1)
+    dkey = "fp_over_fs" if args.mode == "eclipse" else "rp_over_rs"
+    skey = "fp_sigma" if args.mode == "eclipse" else "rp_sigma"
     report = {
         "method": "forward_model_retrieval",
         "n_exposures": int(idx.size),
         "grism": cfg.grism,
+        "mode": args.mode,
         "estimator": args.estimator,
         "windows": {"rows": (list(y_window) if y_window else None),
                     "cols": list(x_window)},
@@ -205,14 +216,15 @@ def main(argv: list[str] | None = None) -> int:
         "channels": [
             {"wl_lo_um": round(float(wl_edges[i]), 4),
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
-             "rp_over_rs": round(float(res.rp[i]), 6),
-             "rp_sigma": round(float(res.rp_sigma[i]), 6)}
+             dkey: round(float(res.rp[i]), 7),
+             skey: round(float(res.rp_sigma[i]), 7)}
             for i in range(args.n_chan)],
     }
     out = args.output or os.path.join(args.visit_dir, "retrieved.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
-    print(f"retrieved Rp/Rs: {res.rp.min():.6g}..{res.rp.max():.6g} "
+    label = "Fp/Fs" if args.mode == "eclipse" else "Rp/Rs"
+    print(f"retrieved {label}: {res.rp.min():.6g}..{res.rp.max():.6g} "
           f"(chi2/dof {report['chi2_per_dof']:.3f}, {res.n_iter} LM "
           f"iterations) -> {out}")
     return 0
