@@ -142,6 +142,14 @@ class StarConfig:
     radius_rsun: float = 0.67           # stellar radius (R_sun)
     spectrum_file: str | None = None    # two-column (micron, F_lambda) file
     flux_scale: float | None = None     # explicit scale overriding magnitude
+    spots: tuple | None = None          # starspots (beyond the reference):
+    #                                     list of mappings, each
+    #                                     {lon_deg, lat_deg, radius, and
+    #                                      temp_k OR contrast} — see
+    #                                     ops/spots.py. None = immaculate.
+    rotation_period_d: float | None = None  # stellar rotation period
+    #                                     (days) carrying the spots across
+    #                                     the disk; None = static spots
 
 
 @dataclass

@@ -48,6 +48,63 @@ _quantize_u16 = jax.jit(
     lambda r: jnp.clip(jnp.round(r), 0.0, 65535.0).astype(jnp.uint16))
 
 
+def _build_spots(star_cfg, wl_centers: np.ndarray):
+    """StarConfig.spots -> ops/spots.SpotParams (or None).
+
+    Each spot mapping needs lon_deg, lat_deg, radius (stellar radii) and
+    EITHER temp_k (contrast = blackbody ratio vs the star's temperature
+    per wavelength bin) OR an explicit grey ``contrast``. Host-side:
+    runs once per Observation, like the rest of the scene build.
+    """
+    if not star_cfg.spots:
+        return None
+    from wayne_tpu.ops.spots import SpotParams
+    from wayne_tpu.utils.spectra import blackbody_flam_um
+
+    lat, lon, rad, contrast = [], [], [], []
+    star_bb = blackbody_flam_um(wl_centers, star_cfg.temperature_k)
+    for i, sp in enumerate(star_cfg.spots):
+        if not isinstance(sp, dict):
+            raise ValueError(f"star spots[{i}] must be a mapping, got "
+                             f"{type(sp).__name__}")
+        unknown = set(sp) - {"lon_deg", "lat_deg", "radius", "temp_k",
+                             "contrast"}
+        if unknown:
+            raise ValueError(f"unknown spot keys {sorted(unknown)} in "
+                             f"spots[{i}]")
+        try:
+            la = float(sp["lat_deg"])
+            lo = float(sp["lon_deg"])
+            r = float(sp["radius"])
+        except KeyError as exc:
+            raise ValueError(f"spots[{i}] missing key {exc}") from None
+        if not -90.0 <= la <= 90.0:
+            raise ValueError(f"spots[{i}] lat_deg {la} outside [-90, 90]")
+        if not 0.0 < r < 1.0:
+            raise ValueError(f"spots[{i}] radius {r} outside (0, 1)")
+        if "contrast" in sp:
+            c = np.full(wl_centers.size, float(sp["contrast"]))
+            if not 0.0 <= float(sp["contrast"]) <= 1.5:
+                raise ValueError(f"spots[{i}] contrast outside [0, 1.5]")
+        elif "temp_k" in sp:
+            t_spot = float(sp["temp_k"])
+            if t_spot <= 0.0:
+                raise ValueError(f"spots[{i}] temp_k must be positive")
+            c = blackbody_flam_um(wl_centers, t_spot) / star_bb
+        else:
+            raise ValueError(f"spots[{i}] needs temp_k or contrast")
+        lat.append(np.deg2rad(la))
+        lon.append(np.deg2rad(lo))
+        rad.append(r)
+        contrast.append(c)
+    rot = 0.0
+    if star_cfg.rotation_period_d:
+        rot = 2.0 * np.pi / (float(star_cfg.rotation_period_d) * 86400.0)
+    return SpotParams.create(np.asarray(lat), np.asarray(lon),
+                             np.asarray(rad),
+                             np.stack(contrast).astype(np.float32), rot)
+
+
 def _load_fluence_map(path: str) -> np.ndarray:
     """Host-side (S, S) fluence map loader: .npy or FITS (first image
     HDU). Used for PersistenceConfig.prior_fluence_file."""
@@ -203,6 +260,7 @@ class Observation:
         rp = self.planet.rp_on_grid(wl_centers)
         fp = self.planet.fp_on_grid(wl_centers)
         ld = self.planet.ld_on_grid(wl_centers)   # (4,) or (NL, 4)
+        spots = _build_spots(cfg.star, wl_centers)
 
         ssv_phases = rng.uniform(0, 2 * np.pi, n)  # SSV phase varies per exp
         trends = TrendParams.create(
@@ -265,6 +323,8 @@ class Observation:
             sky_level=f32(sky),
             key=keys,
             psf_scale=None if psf_scale is None else f32(psf_scale),
+            spots=(None if spots is None else jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (n,) + x.shape), spots)),
         )
 
     # ------------------------------------------------------------------

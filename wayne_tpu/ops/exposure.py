@@ -85,6 +85,14 @@ def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
                                          else None),
                              phase_amp=scene.phase_amp,
                              phase_offset_rad=scene.phase_offset)  # (K, NL)
+    if scene.spots is not None:
+        # Starspots (ops/spots.py, beyond the reference): unocculted
+        # dimming + crossing recovery, additive on the stellar flux
+        # (the eclipse-mode planet light rides on top untouched).
+        from wayne_tpu.ops.spots import spot_delta
+
+        lc = lc + spot_delta(times_abs, scene.orbit, scene.rp_over_rs,
+                             scene.ld, scene.spots)
     factor = jnp.ones_like(t_mid)
     if cfg.noise.ssv and cfg.scan:
         factor = factor * ssv_mean_factor(t_seg_edges[:-1], t_seg_edges[1:],

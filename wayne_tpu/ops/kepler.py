@@ -97,6 +97,29 @@ def orbital_phase_angle(t: jnp.ndarray, orbit: OrbitParams) -> jnp.ndarray:
     return jnp.arctan2(jnp.sin(raw), jnp.cos(raw))
 
 
+def sky_position(t: jnp.ndarray, orbit: OrbitParams
+                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sky-plane planet position (x, y) in stellar radii + ``in_front``.
+
+    Coordinates: the star's center is the origin; +x is the direction of
+    the planet's motion across the disk at mid-transit; +y is the sky
+    projection of the orbit normal, so the transit chord sits at
+    y = +b = +a cos(i) (scaled by the eccentric-orbit separation).
+    ``hypot(x, y)`` equals :func:`projected_separation`'s ``z`` exactly —
+    this is the resolved-vector form of the same geometry, needed by
+    consumers that care WHERE on the disk the planet is (starspot
+    occultations, ops/spots.py), not just how far from center.
+    """
+    e = orbit.ecc
+    nu, _ = transit_true_anomaly(t, orbit)
+    r = orbit.sma_rs * (1.0 - e * e) / (1.0 + e * jnp.cos(nu))
+    sin_wnu = jnp.sin(orbit.omega_rad + nu)
+    x = -r * jnp.cos(orbit.omega_rad + nu)
+    y = r * sin_wnu * jnp.cos(orbit.inc_rad)
+    in_front = (sin_wnu > 0.0).astype(x.dtype)
+    return x, y, in_front
+
+
 def projected_separation(t: jnp.ndarray, orbit: OrbitParams) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sky-projected star-planet separation z(t) in stellar radii.
 

@@ -65,6 +65,10 @@ class Scene:
     #                               expected source+sky+dark charge that
     #                               escapes capture. Trap RELEASE arrives
     #                               via persist_rate. None = no trapping.
+    spots: object | None = None   # ops/spots.SpotParams: starspot set
+    #                               (crossing bumps + chromatic depth
+    #                               dilution). None (default) is
+    #                               pytree-invisible — immaculate star.
 
 
 # Scene fields that are IDENTICAL for every Monte-Carlo realisation of a
