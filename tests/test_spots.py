@@ -233,6 +233,78 @@ class TestExposureIntegration:
         assert tot_s / tot_p == pytest.approx(want, abs=2e-4)
 
 
+class TestRetrievalClosedLoop:
+    def test_spotted_star_retrieval_unbiased(self):
+        """Forward-model retrieval THROUGH a spotted star.
+
+        The model twin carries Scene.spots, so a crossing bump + an
+        unocculted dilution that would bias any immaculate-star analysis
+        are modeled, not fitted into the depths: with the spots in the
+        model the recovered spectrum is near-exact, without them it is
+        visibly biased (the science case for ops/spots.py + retrieval).
+        """
+        from wayne_tpu.calibration import synthetic_tables
+        from wayne_tpu.config import ExposureStatic, NoiseFlags
+        from wayne_tpu.ops.visit import simulate_visit
+        from wayne_tpu.retrieval import retrieve_transmission
+        from wayne_tpu.scene import example_scene
+
+        S, NL, n_exp, n_chan = 128, 48, 18, 4
+        x_window = (72, 126)
+        cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=3,
+                             samp_seq="SPARS10", scan=True,
+                             noise=NoiseFlags.none(), band_px=48)
+        tables = synthetic_tables("G141", subarray=S, n_lambda=NL,
+                                  samp_seq="SPARS10", nsamp=3)
+        base = example_scene(NL, scan_speed=0.6)
+        wl = np.asarray(tables.wl_centers)
+        rp = 0.1595 + 0.004 * np.sin(9.0 * wl)
+        base = dataclasses.replace(
+            base, x_ref=jnp.float32(30.0), y_ref=jnp.float32(30.0),
+            rp_over_rs=jnp.asarray(rp, jnp.float32))
+        # one spot ON the chord (lat = asin(b), faces us near the 2 h
+        # transit; static), one unocculted diluter; chromatic contrast
+        b = 4.855 * np.cos(np.deg2rad(82.1))
+        contrast = np.stack([0.4 + 0.2 * (wl - wl.min()) / np.ptp(wl),
+                             np.full(NL, 0.6)]).astype(np.float32)
+        spots = SpotParams.create([np.arcsin(b), -0.5], [0.0, 0.4],
+                                  [0.22, 0.12], contrast)
+        scenes = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n_exp,) + x.shape), base)
+        scenes = dataclasses.replace(
+            scenes,
+            exp_start_s=jnp.asarray(
+                np.linspace(0.0, 4.0 * 3600.0, n_exp), jnp.float32),
+            key=jax.vmap(lambda i: jax.random.fold_in(
+                jax.random.PRNGKey(3), i))(jnp.arange(n_exp)),
+            spots=jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (n_exp,) + x.shape),
+                spots))
+
+        out = simulate_visit(scenes, tables, cfg, chunk=6)
+        obs = (out.reads_dn[:, -1] - out.reads_dn[:, 0]).sum(axis=1)
+
+        truth = np.zeros(n_chan)
+        from wayne_tpu.retrieval import bin_channel_map
+        idx, in_win = bin_channel_map(scenes, tables, x_window, n_chan)
+        for c in range(n_chan):
+            truth[c] = rp[in_win & (idx == c)].mean()
+
+        kw = dict(x_window=x_window, n_chan=n_chan, rp_init=0.15,
+                  chunk=6, n_lm=10, sigma=np.full(n_chan, 1e-4))
+        res = retrieve_transmission(obs, scenes, tables, cfg, **kw)
+        err_spotted = np.abs(res.rp - truth)
+        assert np.all(err_spotted < 5e-4), (res.rp, truth)
+
+        # immaculate-star model twin: same data, spots dropped -> biased
+        res0 = retrieve_transmission(
+            obs, dataclasses.replace(scenes, spots=None), tables, cfg,
+            **kw)
+        err_plain = np.abs(res0.rp - truth)
+        assert err_plain.max() > 3.0 * max(err_spotted.max(), 1e-5), (
+            res0.rp, truth)
+
+
 class TestYamlPath:
     def test_config_builds_spotted_observation(self, tmp_path):
         from wayne_tpu.config import config_from_dict
