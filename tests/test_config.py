@@ -203,3 +203,25 @@ def test_eclipse_depth_wires_through():
                                1.2e-3, rtol=1e-6)
     # default stays off (zero extra tracing cost)
     assert not config_from_dict({"grism": "G141"}).exposure_static().eclipse
+
+
+def test_noise_preset_and_unknown_keys():
+    """noise: {preset: ...} rebases the flags; unknown keys fail loudly
+    (a typo would otherwise silently simulate the wrong noise chain)."""
+    import pytest
+
+    from wayne_tpu.config import config_from_dict
+
+    base = {"grism": "G141", "subarray": 64, "nsamp": 2, "n_lambda": 16}
+    cfg = config_from_dict({**base, "noise": {"preset": "none"}})
+    assert not any([cfg.noise.poisson, cfg.noise.read_noise,
+                    cfg.noise.sky, cfg.noise.visit_trend])
+    cfg = config_from_dict(
+        {**base, "noise": {"preset": "none", "poisson": True}})
+    assert cfg.noise.poisson and not cfg.noise.read_noise
+    cfg = config_from_dict({**base, "noise": {"preset": "all"}})
+    assert cfg.noise.ipc and cfg.noise.bias_drift
+    with pytest.raises(ValueError, match="unknown noise keys"):
+        config_from_dict({**base, "noise": {"poison": False}})
+    with pytest.raises(ValueError, match="unknown noise preset"):
+        config_from_dict({**base, "noise": {"preset": "some"}})

@@ -298,3 +298,53 @@ def test_fit_white_ramp_eclipse_mode():
     tpl = np.asarray(fit.template)
     ratio = sys / tpl
     assert np.abs(ratio / ratio.mean() - 1.0).max() < 1e-3
+
+
+def test_fit_white_ramp_robust_clip():
+    """clip_sigma survives model-unrepresentable outliers (a starspot
+    crossing bump + a CR spike): the clipped fit recovers the unbiased
+    depth, reports the outlier exposures in RampFit.weights, and the
+    weights mask carries into the channel fits (fit_depths)."""
+    rng = np.random.RandomState(5)
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
+                                visit_slope_per_s=0.01 / 86400.0,
+                                hook_orbit1_scale=2.0)
+    t, t_orb, first = _orbit_times()
+    lc = _white_model(t, t_orb, first, trends, base.orbit, base.ld, RP_W)
+    noise = 8e-5
+    lc = lc * (1.0 + noise * rng.standard_normal(lc.size))
+    # in-transit spot-crossing bump (2 adjacent exposures) + one CR spike
+    in_tr = np.abs(t - float(base.orbit.t0_s)) < 900.0
+    bump_idx = np.flatnonzero(in_tr)[2:4]
+    lc[bump_idx] *= 1.004            # ~50x the noise
+    lc[5] *= 1.006                   # baseline spike
+    outliers = sorted(bump_idx.tolist() + [5])
+
+    plain = fit_white_ramp(jnp.asarray(lc, jnp.float32), jnp.asarray(t),
+                           base.orbit, base.ld, 0.15)
+    robust = fit_white_ramp(jnp.asarray(lc, jnp.float32), jnp.asarray(t),
+                            base.orbit, base.ld, 0.15, clip_sigma=4.0)
+    w = np.asarray(robust.weights)
+    assert sorted(np.flatnonzero(w == 0.0).tolist()) == outliers, w
+    assert np.all(np.asarray(plain.weights) == 1.0)
+    err_plain = abs(float(plain.rp) - RP_W)
+    err_robust = abs(float(robust.rp) - RP_W)
+    assert err_robust < 5e-4, err_robust
+    assert err_plain > 2.0 * err_robust, (err_plain, err_robust)
+
+    # channel fits skip the same exposures: a biased channel curve
+    # (same bump) fitted with the robust mask lands on truth
+    z, in_front = projected_separation(jnp.asarray(t), base.orbit)
+    f = transit_depth_curve(z, jnp.float32(RP_W), base.ld, 32)
+    chan = np.asarray(1.0 - (1.0 - f) * in_front)[:, None].copy()
+    chan[bump_idx, 0] *= 1.004
+    chan[5, 0] *= 1.006
+    rp_w, _ = fit_depths(jnp.asarray(chan, jnp.float32), jnp.asarray(t),
+                         base.orbit, base.ld, jnp.float32(0.15),
+                         weights=robust.weights)
+    rp_no, _ = fit_depths(jnp.asarray(chan, jnp.float32), jnp.asarray(t),
+                          base.orbit, base.ld, jnp.float32(0.15))
+    assert abs(float(rp_w[0]) - RP_W) < 1e-4
+    assert (abs(float(rp_no[0]) - RP_W)
+            > 3.0 * max(abs(float(rp_w[0]) - RP_W), 3e-5))

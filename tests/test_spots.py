@@ -362,3 +362,86 @@ class TestYamlPath:
         with pytest.raises(ValueError, match="lat_deg"):
             build([{"lon_deg": 0, "lat_deg": 120, "radius": 0.1,
                     "temp_k": 4000}])
+
+
+class TestCliClipSigma:
+    def test_run_reduce_clips_spot_crossing(self, tmp_path):
+        """File-level loop: a spotted visit's crossing bump biases the
+        ramp-fit depths; --clip-sigma masks the bumped exposures (the
+        report names them) and the channel depths move back toward the
+        injected spectrum."""
+        import json
+
+        import yaml
+
+        from wayne_tpu.config import config_from_dict
+        from wayne_tpu.observation import Observation
+        from wayne_tpu.run_reduce import main as reduce_main
+
+        # HST-like explicit schedule: four 95.47-min orbits of five
+        # exposures; the transit sits inside orbit 2 (indices 10-14)
+        # with two of its five points in the spot-crossing window
+        # (+-573 s of mid-transit for this geometry) and three clean
+        # in-transit anchors. Orbits 0/1/3 are baseline, so the shared
+        # hook amplitude cannot masquerade as the transit.
+        hst_s = 95.47 * 60.0
+        t0_s = 12600.0
+        rel_s = [k * hst_s + o - t0_s
+                 for k in range(4) for o in (300, 800, 1300, 1800, 2300)]
+        bumped = [11, 12]
+        t0_mjd = 56000.0
+        params = {
+            "grism": "G141", "subarray": 128, "NSAMP": 4,
+            "SAMPSEQ": "SPARS10", "scan": True, "scan_speed": 0.5,
+            "x_ref": 30.0, "y_ref": 40.0,
+            "exp_start_times": [t0_mjd + s / 86400.0 for s in rel_s],
+            "n_lambda": 48, "n_sub": 3, "seed": 11,
+            "planet": {"rp_over_rs": 0.1595},
+            # photometric noise only: the clip must find the bump
+            # against real photon/read scatter (random-phase SSV or an
+            # orbit-structure mismatch would swamp a 17-point visit —
+            # those belong to the ensemble validation, not this gate)
+            "noise": {"preset": "none", "poisson": True,
+                      "read_noise": True, "sky": True, "dark": True,
+                      "flat": True, "bias": True},
+            "star": {"spots": [
+                # ON the chord (b = 4.855 cos 82.1 deg -> lat 41.8 deg),
+                # facing the observer: crossed at mid-transit; bump
+                # ~7e-3 of flux, far above the white noise
+                {"lon_deg": 0.0, "lat_deg": 41.8, "radius": 0.12,
+                 "contrast": 0.35},
+            ]},
+        }
+        outdir = tmp_path / "visit"
+        obs = Observation(config_from_dict(params))
+        obs.generate(str(outdir), chunk=6, progress=lambda s: None)
+        ppath = tmp_path / "pars.yml"
+        ppath.write_text(yaml.safe_dump(params))
+
+        def depths(extra):
+            rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                              "--n-chan", "3", "--cpu",
+                              "--detrend", "ramp"] + extra)
+            assert rc == 0
+            rep = json.loads((outdir / "reduced.json").read_text())
+            rp = np.array([c["rp_over_rs"] for c in rep["channels"]])
+            return rp, rep
+
+        rp_plain, _ = depths([])
+        rp_rob, rep = depths(["--clip-sigma", "4.0"])
+        wf = rep["white_ramp_fit"]
+        assert wf["clip_sigma"] == 4.0
+        # the clip lands on the spot-crossed mid-transit exposures only
+        assert len(wf["clipped_exposures"]) >= 2
+        assert set(wf["clipped_exposures"]) <= set(bumped), wf
+        err_plain = np.abs(rp_plain - 0.1595).max()
+        err_rob = np.abs(rp_rob - 0.1595).max()
+        assert err_rob < 0.5 * err_plain, (err_plain, err_rob)
+
+        # guard rails: wrong mode / absurd K fail loudly
+        with pytest.raises(SystemExit, match="clip-sigma"):
+            reduce_main(["-d", str(outdir), "-p", str(ppath), "--cpu",
+                         "--clip-sigma", "4.0"])
+        with pytest.raises(SystemExit, match="clip-sigma"):
+            reduce_main(["-d", str(outdir), "-p", str(ppath), "--cpu",
+                         "--detrend", "ramp", "--clip-sigma", "0.5"])

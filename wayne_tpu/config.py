@@ -703,12 +703,30 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
         if key in _NOISE_KEY_ALIASES and isinstance(value, bool):
             noise_updates[_NOISE_KEY_ALIASES[key]] = value
             del flat[key]
+    # noise: {preset: none|all} rebases the flags before per-key
+    # overrides (a clean way to say "only these effects" in YAML)
+    preset = noise_kv.pop("preset", None)
+    base_noise = cfg.noise
+    if preset is not None:
+        if str(preset) == "none":
+            base_noise = NoiseFlags.none()
+        elif str(preset) == "all":
+            base_noise = NoiseFlags.all()
+        else:
+            raise ValueError(f"unknown noise preset {preset!r}; "
+                             "allowed: 'none', 'all'")
+    unknown_noise = {k for k in noise_kv
+                     if _NOISE_KEY_ALIASES.get(k, k) not in noise_fields}
+    if unknown_noise:
+        # A typo here silently simulates the WRONG noise chain — fail
+        # loudly (same convention as the calibration: block).
+        raise ValueError(
+            f"unknown noise keys {sorted(unknown_noise)}; allowed: "
+            f"{sorted(noise_fields)} (+ 'preset')")
     for key, value in noise_kv.items():
-        name = _NOISE_KEY_ALIASES.get(key, key)
-        if name in noise_fields:
-            noise_updates[name] = bool(value)
-    if noise_updates:
-        cfg.noise = dataclasses.replace(cfg.noise, **noise_updates)
+        noise_updates[_NOISE_KEY_ALIASES.get(key, key)] = bool(value)
+    if noise_updates or preset is not None:
+        cfg.noise = dataclasses.replace(base_noise, **noise_updates)
 
     explicit: set[tuple[str | None, str]] = set()
 

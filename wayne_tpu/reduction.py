@@ -1392,11 +1392,18 @@ class RampFit:
     orbit: OrbitParams           # the orbit the fit used — with
     #                              fit_geometry, t0/sma/inc are FITTED;
     #                              feed it to fit_depths / posteriors
+    weights: jnp.ndarray         # (n_exp,) robust-fit keep mask: 0 for
+    #                              exposures sigma-clipped as outliers
+    #                              (spot crossings, residual CRs); all
+    #                              ones unless clip_sigma was set. Feed
+    #                              it to fit_depths so channel fits skip
+    #                              the same exposures.
 
 
 @partial(jax.jit, static_argnames=("gap_s", "n_iter", "n_quad",
                                    "fit_geometry", "t0_window_s",
-                                   "eclipse"))
+                                   "eclipse", "clip_sigma",
+                                   "clip_rounds"))
 def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                    orbit: OrbitParams, ld: jnp.ndarray,
                    rp_init: jnp.ndarray | float = 0.15,
@@ -1404,7 +1411,9 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                    n_quad: int = 32, fit_geometry: bool = False,
                    t0_window_s: float = 600.0,
                    eclipse: bool = False,
-                   fp_init: jnp.ndarray | float = 1.5e-3) -> RampFit:
+                   fp_init: jnp.ndarray | float = 1.5e-3,
+                   clip_sigma: float | None = None,
+                   clip_rounds: int = 4) -> RampFit:
     """Jointly fit the white light curve as transit x instrument ramp.
 
     The physically-motivated alternative to divide-white: real WFC3
@@ -1436,6 +1445,21 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     Fp/Fs (returned in ``RampFit.rp``), started at ``fp_init``. The
     systematics family is identical — eclipse visits ramp the same way.
     Not combinable with fit_geometry (fit the ephemeris on a transit).
+
+    ``clip_sigma`` turns on robust refitting: each of ``clip_rounds``
+    rounds zero-weights the single worst residual outlier beyond
+    ``clip_sigma`` robust-sigmas and re-runs the LM. The sigma scale is
+    the OUT-OF-TRANSIT residual scatter (1.4826 x MAD over kept
+    baseline points — the photometric-noise estimator real analyses
+    use; out-of-eclipse in eclipse mode), so a model-unrepresentable
+    in-transit feature cannot inflate its own clip threshold. At most
+    one exposure is clipped per round — size ``clip_rounds`` to the
+    contamination you expect (a spot crossing hits a few exposures; a
+    residual CR one). This is how real analyses survive what the
+    parametric model cannot represent — starspot-crossing bumps,
+    residual cosmic rays, satellite trails. The kept/clipped mask is
+    returned in ``RampFit.weights`` so channel fits (fit_depths
+    ``weights=``) skip the same exposures.
 
     ``fit_geometry=True`` frees the transit GEOMETRY too — theta grows
     by (t0 offset [s], a/Rs, cos i), the separation is recomputed from
@@ -1518,9 +1542,42 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
         theta = ths[jnp.argmin(c2s)]
         theta, chi2, normal_eqs = run_lm(theta, n_iter)
 
+    w_keep = jnp.ones_like(lc)
+    if clip_sigma is not None:
+        # Robust rounds: reject the single worst residual outlier, refit,
+        # repeat (at most one exposure per round — monotone, so a
+        # bump-dragged fit can never mass-clip the transit). The scale
+        # is the OOT residual scatter (robust MAD over kept baseline
+        # points), the photometric-noise estimator real analyses use —
+        # the MAD over ALL residuals underclips exactly when it matters,
+        # because a contaminated fit redistributes the misfit across
+        # every point. A no-outlier round degenerates to a plain refit.
+        if eclipse:
+            vis0 = eclipse_visibility(
+                z_fix, infr_fix, jnp.asarray(rp_init, jnp.float32))
+            scale_mask = (vis0 > 0.999).astype(jnp.float32)
+        else:
+            scale_mask = oot
+        for _ in range(clip_rounds):
+            r = resid(theta)
+            kept = scale_mask * w_keep
+            r_oot = jnp.where(kept > 0.0, r, jnp.nan)
+            med = jnp.nanmedian(r_oot)
+            sig = 1.4826 * jnp.nanmedian(jnp.abs(r_oot - med))
+            sig = jnp.maximum(sig, 1e-9 * jnp.maximum(jnp.abs(c0), 1e-12))
+            dev = jnp.abs(r - med) * w_keep    # clipped points stay out
+            worst = jnp.argmax(dev)
+            hit = dev[worst] > clip_sigma * sig   # NaN sig -> False
+            w_keep = w_keep.at[worst].set(
+                jnp.where(hit, 0.0, w_keep[worst]))
+            wres = (lambda th, _w=w_keep: _w * resid(th))
+            theta, chi2 = _lm_minimize(wres, theta, n_iter)
+            normal_eqs = partial(_lm_normal_eqs, wres)
+
     _, sys = model(theta)
     JTJ, _ = normal_eqs(theta)
-    n = lc.shape[0]
+    n = (jnp.sum(w_keep) if clip_sigma is not None
+         else jnp.float32(lc.shape[0]))
     noise_var = chi2 / jnp.maximum(n - ndim, 1)
     with jax.default_matmul_precision("highest"):
         cov = jnp.linalg.inv(JTJ + 1e-9 * jnp.eye(ndim, dtype=jnp.float32))
@@ -1535,7 +1592,7 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                    template=sys, chi2=chi2,
                    t0_offset_s=(theta[6] if fit_geometry
                                 else jnp.float32(0.0)),
-                   orbit=fitted_orbit)
+                   orbit=fitted_orbit, weights=w_keep)
 
 
 @jax.jit
@@ -1735,7 +1792,9 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
 @partial(jax.jit, static_argnames=("n_quad", "n_newton"))
 def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                orbit: OrbitParams, ld: jnp.ndarray, rp_init: jnp.ndarray,
-               n_quad: int = 32, n_newton: int = 12) -> tuple[jnp.ndarray, jnp.ndarray]:
+               n_quad: int = 32, n_newton: int = 12,
+               weights: jnp.ndarray | None = None
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-channel Rp/Rs by Newton iterations on the chi^2 of the real
     transit model (autodiff through the occultation integral).
 
@@ -1746,6 +1805,10 @@ def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     with opposite sign at the band edges. With an ld_file configured,
     run_reduce feeds the per-channel rows automatically.
 
+    ``weights``: optional (n_exp,) exposure weights, shared by every
+    channel — pass RampFit.weights so exposures the robust white fit
+    clipped (spot crossings, residual CRs) are skipped here too.
+
     Returns (rp_hat (n_chan,), rp_sigma (n_chan,)) where sigma comes from
     the chi^2 curvature and the per-channel scatter.
     """
@@ -1754,13 +1817,15 @@ def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     ld = jnp.asarray(ld, jnp.float32)
     ld_chan = jnp.broadcast_to(ld if ld.ndim == 2 else ld[None, :],
                                (n_chan, 4))
+    w = (jnp.ones(channel_lc.shape[0], jnp.float32) if weights is None
+         else jnp.asarray(weights, jnp.float32))
 
     def model(rp, ld_c):
         f = transit_depth_curve(z, rp, ld_c, n_quad)
         return 1.0 - (1.0 - f) * in_front
 
     def chi2(rp, lc, ld_c):
-        return jnp.sum((model(rp, ld_c) - lc) ** 2)
+        return jnp.sum(w * (model(rp, ld_c) - lc) ** 2)
 
     d1 = jax.grad(chi2)
     d2 = jax.grad(lambda rp, lc, ld_c: d1(rp, lc, ld_c))
@@ -1774,8 +1839,8 @@ def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
 
         rp = jax.lax.fori_loop(0, n_newton, body, rp0)
         resid = model(rp, ld_c) - lc
-        n = lc.shape[0]
-        noise_var = jnp.sum(resid**2) / jnp.maximum(n - 1, 1)
+        noise_var = (jnp.sum(w * resid**2)
+                     / jnp.maximum(jnp.sum(w) - 1.0, 1.0))
         h = d2(rp, lc, ld_c)
         sigma = jnp.sqrt(2.0 * noise_var / jnp.maximum(h, 1e-12))
         return rp, sigma

@@ -339,6 +339,15 @@ def main(argv: list[str] | None = None) -> int:
                              "white-light fit and hold the FITTED "
                              "ephemeris for the channel fits, like real "
                              "analyses do (YAML values seed the fit)")
+    parser.add_argument("--clip-sigma", type=float, default=None,
+                        metavar="K",
+                        help="robust white fit (--detrend ramp, transit "
+                             "mode): sigma-clip residual outliers at K "
+                             "robust sigmas (1.4826 x MAD) and refit; "
+                             "the clipped exposures are skipped by the "
+                             "channel depth fits too — survives what "
+                             "the ramp model cannot represent (starspot "
+                             "crossings, residual cosmic rays)")
     parser.add_argument("--mcmc", type=int, nargs="?", const=1500,
                         default=0, metavar="N_STEPS",
                         help="also sample posterior depths on device "
@@ -561,6 +570,16 @@ def main(argv: list[str] | None = None) -> int:
     chan_j = jnp.asarray(chan, jnp.float32)
     detrend = args.detrend or ("none" if args.no_divide_white
                                else "divide-white")
+    depth_weights = None   # robust-clip keep mask (--clip-sigma)
+    if args.clip_sigma is not None and (detrend != "ramp"
+                                        or args.mode != "transit"):
+        raise SystemExit("--clip-sigma requires --mode transit with "
+                         "--detrend ramp (the robust clip lives in the "
+                         "white ramp fit and its mask feeds the channel "
+                         "depth fits)")
+    if args.clip_sigma is not None and args.clip_sigma <= 1.0:
+        raise SystemExit(f"--clip-sigma {args.clip_sigma} would clip "
+                         "most of the data; use K > 1 (typically 3-5)")
     if args.fit_geometry and (detrend != "ramp"
                               or args.mode != "transit"):
         raise SystemExit("--fit-geometry requires --mode transit with "
@@ -675,7 +694,15 @@ def main(argv: list[str] | None = None) -> int:
 
             wfit = fit_white_ramp(jnp.asarray(white, jnp.float32), t,
                                   orbit, ld, rp0,
-                                  fit_geometry=args.fit_geometry)
+                                  fit_geometry=args.fit_geometry,
+                                  clip_sigma=args.clip_sigma)
+            if args.clip_sigma is not None:
+                depth_weights = wfit.weights
+                clipped = np.flatnonzero(np.asarray(wfit.weights) == 0.0)
+                if clipped.size:
+                    print(f"robust white fit clipped {clipped.size} "
+                          f"exposure(s) at {args.clip_sigma} sigma: "
+                          f"{clipped.tolist()}")
             if args.fit_geometry:
                 # hold the white curve's fitted ephemeris per channel
                 dt0 = abs(float(wfit.t0_offset_s))
@@ -706,6 +733,10 @@ def main(argv: list[str] | None = None) -> int:
                     "inclination_deg": round(float(
                         np.rad2deg(np.asarray(wfit.orbit.inc_rad))), 3)}}
                    if args.fit_geometry else {}),
+                **({"clip_sigma": args.clip_sigma,
+                    "clipped_exposures": np.flatnonzero(
+                        np.asarray(wfit.weights) == 0.0).tolist()}
+                   if args.clip_sigma is not None else {}),
             }
             print(f"white ramp fit: rp={white_fit_report['rp_over_rs']:.5f}"
                   f" +- {white_fit_report['rp_sigma']:.5f}, slope "
@@ -742,7 +773,8 @@ def main(argv: list[str] | None = None) -> int:
                   f"f0_f={white_fit_report['f0_fast']:.3f}, rate "
                   f"{rate0:.1f} e-/s x "
                   f"{white_fit_report['rate_scale_fitted']:.2f}")
-        rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld_chan, rp0)
+        rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld_chan, rp0,
+                                    weights=depth_weights)
         value_key, sigma_key = "rp_over_rs", "rp_sigma"
 
     white_post_report, chan_post = None, None
