@@ -225,3 +225,23 @@ def test_noise_preset_and_unknown_keys():
         config_from_dict({**base, "noise": {"poison": False}})
     with pytest.raises(ValueError, match="unknown noise preset"):
         config_from_dict({**base, "noise": {"preset": "some"}})
+
+
+def test_section_blocks_nested_under_observation():
+    """noise:/star:/planet:/trends: nested INSIDE observation: route
+    exactly like their top-level forms (the raw mapping must never land
+    on the same-named config field)."""
+    from wayne_tpu.config import NoiseFlags, config_from_dict
+
+    cfg = config_from_dict({"observation": {
+        "grism": "G141", "subarray": 64, "nsamp": 2, "n_lambda": 16,
+        "noise": {"preset": "none", "poisson": True},
+        "star": {"temperature_k": 4520.0},
+        "planet": {"rp_over_rs": 0.11},
+        "trends": {"hook_amplitude": 0.002},
+    }})
+    assert isinstance(cfg.noise, NoiseFlags)
+    assert cfg.noise.poisson and not cfg.noise.read_noise
+    assert cfg.star.temperature_k == 4520.0
+    assert cfg.planet.rp_over_rs == 0.11
+    assert cfg.trends.hook_amplitude == 0.002

@@ -348,3 +348,57 @@ def test_fit_white_ramp_robust_clip():
     assert abs(float(rp_w[0]) - RP_W) < 1e-4
     assert (abs(float(rp_no[0]) - RP_W)
             > 3.0 * max(abs(float(rp_w[0]) - RP_W), 3e-5))
+
+
+def test_fit_white_ramp_eclipse_robust_clip():
+    """clip_sigma in eclipse mode: a flare-like spike inside the eclipse
+    (which the Fp x visibility model cannot represent) is rejected
+    against the OUT-OF-ECLIPSE scatter, the recovered Fp/Fs moves back
+    to truth, and the mask carries into fit_eclipse_depths."""
+    from wayne_tpu.ops.transit import eclipse_visibility
+    from wayne_tpu.reduction import fit_eclipse_depths
+
+    rng = np.random.RandomState(7)
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
+                                visit_slope_per_s=0.01 / 86400.0)
+    t, t_orb, first = _orbit_times(n_orbits=5, per_orbit=20)
+    t = t + (float(base.orbit.t0_s) + float(base.orbit.period_s) / 2.0
+             - 0.5 * (t[0] + t[-1]))
+    fp_true = 1.5e-3
+    z, in_front = projected_separation(jnp.asarray(t), base.orbit)
+    vis = eclipse_visibility(z, in_front, jnp.float32(RP_W))
+    sys = np.asarray(visit_trend_factor(
+        jnp.asarray(t), jnp.asarray(t_orb), jnp.asarray(first), trends))
+    noise = 5e-5
+    lc = sys * np.asarray(1.0 + fp_true * vis)
+    lc = lc * (1.0 + noise * rng.standard_normal(lc.size))
+    in_ecl = np.flatnonzero(np.asarray(vis) < 0.01)
+    spike = [int(in_ecl[len(in_ecl) // 2]), 7]      # in-eclipse + baseline
+    for i in spike:
+        lc[i] *= 1.003                              # ~60x the noise
+
+    plain = fit_white_ramp(jnp.asarray(lc, jnp.float32), jnp.asarray(t),
+                           base.orbit, base.ld, RP_W, eclipse=True)
+    robust = fit_white_ramp(jnp.asarray(lc, jnp.float32), jnp.asarray(t),
+                            base.orbit, base.ld, RP_W, eclipse=True,
+                            clip_sigma=4.0)
+    w = np.asarray(robust.weights)
+    assert sorted(np.flatnonzero(w == 0.0).tolist()) == sorted(spike), w
+    err_plain = abs(float(plain.rp) - fp_true)
+    err_robust = abs(float(robust.rp) - fp_true)
+    assert err_robust < 5e-5, err_robust
+    assert err_plain > 2.0 * err_robust, (err_plain, err_robust)
+
+    # the mask carries into the closed-form channel eclipse fit
+    chan = np.asarray(1.0 + fp_true * vis)[:, None].copy()
+    for i in spike:
+        chan[i, 0] *= 1.003
+    fp_w, _ = fit_eclipse_depths(jnp.asarray(chan, jnp.float32),
+                                 jnp.asarray(t), base.orbit,
+                                 jnp.float32(RP_W), weights=robust.weights)
+    fp_no, _ = fit_eclipse_depths(jnp.asarray(chan, jnp.float32),
+                                  jnp.asarray(t), base.orbit,
+                                  jnp.float32(RP_W))
+    assert abs(float(fp_w[0]) - fp_true) < 2e-6, float(fp_w[0])
+    assert abs(float(fp_no[0]) - fp_true) > 5.0 * abs(float(fp_w[0]) - fp_true)

@@ -628,6 +628,26 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
         else:
             flat[key] = value
 
+    # Section blocks nested under observation: are equally valid — route
+    # them exactly like their top-level forms. Without this the raw
+    # mapping lands on the same-named CONFIG FIELD (cfg.noise became the
+    # dict itself and the first flag access crashed downstream).
+    nested_noise = flat.pop("noise", None)
+    if nested_noise is not None:
+        if not isinstance(nested_noise, Mapping):
+            raise ValueError("'noise' must be a mapping of flag names "
+                             f"to booleans, got {type(nested_noise).__name__}")
+        noise_kv.update(nested_noise)
+    for sec_key in ("star", "target", "planet", "trends", "systematics"):
+        nested = flat.pop(sec_key, None)
+        if nested is None:
+            continue
+        if not isinstance(nested, Mapping):
+            raise ValueError(f"'{sec_key}' must be a mapping, got "
+                             f"{type(nested).__name__}")
+        sectioned.extend(
+            (section_of[sec_key], k, v) for k, v in nested.items())
+
     # a calibration: block nested under observation: is equally valid
     nested_cal = flat.pop("calibration", None)
     if nested_cal is not None:

@@ -1064,7 +1064,8 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
 
 @jax.jit
 def fit_eclipse_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
-                       orbit: OrbitParams, rp_over_rs: jnp.ndarray
+                       orbit: OrbitParams, rp_over_rs: jnp.ndarray,
+                       weights: jnp.ndarray | None = None
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-channel eclipse depth Fp/Fs from secondary-eclipse visits.
 
@@ -1084,12 +1085,18 @@ def fit_eclipse_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     structure ~15x the eclipse signal — straight into the normal
     equations. Eclipse-only visits are unaffected (the mask is all-one).
 
+    ``weights``: optional (n_exp,) exposure weights shared by every
+    channel — pass RampFit.weights so exposures the robust white fit
+    clipped (residual CRs, flares) are skipped here too.
+
     Returns (fp_hat (n_chan,), fp_sigma (n_chan,)) with sigma from the
     residual scatter and the normal-equation covariance.
     """
     z, in_front = projected_separation(exp_mid_s, orbit)
     vis = eclipse_visibility(z, in_front, rp_over_rs)
     w = out_of_transit_mask(exp_mid_s, orbit).astype(channel_lc.dtype)
+    if weights is not None:
+        w = w * jnp.asarray(weights, channel_lc.dtype)
 
     # Explicit f32 reductions, NOT matmuls: on TPU an (n, 2) A.T @ A /
     # A.T @ y lowers to bf16 MXU dots by default, whose ~0.4% rounding

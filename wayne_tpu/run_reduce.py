@@ -342,8 +342,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--clip-sigma", type=float, default=None,
                         metavar="K",
                         help="robust white fit (--detrend ramp, transit "
-                             "mode): sigma-clip residual outliers at K "
-                             "robust sigmas (1.4826 x MAD) and refit; "
+                             "or eclipse mode): sigma-clip residual "
+                             "outliers at K robust sigmas (1.4826 x "
+                             "MAD) and refit; "
                              "the clipped exposures are skipped by the "
                              "channel depth fits too — survives what "
                              "the ramp model cannot represent (starspot "
@@ -572,11 +573,11 @@ def main(argv: list[str] | None = None) -> int:
                                else "divide-white")
     depth_weights = None   # robust-clip keep mask (--clip-sigma)
     if args.clip_sigma is not None and (detrend != "ramp"
-                                        or args.mode != "transit"):
-        raise SystemExit("--clip-sigma requires --mode transit with "
-                         "--detrend ramp (the robust clip lives in the "
-                         "white ramp fit and its mask feeds the channel "
-                         "depth fits)")
+                                        or args.mode == "phase"):
+        raise SystemExit("--clip-sigma requires --detrend ramp in "
+                         "--mode transit or eclipse (the robust clip "
+                         "lives in the white ramp fit and its mask "
+                         "feeds the channel depth fits)")
     if args.clip_sigma is not None and args.clip_sigma <= 1.0:
         raise SystemExit(f"--clip-sigma {args.clip_sigma} would clip "
                          "most of the data; use K > 1 (typically 3-5)")
@@ -611,7 +612,15 @@ def main(argv: list[str] | None = None) -> int:
             from wayne_tpu.reduction import fit_white_ramp
 
             wfit = fit_white_ramp(white_j, t, orbit, ld, rp0,
-                                  eclipse=True)
+                                  eclipse=True,
+                                  clip_sigma=args.clip_sigma)
+            if args.clip_sigma is not None:
+                depth_weights = wfit.weights
+                clipped = np.flatnonzero(np.asarray(wfit.weights) == 0.0)
+                if clipped.size:
+                    print(f"robust white fit clipped {clipped.size} "
+                          f"exposure(s) at {args.clip_sigma} sigma: "
+                          f"{clipped.tolist()}")
             # fit_eclipse_depths absorbs any per-channel baseline, so
             # dividing the parametric systematic template suffices
             chan_j = chan_j / wfit.template[:, None]
@@ -622,6 +631,10 @@ def main(argv: list[str] | None = None) -> int:
                 "hook_amp": round(float(wfit.hook_amp), 6),
                 "hook_amp_first_orbit": round(float(wfit.hook_amp_first), 6),
                 "hook_tau_s": round(float(wfit.hook_tau_s), 2),
+                **({"clip_sigma": args.clip_sigma,
+                    "clipped_exposures": np.flatnonzero(
+                        np.asarray(wfit.weights) == 0.0).tolist()}
+                   if args.clip_sigma is not None else {}),
             }
             print(f"white eclipse ramp fit: fp = "
                   f"{white_fit_report['fp_over_fs']:.6f} +- "
@@ -632,7 +645,8 @@ def main(argv: list[str] | None = None) -> int:
             # build the template against the fitted white ECLIPSE model.
             fp_w, _ = fit_eclipse_depths(white_j[:, None], t, orbit, rp0)
             chan_j = chan_j / (white_j / (1.0 + fp_w[0] * vis))[:, None]
-        rp_hat, rp_sig = fit_eclipse_depths(chan_j, t, orbit, rp0)
+        rp_hat, rp_sig = fit_eclipse_depths(chan_j, t, orbit, rp0,
+                                            weights=depth_weights)
         value_key, sigma_key = "fp_over_fs", "fp_sigma"
     elif args.mode == "phase":
         from wayne_tpu.ops.kepler import (orbital_phase_angle,
