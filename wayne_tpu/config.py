@@ -353,6 +353,15 @@ class ObservationConfig:
     #                                     the device->host transfer: reads
     #                                     move as int16). Quantization noise
     #                                     (~0.29 DN) is far below read noise.
+    companions: tuple | None = None     # contaminating field sources
+    #                                     (beyond the reference): list of
+    #                                     mappings, each {dx_px, dy_px, and
+    #                                     a spectrum: temperature_k +
+    #                                     (mag_j OR flux_scale), or
+    #                                     spectrum_file}. Their grism
+    #                                     spectra disperse from their own
+    #                                     field positions and overlap the
+    #                                     target's. None = isolated star.
     outdir: str = "wayne_out"
 
     def exposure_static(self) -> ExposureStatic:
@@ -438,6 +447,11 @@ class ObservationConfig:
         times = sample_sequence_times(self.samp_seq, self.nsamp, self.subarray)
         max_dt = float(max(b - a for a, b in zip(times[:-1], times[1:])))
         span = abs(self.scan_speed_pix_s) * max_dt if self.scan else 0.0
+        if self.companions:
+            # the band must also cover companion traces offset in rows
+            dys = [float(c.get("dy_px", 0.0)) for c in self.companions
+                   if isinstance(c, Mapping)]
+            span += max(dys + [0.0]) - min(dys + [0.0])
         # margin budget: 5*sigma_max below (~4) + trace spread (~3) +
         # 5*sigma_max above (~4) + 8-px alignment slack + rounding pad
         band = int(-(-(span + 23.0) // 16) * 16)

@@ -105,6 +105,61 @@ def _build_spots(star_cfg, wl_centers: np.ndarray):
                              np.stack(contrast).astype(np.float32), rot)
 
 
+def _build_companions(cfg, wl_edges: np.ndarray):
+    """ObservationConfig.companions -> scene.CompanionParams (or None).
+
+    Each companion mapping needs dx_px, dy_px (direct-image offsets from
+    the target's reference position) and a spectrum: ``temperature_k``
+    (blackbody) or ``spectrum_file``, scaled by EITHER ``mag_j`` (its own
+    J magnitude) OR ``flux_scale`` (its J-band flux as a fraction of a
+    m_J = star.magnitude_j source — the convenient form for "a 1%
+    contaminant"). Host-side, once per Observation.
+    """
+    if not cfg.companions:
+        return None
+    from wayne_tpu.config import StarConfig
+    from wayne_tpu.models.stellar import Star
+    from wayne_tpu.scene import CompanionParams
+
+    allowed = {"dx_px", "dy_px", "temperature_k", "mag_j", "mag_J",
+               "flux_scale", "spectrum_file"}
+    dx, dy, flux = [], [], []
+    for i, c in enumerate(cfg.companions):
+        if not isinstance(c, dict):
+            raise ValueError(f"companions[{i}] must be a mapping, got "
+                             f"{type(c).__name__}")
+        unknown = set(c) - allowed
+        if unknown:
+            raise ValueError(f"unknown companion keys {sorted(unknown)} "
+                             f"in companions[{i}]; allowed: "
+                             f"{sorted(allowed)}")
+        try:
+            dx.append(float(c["dx_px"]))
+            dy.append(float(c["dy_px"]))
+        except KeyError as exc:
+            raise ValueError(
+                f"companions[{i}] missing key {exc}") from None
+        mag = c.get("mag_j", c.get("mag_J"))
+        scale = c.get("flux_scale")
+        if (mag is None) == (scale is None):
+            raise ValueError(f"companions[{i}] needs exactly one of "
+                             "mag_j or flux_scale (its brightness)")
+        if scale is not None:
+            if not float(scale) > 0.0:
+                raise ValueError(f"companions[{i}] flux_scale must be "
+                                 "positive")
+            mag = cfg.star.magnitude_j - 2.5 * np.log10(float(scale))
+        sc = StarConfig(name=f"companion{i}",
+                        temperature_k=float(
+                            c.get("temperature_k", cfg.star.temperature_k)),
+                        magnitude_j=float(mag),
+                        spectrum_file=c.get("spectrum_file"))
+        flux.append(Star(sc).flux_on_grid(wl_edges))
+    f32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+    return CompanionParams(dx_px=f32(dx), dy_px=f32(dy),
+                           flux=f32(np.stack(flux)))
+
+
 def _load_fluence_map(path: str) -> np.ndarray:
     """Host-side (S, S) fluence map loader: .npy or FITS (first image
     HDU). Used for PersistenceConfig.prior_fluence_file."""
@@ -261,6 +316,7 @@ class Observation:
         fp = self.planet.fp_on_grid(wl_centers)
         ld = self.planet.ld_on_grid(wl_centers)   # (4,) or (NL, 4)
         spots = _build_spots(cfg.star, wl_centers)
+        comps = _build_companions(cfg, wl_edges)
 
         ssv_phases = rng.uniform(0, 2 * np.pi, n)  # SSV phase varies per exp
         trends = TrendParams.create(
@@ -325,6 +381,8 @@ class Observation:
             psf_scale=None if psf_scale is None else f32(psf_scale),
             spots=(None if spots is None else jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (n,) + x.shape), spots)),
+            companions=(None if comps is None else jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (n,) + x.shape), comps)),
         )
 
     # ------------------------------------------------------------------

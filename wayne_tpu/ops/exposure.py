@@ -66,7 +66,8 @@ class ExposureResult:
 
 def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
                     t_seg_edges: jnp.ndarray, dt_seg: jnp.ndarray,
-                    rw_factor: jnp.ndarray | None) -> jnp.ndarray:
+                    rw_factor: jnp.ndarray | None
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Source electrons per (subsegment, wavelength bin): (K, NL).
 
     counts = F_lambda * sensitivity * dlambda * dt * LC(t, lambda)
@@ -74,6 +75,12 @@ def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
 
     ``rw_factor``: this read's (K,) slice of the exposure-long random-walk
     SSV (continuous across read boundaries; see trends.ssv_random_walk).
+
+    Returns (counts (K, NL), fac_dt (K,)) where fac_dt is the shared
+    achromatic per-segment factor SSV * visit_trend * dt — companion
+    field sources reuse it (telescope/detector-level modulation is
+    source-independent; only the transit/spot chromatic factor is the
+    target's own).
     """
     t_mid = 0.5 * (t_seg_edges[:-1] + t_seg_edges[1:])
     dlam = jnp.diff(tables.wl_edges)
@@ -104,7 +111,8 @@ def _segment_counts(scene: Scene, tables: Tables, cfg: ExposureStatic,
             scene.exp_start_s + t_mid,
             scene.exp_start_s - scene.orbit_start_s + t_mid,
             scene.is_first_orbit, scene.trends)
-    return rate0[None, :] * lc * (factor * dt_seg)[:, None]
+    fac_dt = factor * dt_seg
+    return rate0[None, :] * lc * fac_dt[:, None], fac_dt
 
 
 def _row_profiles(scene: Scene, cfg: ExposureStatic, y_base: jnp.ndarray,
@@ -270,6 +278,29 @@ def simulate_exposure(scene: Scene, tables: Tables,
     y_base = trace_y(x_centers, tp)                          # (NL,)
     sigma = psf_sigma
 
+    # Contaminating field sources (beyond the reference, which models an
+    # isolated star): each companion's spectrum disperses from its OWN
+    # field position — the aXe field-dependent trace/wavelength
+    # polynomials are re-evaluated at (x_ref+dx, y_ref+dy) — rides the
+    # same scan motion/SSV/visit trend (telescope- and detector-level,
+    # source-independent), and carries no transit/spot signal. n_comp is
+    # static, so this unrolls at trace time. The PSF-width table is
+    # shared (field dependence of the width is below WFC3 calibration
+    # resolution); extra_beams applies to the target only.
+    comp_srcs: list[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = []
+    if scene.companions is not None:
+        comp = scene.companions
+        dlam_c = jnp.diff(tables.wl_edges)
+        for i in range(comp.dx_px.shape[0]):
+            tp_c = trace_params(tables, scene.x_ref + comp.dx_px[i],
+                                scene.y_ref + comp.dy_px[i])
+            xe_c = wl_to_x(tables.wl_edges, tp_c)
+            X_c = (x_deposit_matrix_gaussian(xe_c, S, psf_sigma)
+                   if cfg.x_psf else x_deposit_matrix(xe_c, S)).astype(dtype)
+            y_c = trace_y(wl_to_x(tables.wl_centers, tp_c), tp_c)
+            rate0_c = comp.flux[i] * tables.sensitivity * dlam_c  # (NL,) e-/s
+            comp_srcs.append((X_c, y_c, rate0_c))
+
     # Photon response plane: wavelength-dependent flat (optional) times the
     # reference-pixel mask (outer 5 px of the full frame are blind).
     flatp = flat_plane(tables, tp) if flags.flat else None
@@ -307,7 +338,10 @@ def simulate_exposure(scene: Scene, tables: Tables,
     # PSF tails and this read's scan motion. y0 is dynamic (per read).
     if band:
         margin = 5.0 * jnp.max(sigma) + 1.0
-        y_band_lo = jnp.min(y_base) - margin                 # scalar, scan off_lo added per read
+        y_min = jnp.min(y_base)
+        for _, y_c, _ in comp_srcs:      # band covers companion traces too
+            y_min = jnp.minimum(y_min, jnp.min(y_c))
+        y_band_lo = y_min - margin                 # scalar, scan off_lo added per read
 
     def emit_read(cum_e: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
         # Saturation + non-linearity model the same physical effect
@@ -337,8 +371,8 @@ def simulate_exposure(scene: Scene, tables: Tables,
     def source_band(t_a, dt, rw_k):
         """(band_or_S, S) source electrons laid down this interval + row0."""
         t_seg_edges = t_a + (dt / K) * jnp.arange(K + 1, dtype=dtype)
-        counts = _segment_counts(scene, tables, cfg, t_seg_edges, dt / K,
-                                 rw_k)                       # (K, NL)
+        counts, fac_dt = _segment_counts(scene, tables, cfg, t_seg_edges,
+                                         dt / K, rw_k)       # (K, NL), (K,)
 
         if band:
             off = scene.scan_speed * t_seg_edges
@@ -367,6 +401,19 @@ def simulate_exposure(scene: Scene, tables: Tables,
             Yw, X, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST).astype(dtype)
+        for X_c, y_c, rate0_c in comp_srcs:
+            # Companion spectra are time-separable (no chromatic LC):
+            # rank-1 in (segment, lambda), so the K axis contracts into
+            # the profile tensor first and the lambda rate scales after.
+            Y_c = _row_profiles(scene, cfg, y_c, sigma, t_seg_edges,
+                                y_edges)                     # (K, NL, W)
+            Yw_c = (jnp.einsum("k,kls->ls", fac_dt, Y_c,
+                               precision=jax.lax.Precision.HIGHEST)
+                    * rate0_c[:, None]).astype(dtype)
+            frame = frame + jax.lax.dot_general(
+                Yw_c, X_c, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(dtype)
         resp = (jax.lax.dynamic_slice(response, (y0, 0), (W, S))
                 if band else response)
         frame = frame * resp

@@ -27,6 +27,27 @@ def _register(cls):
 
 @_register
 @dataclass
+class CompanionParams:
+    """Contaminating field sources (beyond the reference, which models a
+    single star): nearby stars whose grism spectra overlap the target's.
+
+    Each companion is a point source at a direct-image offset from the
+    target's reference position; its spectrum disperses from ITS OWN
+    field position (the aXe trace/wavelength polynomials are re-evaluated
+    there), rides the same scan motion, SSV and visit trends (telescope-
+    and detector-level effects are source-independent), and carries no
+    transit/eclipse/spot signal. Built host-side by
+    Observation._build_companions from the ``companions:`` YAML list.
+    """
+
+    dx_px: jnp.ndarray    # (n_comp,) direct-image column offset (px)
+    dy_px: jnp.ndarray    # (n_comp,) direct-image row offset (px)
+    flux: jnp.ndarray     # (n_comp, NL) F_lambda on the instrument grid
+    #                       (same units as Scene.stellar_flux)
+
+
+@_register
+@dataclass
 class Scene:
     """Dynamic inputs of one exposure. All leaves are jnp arrays."""
 
@@ -69,6 +90,10 @@ class Scene:
     #                               (crossing bumps + chromatic depth
     #                               dilution). None (default) is
     #                               pytree-invisible — immaculate star.
+    companions: CompanionParams | None = None   # contaminating field
+    #                               sources whose spectra overlap the
+    #                               target's (None = isolated target,
+    #                               pytree-invisible).
 
 
 # Scene fields that are IDENTICAL for every Monte-Carlo realisation of a
