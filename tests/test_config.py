@@ -227,6 +227,22 @@ def test_noise_preset_and_unknown_keys():
         config_from_dict({**base, "noise": {"preset": "some"}})
 
 
+def test_scalar_noise_master_toggle():
+    """Reference-style scalar ``noise: false`` is the master shot-noise
+    toggle (alias to poisson); non-boolean scalars fail loudly instead
+    of riding the ignore-unknown-keys fallthrough."""
+    import pytest
+
+    from wayne_tpu.config import config_from_dict
+
+    base = {"grism": "G141", "subarray": 64, "nsamp": 2, "n_lambda": 16}
+    assert config_from_dict({**base, "noise": False}).noise.poisson is False
+    assert config_from_dict({**base, "noise": True}).noise.poisson is True
+    assert config_from_dict({**base, "noise": 0}).noise.poisson is False
+    with pytest.raises(ValueError, match="must be a boolean"):
+        config_from_dict({**base, "noise": "maybe"})
+
+
 def test_section_blocks_nested_under_observation():
     """noise:/star:/planet:/trends: nested INSIDE observation: route
     exactly like their top-level forms (the raw mapping must never land

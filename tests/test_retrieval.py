@@ -205,3 +205,42 @@ def test_retrieval_eclipse_mode():
     with pytest.raises(ValueError, match="eclipse=True"):
         rt(obs, scenes, tables, dataclasses.replace(cfg, eclipse=False),
            x_window=X_WINDOW, n_chan=N_CHAN, rp_init=1e-3, mode="eclipse")
+
+
+def test_retrieval_models_companion_contamination():
+    """Flagship zero-model-mismatch case: a contaminating companion
+    spectrum overlaps the target's. Because the retrieval forward IS the
+    simulator, a matching Scene (companion included) recovers the
+    injected spectrum near-exactly, while the SAME fit with the
+    companion absent from the model inherits the classic depth dilution
+    d -> d * F_t / (F_t + F_c)."""
+    from wayne_tpu.scene import CompanionParams
+
+    cfg, tables, scenes, rp = _visit(NoiseFlags.none())
+    frac = 0.15
+    # dy-only offset: the companion trace covers the SAME columns as the
+    # target, so every channel dilutes by ~frac (a dx offset leaves the
+    # bluest channels uncontaminated and the bias becomes chromatic).
+    comp = CompanionParams(
+        dx_px=jnp.asarray([0.0], jnp.float32),
+        dy_px=jnp.asarray([6.0], jnp.float32),
+        flux=frac * scenes.stellar_flux[0][None, :])
+    comp_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (N_EXP,) + x.shape), comp)
+    scenes_c = dataclasses.replace(scenes, companions=comp_b)
+    obs = _observe(cfg, tables, scenes_c)
+    truth = _true_chan(rp, tables, scenes, X_WINDOW, N_CHAN)
+
+    exact = retrieve_transmission(
+        obs, scenes_c, tables, cfg, x_window=X_WINDOW, n_chan=N_CHAN,
+        rp_init=0.15, chunk=6, n_lm=10, sigma=np.full(N_CHAN, 1e-4))
+    assert np.all(np.abs(exact.rp - truth) < 4e-4), (exact.rp, truth)
+
+    biased = retrieve_transmission(
+        obs, scenes, tables, cfg, x_window=X_WINDOW, n_chan=N_CHAN,
+        rp_init=0.15, chunk=6, n_lm=10, sigma=np.full(N_CHAN, 1e-4))
+    # dilution: depth scales by ~1/(1+frac) -> rp by ~(1+frac)^-0.5
+    expect_bias = RP0 * (1.0 - (1.0 + frac) ** -0.5)
+    err_biased = np.abs(biased.rp - truth)
+    assert np.all(err_biased > 0.5 * expect_bias), (biased.rp, truth)
+    assert np.all(err_biased > 5.0 * np.abs(exact.rp - truth))

@@ -646,12 +646,10 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
     # them exactly like their top-level forms. Without this the raw
     # mapping lands on the same-named CONFIG FIELD (cfg.noise became the
     # dict itself and the first flag access crashed downstream).
-    nested_noise = flat.pop("noise", None)
-    if nested_noise is not None:
-        if not isinstance(nested_noise, Mapping):
-            raise ValueError("'noise' must be a mapping of flag names "
-                             f"to booleans, got {type(nested_noise).__name__}")
-        noise_kv.update(nested_noise)
+    # (a scalar `noise: true/false` is the reference-style master
+    # shot-noise toggle — the _NOISE_KEY_ALIASES loop below handles it)
+    if isinstance(flat.get("noise"), Mapping):
+        noise_kv.update(flat.pop("noise"))
     for sec_key in ("star", "target", "planet", "trends", "systematics"):
         nested = flat.pop(sec_key, None)
         if nested is None:
@@ -734,9 +732,17 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
     noise_fields = {f.name for f in dataclasses.fields(NoiseFlags)}
     noise_updates: dict[str, bool] = {}
     for key, value in list(flat.items()):
-        if key in _NOISE_KEY_ALIASES and isinstance(value, bool):
-            noise_updates[_NOISE_KEY_ALIASES[key]] = value
-            del flat[key]
+        if key in _NOISE_KEY_ALIASES:
+            if isinstance(value, bool) or value in (0, 1):
+                noise_updates[_NOISE_KEY_ALIASES[key]] = bool(value)
+                del flat[key]
+            else:
+                # A non-boolean here silently simulates the WRONG noise
+                # chain (the ignore-unknown-keys fallthrough would drop
+                # it) — fail loudly like the nested noise: block does.
+                raise ValueError(
+                    f"noise flag {key!r} must be a boolean or a mapping "
+                    f"of flag names, got {value!r}")
     # noise: {preset: none|all} rebases the flags before per-key
     # overrides (a clean way to say "only these effects" in YAML)
     preset = noise_kv.pop("preset", None)
