@@ -33,6 +33,13 @@ def _tiny_full_systematics_params() -> dict:
         subarray=128, NSAMP=4, num_orbits=3, exposures_per_orbit=6,
         start_mjd=55999.93, x_ref=30.0, y_ref=40.0, n_lambda=64, n_sub=4)
     params["observation"].pop("outdir", None)
+    # Keep the companion ON (interaction coverage) but faint: the
+    # example's 2.4-mag-fainter neighbour chromatically dilutes the red
+    # channels by ~1e-2 in rp — a REAL modeled effect (gated in
+    # test_companions / test_retrieval), not the interaction bug this
+    # loose band exists to catch.
+    for comp in params.get("companions", []):
+        comp["mag_j"] = 15.0
     return params
 
 
