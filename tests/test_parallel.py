@@ -48,11 +48,22 @@ def test_sharded_ensemble_matches_single_device():
     sharded = shard_scenes(ens, mesh, n_batch_axes=2)
     got = np.asarray(simulate_ensemble_spectra(sharded, TABLES, CFG, mesh))
 
-    # single-device truth: plain nested vmap of the same scenes
+    # single-device truth: plain nested vmap of the same scenes, with
+    # the same calwf3 NLINCORR step the ensemble extraction applies
+    # (CFG's default noise simulates the cubic compression)
+    from wayne_tpu.reduction import linearize_reads
+
     def one(s):
-        return extract_spectra(simulate_exposure(s, TABLES, CFG).reads_dn)
+        reads = simulate_exposure(s, TABLES, CFG).reads_dn
+        reads = linearize_reads(
+            reads, TABLES.nonlin_coeffs, TABLES.full_well_e,
+            TABLES.gain_map if CFG.noise.gain_variations else TABLES.gain,
+            bias_e=TABLES.bias_map if CFG.noise.bias else None)
+        return extract_spectra(reads)
     want = np.asarray(jax.vmap(jax.vmap(one))(ens))
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+    # atol covers f32 fusion-order roundoff of the NLINCORR divide
+    # (~2e-3 on O(1e2..1e4) column sums; relative agreement ~1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-3)
 
 
 def test_ensemble_realisations_differ_only_by_noise():

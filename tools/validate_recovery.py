@@ -70,11 +70,14 @@ def main() -> None:
 
     S, NL, NSAMP, N_EXP, N_CHAN = 256, 256, 5, 48, 8
     # photon + read + sky + dark noise + COSMIC RAYS (repaired by the
-    # DQ-aware reduction); deterministic systematics off so the simple
-    # reduction's residual systematics don't masquerade as bias
+    # DQ-aware reduction) + NON-LINEARITY and the bias pedestal (inverted
+    # by the calwf3 NLINCORR step, reduction.linearize_reads — the cubic
+    # compression is flux-dependent, so it would NOT cancel in depth
+    # ratios if left uncorrected); deterministic systematics off so the
+    # simple reduction's residual systematics don't masquerade as bias
     flags = dataclasses.replace(
         NoiseFlags.none(), poisson=True, read_noise=True, sky=True, dark=True,
-        cosmic_rays=True)
+        cosmic_rays=True, non_linearity=True, bias=True)
     cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=4, nsamp=NSAMP,
                          samp_seq="SPARS25", scan=True, noise=flags,
                          band_px=64,
@@ -104,6 +107,23 @@ def main() -> None:
     y_window = (40, 100)    # scan band + margins
     bg_rows = (180, 250)
 
+    def sim_reads(s, local_cfg):
+        """One exposure + the calwf3 NLINCORR step when simulated: the
+        cubic compression is inverted (reduction.linearize_reads) and
+        the stack returned in linearized DN, so every reduction below is
+        unit-unchanged whether or not non_linearity is on."""
+        from wayne_tpu.reduction import linearize_reads
+
+        res = simulate_exposure(s, tables, local_cfg)
+        reads = res.reads_dn
+        if local_cfg.noise.non_linearity:
+            reads = linearize_reads(
+                reads, tables.nonlin_coeffs, tables.full_well_e,
+                tables.gain,
+                bias_e=(tables.bias_map if local_cfg.noise.bias
+                        else None)) / tables.gain
+        return reads, res.cr_pos, res.cr_count
+
     def make_run(local_cfg, detrend: str = "none", base_visit=None):
         # One jitted program reused across all realisations (a fresh
         # jax.jit per call would re-trace the whole visit every time).
@@ -117,8 +137,7 @@ def main() -> None:
             scenes = dataclasses.replace(src_visit, key=keys)
 
             def sim(s):
-                res = simulate_exposure(s, tables, local_cfg)
-                return res.reads_dn, res.cr_pos, res.cr_count
+                return sim_reads(s, local_cfg)
 
             reads, cr_pos, cr_count = jax.lax.map(sim, scenes)
             good = None
@@ -283,8 +302,7 @@ def main() -> None:
             scenes = dataclasses.replace(visit_drift, key=keys)
 
             def sim(s):
-                res = simulate_exposure(s, tables, local_cfg)
-                return res.reads_dn, res.cr_pos, res.cr_count
+                return sim_reads(s, local_cfg)
 
             reads, cr_pos, cr_count = jax.lax.map(sim, scenes)
             good = None
@@ -402,8 +420,7 @@ def main() -> None:
             scenes = dataclasses.replace(visit_ecl, key=keys)
 
             def sim(s):
-                res = simulate_exposure(s, tables, local_cfg)
-                return res.reads_dn, res.cr_pos, res.cr_count
+                return sim_reads(s, local_cfg)
 
             reads, cr_pos, cr_count = jax.lax.map(sim, scenes)
             good = None
@@ -470,8 +487,7 @@ def main() -> None:
             scenes = dataclasses.replace(visit_star, key=keys)
 
             def sim(s):
-                res = simulate_exposure(s, tables, local_cfg)
-                return res.reads_dn, res.cr_pos, res.cr_count
+                return sim_reads(s, local_cfg)
 
             reads, cr_pos, cr_count = jax.lax.map(sim, scenes)
             good = None
@@ -509,7 +525,7 @@ def main() -> None:
 
     out = {
         "n_mc": args.n_mc, "n_exp": N_EXP, "n_chan": N_CHAN,
-        "flags": "poisson+read+sky+dark+cosmic_rays(DQ-repaired)",
+        "flags": "poisson+read+sky+dark+cosmic_rays(DQ-repaired)+nonlin+bias(NLINCORR)",
         "backend": jax.default_backend(), "wallclock_s": round(wall, 1),
         "rp_injected": [round(float(v), 6) for v in rp_true],
         "rp_noise_free_recovery": [round(float(v), 6) for v in rp_ref],
@@ -522,7 +538,7 @@ def main() -> None:
         "reduction_systematic_below_3e-3": ok_sys,
         "with_systematics": {
             "n_mc": n_sys, "wallclock_s": round(wall_sys, 1),
-            "flags": "poisson+read+sky+dark+cosmic_rays"
+            "flags": "poisson+read+sky+dark+cosmic_rays+nonlin+bias(NLINCORR)"
                      "+ssv(sin+rw)+visit_trend+bias_drift",
             "reduction": "DQ-aware CR repair + divide-white "
                          "(common_mode_correct) + fit_depths",
@@ -536,7 +552,7 @@ def main() -> None:
         "with_systematics_ramp_fit": {
             "n_mc": n_sys, "wallclock_s": round(wall_ramp, 1),
             "shared_simulation_pass": True,   # same frames/wall as above
-            "flags": "poisson+read+sky+dark+cosmic_rays"
+            "flags": "poisson+read+sky+dark+cosmic_rays+nonlin+bias(NLINCORR)"
                      "+ssv(sin+rw)+visit_trend+bias_drift",
             "reduction": "DQ-aware CR repair + joint white ramp fit "
                          "(fit_white_ramp) + ramp_detrend + fit_depths",
@@ -567,7 +583,7 @@ def main() -> None:
         },
         "with_recte": {
             "n_mc": n_recte, "wallclock_s": round(wall_recte, 1),
-            "flags": "poisson+read+sky+dark+cosmic_rays"
+            "flags": "poisson+read+sky+dark+cosmic_rays+nonlin+bias(NLINCORR)"
                      "+recte(Zhou+17 physical trap maps)",
             "reduction": "DQ-aware CR repair + joint white ramp fit "
                          "(fit_white_ramp) + ramp_detrend + fit_depths",
@@ -597,7 +613,7 @@ def main() -> None:
         },
         "staring_mode": {
             "n_mc": n_star, "wallclock_s": round(wall_star, 1),
-            "flags": "poisson+read+sky+dark+cosmic_rays+bias_drift"
+            "flags": "poisson+read+sky+dark+cosmic_rays+nonlin+bias(NLINCORR)+bias_drift"
                      "+breathing(1.5%)+sky_var(10%orbit+3%scatter)",
             "reduction": "DQ-aware CR repair + narrow-window extraction "
                          "+ divide-white + fit_depths",

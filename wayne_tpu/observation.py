@@ -712,7 +712,14 @@ class Observation:
                 scan_rate_pix_s=float(np.asarray(self.scenes.scan_speed)[i]),
                 extra={"SIMSEED": cfg.seed, "EXPINDEX": i,
                        "SAT_FRAC": float(np.asarray(res.saturated_frac)[j]),
-                       "PERSIST": bool(cfg.persistence.enabled)})
+                       "PERSIST": bool(cfg.persistence.enabled),
+                       # calwf3-style calibration switch: PERFORM means
+                       # the detector chain applied the cubic
+                       # non-linearity, so the reducer should invert it
+                       # (reduction.linearize_reads); OMIT products are
+                       # already linear and must NOT be "corrected".
+                       "NLINCORR": ("PERFORM" if cfg.noise.non_linearity
+                                    else "OMIT")})
             write_ima(path, reads[j], read_times, primary, gain=gain,
                       read_noise_e=rn, dq=dq,
                       bias_pedestal_e=bias_ped,

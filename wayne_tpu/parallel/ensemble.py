@@ -130,7 +130,8 @@ def _scene_ensemble_specs(scenes: Scene):
 
 
 def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
-                 tables: Tables, ramp: bool, dq_aware: bool):
+                 tables: Tables, ramp: bool, dq_aware: bool,
+                 nlincorr: bool):
     scene_specs = _scene_ensemble_specs(scenes)
     table_specs = jax.tree_util.tree_map(lambda _: P(), tables)
 
@@ -154,6 +155,21 @@ def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
 
         def one(s: Scene) -> jnp.ndarray:
             res = simulate_exposure(s, local_tables, cfg)
+            reads = res.reads_dn
+            if nlincorr:
+                # calwf3 NLINCORR before the flux estimators: the cubic
+                # compression is flux-dependent, so unlike static
+                # flat/gain structure it does NOT cancel in depth
+                # ratios (reduction.linearize_reads; elementwise VPU
+                # work, unit-agnostic for the CR repair below).
+                from wayne_tpu.reduction import linearize_reads
+
+                g = (local_tables.gain_map if cfg.noise.gain_variations
+                     else local_tables.gain)
+                bias = local_tables.bias_map if cfg.noise.bias else None
+                reads = linearize_reads(reads, local_tables.nonlin_coeffs,
+                                        local_tables.full_well_e, g,
+                                        bias_e=bias)
             # CRs simulated -> extract DQ-aware: the simulator's own hit
             # lists are the exact truth the ima DQ planes would carry.
             # Corrections apply post-extraction in column space (the
@@ -167,9 +183,9 @@ def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
             if dq_aware and cfg.noise.cosmic_rays:
                 from wayne_tpu.reduction import extract_spectra_cr
 
-                return extract_spectra_cr(res.reads_dn, res.cr_pos,
+                return extract_spectra_cr(reads, res.cr_pos,
                                           res.cr_count, rt)
-            return extract_spectra(res.reads_dn, rt)
+            return extract_spectra(reads, rt)
 
         def per_mc(sc: Scene) -> jnp.ndarray:
             return jax.vmap(one)(dataclasses.replace(sc, **inv))
@@ -181,7 +197,8 @@ def _ensemble_fn(mesh: Mesh, cfg: ExposureStatic, scenes: Scene,
 def simulate_ensemble_spectra(scenes: Scene, tables: Tables,
                               cfg: ExposureStatic, mesh: Mesh,
                               ramp: bool = False,
-                              dq_aware: bool = True) -> jnp.ndarray:
+                              dq_aware: bool = True,
+                              nlincorr: bool = True) -> jnp.ndarray:
     """Extracted spectra for an (mc, exp)-batched Scene -> (mc, exp, S).
 
     Requires n_mc % mesh.shape['mc'] == 0 and n_exp % mesh.shape['exp'] == 0.
@@ -189,16 +206,20 @@ def simulate_ensemble_spectra(scenes: Scene, tables: Tables,
     of CDS (see extract_spectra). ``dq_aware`` (default) repairs
     simulated cosmic-ray hits during extraction (column-space repair,
     reduction.extract_spectra_cr); False keeps the raw CR-contaminated
-    spectra and the full extraction rate.
+    spectra and the full extraction rate. ``nlincorr`` (default) inverts
+    the per-pixel cubic non-linearity before extraction when the run
+    simulates it (calwf3 NLINCORR; no-op with non_linearity off) —
+    spectra come back in linearized ELECTRONS instead of DN then.
     """
+    nlincorr = nlincorr and cfg.noise.non_linearity
     # key on the FULL tree structure + leaf ranks (CLAUDE.md cache
     # invariant): rank tuples alone collide for structures that differ
     # only in which optional leaves are present
     ranks = tuple(x.ndim for x in jax.tree_util.tree_leaves(scenes))
     key = (mesh, cfg, jax.tree_util.tree_structure(scenes), ranks, ramp,
-           dq_aware)
+           dq_aware, nlincorr)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = _JIT_CACHE[key] = _ensemble_fn(mesh, cfg, scenes, tables,
-                                            ramp, dq_aware)
+                                            ramp, dq_aware, nlincorr)
     return fn(scenes, tables)

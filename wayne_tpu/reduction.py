@@ -178,6 +178,60 @@ def ref_pixel_correct(reads: jnp.ndarray, ref_mask: jnp.ndarray,
     return reads - offsets[:, quad], offsets
 
 
+def linearize_reads(reads_dn: jnp.ndarray, nonlin_coeffs: jnp.ndarray,
+                    full_well_e: float, gain,
+                    bias_e=None, n_iter: int = 4) -> jnp.ndarray:
+    """calwf3 NLINCORR: invert the per-pixel cubic non-linearity.
+
+    The detector compresses the accumulated charge before readout
+    (ops/exposure._apply_nonlinearity, reference: wayne/detector.py ::
+    apply_non_linearity): measured = Q * (1 - (c1 q + c2 q^2 + c3 q^3)),
+    q = min(Q, fw)/fw. Real pipelines undo this per read from the NLIN
+    reference file before any flux estimator runs — CDS and up-the-ramp
+    slopes on UNcorrected reads are flux-dependently biased (the deficit
+    grows with accumulated charge, so in-transit and out-of-transit
+    frames compress differently and the bias does NOT cancel in depth
+    ratios, unlike static flat/gain structure).
+
+    The inversion is a fixed-point iteration Q <- m / (1 - p(q(Q)))
+    starting from Q = m; the deficit polynomial is small (<~4% at full
+    well) so each pass contracts the error by ~25x — ``n_iter=4`` lands
+    at float32 roundoff. Pixels at/above full well are unrecoverable
+    (the forward clamp destroyed the information); they stay at the
+    saturation ceiling and carry DQ bit 256 for downstream masking.
+    Inter-pixel capacitance (applied after the cubic in the simulator)
+    is NOT deconvolved, matching real calwf3.
+
+    Args:
+      reads_dn: (..., NR, S, S) raw-DN read stack (time order).
+      nonlin_coeffs: (3, S, S) per-pixel cubic planes (Tables.nonlin_coeffs
+        or calibration.load_nonlin_cube_fits).
+      full_well_e: charge capacity (electrons).
+      gain: e-/DN, scalar or (S, S) map.
+      bias_e: optional electronic bias pedestal in ELECTRONS (scalar or
+        (S, S) plane, Tables.bias_map) subtracted before the inversion —
+        the pedestal is added AFTER the cubic in the readout chain, so
+        inverting with it in place mis-scales low-signal pixels.
+
+    Returns the linearized stack in ELECTRONS (bias-subtracted): the
+    estimators downstream must not multiply by gain again.
+    """
+    reads_dn = jnp.asarray(reads_dn, jnp.float32)
+    c1, c2, c3 = nonlin_coeffs[0], nonlin_coeffs[1], nonlin_coeffs[2]
+    m = reads_dn * gain
+    if bias_e is not None:
+        m = m - bias_e
+    fw = jnp.float32(full_well_e)
+    sat_ceiling = fw * (1.0 - ((c3 + c2) + c1))   # measured signal at fw
+    out = m
+    for _ in range(n_iter):
+        q = jnp.clip(out, 0.0, fw) / fw
+        out = m / (1.0 - ((c3 * q + c2) * q + c1) * q)
+    # Above the ceiling the fixed point extrapolates the q=1 slope;
+    # clamp to full well like the forward model's saturation clamp.
+    return jnp.where(m >= sat_ceiling, fw, out)
+
+
 def repair_read_stack(reads_dn: jnp.ndarray,
                       good: jnp.ndarray) -> jnp.ndarray:
     """Rebuild a read stack with DQ-corrupted intervals repaired.

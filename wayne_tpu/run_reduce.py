@@ -89,7 +89,8 @@ def centroid_direct_image(path: str) -> tuple[float, float]:
 def extract_from_files(paths: list[str], gain: float,
                        estimator: str = "cds", use_dq: bool = True,
                        extract: str = "box", read_noise_e: float = 12.0,
-                       windows: tuple | None = None):
+                       windows: tuple | None = None,
+                       nlin: dict | None = None):
     """Host-side spectral extraction from ima files.
 
     ``extract='optimal'`` replaces the box sum with Horne (1986)
@@ -113,6 +114,16 @@ def extract_from_files(paths: list[str], gain: float,
     subtraction (reduction.ref_pixel_correct, the calwf3 BLEVCORR
     step) — a no-op on subarray products, which carry no reference
     pixels.
+
+    ``nlin`` enables the calwf3 NLINCORR step
+    (reduction.linearize_reads): a dict with ``coeffs`` (3, S, S) cubic
+    planes, ``fw`` full well (e-) and optional ``bias_e`` pedestal plane
+    (e-, only if the products carry one). Applied per file AFTER
+    BLEVCORR and BEFORE the DQ repair and flux estimators — calwf3's
+    order — but only when the product's NLINCORR header switch is not
+    'OMIT' (products simulated without non-linearity must not be
+    "corrected"). Files without the keyword are assumed compressed, like
+    real raw data.
     """
     import jax
     import jax.numpy as jnp
@@ -120,7 +131,8 @@ def extract_from_files(paths: list[str], gain: float,
     from wayne_tpu.io.ima import read_ima
     from wayne_tpu.reduction import (
         DQ_BAD_BITS, DQ_REF_PIXEL, good_diff_masks_from_dq,
-        ramp_slope_frame, ref_pixel_correct, repair_read_stack)
+        linearize_reads, ramp_slope_frame, ref_pixel_correct,
+        repair_read_stack)
 
     # one jitted repair program reused across exposures (hot-pixel DQ
     # bits flag essentially EVERY exposure, so this runs per file —
@@ -130,10 +142,27 @@ def extract_from_files(paths: list[str], gain: float,
         lambda stack, dq_: repair_read_stack(
             stack, good_diff_masks_from_dq(dq_)))
     refpix_fn = jax.jit(lambda stack, ref: ref_pixel_correct(stack, ref)[0])
+    lin_fn = None
+    if nlin is not None:
+        _coeffs = jnp.asarray(nlin["coeffs"], jnp.float32)
+        _fw = float(nlin["fw"])
+        _bias = (jnp.asarray(nlin["bias_e"], jnp.float32)
+                 if nlin.get("bias_e") is not None else None)
+        # raw-DN products convert with the per-pixel gain map when the
+        # visit simulated gain variations (calwf3 gain-corrects from the
+        # same reference file); rate products were already converted
+        # with the scalar gain at write time, so they invert at g=1.
+        _g_dn = (jnp.asarray(nlin["gain_map"], jnp.float32)
+                 if nlin.get("gain_map") is not None else None)
+        lin_fn = jax.jit(lambda stack, g: linearize_reads(
+            stack, _coeffs, _fw,
+            _g_dn if (_g_dn is not None and g is None) else
+            (gain if g is None else g), bias_e=_bias))
 
     nets, starts, exptimes, n_reads = [], [], [], []
     n_repaired = 0
     n_refpix = 0
+    n_linearized = 0
     for p in paths:
         hdr, reads, times, dq = read_ima(p, with_dq=True)
         flagged = use_dq and bool((dq & DQ_BAD_BITS).any())
@@ -151,6 +180,31 @@ def extract_from_files(paths: list[str], gain: float,
         def repair(stack):
             return np.asarray(repair_fn(jnp.asarray(stack, jnp.float32),
                                         jnp.asarray(dq)))
+
+        # calwf3 switch: 'OMIT' products were simulated without the
+        # cubic compression; 'PERFORM' (or absent, like real raw files)
+        # means the reads are compressed and should be linearized.
+        do_nlin = (lin_fn is not None
+                   and str(hdr.get("NLINCORR", "PERFORM")).upper()
+                   != "OMIT")
+        if do_nlin and reads.shape[-1] != nlin["coeffs"].shape[-1]:
+            # reference planes were built for the YAML's subarray; a
+            # directory of different-sized frames can't be corrected
+            # with them (the windows check below reports the mismatch
+            # for extraction; NLINCORR just stands down)
+            print(f"warning: NLINCORR skipped — {reads.shape[-1]}^2 "
+                  f"frames vs {nlin['coeffs'].shape[-1]}^2 calibration "
+                  "planes (YAML subarray mismatch?)")
+            lin_fn = None
+            do_nlin = False
+        if do_nlin:
+            n_linearized += 1
+
+        def linearize(stack, g=None):
+            # g=None -> the product's native DN gain (map or scalar)
+            return np.asarray(lin_fn(
+                jnp.asarray(stack, jnp.float32),
+                None if g is None else jnp.float32(g)))
 
         if str(hdr.get("BUNIT", "COUNTS")).upper().startswith("ELECTRONS"):
             if estimator == "ramp":
@@ -172,20 +226,38 @@ def extract_from_files(paths: list[str], gain: float,
             acc = reads * np.asarray(times, np.float64)[:, None, None]
             if has_ref:
                 acc = refpix(acc)
+            if do_nlin:
+                # rate planes are already gain-converted electrons/s, so
+                # the accumulated stack inverts with unit gain
+                acc = linearize(acc, 1.0)
             if flagged:
                 acc = repair(acc)
             net = acc[-1] - acc[1]
         else:
             if has_ref:
                 reads = refpix(reads)
-            if flagged:
-                reads = repair(reads)
-            if estimator == "ramp":
-                net = np.asarray(ramp_slope_frame(
-                    jnp.asarray(reads),
-                    jnp.asarray(times, jnp.float32))) * gain
+            if do_nlin:
+                # NLINCORR converts DN -> linearized electrons (bias
+                # subtracted inside); estimators below must not apply
+                # the gain again
+                reads_e = linearize(reads)
+                if flagged:
+                    reads_e = repair(reads_e)
+                if estimator == "ramp":
+                    net = np.asarray(ramp_slope_frame(
+                        jnp.asarray(reads_e),
+                        jnp.asarray(times, jnp.float32)))
+                else:
+                    net = reads_e[-1] - reads_e[0]
             else:
-                net = (reads[-1] - reads[0]) * gain
+                if flagged:
+                    reads = repair(reads)
+                if estimator == "ramp":
+                    net = np.asarray(ramp_slope_frame(
+                        jnp.asarray(reads),
+                        jnp.asarray(times, jnp.float32))) * gain
+                else:
+                    net = (reads[-1] - reads[0]) * gain
         nets.append(net)
         starts.append(float(hdr["EXPSTART"]))
         exptimes.append(float(hdr.get("EXPTIME", times[-1])))
@@ -197,6 +269,9 @@ def extract_from_files(paths: list[str], gain: float,
         print(f"reference pixels: per-read amplifier bias drift "
               f"subtracted in {n_refpix}/{len(paths)} exposures "
               f"(DQ bit 128 border)")
+    if n_linearized:
+        print(f"NLINCORR: per-pixel cubic non-linearity inverted in "
+              f"{n_linearized}/{len(paths)} exposures")
     nets = np.stack(nets)                      # (n_exp, S, S) electrons
     starts = np.asarray(starts)
     exptimes = np.asarray(exptimes)
@@ -359,6 +434,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--no-dq", action="store_true",
                         help="ignore the DQ planes (skip the cosmic-ray/"
                              "saturation/hot-pixel read repair)")
+    parser.add_argument("--no-nlincorr", action="store_true",
+                        help="skip the calwf3 NLINCORR step (per-pixel "
+                             "cubic non-linearity inversion; applied by "
+                             "default to products whose header says the "
+                             "detector chain compressed them)")
     parser.add_argument("--rows", default=None, metavar="Y0:Y1",
                         help="extraction rows (overrides auto-detection;"
                              " must be given together with --cols and "
@@ -431,11 +511,27 @@ def main(argv: list[str] | None = None) -> int:
 
         windows = (_rng(args.rows, "--rows"), _rng(args.cols, "--cols"),
                    _rng(args.bg_rows, "--bg-rows"))
+    # NLINCORR reference data: enabled when the products' header switch
+    # says the detector chain compressed them (or, for pre-switch files,
+    # when the YAML simulated with non-linearity on). The bias pedestal
+    # plane only rides along if the products actually carry one.
+    nlin = None
+    if not args.no_nlincorr:
+        hdr_switch = str(hdr0.get(
+            "NLINCORR",
+            "PERFORM" if cfg.noise.non_linearity else "OMIT")).upper()
+        if hdr_switch != "OMIT":
+            nlin = {"coeffs": grism.tables.nonlin_coeffs,
+                    "fw": float(grism.tables.full_well_e),
+                    "bias_e": (grism.tables.bias_map
+                               if cfg.noise.bias else None),
+                    "gain_map": (grism.tables.gain_map
+                                 if cfg.noise.gain_variations else None)}
     spectra, mids, (yw, xw, bg) = extract_from_files(
         paths, gain, args.estimator, use_dq=not args.no_dq,
         extract=args.extract,
         read_noise_e=float(grism.tables.read_noise_e),
-        windows=windows)
+        windows=windows, nlin=nlin)
     label = "explicit" if windows is not None else "auto"
     print(f"{label} windows: rows {yw}, cols {xw}, background rows {bg}")
 
@@ -865,6 +961,7 @@ def main(argv: list[str] | None = None) -> int:
              else "white_ramp_fit"): white_fit_report}
            if white_fit_report is not None else {}),
         "dq_repair": not args.no_dq,
+        "nlincorr": nlin is not None,
         "aligned": bool(args.align),
         **({"x_shifts_px": [round(float(s), 4) for s in shifts]}
            if shifts is not None else {}),
