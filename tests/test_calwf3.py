@@ -78,6 +78,39 @@ def test_flt_recovers_clean_rate(tmp_path):
     assert any((d & 8192).any() for d in dqs)
 
 
+def test_flt_staring_uses_ramp_fit(tmp_path):
+    """Staring exposures (linear ramps) calibrate with the up-the-ramp
+    LS slope — read-noise-optimal — and recover the clean rate too."""
+    from wayne_tpu.calwf3 import calibrate_ima
+    from wayne_tpu.calibration import synthetic_tables
+    from wayne_tpu.config import config_from_dict
+    from wayne_tpu.io.ima import read_ima
+
+    pars_on = dict(BASE, scan=False, noise=CHAIN_ON)
+    pars_off = dict(BASE, scan=False, noise={"preset": "none"})
+    ppath = tmp_path / "stare.yml"
+    ppath.write_text(yaml.safe_dump(pars_on))
+    obs = Observation(load_yaml(str(ppath)))
+    paths = obs.generate(str(tmp_path / "stare"), chunk=3,
+                         progress=lambda s: None)
+    ppath2 = tmp_path / "stare_clean.yml"
+    ppath2.write_text(yaml.safe_dump(pars_off))
+    obs2 = Observation(load_yaml(str(ppath2)))
+    clean = obs2.generate(str(tmp_path / "stare_clean"), chunk=3,
+                          progress=lambda s: None)
+
+    t = synthetic_tables("G141", subarray=128, n_lambda=64,
+                         samp_seq="SPARS10", nsamp=4)
+    cfg = config_from_dict(pars_on)
+    flt = calibrate_ima(paths[0], t, cfg.noise)
+    assert str(flt.header["SCAN_TYP"]).strip() == "N"
+    _, reads_c, times_c = read_ima(clean[0])
+    T = float(times_c[-1] - times_c[0])
+    truth = (reads_c[-1] - reads_c[0]) * float(t.gain) / T
+    resid = np.abs(flt.sci - truth)[flt.dq == 0]
+    assert np.percentile(resid, 99) < 0.05 and resid.max() < 1.0
+
+
 def test_flt_rejects_rate_products(tmp_path):
     import pytest
 

@@ -15,9 +15,15 @@ products, executing the WF3IR steps in calwf3's order:
   DARKCORR  dark-reference subtraction per read (Tables.dark_map x t).
   CRCORR    DQ-flagged read intervals (cosmic rays / saturation / hot
             pixels) rebuilt by the interval-difference reconstruction
-            (reduction.repair_read_stack), then the per-pixel
-            up-the-ramp least-squares slope (reduction.ramp_slope_frame)
-            — the estimator real calwf3 fits after rejecting hits.
+            (reduction.repair_read_stack), then the rate estimator:
+            the per-pixel up-the-ramp least-squares slope
+            (reduction.ramp_slope_frame) for STARING exposures — what
+            real calwf3 fits after rejecting hits — but the repaired
+            last-minus-zeroth net for SPATIAL SCANS (header SCAN_TYP
+            'C'): a scanned pixel's ramp is intrinsically nonlinear
+            (charge arrives only while the scan crosses it), which is
+            exactly why real scan analyses bypass calwf3's CRCORR and
+            work from the ima; the CDS net IS the time-averaged rate.
   FLATCORR  OMITted for grism data, exactly like real calwf3 (grism
             flats are wavelength-dependent and belong to the spectral
             extraction layer; the simulator applies them photon-side).
@@ -57,7 +63,7 @@ class FltProduct:
 
 def _calibration_fn(tables, *, nlincorr: bool, darkcorr: bool,
                     blevcorr: bool, use_gain_map: bool, has_bias: bool,
-                    read_noise_e: float):
+                    read_noise_e: float, ramp_fit: bool):
     """The jitted ima->flt chain (hoisted once per visit; CLAUDE.md
     jit-in-loop rule)."""
     import jax
@@ -90,10 +96,13 @@ def _calibration_fn(tables, *, nlincorr: bool, darkcorr: bool,
         good = good_diff_masks_from_dq(dq)                 # (NR-1, S, S)
         reads_e = repair_read_stack(reads_e, good)
         T = t[-1] - t[0]
-        net_e = ramp_slope_frame(reads_e, t)               # slope * T, e-
+        if ramp_fit:
+            net_e = ramp_slope_frame(reads_e, t)           # slope * T, e-
+        else:
+            net_e = reads_e[-1] - reads_e[0]               # scan: CDS net
         rate = net_e / T
         nr = reads.shape[0]
-        rn_var = read_noise_var_e2(read_noise_e, nr, ramp=True)
+        rn_var = read_noise_var_e2(read_noise_e, nr, ramp=ramp_fit)
         err = jnp.sqrt(jnp.maximum(net_e, 0.0) + rn_var) / T
         dq_flt = jnp.bitwise_or.reduce(dq, axis=0).astype(jnp.int16)
         samp = (1 + good.sum(axis=0)).astype(jnp.int16)
@@ -139,16 +148,21 @@ def calibrate_ima(path: str, tables, noise_flags,
             "planes — does the YAML subarray match the visit?")
     nlincorr = str(hdr.get("NLINCORR", "PERFORM")).upper() != "OMIT"
     blevcorr = bool((dq[0] & 128).any())
+    # spatial scans (SCAN_TYP 'C') get the CDS net: their per-pixel
+    # ramps are nonlinear by construction, so the LS slope is the wrong
+    # estimator of the time-averaged rate (see module docstring)
+    ramp_fit = str(hdr.get("SCAN_TYP", "N")).strip() != "C"
     rn = float(read_noise_e if read_noise_e is not None
                else tables.read_noise_e)
     key = (id(tables), nlincorr, noise_flags.dark, blevcorr,
-           noise_flags.gain_variations, noise_flags.bias, rn)
+           noise_flags.gain_variations, noise_flags.bias, rn, ramp_fit)
     fn = _FN_CACHE.get(key)
     if fn is None:
         fn = _FN_CACHE[key] = _calibration_fn(
             tables, nlincorr=nlincorr, darkcorr=noise_flags.dark,
             blevcorr=blevcorr, use_gain_map=noise_flags.gain_variations,
-            has_bias=noise_flags.bias, read_noise_e=rn)
+            has_bias=noise_flags.bias, read_noise_e=rn,
+            ramp_fit=ramp_fit)
     rate, err, dq_flt, samp, time_px = (np.asarray(x) for x in
                                         fn(reads, times, dq))
     out_hdr = dict(hdr)
