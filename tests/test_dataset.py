@@ -126,6 +126,35 @@ class TestGenerateDataset:
                                  chunk_mc=2, mesh=mesh,
                                  recover={**recover, "n_chan": 0})
 
+    def test_resume_nlincorr_convention_mismatch(self):
+        """Chunks written with NLINCORR-linearized electrons must not be
+        resumed by a raw-DN run (and vice versa) — the concatenated
+        spectra would silently mix unit conventions. Pre-NLINCORR
+        manifests (no key) count as raw DN."""
+        import dataclasses as _dc
+        import json
+
+        mesh = make_mesh(jax.devices()[:2])
+        visit = _visit()
+        cfg_dn = _dc.replace(
+            CFG, noise=_dc.replace(CFG.noise, non_linearity=False))
+        with tempfile.TemporaryDirectory() as d:
+            generate_dataset(visit, TABLES, CFG, d, n_mc=4, chunk_mc=2,
+                             mesh=mesh)
+            with pytest.raises(ValueError, match="nlincorr"):
+                generate_dataset(visit, TABLES, cfg_dn, d, n_mc=4,
+                                 chunk_mc=2, mesh=mesh)
+            # legacy manifest without the key = raw-DN convention
+            mpath = os.path.join(d, "manifest.json")
+            with open(mpath) as fh:
+                m = json.load(fh)
+            m.pop("nlincorr")
+            with open(mpath, "w") as fh:
+                json.dump(m, fh)
+            with pytest.raises(ValueError, match="nlincorr"):
+                generate_dataset(visit, TABLES, CFG, d, n_mc=4,
+                                 chunk_mc=2, mesh=mesh)
+
     def test_resume_content_checks(self):
         """Per-chunk input fingerprints: GROWING a dataset (same seed,
         labels extending the old run's as a prefix) resumes cleanly;

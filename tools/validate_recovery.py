@@ -467,8 +467,15 @@ def main() -> None:
     sky_var = (np.asarray(visit.sky_level, np.float64)
                * (1.0 + 0.10 * np.cos(orbit_ph)
                   + 0.03 * rng_env.standard_normal(N_EXP)))
+    # Staring concentrates the whole spectrum on ~2 PSF rows: at the
+    # scan ensemble's brightness the trace core SATURATES once the
+    # full-well clamp is simulated (non_linearity on), and the clamp
+    # destroys the in-transit signal — the physical reason bright-star
+    # programs spatial-scan. Staring programs target fainter stars:
+    # dim to 5% (peak charge guard below).
     visit_star = dataclasses.replace(
         visit,
+        stellar_flux=visit.stellar_flux * jnp.float32(0.05),
         scan_speed=jnp.zeros((N_EXP,), jnp.float32),
         psf_scale=jnp.asarray(1.0 + 0.015 * np.sin(orbit_ph), jnp.float32),
         sky_level=jnp.asarray(sky_var, jnp.float32))
@@ -477,6 +484,15 @@ def main() -> None:
         noise=dataclasses.replace(flags, bias_drift=True))
     y_star = (48, 76)            # trace rows +- PSF tails, no scan smear
     n_star = max(args.n_mc // 2, 8)
+    peak_e = float(jnp.max(sim_reads(
+        jax.tree_util.tree_map(lambda x: x[0], visit_star),
+        dataclasses.replace(cfg_star, noise=NoiseFlags.none()))[0][-1])
+        * tables.gain)
+    if peak_e > 0.9 * float(tables.full_well_e):
+        raise SystemExit(
+            f"staring-mode scene peaks at {peak_e:.0f} e- "
+            f"(full well {float(tables.full_well_e):.0f}): the full-well "
+            "clamp would eat the transit — dim stellar_flux further")
 
     def make_run_star(local_cfg):
         @jax.jit

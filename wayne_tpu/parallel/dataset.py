@@ -198,7 +198,15 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         checks = {"chunk_mc": chunk_mc, "seed": seed, "dq_aware": dq_aware,
                   "n_exp": n_exp_check, "subarray": cfg.subarray,
                   "labels": sorted(labels) if labels else [],
-                  "recover": recover_desc}
+                  "recover": recover_desc,
+                  # spectra convention: NLINCORR-linearized electrons vs
+                  # raw DN sums — mixing them across a resume would
+                  # silently corrupt the concatenated dataset
+                  "nlincorr": bool(cfg.noise.non_linearity)}
+        # pre-NLINCORR manifests lack the key; their chunks are raw-DN
+        # sums, so treat the old convention as False rather than
+        # skipping the check
+        prev.setdefault("nlincorr", False)
         for key, cur in checks.items():
             if key in prev and prev[key] != cur:
                 raise ValueError(
@@ -314,6 +322,7 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
                                                       overrides, labels),
         "recovered": recover is not None,
         "recover": recover_desc,
+        "nlincorr": bool(cfg.noise.non_linearity),
         "chunks": written,
     }
     with open(os.path.join(outdir, "manifest.json"), "w") as fh:
