@@ -129,3 +129,50 @@ def test_flt_rejects_rate_products(tmp_path):
     cfg = config_from_dict(dict(BASE, noise={"preset": "none"}))
     with pytest.raises(ValueError, match="count-rate"):
         calibrate_ima(paths[0], t, cfg.noise)
+
+
+def test_flt_scan_nsamp1_uses_cds(tmp_path):
+    """Scan-mode products are calibrated with the CDS net, which only
+    needs two reads: an NSAMP=1 scan visit must calibrate (the
+    up-the-ramp minimum applies to STARING products only)."""
+    import pytest
+
+    from wayne_tpu.calwf3 import calibrate_ima
+    from wayne_tpu.calibration import synthetic_tables
+    from wayne_tpu.config import config_from_dict
+    from wayne_tpu.io.ima import read_ima
+
+    pars = dict(BASE, NSAMP=1, noise={"preset": "none",
+                                      "non_linearity": True})
+    ppath = tmp_path / "scan1.yml"
+    ppath.write_text(yaml.safe_dump(pars))
+    obs = Observation(load_yaml(str(ppath)))
+    paths = obs.generate(str(tmp_path / "scan1"), chunk=3,
+                         progress=lambda s: None)
+    pars_off = dict(BASE, NSAMP=1, noise={"preset": "none"})
+    ppath2 = tmp_path / "scan1_clean.yml"
+    ppath2.write_text(yaml.safe_dump(pars_off))
+    obs2 = Observation(load_yaml(str(ppath2)))
+    clean = obs2.generate(str(tmp_path / "scan1_clean"), chunk=3,
+                          progress=lambda s: None)
+
+    t = synthetic_tables("G141", subarray=128, n_lambda=64,
+                         samp_seq="SPARS10", nsamp=1)
+    cfg = config_from_dict(pars)
+    flt = calibrate_ima(paths[0], t, cfg.noise)
+    assert str(flt.header["SCAN_TYP"]).strip() == "C"
+    _, reads_c, times_c = read_ima(clean[0])
+    T = float(times_c[-1] - times_c[0])
+    truth = (reads_c[-1] - reads_c[0]) * float(t.gain) / T
+    resid = np.abs(flt.sci - truth)[flt.dq == 0]
+    assert np.percentile(resid, 99) < 0.05 and resid.max() < 1.0
+
+    # ... while a STARING NSAMP=1 product still refuses the ramp fit
+    pars_st = dict(BASE, NSAMP=1, scan=False, noise={"preset": "none"})
+    ppath3 = tmp_path / "stare1.yml"
+    ppath3.write_text(yaml.safe_dump(pars_st))
+    obs3 = Observation(load_yaml(str(ppath3)))
+    stare = obs3.generate(str(tmp_path / "stare1"), chunk=3,
+                          progress=lambda s: None)
+    with pytest.raises(ValueError, match="up-the-ramp"):
+        calibrate_ima(stare[0], t, config_from_dict(pars_st).noise)

@@ -203,3 +203,66 @@ def test_white_posterior_eclipse_mode():
     assert abs(med - fp_true) < 4.0 * max(width, 2e-5), (med, width)
     assert 1e-6 < width < 1e-3, width
     assert 0.1 < float(post.acceptance) < 0.95
+
+
+def test_posterior_weights_exclude_clipped_outliers():
+    """weights= (the --clip-sigma keep mask) must gate the MCMC
+    likelihood: a masked outlier exposure cannot drag the posterior
+    median or inflate the free noise scale — so the report's LM and
+    MCMC depths agree on WHICH exposures were fit."""
+    from wayne_tpu.mcmc import sample_channel_posteriors
+    from wayne_tpu.ops.kepler import projected_separation
+    from wayne_tpu.ops.transit import transit_depth_curve
+
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
+                                visit_slope_per_s=0.01 / 86400.0)
+    t, t_orb, first = _orbit_times()
+    rng = np.random.default_rng(9)
+    sigma = 3e-4
+    rp_true = 0.1595
+    lc = (_white_model(t, t_orb, first, trends, base.orbit, base.ld,
+                       rp_true)
+          + sigma * rng.standard_normal(t.size).astype(np.float32))
+    # one in-transit outlier (a residual CR / spot bump): +1% flux
+    z, in_front = projected_separation(jnp.asarray(t), base.orbit)
+    it = int(np.flatnonzero(np.asarray(in_front) * (np.asarray(z) < 0.7))
+             [0])
+    lc = np.asarray(lc).copy()
+    lc[it] *= 1.01
+    w = np.ones_like(lc)
+    w[it] = 0.0
+
+    kw = dict(n_steps=1200, n_burn=300)
+    post_w = sample_white_posterior(
+        jnp.asarray(lc), jnp.asarray(t), base.orbit, base.ld, 0.15,
+        jax.random.PRNGKey(4), weights=jnp.asarray(w), **kw)
+    post_no = sample_white_posterior(
+        jnp.asarray(lc), jnp.asarray(t), base.orbit, base.ld, 0.15,
+        jax.random.PRNGKey(4), **kw)
+    med_w, med_no = float(post_w.rp_median), float(post_no.rp_median)
+    assert abs(med_w - rp_true) < 1e-3, med_w
+    assert abs(med_no - rp_true) > 2.0 * abs(med_w - rp_true), (
+        med_no, med_w)
+    # the weighted run's noise scale stays at the injected sigma; the
+    # unweighted one absorbs the outlier
+    ls_w = np.exp(np.median(np.asarray(post_w.samples[:, 6])))
+    ls_no = np.exp(np.median(np.asarray(post_no.samples[:, 6])))
+    assert abs(ls_w / sigma - 1.0) < 0.5, ls_w
+    assert ls_no > 1.5 * ls_w, (ls_no, ls_w)
+
+    # channel posteriors take the same mask
+    f = transit_depth_curve(z, jnp.float32(rp_true), base.ld, 32)
+    chan = np.asarray(1.0 - (1.0 - f) * in_front)[:, None].copy()
+    chan[it, 0] *= 1.01
+    cp_w = sample_channel_posteriors(
+        jnp.asarray(chan, jnp.float32), jnp.asarray(t), base.orbit,
+        base.ld, 0.158, jax.random.PRNGKey(7), n_steps=900, n_burn=250,
+        weights=jnp.asarray(w))
+    cp_no = sample_channel_posteriors(
+        jnp.asarray(chan, jnp.float32), jnp.asarray(t), base.orbit,
+        base.ld, 0.158, jax.random.PRNGKey(7), n_steps=900, n_burn=250)
+    err_w = abs(float(cp_w.rp_median[0]) - rp_true)
+    err_no = abs(float(cp_no.rp_median[0]) - rp_true)
+    assert err_w < 5e-4, err_w
+    assert err_no > 2.0 * err_w, (err_no, err_w)

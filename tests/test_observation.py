@@ -109,6 +109,16 @@ class TestScenes:
             Observation(small_cfg(
                 exp_start_times=[56000.2, 56000.1, 56000.3]))
 
+    def test_overlapping_start_times_raise(self):
+        """Starts closer together than the exposure duration are a
+        physically impossible schedule (one detector cannot expose
+        twice at once) — reject instead of silently clamping the
+        persistence/hook gaps to zero."""
+        # SPARS10 nsamp=3 lasts ~32 s; 10 s spacing overlaps
+        with pytest.raises(ValueError, match="overlap"):
+            Observation(small_cfg(
+                exp_start_times=[56000.1, 56000.1 + 10.0 / 86400.0]))
+
     def test_per_exposure_keys_unique(self):
         obs = Observation(small_cfg())
         keys = np.asarray(obs.scenes.key)

@@ -402,3 +402,46 @@ def test_fit_white_ramp_eclipse_robust_clip():
                                   jnp.float32(RP_W))
     assert abs(float(fp_w[0]) - fp_true) < 2e-6, float(fp_w[0])
     assert abs(float(fp_no[0]) - fp_true) > 5.0 * abs(float(fp_w[0]) - fp_true)
+
+
+def test_fit_white_ramp_eclipse_ignores_transit():
+    """A long visit covering BOTH events: the eclipse-mode fit excludes
+    in-transit epochs (its model has no transit factor), so the ~2.5%
+    transit dip — ~15x the eclipse signal — cannot skew Fp/Fs or the
+    systematics, with or without robust clipping."""
+    from wayne_tpu.ops.transit import eclipse_visibility
+    from wayne_tpu.reduction import out_of_transit_mask
+
+    base = example_scene(64)
+    trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
+                                visit_slope_per_s=0.01 / 86400.0)
+    # 14 HST orbits span ~80 ks > the 70.3 ks planet period: the window
+    # contains a full transit AND a full eclipse
+    t, t_orb, first = _orbit_times(n_orbits=14, per_orbit=20)
+    fp_true = 1.5e-3
+    z, in_front = projected_separation(jnp.asarray(t), base.orbit)
+    vis = eclipse_visibility(z, in_front, jnp.float32(RP_W))
+    assert float(jnp.max(vis) - jnp.min(vis)) > 0.5   # eclipse covered
+    oot = np.asarray(out_of_transit_mask(jnp.asarray(t), base.orbit))
+    assert (~oot).sum() >= 10                         # transit covered
+    f = transit_depth_curve(z, jnp.float32(RP_W), base.ld, 32)
+    tr = np.asarray(1.0 - (1.0 - f) * in_front)
+    sys = np.asarray(visit_trend_factor(
+        jnp.asarray(t), jnp.asarray(t_orb), jnp.asarray(first), trends))
+    lc = sys * tr * np.asarray(1.0 + fp_true * vis)
+
+    fit = fit_white_ramp(jnp.asarray(lc, jnp.float32), jnp.asarray(t),
+                         base.orbit, base.ld, RP_W, eclipse=True)
+    assert abs(float(fit.rp) - fp_true) < 1e-4, float(fit.rp)
+    # systematics recovered too: template matches sys outside transit
+    tpl = np.asarray(fit.template)
+    ratio = (sys / tpl)[oot]
+    assert np.abs(ratio / ratio.mean() - 1.0).max() < 1e-3
+
+    # robust clipping must not treat the transit dip as clippable
+    # baseline scatter (the clip scale is out-of-eclipse AND
+    # out-of-transit): no exposure is rejected on clean data
+    robust = fit_white_ramp(jnp.asarray(lc, jnp.float32), jnp.asarray(t),
+                            base.orbit, base.ld, RP_W, eclipse=True,
+                            clip_sigma=4.0, clip_rounds=2)
+    assert abs(float(robust.rp) - fp_true) < 1e-4, float(robust.rp)

@@ -405,3 +405,25 @@ def test_observation_hook_ramps_white_light():
     assert (np.diff(rel) > 0.0).all()              # upward hook
     # and the ramp amplitude over the orbit is physically significant
     assert rel[-1] - rel[0] > 1e-4
+
+
+def test_direct_image_unaffected_by_recte_maps():
+    """The visit-opening direct image precedes every grism exposure, so
+    no charge-trap state from the visit can apply to it: after
+    simulate() attaches trap maps, simulate_direct_image must still
+    produce the exact recte-off product (both persist_rate AND
+    trap_mult nulled on its Scene)."""
+    from wayne_tpu.observation import Observation
+
+    base = dict(grism="G141", subarray=128, NSAMP=2, SAMPSEQ="RAPID",
+                scan=False, x_ref=20.0, y_ref=60.0, num_orbits=1,
+                exposures_per_orbit=6, n_lambda=32, n_sub=2,
+                noise=False, seed=3)
+    obs_off = Observation(config_from_dict(base))
+    obs_on = Observation(config_from_dict({**base, "recte": True}))
+    obs_on.simulate(chunk=6)                 # attaches trap_mult/persist
+    assert obs_on.scenes.trap_mult is not None
+    di_on, _, _ = obs_on.simulate_direct_image()
+    di_off, _, _ = obs_off.simulate_direct_image()
+    np.testing.assert_array_equal(np.asarray(di_on.reads_dn),
+                                  np.asarray(di_off.reads_dn))

@@ -137,10 +137,19 @@ def calibrate_ima(path: str, tables, noise_flags,
             f"{path!r} is already a count-rate product — calwf3-style "
             "calibration starts from raw-DN ima files "
             "(output_units: counts)")
-    if reads.shape[0] < 3:
+    # spatial scans (SCAN_TYP 'C') get the CDS net: their per-pixel
+    # ramps are nonlinear by construction, so the LS slope is the wrong
+    # estimator of the time-averaged rate (see module docstring)
+    ramp_fit = str(hdr.get("SCAN_TYP", "N")).strip() != "C"
+    if ramp_fit and reads.shape[0] < 3:
         raise ValueError(
             f"{path!r} has NSAMP={reads.shape[0] - 1}: the up-the-ramp "
-            "fit needs at least 2 sampled reads after the zeroth")
+            "fit needs at least 2 sampled reads after the zeroth "
+            "(scan-mode products use CDS and accept NSAMP=1)")
+    if reads.shape[0] < 2:
+        raise ValueError(
+            f"{path!r} has NSAMP={reads.shape[0] - 1}: at least one "
+            "sampled read after the zeroth is needed for a CDS net")
     if reads.shape[-1] != int(np.asarray(tables.dark_map).shape[-1]):
         raise ValueError(
             f"{reads.shape[-1]}^2 frames vs "
@@ -148,10 +157,6 @@ def calibrate_ima(path: str, tables, noise_flags,
             "planes — does the YAML subarray match the visit?")
     nlincorr = str(hdr.get("NLINCORR", "PERFORM")).upper() != "OMIT"
     blevcorr = bool((dq[0] & 128).any())
-    # spatial scans (SCAN_TYP 'C') get the CDS net: their per-pixel
-    # ramps are nonlinear by construction, so the LS slope is the wrong
-    # estimator of the time-averaged rate (see module docstring)
-    ramp_fit = str(hdr.get("SCAN_TYP", "N")).strip() != "C"
     rn = float(read_noise_e if read_noise_e is not None
                else tables.read_noise_e)
     key = (id(tables), nlincorr, noise_flags.dark, blevcorr,

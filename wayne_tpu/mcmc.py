@@ -22,7 +22,7 @@ Design notes (TPU):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, fields
+from dataclasses import dataclass
 from functools import partial
 from typing import Callable
 
@@ -33,10 +33,7 @@ from wayne_tpu.ops.kepler import OrbitParams, projected_separation
 from wayne_tpu.ops.transit import eclipse_visibility, transit_depth_curve
 
 
-def _register(cls):
-    names = [f.name for f in fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=names,
-                                            meta_fields=[])
+from wayne_tpu.pytree import register as _register
 
 
 @_register
@@ -162,7 +159,9 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                            n_quad: int = 32,
                            fit_geometry: bool = False,
                            t0_window_s: float = 600.0,
-                           eclipse: bool = False) -> WhitePosterior:
+                           eclipse: bool = False,
+                           weights: jnp.ndarray | None = None
+                           ) -> WhitePosterior:
     """Full posterior over the joint white-light ramp+transit model.
 
     Samples theta = (c, rp, ra, rb, rb_first, log tau, log sigma) — the
@@ -182,13 +181,21 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     grid's span (chi2(t0) is multimodal — a seed in the wrong basin
     initialises every walker there and the stretch move cannot jump
     out) and the flat t0 prior (+- 3 * t0_window_s).
+
+    ``weights`` is an optional (n_exp,) keep mask (0 = excluded): pass
+    RampFit.weights from a robust-clipped point fit so the posterior
+    excludes exactly the exposures the point fit rejected — otherwise
+    the Gaussian likelihood re-admits the outliers, drags the median
+    away from the clipped LM value and inflates the free noise scale.
     """
     from wayne_tpu.reduction import (fit_white_ramp, orbit_phase,
                                      out_of_transit_mask)
 
     lc = jnp.asarray(white_lc, jnp.float32)
     t = jnp.asarray(exp_mid_s, jnp.float32)
-    n = lc.shape[0]
+    w = (jnp.ones_like(lc) if weights is None
+         else jnp.asarray(weights, jnp.float32))
+    n_kept = jnp.sum(w)
     t_orb, first = orbit_phase(t, gap_s)
     firstf = first.astype(jnp.float32)
     t_day = (t - t.mean()) / 86400.0
@@ -216,7 +223,10 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
         jnp.stack([lm.c, lm.rp, lm.slope_per_day, lm.hook_amp,
                    lm.hook_amp_first, jnp.log(lm.hook_tau_s)]),
         t_day, t_orb, firstf, z_lm, infr_lm, ld, n_quad, vis)
-    sigma0 = jnp.maximum(jnp.std(resid), 1e-6)
+    mu_r = jnp.sum(w * resid) / jnp.maximum(n_kept, 1.0)
+    sigma0 = jnp.maximum(jnp.sqrt(
+        jnp.sum(w * (resid - mu_r) ** 2) / jnp.maximum(n_kept - 1.0, 1.0)),
+        1e-6)
     ndim = 10 if fit_geometry else 7
 
     depth_lo, depth_hi = (-0.02, 0.1) if eclipse else (0.01, 0.5)
@@ -243,8 +253,8 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
         m = _white_ramp_model(theta[:6], t_day, t_orb, firstf, zz,
                               infr, ld, n_quad, vis)
         sig = jnp.exp(theta[ndim - 1])
-        loglike = (-0.5 * jnp.sum(((m - lc) / sig) ** 2)
-                   - n * theta[ndim - 1])
+        loglike = (-0.5 * jnp.sum(w * ((m - lc) / sig) ** 2)
+                   - n_kept * theta[ndim - 1])
         return jnp.where(inside, loglike, -jnp.inf)
 
     base6 = [lm.c, lm.rp, lm.slope_per_day, lm.hook_amp,
@@ -290,7 +300,8 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
                               key: jnp.ndarray, *, n_steps: int = 1500,
                               n_walkers: int = 16, n_burn: int = 400,
                               n_quad: int = 32, eclipse: bool = False,
-                              rp_geom: jnp.ndarray | float = 0.15
+                              rp_geom: jnp.ndarray | float = 0.15,
+                              weights: jnp.ndarray | None = None
                               ) -> ChannelPosteriors:
     """EVERY channel's depth posterior in one compiled device program.
 
@@ -309,6 +320,8 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
     darkening — see fit_depths). ``eclipse=True`` samples per-channel
     Fp/Fs instead (model c * (1 + fp * vis) at the geometric radius
     ``rp_geom``; ``rp_init`` then seeds the per-channel fp).
+    ``weights`` is an optional (n_exp,) keep mask shared by all
+    channels (see sample_white_posterior).
     """
     if not 0 <= n_burn < n_steps:
         raise ValueError(f"n_burn ({n_burn}) must be < n_steps "
@@ -316,7 +329,9 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
                          "burn-in")
     lcs = jnp.asarray(channel_lc, jnp.float32).T       # (n_chan, n_exp)
     t = jnp.asarray(exp_mid_s, jnp.float32)
-    n = t.shape[0]
+    w = (jnp.ones_like(t) if weights is None
+         else jnp.asarray(weights, jnp.float32))
+    n_kept = jnp.sum(w)
     n_chan = lcs.shape[0]
     z, in_front = projected_separation(t, orbit)
 
@@ -339,14 +354,16 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
             else:
                 f = transit_depth_curve(z, theta[1], ld_c, n_quad)
                 m = theta[0] * (1.0 - (1.0 - f) * in_front)
-            loglike = (-0.5 * jnp.sum(((m - lc) / jnp.exp(theta[2])) ** 2)
-                       - n * theta[2])
+            loglike = (-0.5 * jnp.sum(w * ((m - lc)
+                                           / jnp.exp(theta[2])) ** 2)
+                       - n_kept * theta[2])
             return jnp.where(inside, loglike, -jnp.inf)
 
-        resid = lc - jnp.mean(lc)
-        sigma0 = jnp.clip(jnp.std(resid), 1e-5, 0.05)
-        center = jnp.clip(jnp.stack([jnp.mean(lc), rp_c,
-                                     jnp.log(sigma0)]),
+        mu = jnp.sum(w * lc) / jnp.maximum(n_kept, 1.0)
+        sigma0 = jnp.clip(jnp.sqrt(
+            jnp.sum(w * (lc - mu) ** 2) / jnp.maximum(n_kept - 1.0, 1.0)),
+            1e-5, 0.05)
+        center = jnp.clip(jnp.stack([mu, rp_c, jnp.log(sigma0)]),
                           lo + 1e-4, hi - 1e-4)
         k_init, k_run = jax.random.split(k)
         scale = jnp.array([3e-4, 1e-3, 0.05], jnp.float32)

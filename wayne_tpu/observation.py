@@ -777,6 +777,8 @@ class Observation:
             scan_speed=jnp.float32(0.0),
             persist_rate=None,                  # opens the visit: no prior
             #                                     stimulus to glow from
+            trap_mult=None,                     # ... and no trap deficit
+            #                                     from exposures not yet taken
             key=jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 10_000_000))
         return simulate_exposure(scene, tab, static), tab, static
 

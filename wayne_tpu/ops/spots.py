@@ -47,7 +47,7 @@ c_s * I — the difference comes back.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, fields
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -56,10 +56,7 @@ from wayne_tpu.ops.kepler import OrbitParams, sky_position
 from wayne_tpu.ops.transit import claret_intensity, claret_total_flux
 
 
-def _register(cls):
-    names = [f.name for f in fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=names,
-                                            meta_fields=[])
+from wayne_tpu.pytree import register as _register
 
 
 @_register

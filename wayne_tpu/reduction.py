@@ -17,7 +17,7 @@ normalisation) — adequate for validating depth recovery statistically.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, fields
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -45,9 +45,7 @@ from wayne_tpu.ops.kepler import OrbitParams, projected_separation
 from wayne_tpu.ops.transit import eclipse_visibility, transit_depth_curve
 
 
-def _register(cls):
-    names = [f.name for f in fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=names, meta_fields=[])
+from wayne_tpu.pytree import register as _register
 
 
 @_register
@@ -1505,7 +1503,11 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     geometric radius ``rp_init``): theta[1] becomes the eclipse depth
     Fp/Fs (returned in ``RampFit.rp``), started at ``fp_init``. The
     systematics family is identical — eclipse visits ramp the same way.
-    Not combinable with fit_geometry (fit the ephemeris on a transit).
+    In-TRANSIT epochs are excluded from the fit (the eclipse model has
+    no transit factor, and on a long visit covering both events the
+    ~15x-deeper unmodelled transit dip would skew every parameter);
+    pure-eclipse visits are unaffected. Not combinable with
+    fit_geometry (fit the ephemeris on a transit).
 
     ``clip_sigma`` turns on robust refitting: each of ``clip_rounds``
     rounds zero-weights the single worst residual outlier beyond
@@ -1561,8 +1563,16 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
         return ramp_transit_model(theta[:6], t_day, t_orb, firstf, z,
                                   in_front, ld, n_quad, vis)
 
+    # Eclipse mode has no transit factor in the model, so a long visit
+    # covering BOTH events would feed the ~2.5% transit dip (~15x the
+    # eclipse signal) into the residual and skew c/slope/hook/fp —
+    # exclude in-transit epochs from the fit exactly as
+    # fit_eclipse_depths does. Pure-eclipse visits have oot == 1
+    # everywhere, so this is a no-op for them.
+    fit_mask = oot if eclipse else jnp.ones_like(lc)
+
     def resid(theta):
-        return model(theta)[0] - lc
+        return (model(theta)[0] - lc) * fit_mask
 
     def run_lm(theta0, n_steps, lam0=1e-3):
         theta, chi2 = _lm_minimize(resid, theta0, n_steps, lam0)
@@ -1616,7 +1626,10 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
         if eclipse:
             vis0 = eclipse_visibility(
                 z_fix, infr_fix, jnp.asarray(rp_init, jnp.float32))
-            scale_mask = (vis0 > 0.999).astype(jnp.float32)
+            # Baseline = out of eclipse AND out of transit (a visit
+            # covering both events must not treat the transit dip as
+            # photometric baseline scatter).
+            scale_mask = (vis0 > 0.999).astype(jnp.float32) * fit_mask
         else:
             scale_mask = oot
         for _ in range(clip_rounds):
@@ -1637,8 +1650,8 @@ def fit_white_ramp(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
 
     _, sys = model(theta)
     JTJ, _ = normal_eqs(theta)
-    n = (jnp.sum(w_keep) if clip_sigma is not None
-         else jnp.float32(lc.shape[0]))
+    n = (jnp.sum(w_keep * fit_mask) if clip_sigma is not None
+         else jnp.sum(fit_mask))
     noise_var = chi2 / jnp.maximum(n - ndim, 1)
     with jax.default_matmul_precision("highest"):
         cov = jnp.linalg.inv(JTJ + 1e-9 * jnp.eye(ndim, dtype=jnp.float32))

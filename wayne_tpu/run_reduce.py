@@ -495,19 +495,7 @@ def main(argv: list[str] | None = None) -> int:
                              "given together (or none, for "
                              "auto-detection)")
 
-        def _rng(spec, name):
-            try:
-                lo, hi = (int(v) for v in spec.split(":"))
-            except ValueError:
-                raise SystemExit(f"{name} must look like LO:HI, got "
-                                 f"{spec!r}")
-            if not 0 <= lo < hi:
-                raise SystemExit(f"{name} {spec!r} is not an increasing "
-                                 "0-based range")
-            # upper bound is checked against the ACTUAL frame size once
-            # the files are read (extract_from_files) — the YAML's
-            # subarray may not match the directory being reduced
-            return (lo, hi)
+        from wayne_tpu.utils.cli import parse_range as _rng
 
         windows = (_rng(args.rows, "--rows"), _rng(args.cols, "--cols"),
                    _rng(args.bg_rows, "--bg-rows"))
@@ -905,12 +893,12 @@ def main(argv: list[str] | None = None) -> int:
             jnp.asarray(white, jnp.float32), t, orbit, ld, rp0,
             jax.random.PRNGKey(20250817), n_steps=args.mcmc,
             n_burn=n_burn, fit_geometry=args.fit_geometry,
-            eclipse=eclipse)
+            eclipse=eclipse, weights=depth_weights)
         chan_post = sample_channel_posteriors(
             chan_j, t, orbit, ld_chan,
             (jnp.asarray(rp_hat, jnp.float32) if eclipse else rp0),
             jax.random.PRNGKey(43), n_steps=args.mcmc, n_burn=n_burn,
-            eclipse=eclipse, rp_geom=rp0)
+            eclipse=eclipse, rp_geom=rp0, weights=depth_weights)
         dkey = "fp_over_fs" if eclipse else "rp_over_rs"
         white_post_report = {
             "n_steps": args.mcmc, "n_burn": n_burn,

@@ -34,14 +34,7 @@ import sys
 import numpy as np
 
 
-def _range(spec: str, name: str) -> tuple[int, int]:
-    try:
-        lo, hi = (int(v) for v in spec.split(":"))
-    except ValueError:
-        raise SystemExit(f"{name} must look like LO:HI, got {spec!r}")
-    if not 0 <= lo < hi:
-        raise SystemExit(f"{name} {spec!r} is not an increasing range")
-    return lo, hi
+from wayne_tpu.utils.cli import parse_range as _range
 
 
 def raw_column_sums(paths: list[str], estimator: str,

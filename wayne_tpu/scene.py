@@ -11,7 +11,7 @@ per-exposure x_ref/y_ref/time into ExposureGenerator).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, fields
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -20,9 +20,7 @@ from wayne_tpu.ops.kepler import OrbitParams
 from wayne_tpu.trends import TrendParams
 
 
-def _register(cls):
-    names = [f.name for f in fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=names, meta_fields=[])
+from wayne_tpu.pytree import register as _register
 
 
 @_register

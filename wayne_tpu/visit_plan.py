@@ -103,6 +103,14 @@ def plan_from_start_times(start_mjd_list, exptime_s: float,
         raise ValueError("exp_start_mjd_list is empty")
     if np.any(np.diff(t) <= 0):
         raise ValueError("exposure start times must be strictly increasing")
+    gaps_s = np.diff(t) * 86400.0
+    if np.any(gaps_s < exptime_s):
+        i = int(np.argmin(gaps_s))
+        raise ValueError(
+            f"exposure start times overlap: exposures {i} -> {i + 1} are "
+            f"{gaps_s[i]:.1f} s apart but each exposure lasts "
+            f"{exptime_s:.1f} s (one detector cannot expose twice at "
+            "once; persistence/hook clocks would be silently wrong)")
     rel = (t - t[0]) * 86400.0
     new_orbit = np.concatenate([[True], np.diff(rel) > orbit_gap_s])
     orbit_index = np.cumsum(new_orbit) - 1
