@@ -36,6 +36,23 @@ class TestScenes:
         y = np.asarray(obs.scenes.y_ref)
         assert np.all(y[1::2] > y[::2] + 10)
 
+    def test_reverse_flux_offset_scales_reverse_exposures(self):
+        """Upstream/downstream effect: reverse-scan exposures' source
+        flux is scaled by 1 + reverse_flux_offset, forward exposures
+        untouched, backgrounds unaffected (the offset is an effective
+        exposure-time difference of the SCANNED source only)."""
+        obs0 = Observation(small_cfg(alternate_scan_direction=True))
+        obs = Observation(small_cfg(alternate_scan_direction=True,
+                                    trends={"reverse_flux_offset": 0.01}))
+        f0 = np.asarray(obs0.scenes.stellar_flux)
+        f = np.asarray(obs.scenes.stellar_flux)
+        np.testing.assert_allclose(f[::2], f0[::2], rtol=1e-7)
+        np.testing.assert_allclose(f[1::2], 1.01 * f0[1::2], rtol=1e-6)
+
+    def test_reverse_flux_offset_needs_alternation(self):
+        with pytest.raises(ValueError, match="alternate_scan_direction"):
+            Observation(small_cfg(trends={"reverse_flux_offset": 0.01}))
+
     def test_off_detector_pointing_warns(self, caplog):
         import logging
 

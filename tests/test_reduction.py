@@ -206,6 +206,61 @@ def test_run_reduce_cli_recovers_depth(tmp_path):
                      "--bg-rows", "100:126"])
 
 
+def test_run_reduce_scan_direction_normalisation(tmp_path):
+    """Forward/reverse upstream-downstream offset closed loop: the
+    simulator scales reverse-scan source flux by 1+offset and stamps
+    SCAN_ANG=180 in those headers; run_reduce splits on SCAN_ANG,
+    measures the offset from per-direction OOT baselines, removes it,
+    and still recovers the injected depth."""
+    import json
+
+    import yaml
+
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.io.ima import read_ima
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.run_reduce import main as reduce_main
+
+    inj = 0.008
+    pars = {"grism": "G141", "subarray": 128, "NSAMP": 4,
+            "SAMPSEQ": "SPARS10", "scan": True,
+            "alternate_scan_direction": True, "x_ref": 30.0,
+            "y_ref": 40.0, "num_orbits": 3, "exposures_per_orbit": 6,
+            "n_lambda": 64, "n_sub": 4, "rp_over_rs": 0.14,
+            "start_mjd": 55999.93, "t0": 56000.0, "period": 0.813475,
+            "sma_over_rs": 4.855, "inclination": 82.1, "seed": 5,
+            "trends": {"reverse_flux_offset": inj}}
+    ppath = tmp_path / "pars.yml"
+    ppath.write_text(yaml.safe_dump(pars))
+    outdir = tmp_path / "visit"
+    obs = Observation(load_yaml(str(ppath)))
+    obs.generate(str(outdir), chunk=6, progress=lambda s: None)
+
+    # headers carry the direction: SCAN_ANG alternates 0/180
+    paths = sorted(str(p) for p in outdir.glob("*_ima.fits"))
+    angs = [read_ima(p)[0]["SCAN_ANG"] for p in paths]
+    assert angs[::2] == [0.0] * 9 and angs[1::2] == [180.0] * 9
+
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                      "--n-chan", "4", "--cpu"])
+    assert rc == 0
+    rep = json.loads((outdir / "reduced.json").read_text())
+    # the measured reverse-direction offset matches the injection to
+    # within the OOT baselines' photon-noise error
+    offs = rep["scan_direction_offsets"]
+    assert set(offs) == {"180"} and abs(offs["180"] - inj) < 2.5e-3, offs
+    for c in rep["channels"]:
+        assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c
+    # the corrected white curve shows no forward/reverse sawtooth: the
+    # OOT even/odd means agree to photon noise
+    white = np.asarray(rep["white_lc"])
+    oot = white > 0.995            # transit depth ~2% >> noise ~1e-4
+    assert oot[::2].sum() >= 2 and oot[1::2].sum() >= 2
+    fw = white[::2][oot[::2]].mean()
+    rv = white[1::2][oot[1::2]].mean()
+    assert abs(fw - rv) < 2.5e-3, (fw, rv)
+
+
 def test_fit_eclipse_depths_unit():
     """Linear eclipse fit recovers fp exactly on a noise-free synthetic
     curve with an arbitrary baseline scale."""

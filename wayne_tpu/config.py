@@ -215,6 +215,13 @@ class TrendConfig:
     #                                     rise near the bright limb; 0 = off)
     sky_scatter: float = 0.0            # fractional per-exposure random sky
     #                                     level scatter (0 = off)
+    reverse_flux_offset: float = 0.0    # fractional source-flux offset of
+    #                                     REVERSE-scan exposures (the WFC3
+    #                                     "upstream/downstream" effect: the
+    #                                     two scan directions see slightly
+    #                                     different effective exposure
+    #                                     times, ~0.1-1% in real data).
+    #                                     Needs alternate_scan_direction.
 
 
 @dataclass

@@ -72,7 +72,10 @@ def default_primary_header(
         "SCAN_TYP": "C" if scan else "N",
         "SCAN_RAT": scan_rate_arcsec,
         "SCAN_LEN": scan_rate_arcsec * exptime_s,
-        "SCAN_ANG": 0.0,
+        # Scan direction rides the position angle, as in real forward/
+        # reverse visits (the two directions' SCAN_ANG differ by 180 deg;
+        # reducers split the time series on it).
+        "SCAN_ANG": 180.0 if scan_rate_pix_s < 0 else 0.0,
         "POSTARG1": 0.0, "POSTARG2": 0.0,
         "PROPOSID": 0, "UNITCORR": "OMIT",
         "BUNIT": "COUNTS",

@@ -303,11 +303,25 @@ class Observation:
         # Scan direction alternation: reverse scans start at the far end
         # and sweep back (real WFC3 forward/reverse visits).
         speed = np.full(n, cfg.scan_speed_pix_s if cfg.scan else 0.0)
+        reverse = np.zeros(n, bool)
         if cfg.scan and cfg.alternate_scan_direction:
             reverse = idx % 2 == 1
             speed[reverse] *= -1.0
             y_ref = y_ref + np.where(
                 reverse, abs(cfg.scan_speed_pix_s) * self.detector_exptime, 0.0)
+        # Upstream/downstream effect: the two scan directions have slightly
+        # different effective exposure times (real WFC3 forward/reverse
+        # visits show a ~0.1-1% flux offset between directions, removed in
+        # reduction by per-direction normalisation). Source flux is linear
+        # in the spectrum, so a host-side per-exposure scale is exact.
+        flux_fac = np.ones(n)
+        if tr.reverse_flux_offset:
+            if not (cfg.scan and cfg.alternate_scan_direction):
+                raise ValueError(
+                    "trends.reverse_flux_offset needs scan: true and "
+                    "alternate_scan_direction: true (there are no "
+                    "reverse-scan exposures to offset)")
+            flux_fac = np.where(reverse, 1.0 + tr.reverse_flux_offset, 1.0)
 
         wl_edges = np.asarray(self.tables.wl_edges, np.float64)
         wl_centers = np.asarray(self.tables.wl_centers, np.float64)
@@ -367,7 +381,7 @@ class Observation:
             orbit_start_s=f32(plan.orbit_start_s),
             is_first_orbit=f32(plan.orbit_index == 0),
             scan_speed=f32(speed),
-            stellar_flux=jnp.broadcast_to(f32(stellar), (n, stellar.size)),
+            stellar_flux=f32(flux_fac[:, None] * stellar[None, :]),
             rp_over_rs=jnp.broadcast_to(f32(rp), (n, rp.size)),
             fp_over_fs=jnp.broadcast_to(f32(fp), (n, fp.size)),
             phase_amp=jnp.broadcast_to(
@@ -381,8 +395,13 @@ class Observation:
             psf_scale=None if psf_scale is None else f32(psf_scale),
             spots=(None if spots is None else jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (n,) + x.shape), spots)),
-            companions=(None if comps is None else jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, (n,) + x.shape), comps)),
+            companions=(None if comps is None else dataclasses.replace(
+                jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(x, (n,) + x.shape), comps),
+                # companions are scanned sources too: the direction-
+                # dependent effective exposure time scales them equally
+                flux=f32(flux_fac[:, None, None]
+                         * np.asarray(comps.flux)[None]))),
         )
 
     # ------------------------------------------------------------------

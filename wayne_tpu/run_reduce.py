@@ -101,7 +101,10 @@ def extract_from_files(paths: list[str], gain: float,
 
     Returns (spectra_e (n_exp, S), mid_times_s relative to the first
     exposure start, (y_window, x_window, bg_rows) auto-detected from the
-    stacked CDS signal). ``estimator='ramp'`` fits the calwf3-style
+    stacked CDS signal, scan_ang_deg (n_exp,) from the SCAN_ANG
+    headers — forward/reverse visits differ by 180 deg and the caller
+    normalises each direction separately). ``estimator='ramp'`` fits
+    the calwf3-style
     up-the-ramp least-squares slope per pixel instead of CDS (raw-DN
     products only — rate products lack the zeroth-read pedestal).
 
@@ -160,6 +163,7 @@ def extract_from_files(paths: list[str], gain: float,
             (gain if g is None else g), bias_e=_bias))
 
     nets, starts, exptimes, n_reads = [], [], [], []
+    scan_angs = []
     n_repaired = 0
     n_refpix = 0
     n_linearized = 0
@@ -262,6 +266,7 @@ def extract_from_files(paths: list[str], gain: float,
         starts.append(float(hdr["EXPSTART"]))
         exptimes.append(float(hdr.get("EXPTIME", times[-1])))
         n_reads.append(int(reads.shape[0]))
+        scan_angs.append(float(hdr.get("SCAN_ANG", 0.0)))
     if n_repaired:
         print(f"DQ repair: rebuilt flagged reads in {n_repaired}/"
               f"{len(paths)} exposures (CR/saturation/hot bits)")
@@ -354,7 +359,8 @@ def extract_from_files(paths: list[str], gain: float,
             jnp.asarray(nets, jnp.float32), prof, y_window, floor))
     else:
         spectra = nets[:, y_window[0]: y_window[1], :].sum(axis=1)  # (n_exp, S)
-    return spectra, mids, (y_window, x_window, bg_rows)
+    return (spectra, mids, (y_window, x_window, bg_rows),
+            np.asarray(scan_angs))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -515,7 +521,7 @@ def main(argv: list[str] | None = None) -> int:
                                if cfg.noise.bias else None),
                     "gain_map": (grism.tables.gain_map
                                  if cfg.noise.gain_variations else None)}
-    spectra, mids, (yw, xw, bg) = extract_from_files(
+    spectra, mids, (yw, xw, bg), scan_angs = extract_from_files(
         paths, gain, args.estimator, use_dq=not args.no_dq,
         extract=args.extract,
         read_noise_e=float(grism.tables.read_noise_e),
@@ -540,6 +546,36 @@ def main(argv: list[str] | None = None) -> int:
     oot = np.asarray(out_of_transit_mask(t, orbit))
     if oot.sum() < 2:
         raise SystemExit("not enough out-of-transit exposures to normalise")
+
+    # Upstream/downstream correction: forward and reverse scans see
+    # slightly different effective exposure times (a ~0.1-1% achromatic
+    # flux offset between directions in real WFC3 spatial-scan visits).
+    # Standard treatment: split the series on SCAN_ANG and normalise
+    # each direction by its own out-of-transit baseline BEFORE any
+    # drift decorrelation or fitting. The offset is achromatic, so one
+    # white-flux factor per direction corrects every column exactly.
+    scan_dir_offsets = None
+    uniq_angs = np.unique(scan_angs)
+    if uniq_angs.size > 1:
+        if any(((scan_angs == a) & oot).sum() < 2 for a in uniq_angs):
+            print("warning: a scan direction has <2 out-of-transit "
+                  "exposures — skipping per-direction normalisation "
+                  "(the upstream/downstream offset, if any, remains)")
+        else:
+            white_all = spectra.sum(axis=1)
+            ref_ang = uniq_angs[0]
+            base = white_all[(scan_angs == ref_ang) & oot].mean()
+            scan_dir_offsets = {}
+            for a in uniq_angs[1:]:
+                sel = scan_angs == a
+                fac = white_all[sel & oot].mean() / base
+                spectra = np.where(sel[:, None], spectra / fac, spectra)
+                scan_dir_offsets[f"{a:g}"] = round(float(fac - 1.0), 6)
+            offs = ", ".join(f"SCAN_ANG {a}: {o * 100:+.3f}%"
+                             for a, o in scan_dir_offsets.items())
+            print(f"scan-direction normalisation vs SCAN_ANG "
+                  f"{ref_ang:g}: {offs} (upstream/downstream offset "
+                  "removed)")
 
     def normalise(flux):
         return flux / flux[oot].mean(axis=0)
@@ -950,6 +986,8 @@ def main(argv: list[str] | None = None) -> int:
            if white_fit_report is not None else {}),
         "dq_repair": not args.no_dq,
         "nlincorr": nlin is not None,
+        **({"scan_direction_offsets": scan_dir_offsets}
+           if scan_dir_offsets is not None else {}),
         "aligned": bool(args.align),
         **({"x_shifts_px": [round(float(s), 4) for s in shifts]}
            if shifts is not None else {}),
