@@ -342,6 +342,61 @@ def test_spectra_to_depths_subtract_bg_removes_dilution():
     np.testing.assert_allclose(np.asarray(rp_fix), rp_true, atol=1e-3)
 
 
+def test_spectra_to_depths_scan_dir_removes_offset():
+    """Forward/reverse alternating visits carry an achromatic
+    upstream/downstream flux offset (trends.reverse_flux_offset).
+    scan_dir normalises each direction by its own out-of-transit
+    baseline: without it the sawtooth inflates the fit residuals and
+    biases depths; with it the injected depth comes back exactly."""
+    from wayne_tpu.ops.kepler import projected_separation
+    from wayne_tpu.ops.transit import transit_depth_curve
+    from wayne_tpu.reduction import spectra_to_depths
+    from wayne_tpu.scene import example_scene
+
+    base = example_scene(32)
+    orbit = base.orbit
+    ld = base.ld
+    rp_true = 0.15
+    t0 = float(orbit.t0_s)
+    n_exp = 48
+    t = jnp.asarray(np.linspace(t0 - 3.0 * 3600, t0 + 3.0 * 3600, n_exp),
+                    jnp.float32)
+    z, infr = projected_separation(t, orbit)
+    f = transit_depth_curve(z, jnp.float32(rp_true), ld, 32)
+    lc = 1.0 - (1.0 - f) * infr
+    S2, lo, hi = 64, 16, 48
+    rev = (np.arange(n_exp) % 2 == 1)
+    off = np.where(rev, 1.01, 1.0).astype(np.float32)       # +1% reverse
+    spectra = np.zeros((n_exp, S2), np.float32)
+    spectra[:, lo:hi] = (3.2e5 / (hi - lo)) * (off * np.asarray(lc))[:, None]
+    kw = dict(x_window=(lo, hi), n_chan=4, divide_white=False)
+    rp_raw, sig_raw = spectra_to_depths(spectra, t, orbit, ld, rp_true, **kw)
+    rp_fix, sig_fix = spectra_to_depths(
+        spectra, t, orbit, ld, rp_true,
+        scan_dir=jnp.asarray(rev, jnp.float32), **kw)
+    np.testing.assert_allclose(np.asarray(rp_fix), rp_true, atol=2e-4)
+    # uncorrected: the 1% sawtooth is ~25x the fit's own residual floor
+    assert np.all(np.asarray(sig_raw) > 5.0 * np.asarray(sig_fix)), (
+        sig_raw, sig_fix)
+
+
+def test_scan_direction_factor_guards():
+    """<2 out-of-transit exposures in either direction degrades the
+    correction to exactly 1 (no spurious normalisation)."""
+    from wayne_tpu.reduction import scan_direction_factor
+
+    white = jnp.asarray([1.0, 1.01, 1.0, 1.01], jnp.float32)
+    rev = jnp.asarray([0.0, 1.0, 0.0, 1.0], jnp.float32)
+    # both directions have 2 OOT members -> exact factor
+    corr = scan_direction_factor(white, jnp.ones(4), rev)
+    np.testing.assert_allclose(np.asarray(corr),
+                               [1.0, 1.01, 1.0, 1.01], rtol=1e-6)
+    # only one reverse exposure out of transit -> no correction
+    oot = jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32)
+    corr = scan_direction_factor(white, oot, rev)
+    np.testing.assert_allclose(np.asarray(corr), 1.0)
+
+
 def test_spectra_to_depths_matches_reduce_visit_path():
     """The dataset-QA fitter on reduce_visit's own extracted spectra
     reproduces the reduce_visit -> divide-white -> fit_depths chain

@@ -183,6 +183,7 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
             "rp0": float(recover["rp0"]),
             "divide_white": bool(recover.get("divide_white", True)),
             "subtract_bg": bool(recover.get("subtract_bg", True)),
+            "scan_dir": recover.get("scan_dir") is not None,
             "inputs_sha": _fingerprint((recover["exp_mid_s"],
                                         recover["orbit"], recover["ld"])),
         }
@@ -303,7 +304,10 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
                 # ensemble spectra are full-frame column sums: remove
                 # the sky background or every depth is diluted (see
                 # reduction.spectra_to_depths)
-                subtract_bg=bool(recover.get("subtract_bg", True)))
+                subtract_bg=bool(recover.get("subtract_bg", True)),
+                # forward/reverse visits: per-direction OOT baselines
+                # remove the upstream/downstream offset
+                scan_dir=recover.get("scan_dir"))
         try:
             spectra.copy_to_host_async()
         except Exception:  # pragma: no cover - backend-dependent

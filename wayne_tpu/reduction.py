@@ -1017,6 +1017,36 @@ def out_of_transit_mask(exp_mid_s: jnp.ndarray,
     return (z > OOT_Z) | (in_front < 0.5)
 
 
+def scan_direction_factor(white: jnp.ndarray, oot: jnp.ndarray,
+                          reverse: jnp.ndarray) -> jnp.ndarray:
+    """Per-exposure divisor removing the upstream/downstream offset.
+
+    Forward and reverse spatial scans see slightly different effective
+    exposure times (the WFC3 forward/reverse flux offset, ~0.1-1% and
+    achromatic; simulated via ``trends.reverse_flux_offset``). The
+    standard correction normalises each direction by its own
+    out-of-transit baseline. Returns ``corr`` (n_exp,) — divide every
+    flux (white and channels alike: the offset is achromatic) by it.
+    jit/vmap-safe; when either direction has <2 out-of-transit
+    exposures the factor degrades to 1 (no correction).
+
+    Args:
+      white: (n_exp,) white flux (any achromatic-consistent sum).
+      oot: (n_exp,) out-of-transit mask (bool or float).
+      reverse: (n_exp,) True/1 on reverse-scan exposures.
+    """
+    w = jnp.asarray(white, jnp.float32)
+    o = jnp.asarray(oot, jnp.float32)
+    r = jnp.asarray(reverse, jnp.float32)
+    n_f = jnp.sum(o * (1.0 - r))
+    n_r = jnp.sum(o * r)
+    m_f = jnp.sum(w * o * (1.0 - r)) / jnp.maximum(n_f, 1.0)
+    m_r = jnp.sum(w * o * r) / jnp.maximum(n_r, 1.0)
+    ok = (n_f >= 2.0) & (n_r >= 2.0) & (m_f > 0.0)
+    fac = jnp.where(ok, m_r / jnp.maximum(m_f, 1e-30), 1.0)
+    return jnp.where(r > 0.0, fac, 1.0)
+
+
 @partial(jax.jit, static_argnames=("y_window", "bg_rows", "n_chan",
                                    "x_window", "optimal", "read_noise_e",
                                    "align"))
@@ -1031,7 +1061,8 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
                  read_noise_e: float = 12.0,
                  align: bool = False,
                  ld: jnp.ndarray | None = None,
-                 rp0: jnp.ndarray | float = 0.155) -> ReducedVisit:
+                 rp0: jnp.ndarray | float = 0.155,
+                 scan_dir: jnp.ndarray | None = None) -> ReducedVisit:
     """Extract white + channel light curves from a visit's raw reads.
 
     Args:
@@ -1062,6 +1093,11 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
         chromatic transit; without ld the white-dip projection
         (drift_regressor) is used, which leaves a dLC/drp-shaped
         residual at the window-edge channels.
+      scan_dir: optional (n_exp,) reverse-scan mask (True/1 on reverse
+        exposures of a forward/reverse alternating visit). Each
+        direction is normalised by its own out-of-transit baseline
+        BEFORE alignment/detrending, removing the achromatic
+        upstream/downstream flux offset (scan_direction_factor).
     """
     def nf(r, c):
         net = net_frame(r, gain, read_times, c)
@@ -1080,12 +1116,16 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
     else:
         spectra = nets[:, y_window[0]: y_window[1], :].sum(axis=1)
 
+    oot = out_of_transit_mask(exp_mid_s, orbit)
+    if scan_dir is not None:
+        corr = scan_direction_factor(
+            spectra[:, x_window[0]: x_window[1]].sum(axis=1), oot, scan_dir)
+        spectra = spectra / corr[:, None]
+
     if align:
         shifts = spectral_shifts(spectra, x_window)
     else:
         shifts = jnp.zeros(spectra.shape[0], spectra.dtype)
-
-    oot = out_of_transit_mask(exp_mid_s, orbit)
 
     def normalise(flux):
         base = jnp.sum(flux * oot) / jnp.maximum(jnp.sum(oot), 1.0)
@@ -1796,7 +1836,8 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
                       x_window: tuple[int, int], n_chan: int = 8,
                       divide_white: bool = True,
                       subtract_bg: bool = False, n_quad: int = 32,
-                      n_newton: int = 12
+                      n_newton: int = 12,
+                      scan_dir: jnp.ndarray | None = None
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched extracted spectra -> fitted channel depths (dataset QA).
 
@@ -1821,6 +1862,12 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
     default): training on injected labels alone hides
     reduction-systematic structure; the recovered depths expose it per
     realisation.
+
+    ``scan_dir``: optional (n_exp,) reverse-scan mask for
+    forward/reverse alternating visits — each direction is normalised
+    by its own out-of-transit baseline (scan_direction_factor), so the
+    achromatic upstream/downstream offset (trends.reverse_flux_offset)
+    does not bias the fits. Shared across realisations.
     """
     sp = jnp.asarray(spectra_e, jnp.float32)
     squeeze = sp.ndim == 2
@@ -1845,6 +1892,10 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
             bg_col = jnp.median(s_out, axis=1)               # (n_exp,)
             white = white - (x_window[1] - x_window[0]) * bg_col
             chan = chan - bg_col[:, None] * widths[None, :]
+        if scan_dir is not None:
+            corr = scan_direction_factor(white, oot, scan_dir)
+            white = white / corr
+            chan = chan / corr[:, None]
 
         def norm(f):
             base = jnp.sum(f * oot) / jnp.maximum(jnp.sum(oot), 1.0)

@@ -138,6 +138,11 @@ def main(argv: list[str] | None = None) -> int:
             "ld": ld, "rp0": float(cfg.planet.rp_over_rs or 0.15),
             "x_window": (x_lo, x_hi), "n_chan": args.recover,
         }
+        # forward/reverse alternation: per-direction OOT normalisation
+        # removes the upstream/downstream offset from recovered labels
+        rev = np.asarray(obs.scenes.scan_speed) < 0
+        if rev.any():
+            recover["scan_dir"] = jnp.asarray(rev, jnp.float32)
         print(f"recovered labels: {args.recover} channels over columns "
               f"[{x_lo}, {x_hi})")
 
