@@ -163,6 +163,51 @@ def test_retrieval_fit_ramp_recovers_nuisances():
     assert abs(res.ramp[1] - 0.004) < 1e-3
 
 
+def _alternate(scenes, tables, reverse_offset=0.0):
+    """Forward/reverse alternating variant of a _visit scene batch."""
+    rev = np.arange(N_EXP) % 2 == 1
+    exptime = float(tables.read_times[-1])
+    speed = np.where(rev, -0.6, 0.6).astype(np.float32)
+    y = np.where(rev, 30.0 + 0.6 * exptime, 30.0).astype(np.float32)
+    fac = np.where(rev, 1.0 + reverse_offset, 1.0).astype(np.float32)
+    return dataclasses.replace(
+        scenes, scan_speed=jnp.asarray(speed), y_ref=jnp.asarray(y),
+        stellar_flux=scenes.stellar_flux * jnp.asarray(fac)[:, None])
+
+
+def test_retrieval_fit_scan_offset():
+    """Data carry a +0.8% reverse-scan flux offset the model scenes do
+    NOT know about; fit_scan_offset recovers it as one achromatic
+    nuisance and keeps the depths unbiased. Without the nuisance the
+    same fit inflates chi^2 by the sawtooth."""
+    inj = 0.008
+    cfg, tables, scenes, rp = _visit(NoiseFlags.none())
+    scenes_data = _alternate(scenes, tables, reverse_offset=inj)
+    scenes_model = _alternate(scenes, tables)   # offset-free twin
+    obs = _observe(cfg, tables, scenes_data)
+    res = retrieve_transmission(
+        obs, scenes_model, tables, cfg, x_window=X_WINDOW, n_chan=N_CHAN,
+        rp_init=0.15, fit_scan_offset=True, chunk=8, n_lm=15,
+        sigma=np.full(N_CHAN, 1e-4))
+    truth = _true_chan(rp, tables, scenes, X_WINDOW, N_CHAN)
+    assert abs(res.scan_offset - inj) < 5e-4, res.scan_offset
+    assert res.scan_offset_sigma > 0
+    assert np.all(np.abs(res.rp - truth) < 1e-3), (res.rp, truth)
+    # control: no nuisance -> the sawtooth stays in the residuals
+    res_raw = retrieve_transmission(
+        obs, scenes_model, tables, cfg, x_window=X_WINDOW, n_chan=N_CHAN,
+        rp_init=0.15, chunk=8, n_lm=15, sigma=np.full(N_CHAN, 1e-4))
+    assert res_raw.chi2 > 10.0 * res.chi2, (res_raw.chi2, res.chi2)
+
+
+def test_retrieval_fit_scan_offset_needs_alternation():
+    cfg, tables, scenes, _ = _visit(NoiseFlags.none())
+    with pytest.raises(ValueError, match="alternating"):
+        retrieve_transmission(
+            jnp.ones((N_EXP, S), jnp.float32), scenes, tables, cfg,
+            x_window=X_WINDOW, n_chan=N_CHAN, fit_scan_offset=True)
+
+
 def test_retrieval_eclipse_mode():
     """Eclipse-mode retrieval: per-channel Fp/Fs fitted through the
     simulator's planet-dayside physics (cfg.eclipse), rp held as the

@@ -539,6 +539,95 @@ def main() -> None:
     resid_star = rp_star_ref - rp_true
     ok_star_sys = bool(np.all(np.abs(resid_star) < 3e-3))
 
+    # --- forward/reverse scan-direction ensemble -----------------------
+    # Real scan programs alternate direction; the two directions see
+    # slightly different effective exposure times (the WFC3
+    # upstream/downstream effect, achromatic ~0.1-1%). Inject +0.5% on
+    # the reverse scans (stellar_flux Scene leaf — exactly how
+    # Observation builds trends.reverse_flux_offset visits) with
+    # alternating scan_speed sign and reverse start rows, and reduce
+    # with reduce_visit(scan_dir=): per-direction out-of-transit
+    # normalisation must remove the sawtooth. The uncorrected reduction
+    # on the SAME noise-free frames must (a) measure the injected
+    # offset off its own white curve and (b) show inflated fit sigmas —
+    # or this ensemble would gate nothing.
+    from wayne_tpu.reduction import out_of_transit_mask
+
+    off_fr = 0.005
+    rev_fr = np.arange(N_EXP) % 2 == 1
+    visit_fr = dataclasses.replace(
+        visit,
+        scan_speed=jnp.asarray(np.where(rev_fr, -0.5, 0.5), jnp.float32),
+        y_ref=jnp.asarray(np.where(rev_fr, 60.0 + 0.5 * exptime, 60.0),
+                          jnp.float32),
+        stellar_flux=visit.stellar_flux
+        * jnp.asarray(np.where(rev_fr, 1.0 + off_fr, 1.0),
+                      jnp.float32)[:, None])
+    scan_dir_fr = jnp.asarray(rev_fr, jnp.float32)
+
+    def make_run_fr(local_cfg, corrected: bool):
+        @jax.jit
+        def run(m):
+            keys = jax.vmap(lambda e: jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(888), m), e)
+            )(jnp.arange(N_EXP))
+            scenes = dataclasses.replace(visit_fr, key=keys)
+
+            def sim(s):
+                return sim_reads(s, local_cfg)
+
+            reads, cr_pos, cr_count = jax.lax.map(sim, scenes)
+            good = None
+            if local_cfg.noise.cosmic_rays:
+                good = jax.vmap(lambda p, c: ~cr_bad_diff_masks(
+                    p, c, S))(cr_pos, cr_count)
+            red = reduce_visit(
+                reads, tables.gain, mid, base.orbit,
+                y_window=y_window, x_window=x_window,
+                bg_rows=bg_rows, n_chan=N_CHAN, good_diffs=good,
+                scan_dir=scan_dir_fr if corrected else None)
+            rp_hat, rp_sig = fit_depths(red.channel_lc, mid, base.orbit,
+                                        base.ld, jnp.float32(0.155))
+            return rp_hat, rp_sig, red.white_lc
+
+        return run
+
+    cfg_fr_nf = dataclasses.replace(cfg, noise=NoiseFlags.none())
+    rp_fr_raw, sig_fr_raw, white_fr_raw = (
+        np.asarray(a) for a in make_run_fr(cfg_fr_nf, False)(0))
+    rp_fr_ref, sig_fr_ref, white_fr_ref = (
+        np.asarray(a) for a in make_run_fr(cfg_fr_nf, True)(0))
+    # The uncorrected white curve's per-direction OOT baselines must
+    # show the direction systematic. NOTE the measured offset is MORE
+    # than the injected flux factor: the reverse scans start ~39 rows
+    # higher, and the aXe trace/throughput are field-dependent, so the
+    # two directions also see a genuinely different system response
+    # (real forward/reverse visits do too — the reason the standard
+    # treatment normalises per direction rather than modelling the
+    # offset). The correction must remove the TOTAL offset.
+    oot_np = np.asarray(out_of_transit_mask(mid, base.orbit))
+
+    def dir_offset(w):
+        return float(w[rev_fr & oot_np].mean()
+                     / w[~rev_fr & oot_np].mean() - 1.0)
+
+    off_raw = dir_offset(white_fr_raw)
+    off_corr = dir_offset(white_fr_ref)
+    ok_fr_present = bool(abs(off_raw) > 0.5 * off_fr)
+    ok_fr_removed = bool(abs(off_corr)
+                         < max(0.1 * abs(off_raw), 5e-4))
+    resid_fr = rp_fr_ref - rp_true
+    ok_fr_sys = bool(np.all(np.abs(resid_fr) < 3e-3))
+    n_fr = max(args.n_mc // 2, 8)
+    run_fr = make_run_fr(cfg, True)
+    t0 = time.time()
+    rp_frs = np.stack([np.asarray(run_fr(m)[0]) for m in range(n_fr)])
+    wall_fr = time.time() - t0
+    bias_fr = rp_frs.mean(axis=0) - rp_fr_ref
+    sem_fr = rp_frs.std(axis=0, ddof=1) / np.sqrt(n_fr)
+    ok_fr_noise = bool(np.all(np.abs(bias_fr)
+                              < np.maximum(3.0 * sem_fr, 1e-4)))
+
     out = {
         "n_mc": args.n_mc, "n_exp": N_EXP, "n_chan": N_CHAN,
         "flags": "poisson+read+sky+dark+cosmic_rays(DQ-repaired)+nonlin+bias(NLINCORR)",
@@ -641,6 +730,35 @@ def main() -> None:
             "noise_unbiased_within_3sem": ok_star_noise,
             "recovery_systematic_below_3e-3": ok_star_sys,
         },
+        "scan_direction": {
+            "n_mc": n_fr, "wallclock_s": round(wall_fr, 1),
+            "flags": "poisson+read+sky+dark+cosmic_rays+nonlin+bias(NLINCORR)"
+                     f"+reverse_flux_offset({off_fr * 100:.1f}%)",
+            "reduction": "DQ-aware CR repair + per-direction OOT "
+                         "normalisation (reduce_visit scan_dir=) "
+                         "+ fit_depths",
+            "offset_injected_flux": off_fr,
+            "offset_measured_uncorrected": round(off_raw, 6),
+            "offset_note": "measured > injected: the reverse scans "
+                           "start ~39 rows higher and the aXe "
+                           "trace/throughput are field-dependent, so "
+                           "the directions differ by geometry too — "
+                           "both removed by per-direction "
+                           "normalisation",
+            "offset_after_correction": round(off_corr, 6),
+            "direction_systematic_present": ok_fr_present,
+            "correction_removes_offset": ok_fr_removed,
+            "uncorrected_sigma_mean": round(float(sig_fr_raw.mean()), 6),
+            "corrected_sigma_mean": round(float(sig_fr_ref.mean()), 6),
+            "rp_uncorrected_noise_free": [round(float(v), 6)
+                                          for v in rp_fr_raw],
+            "rp_recovered_mean": [round(float(v), 6)
+                                  for v in rp_frs.mean(axis=0)],
+            "noise_induced_bias": [round(float(v), 6) for v in bias_fr],
+            "recovery_systematic": [round(float(v), 6) for v in resid_fr],
+            "noise_unbiased_within_3sem": ok_fr_noise,
+            "recovery_systematic_below_3e-3": ok_fr_sys,
+        },
     }
     ok = (ok_noise and ok_sys and ok_sys_noise and ok_divide_white
           and ok_ramp_noise and ok_ramp_resid and ok_ramp_white
@@ -648,7 +766,9 @@ def main() -> None:
           and ok_recte_raw and ok_recte_noise and ok_recte_resid
           and ok_recte_white
           and ok_ecl_noise and ok_ecl_sys
-          and ok_star_noise and ok_star_sys)
+          and ok_star_noise and ok_star_sys
+          and ok_fr_present and ok_fr_removed and ok_fr_noise
+          and ok_fr_sys)
     with open(os.path.join(REPO, "VALIDATION.json"), "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))

@@ -60,6 +60,8 @@ class RetrievalResult:
     n_iter: int             # LM iterations actually run
     ramp: np.ndarray | None     # fitted [slope/s, hook_amp] if fit_ramp
     ramp_sigma: np.ndarray | None
+    scan_offset: float | None = None        # fitted reverse-scan flux
+    scan_offset_sigma: float | None = None  # offset if fit_scan_offset
 
 
 def deterministic_cfg(cfg: ExposureStatic) -> ExposureStatic:
@@ -181,6 +183,7 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
                           estimator: str = "cds",
                           y_window: tuple[int, int] | None = None,
                           fit_ramp: bool = False,
+                          fit_scan_offset: bool = False,
                           mode: str = "transit",
                           n_lm: int = 10, chunk: int = 2,
                           sigma: np.ndarray | None = None
@@ -205,6 +208,16 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
       fit_ramp: additionally fit [visit_slope_per_s, hook_amp] —
         requires cfg.noise.visit_trend; the hook timescale/orbit-1
         scale stay at their Scene values.
+      fit_scan_offset: additionally fit the reverse-scan flux offset
+        (the WFC3 upstream/downstream effect) as one achromatic
+        nuisance — reverse exposures' source flux is scaled by
+        1 + offset inside the forward model. Requires a
+        forward/reverse alternating visit (both scan_speed signs
+        present in ``scenes``). Starts at 0 even when the Scene
+        already carries an offset: the Scene's stellar_flux baked in
+        whatever the YAML simulated, so the fitted value is the
+        offset of the DATA relative to the YAML (0 when the YAML
+        matches the data).
       mode: "transit" fits the per-channel Rp/Rs transmission
         spectrum; "eclipse" fits the per-channel Fp/Fs dayside
         emission spectrum (requires cfg.eclipse and secondary-eclipse
@@ -280,6 +293,15 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
         theta0 = np.concatenate([theta0, [
             float(np.asarray(t0.visit_slope_per_s).ravel()[0]),
             float(np.asarray(t0.hook_amp).ravel()[0])]])
+    rev_mask = None
+    if fit_scan_offset:
+        rev_np = np.asarray(scenes.scan_speed) < 0
+        if rev_np.all() or not rev_np.any():
+            raise ValueError(
+                "fit_scan_offset needs a forward/reverse alternating "
+                "visit (scenes.scan_speed carries only one sign)")
+        rev_mask = jnp.asarray(rev_np, jnp.float32)
+        theta0 = np.concatenate([theta0, [0.0]])
 
     def build_scenes(theta: jnp.ndarray) -> Scene:
         d_chan = theta[:n_rp]
@@ -301,6 +323,19 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
                 hook_amp=jnp.broadcast_to(
                     theta[n_rp + 1], sc.trends.hook_amp.shape))
             sc = dataclasses.replace(sc, trends=tr)
+        if fit_scan_offset:
+            # achromatic source-flux scale on reverse exposures — the
+            # same mechanism Observation uses to SIMULATE the offset,
+            # so the nuisance has zero model mismatch; companions are
+            # scanned sources and scale identically
+            fac = 1.0 + theta[-1] * rev_mask                 # (n_exp,)
+            sc = dataclasses.replace(
+                sc, stellar_flux=sc.stellar_flux * fac[:, None],
+                companions=(None if sc.companions is None else
+                            dataclasses.replace(
+                                sc.companions,
+                                flux=sc.companions.flux
+                                * fac[:, None, None])))
         return sc
 
     def resid(theta: jnp.ndarray) -> jnp.ndarray:
@@ -346,5 +381,7 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
     return RetrievalResult(
         rp=theta[:n_rp].copy(), rp_sigma=sig[:n_rp].copy(),
         chi2=chi2, n_points=int(r.size), n_iter=n_iter,
-        ramp=(theta[n_rp:].copy() if fit_ramp else None),
-        ramp_sigma=(sig[n_rp:].copy() if fit_ramp else None))
+        ramp=(theta[n_rp: n_rp + 2].copy() if fit_ramp else None),
+        ramp_sigma=(sig[n_rp: n_rp + 2].copy() if fit_ramp else None),
+        scan_offset=(float(theta[-1]) if fit_scan_offset else None),
+        scan_offset_sigma=(float(sig[-1]) if fit_scan_offset else None))

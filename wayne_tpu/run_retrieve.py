@@ -97,6 +97,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--fit-ramp", action="store_true",
                         help="jointly fit [visit slope, hook amplitude] "
                              "through the model's visit-trend physics")
+    parser.add_argument("--fit-scan-offset", action="store_true",
+                        help="jointly fit the reverse-scan flux offset "
+                             "(upstream/downstream effect) as one "
+                             "achromatic nuisance; needs a forward/"
+                             "reverse alternating visit")
     parser.add_argument("--n-lm", type=int, default=10)
     parser.add_argument("--chunk", type=int, default=2,
                         help="exposures per forward-pass chunk (jacfwd "
@@ -179,13 +184,15 @@ def main(argv: list[str] | None = None) -> int:
         jnp.asarray(spectra, jnp.float32), scenes, tables, static,
         x_window=x_window, n_chan=args.n_chan, rp_init=d0,
         estimator=args.estimator, y_window=y_window, mode=args.mode,
-        fit_ramp=args.fit_ramp, n_lm=args.n_lm, chunk=args.chunk)
+        fit_ramp=args.fit_ramp, fit_scan_offset=args.fit_scan_offset,
+        n_lm=args.n_lm, chunk=args.chunk)
 
     tp0 = trace_params(tables, scenes.x_ref[0], scenes.y_ref[0])
     edges = np.asarray(_channel_edges(x_window, args.n_chan))
     wl_edges = np.asarray(x_to_wl(jnp.asarray(edges, jnp.float32), tp0))
     dof = max(res.n_points - res.rp.size
-              - (2 if args.fit_ramp else 0), 1)
+              - (2 if args.fit_ramp else 0)
+              - (1 if args.fit_scan_offset else 0), 1)
     dkey = "fp_over_fs" if args.mode == "eclipse" else "rp_over_rs"
     skey = "fp_sigma" if args.mode == "eclipse" else "rp_sigma"
     report = {
@@ -206,6 +213,11 @@ def main(argv: list[str] | None = None) -> int:
             "hook_amp": round(float(res.ramp[1]), 6),
             "hook_amp_sigma": round(float(res.ramp_sigma[1]), 6)}}
            if res.ramp is not None else {}),
+        **({"scan_offset_fit": {
+            "reverse_flux_offset": round(res.scan_offset, 6),
+            "reverse_flux_offset_sigma": round(res.scan_offset_sigma,
+                                               6)}}
+           if res.scan_offset is not None else {}),
         "channels": [
             {"wl_lo_um": round(float(wl_edges[i]), 4),
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
