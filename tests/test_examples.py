@@ -34,6 +34,7 @@ def test_full_systematics_example_enables_everything():
     assert cfg.trends.sky_orbit_amp > 0 and cfg.trends.sky_scatter > 0
     assert cfg.alternate_scan_direction
     assert cfg.trends.reverse_flux_offset > 0
+    assert cfg.trends.drift_orbit_amp_x > 0
 
 
 def test_example_count_is_complete():

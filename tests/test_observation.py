@@ -28,6 +28,34 @@ class TestScenes:
         obs2 = Observation(small_cfg(noise={"pointing_drift": False}))
         np.testing.assert_allclose(np.asarray(obs2.scenes.x_ref), 30.0)
 
+    def test_orbital_drift_phase_locked(self):
+        """drift_orbit_amp_x adds a deterministic orbital-phase-locked
+        component: same time-since-orbit-start -> same offset in every
+        orbit, zero at orbit start (phase 0), and existing RNG streams
+        (jitter draws) are untouched."""
+        from wayne_tpu.visit_plan import HST_PERIOD_S
+
+        kw = dict(n_orbits=3, exposures_per_orbit=5)
+        obs0 = Observation(small_cfg(**kw))
+        obs = Observation(small_cfg(
+            trends={"drift_orbit_amp_x": 0.05}, **kw))
+        dx = np.asarray(obs.scenes.x_ref) - np.asarray(obs0.scenes.x_ref)
+        ph = (2.0 * np.pi
+              * (obs.plan.exp_start_s - obs.plan.orbit_start_s)
+              / HST_PERIOD_S)
+        np.testing.assert_allclose(dx, 0.05 * np.sin(ph), atol=5e-6)
+        # repeats orbit to orbit (same intra-orbit exposure cadence;
+        # orbit 1's first-orbit trim shifts ITS phases, orbits 2 and 3
+        # are identical)
+        np.testing.assert_allclose(dx[5:10], dx[10:15], atol=5e-6)
+        assert abs(dx[5]) < 5e-6                # zero at orbit-2 start
+        assert np.max(np.abs(dx)) > 0.01        # and actually nonzero
+        # gated with the rest of the pointing model
+        obs_off = Observation(small_cfg(
+            trends={"drift_orbit_amp_x": 0.05},
+            noise={"pointing_drift": False}, **kw))
+        np.testing.assert_allclose(np.asarray(obs_off.scenes.x_ref), 30.0)
+
     def test_alternating_scan_direction(self):
         obs = Observation(small_cfg(alternate_scan_direction=True))
         speeds = np.asarray(obs.scenes.scan_speed)

@@ -222,6 +222,13 @@ class TrendConfig:
     #                                     different effective exposure
     #                                     times, ~0.1-1% in real data).
     #                                     Needs alternate_scan_direction.
+    drift_orbit_amp_x: float = 0.0      # px: orbital-phase-locked pointing
+    #                                     drift (thermal flexure repeating
+    #                                     each HST orbit — the dominant
+    #                                     short-timescale x-shift structure
+    #                                     in real scan visits; ~0.01-0.1 px).
+    drift_orbit_amp_y: float = 0.0      # same, cross-dispersion
+    drift_orbit_phase_deg: float = 0.0  # sinusoid phase at orbit start
 
 
 @dataclass

@@ -299,6 +299,20 @@ class Observation:
 
         x_ref = cfg.x_ref + offsets(tr.x_shift_list, tr.drift_x_per_exp)
         y_ref = cfg.y_ref + offsets(tr.y_shift_list, tr.drift_y_per_exp)
+        # Orbital-phase-locked pointing drift (beyond the reference's
+        # linear model): thermal flexure repeats each HST orbit — the
+        # dominant short-timescale x-shift structure in real scan
+        # visits. Deterministic (no RNG draw), so enabling it never
+        # reshuffles existing visits' jitter/SSV streams; gated by the
+        # same pointing_drift flag as the linear drift model.
+        if cfg.noise.pointing_drift and (tr.drift_orbit_amp_x
+                                         or tr.drift_orbit_amp_y):
+            ph = (2.0 * np.pi
+                  * (np.asarray(plan.exp_start_s, np.float64)
+                     - np.asarray(plan.orbit_start_s, np.float64))
+                  / HST_PERIOD_S + np.deg2rad(tr.drift_orbit_phase_deg))
+            x_ref = x_ref + tr.drift_orbit_amp_x * np.sin(ph)
+            y_ref = y_ref + tr.drift_orbit_amp_y * np.sin(ph)
 
         # Scan direction alternation: reverse scans start at the far end
         # and sweep back (real WFC3 forward/reverse visits).
