@@ -628,6 +628,72 @@ def main() -> None:
     ok_fr_noise = bool(np.all(np.abs(bias_fr)
                               < np.maximum(3.0 * sem_fr, 1e-4)))
 
+    # --- thermal phase-curve ensemble -----------------------------------
+    # A full-orbit visit with the planet's dayside contrast modulated by
+    # the sinusoidal thermal phase model (fp, A, hot-spot offset); the
+    # closed-form harmonic fit (fit_phase_curve: 5-param linear LS with
+    # a joint baseline slope, in-transit epochs weighted out) must
+    # recover (fp, A, phi0) noise-unbiased from the white curve.
+    from wayne_tpu.reduction import fit_phase_curve
+
+    fp_ph, amp_ph, off_ph = 2.0e-3, 0.5, 0.3
+    period_s = float(np.asarray(base.orbit.period_s))
+    starts_ph = np.linspace(0.0, period_s, N_EXP)
+    mid_ph = jnp.asarray(starts_ph + exptime / 2.0, jnp.float32)
+    visit_ph = dataclasses.replace(
+        visit, exp_start_s=jnp.asarray(starts_ph, jnp.float32),
+        fp_over_fs=jnp.broadcast_to(
+            jnp.full((NL,), fp_ph, jnp.float32), (N_EXP, NL)),
+        phase_amp=jnp.full_like(visit.phase_amp, amp_ph),
+        phase_offset=jnp.full_like(visit.phase_offset, off_ph))
+    cfg_ph = dataclasses.replace(cfg, eclipse=True)
+    rp_geom_ph = jnp.float32(float(rp_inj.mean()))
+
+    def make_run_ph(local_cfg):
+        @jax.jit
+        def run(m):
+            keys = jax.vmap(lambda e: jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(246), m), e)
+            )(jnp.arange(N_EXP))
+            scenes = dataclasses.replace(visit_ph, key=keys)
+
+            def sim(s):
+                return sim_reads(s, local_cfg)
+
+            reads, cr_pos, cr_count = jax.lax.map(sim, scenes)
+            good = None
+            if local_cfg.noise.cosmic_rays:
+                good = jax.vmap(lambda p, c: ~cr_bad_diff_masks(
+                    p, c, S))(cr_pos, cr_count)
+            red = reduce_visit(reads, tables.gain, mid_ph, base.orbit,
+                               y_window=y_window, x_window=x_window,
+                               bg_rows=bg_rows, n_chan=N_CHAN,
+                               good_diffs=good)
+            fit = fit_phase_curve(red.white_lc, mid_ph, base.orbit,
+                                  rp_geom_ph)
+            return fit.fp, fit.amp, fit.offset_rad, fit.fp_sigma
+
+        return run
+
+    run_ph = make_run_ph(cfg_ph)
+    ref_ph = [float(a) for a in make_run_ph(dataclasses.replace(
+        cfg_ph, noise=NoiseFlags.none()))(0)]
+    ok_ph_fp = bool(abs(ref_ph[0] - fp_ph) < 1e-3)
+    ok_ph_amp = bool(abs(ref_ph[1] - amp_ph) < 0.15)
+    ok_ph_off = bool(abs(ref_ph[2] - off_ph) < 0.15)
+    n_ph = max(args.n_mc // 2, 8)
+    t0 = time.time()
+    ph_out = np.array([[float(a) for a in run_ph(m)]
+                       for m in range(n_ph)])
+    wall_ph = time.time() - t0
+    bias_ph = ph_out[:, 0].mean() - ref_ph[0]
+    sem_ph = ph_out[:, 0].std(ddof=1) / np.sqrt(n_ph)
+    ok_ph_noise = bool(abs(bias_ph) < max(3.0 * sem_ph, 2e-5))
+    bias_ph_amp = ph_out[:, 1].mean() - ref_ph[1]
+    sem_ph_amp = ph_out[:, 1].std(ddof=1) / np.sqrt(n_ph)
+    ok_ph_amp_noise = bool(abs(bias_ph_amp)
+                           < max(3.0 * sem_ph_amp, 0.02))
+
     out = {
         "n_mc": args.n_mc, "n_exp": N_EXP, "n_chan": N_CHAN,
         "flags": "poisson+read+sky+dark+cosmic_rays(DQ-repaired)+nonlin+bias(NLINCORR)",
@@ -759,6 +825,26 @@ def main() -> None:
             "noise_unbiased_within_3sem": ok_fr_noise,
             "recovery_systematic_below_3e-3": ok_fr_sys,
         },
+        "phase_curve_mode": {
+            "n_mc": n_ph, "wallclock_s": round(wall_ph, 1),
+            "fp_injected": fp_ph, "amp_injected": amp_ph,
+            "offset_injected_rad": off_ph,
+            "reduction": "DQ-aware CR repair + white extraction + "
+                         "closed-form harmonic fit (fit_phase_curve)",
+            "fp_noise_free": round(ref_ph[0], 7),
+            "amp_noise_free": round(ref_ph[1], 4),
+            "offset_noise_free_rad": round(ref_ph[2], 4),
+            "fp_recovered_mean": round(float(ph_out[:, 0].mean()), 7),
+            "amp_recovered_mean": round(float(ph_out[:, 1].mean()), 4),
+            "fp_noise_bias": round(float(bias_ph), 7),
+            "fp_reported_sigma_median": round(
+                float(np.median(ph_out[:, 3])), 7),
+            "fp_recovery_within_1e-3": ok_ph_fp,
+            "amp_recovery_within_0.15": ok_ph_amp,
+            "offset_recovery_within_0.15rad": ok_ph_off,
+            "fp_noise_unbiased_within_3sem": ok_ph_noise,
+            "amp_noise_unbiased_within_3sem": ok_ph_amp_noise,
+        },
     }
     ok = (ok_noise and ok_sys and ok_sys_noise and ok_divide_white
           and ok_ramp_noise and ok_ramp_resid and ok_ramp_white
@@ -768,7 +854,9 @@ def main() -> None:
           and ok_ecl_noise and ok_ecl_sys
           and ok_star_noise and ok_star_sys
           and ok_fr_present and ok_fr_removed and ok_fr_noise
-          and ok_fr_sys)
+          and ok_fr_sys
+          and ok_ph_fp and ok_ph_amp and ok_ph_off and ok_ph_noise
+          and ok_ph_amp_noise)
     with open(os.path.join(REPO, "VALIDATION.json"), "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))
