@@ -52,6 +52,17 @@ def test_with_loaded_flat_and_sky(tmp_path):
     np.testing.assert_allclose(np.asarray(out.flat_coeffs[0]), 1.01)
     np.testing.assert_allclose(float(np.asarray(out.sky_frame).mean()), 1.0,
                                rtol=1e-5)
+    # the He airglow frame loads through the same seam, independently
+    he = np.ones((128, 128), np.float32)
+    he[:, :64] = 2.0
+    he_path = tmp_path / "sky_he.fits"
+    write_fits(str(he_path), [FitsHDU(header={}), FitsHDU("HESKY", 1, he)])
+    out2 = with_loaded_grism(tables, sky_he_path=str(he_path))
+    np.testing.assert_allclose(
+        float(np.asarray(out2.sky_he_frame).mean()), 1.0, rtol=1e-5)
+    # and did not touch the continuum master sky
+    np.testing.assert_allclose(np.asarray(out2.sky_frame),
+                               np.asarray(tables.sky_frame))
 
 
 def test_with_loaded_conf_changes_trace(tmp_path):

@@ -35,6 +35,7 @@ def test_full_systematics_example_enables_everything():
     assert cfg.alternate_scan_direction
     assert cfg.trends.reverse_flux_offset > 0
     assert cfg.trends.drift_orbit_amp_x > 0
+    assert cfg.trends.he_airglow_level > 0
 
 
 def test_example_count_is_complete():

@@ -141,6 +141,30 @@ class TestNoise:
         got = reads_e[1:].mean(axis=(1, 2))
         np.testing.assert_allclose(got, dark_mean * times[1:], rtol=0.05)
 
+    def test_he_airglow_second_sky_component(self):
+        """Scene.sky_he_level adds a separately-scaled background with
+        the He-frame spatial pattern, exactly linear in time (noise-free
+        chain): last_read(with) - last_read(without) =
+        he_level * sky_he_frame * exptime / gain."""
+        flags = dataclasses.replace(NoiseFlags.none(), sky=True)
+        cfg, tables, scene = make(False, flags, n_sub=2)
+        scene = dataclasses.replace(
+            scene, stellar_flux=jnp.zeros_like(scene.stellar_flux))
+        base = simulate_exposure(scene, tables, cfg)
+        he = dataclasses.replace(scene, sky_he_level=jnp.float32(0.8))
+        got = simulate_exposure(he, tables, cfg)
+        delta = (np.asarray(got.reads_dn[-1], np.float64)
+                 - np.asarray(base.reads_dn[-1], np.float64))
+        expect = (0.8 * np.asarray(tables.sky_he_frame, np.float64)
+                  * float(tables.read_times[-1]) / float(tables.gain))
+        np.testing.assert_allclose(delta, expect, rtol=2e-4, atol=1e-3)
+        # the He pattern differs from the master sky (it is a real
+        # second component, not a rescale)
+        corr = np.corrcoef(
+            np.asarray(tables.sky_he_frame).ravel(),
+            np.asarray(tables.sky_frame).ravel())[0, 1]
+        assert abs(corr) < 0.9
+
     def test_cosmic_rays_add_charge(self):
         flags = dataclasses.replace(NoiseFlags.none(), cosmic_rays=True)
         cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=NSAMP,

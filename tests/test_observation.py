@@ -56,6 +56,27 @@ class TestScenes:
             noise={"pointing_drift": False}, **kw))
         np.testing.assert_allclose(np.asarray(obs_off.scenes.x_ref), 30.0)
 
+    def test_he_airglow_series(self):
+        """trends.he_airglow_level builds the optional sky_he_level
+        leaf: clipped-cosine orbital shape (peak at orbit start, 0 in
+        shadow), nonnegative; off by default (pytree-invisible)."""
+        import numpy as np
+
+        from wayne_tpu.visit_plan import HST_PERIOD_S
+
+        obs0 = Observation(small_cfg())
+        assert obs0.scenes.sky_he_level is None
+        obs = Observation(small_cfg(
+            n_orbits=2, exposures_per_orbit=6,
+            trends={"he_airglow_level": 1.5, "he_airglow_scatter": 0.05}))
+        he = np.asarray(obs.scenes.sky_he_level)
+        assert he.shape == (12,) and np.all(he >= 0.0)
+        ph = (obs.plan.exp_start_s - obs.plan.orbit_start_s) / HST_PERIOD_S
+        # the late-orbit (shadow) exposures carry ~zero airglow
+        assert np.all(he[ph > 0.26] < 0.2)
+        # early-orbit exposures are near the peak (within the scatter)
+        assert np.all(he[ph < 0.1] > 0.9)
+
     def test_alternating_scan_direction(self):
         obs = Observation(small_cfg(alternate_scan_direction=True))
         speeds = np.asarray(obs.scenes.scan_speed)

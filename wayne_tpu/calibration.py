@@ -301,6 +301,15 @@ class Tables:
     ipc_alpha: jnp.ndarray     # nearest-neighbour inter-pixel capacitance
     #                            coupling fraction (per edge neighbour)
     subarray_corner: jnp.ndarray  # (2,) (x0, y0) of subarray in full frame
+    sky_he_frame: jnp.ndarray | None = None  # (S, S) He 1.083 um airglow
+    #                            spatial pattern, mean 1 (the strongly
+    #                            time-variable metastable-helium line
+    #                            that real IR background models carry as
+    #                            a SEPARATE component from the
+    #                            zodi/earthshine master sky; Iraclis/aXe
+    #                            fit its scale per exposure). Scaled by
+    #                            the optional Scene.sky_he_level leaf;
+    #                            None = component absent.
 
 
 def subarray_corner(subarray: int) -> tuple[int, int]:
@@ -393,6 +402,15 @@ def synthetic_tables(
     sky = 1.0 + 0.08 * u + 0.05 * v + 0.02 * np.sin(4 * np.pi * u) * np.sin(3 * np.pi * v)
     sky /= sky.mean()
 
+    # He 1.083 um airglow pattern: the dispersed airglow line maps to a
+    # different detector footprint than the zodi/earthshine continuum
+    # (in real G102/G141 sky products the helium image has its own
+    # spatial structure — STScI distributes it as a separate frame).
+    # Synthetic stand-in: a smooth pattern distinct from the master sky,
+    # normalised to mean 1.
+    sky_he = 1.0 + 0.15 * np.cos(np.pi * u) - 0.10 * v
+    sky_he /= sky_he.mean()
+
     # Gain map: quadrant offsets + 0.3% pixel RMS around the nominal gain.
     quad = (0.01 * ((xx >= S // 2).astype(float) - 0.5)
             + 0.008 * ((yy >= S // 2).astype(float) - 0.5))
@@ -437,7 +455,8 @@ def synthetic_tables(
         psf_sigma=f(psf_sigma),
         dydx0=f(np.asarray(g["dydx0"])), dydx1=f(np.asarray(g["dydx1"])),
         dldp0=f(np.asarray(g["dldp0"])), dldp1=f(np.asarray(g["dldp1"])),
-        flat_coeffs=f(flat_coeffs), sky_frame=f(sky), active_mask=f(active),
+        flat_coeffs=f(flat_coeffs), sky_frame=f(sky),
+        sky_he_frame=f(sky_he), active_mask=f(active),
         gain_map=f(gain_map),
         dark_map=f(dark_map), bias_map=f(bias_map),
         nonlin_coeffs=f(nonlin_coeffs),
@@ -657,7 +676,8 @@ def with_loaded_nonlin(tables: Tables, path: str) -> Tables:
 def with_loaded_grism(tables: Tables, conf_path: str | None = None,
                       sens_path: str | None = None,
                       flat_path: str | None = None,
-                      sky_path: str | None = None) -> Tables:
+                      sky_path: str | None = None,
+                      sky_he_path: str | None = None) -> Tables:
     """Override synthetic grism calibration with real STScI products."""
     updates: dict[str, jnp.ndarray] = {}
     subarray = tables.flat_coeffs.shape[-1]
@@ -681,4 +701,10 @@ def with_loaded_grism(tables: Tables, conf_path: str | None = None,
     if sky_path is not None:
         updates["sky_frame"] = jnp.asarray(
             load_master_sky_fits(sky_path, subarray), tables.sky_frame.dtype)
+    if sky_he_path is not None:
+        # STScI distributes the helium airglow image as its own sky
+        # component (same FITS layout as the master sky)
+        updates["sky_he_frame"] = jnp.asarray(
+            load_master_sky_fits(sky_he_path, subarray),
+            tables.sky_frame.dtype)
     return dataclasses.replace(tables, **updates)

@@ -222,6 +222,19 @@ class TrendConfig:
     #                                     different effective exposure
     #                                     times, ~0.1-1% in real data).
     #                                     Needs alternate_scan_direction.
+    he_airglow_level: float = 0.0       # peak He 1.083 um airglow level
+    #                                     (e-/s/px at the helium frame's
+    #                                     mean): a SECOND sky component
+    #                                     with its own spatial pattern
+    #                                     (Tables.sky_he_frame) whose
+    #                                     level falls from the peak at
+    #                                     orbit start to 0 in shadow
+    #                                     (clipped-cosine orbital shape,
+    #                                     synthetic). Real WFC3 IR
+    #                                     backgrounds carry it separately
+    #                                     from zodi/earthshine; 0 = off.
+    he_airglow_scatter: float = 0.0     # fractional per-exposure scatter
+    #                                     on the airglow level
     drift_orbit_amp_x: float = 0.0      # px: orbital-phase-locked pointing
     #                                     drift (thermal flexure repeating
     #                                     each HST orbit — the dominant
@@ -300,6 +313,8 @@ class CalibrationConfig:
     sensitivity_file: str = ""  # 2-col ASCII: wavelength, sensitivity
     flat_file: str = ""         # wavelength-dependent flat cube FITS
     sky_file: str = ""          # master-sky frame FITS
+    sky_he_file: str = ""       # He 1.083 um airglow frame FITS (STScI
+    #                             ships it as a separate sky component)
     nonlin_file: str = ""       # per-pixel non-linearity cube FITS (c1..c3)
     sequence_file: str = ""     # exact sample-sequence timing JSON
 

@@ -103,7 +103,8 @@ def make_calibrated_grism(cfg) -> Grism:
             conf_path=calib.axe_conf or None,
             sens_path=calib.sensitivity_file or None,
             flat_path=calib.flat_file or None,
-            sky_path=calib.sky_file or None)
+            sky_path=calib.sky_file or None,
+            sky_he_path=calib.sky_he_file or None)
         if calib.nonlin_file:
             tables = cal.with_loaded_nonlin(tables, calib.nonlin_file)
         grism.tables = tables

@@ -386,6 +386,18 @@ class Observation:
         if tr.sky_scatter:
             sky = sky * (1.0 + tr.sky_scatter * rng.standard_normal(n))
         sky = np.maximum(sky, 0.0)
+        # He 1.083 um airglow: a second, separately-scaled sky component
+        # (its own spatial frame, Tables.sky_he_frame). Strongly
+        # time-variable: peaks at orbit start (bright limb) and falls to
+        # ~0 in shadow (synthetic clipped-cosine shape). Drawn AFTER the
+        # sky scatter so enabling it never reshuffles existing streams.
+        sky_he = None
+        if tr.he_airglow_level:
+            he = tr.he_airglow_level * np.maximum(np.cos(orbit_phase), 0.0)
+            if tr.he_airglow_scatter:
+                he = he * (1.0 + tr.he_airglow_scatter
+                           * rng.standard_normal(n))
+            sky_he = np.maximum(he, 0.0)
 
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         bcast = lambda v: jnp.broadcast_to(f32(v), (n,) + np.shape(v)[1:])
@@ -405,6 +417,7 @@ class Observation:
             ld=jnp.broadcast_to(f32(ld), (n,) + ld.shape),
             orbit=orbit_b, trends=trends_b,
             sky_level=f32(sky),
+            sky_he_level=None if sky_he is None else f32(sky_he),
             key=keys,
             psf_scale=None if psf_scale is None else f32(psf_scale),
             spots=(None if spots is None else jax.tree_util.tree_map(

@@ -311,6 +311,12 @@ def simulate_exposure(scene: Scene, tables: Tables,
     bg_rate = jnp.zeros((S, S), dtype)
     if flags.sky:
         bg_rate = bg_rate + scene.sky_level * tables.sky_frame
+        if scene.sky_he_level is not None and tables.sky_he_frame is not None:
+            # He 1.083 um airglow: a separately-scaled second sky
+            # component (its spatial pattern differs from the
+            # zodi/earthshine continuum; its level is strongly
+            # time-variable over the orbit — trends he_airglow_*)
+            bg_rate = bg_rate + scene.sky_he_level * tables.sky_he_frame
     if flags.dark:
         bg_rate = bg_rate + tables.dark_map
     has_trap = scene.trap_mult is not None

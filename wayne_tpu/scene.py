@@ -92,6 +92,14 @@ class Scene:
     #                               sources whose spectra overlap the
     #                               target's (None = isolated target,
     #                               pytree-invisible).
+    sky_he_level: jnp.ndarray | None = None     # He 1.083 um airglow
+    #                               level (e-/s/px at the helium frame's
+    #                               mean) — the strongly time-variable
+    #                               sky component real IR background
+    #                               models carry separately from the
+    #                               zodi/earthshine continuum. Scales
+    #                               Tables.sky_he_frame; None (default)
+    #                               is pytree-invisible.
 
 
 # Scene fields that are IDENTICAL for every Monte-Carlo realisation of a
