@@ -261,6 +261,92 @@ def test_run_reduce_scan_direction_normalisation(tmp_path):
     assert abs(fw - rv) < 2.5e-3, (fw, rv)
 
 
+def test_fit_sky_model_unit():
+    """The fitted background MODEL matches the truth to well under the
+    photon noise (what matters — it is what gets subtracted; raw
+    weights of near-collinear components are allowed to trade off), and
+    the robust iteration survives an unmasked bright blob. With
+    mean-removed structure components (the CLI convention) the weights
+    themselves are recovered too."""
+    from wayne_tpu.reduction import fit_sky_model
+
+    rng = np.random.default_rng(3)
+    S = 64
+    u = np.linspace(0, 1, S)[None, :] * np.ones((S, 1))
+    comps = np.stack([np.ones((S, S)), 1.0 + 0.2 * u,
+                      1.0 - 0.3 * u * u]).astype(np.float32)
+    w_true = np.array([[120.0, 30.0, 8.0], [90.0, 45.0, 2.0]], np.float32)
+    truth = np.einsum("ek,kij->eij", w_true, comps).astype(np.float32)
+    nets = truth + rng.normal(0.0, 0.5, truth.shape).astype(np.float32)
+    # a bright unmasked artifact (CR survivor) in exposure 0
+    nets[0, 10:13, 40:43] += 5e4
+    mask = np.ones((S, S), np.float32)
+    mask[25:40, :] = 0.0                       # pretend trace rows
+    w, model = fit_sky_model(nets, comps, mask)
+    assert np.abs(np.asarray(model) - truth).max() < 0.2    # << noise 0.5
+    # mean-removed structure columns -> well-conditioned weights
+    comps_mr = comps.copy()
+    comps_mr[1] -= comps[1].mean()
+    comps_mr[2] -= comps[2].mean()
+    w_mr_true = w_true.copy()
+    w_mr_true[:, 0] = (w_true[:, 0] + w_true[:, 1] * comps[1].mean()
+                       + w_true[:, 2] * comps[2].mean())
+    w_mr, model_mr = fit_sky_model(nets, comps_mr, mask)
+    np.testing.assert_allclose(np.asarray(w_mr), w_mr_true, atol=0.6)
+    assert np.abs(np.asarray(model_mr) - truth).max() < 0.2
+
+
+def test_run_reduce_sky_fit_components(tmp_path):
+    """--sky-fit closed loop: a visit with sky + He airglow + dark on is
+    reduced with the component-frame background model; depths stay
+    unbiased and the fitted per-exposure he_airglow weights track the
+    injected clipped-cosine orbital series."""
+    import json
+
+    import yaml
+
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.run_reduce import main as reduce_main
+
+    pars = {"grism": "G141", "subarray": 128, "NSAMP": 4,
+            "SAMPSEQ": "SPARS10", "scan": True, "x_ref": 30.0,
+            "y_ref": 40.0, "num_orbits": 3, "exposures_per_orbit": 6,
+            "n_lambda": 64, "n_sub": 4, "rp_over_rs": 0.14,
+            "start_mjd": 55999.93, "t0": 56000.0, "period": 0.813475,
+            "sma_over_rs": 4.855, "inclination": 82.1, "seed": 21,
+            "sky_level": 1.5,
+            # strong airglow so the per-exposure weight fit is
+            # signal-dominated (weight sigma ~3-5 e- from the photon +
+            # read noise over the ~8k sky pixels)
+            "trends": {"he_airglow_level": 6.0}}
+    ppath = tmp_path / "pars.yml"
+    ppath.write_text(yaml.safe_dump(pars))
+    outdir = tmp_path / "visit"
+    obs = Observation(load_yaml(str(ppath)))
+    he_inj = np.asarray(obs.scenes.sky_he_level)
+    assert he_inj is not None and he_inj.max() > 5.0
+    obs.generate(str(outdir), chunk=6, progress=lambda s: None)
+
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
+                      "--n-chan", "4", "--sky-fit", "--cpu"])
+    assert rc == 0
+    rep = json.loads((outdir / "reduced.json").read_text())
+    sf = rep["sky_fit"]
+    assert sf["components"] == ["constant", "master_sky", "he_airglow",
+                                "dark"]
+    w_he = np.asarray(sf["weights_per_exposure"]["he_airglow"])
+    # fitted He electrons track the injected rate series: weight_i ~
+    # he_level_i * exptime (the airglow varies by >1 e-/s/px across the
+    # orbit, far above the fit noise)
+    exptime = float(obs.tables.read_times[-1])
+    resid = w_he - he_inj * exptime
+    assert np.abs(resid).max() < 0.15 * he_inj.max() * exptime, (
+        w_he, he_inj * exptime)
+    for c in rep["channels"]:
+        assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c
+
+
 def test_fit_eclipse_depths_unit():
     """Linear eclipse fit recovers fp exactly on a noise-free synthetic
     curve with an arbitrary baseline scale."""

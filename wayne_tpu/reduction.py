@@ -1017,6 +1017,62 @@ def out_of_transit_mask(exp_mid_s: jnp.ndarray,
     return (z > OOT_Z) | (in_front < 0.5)
 
 
+@jax.jit
+def fit_sky_model(nets_e: jnp.ndarray, comps: jnp.ndarray,
+                  sky_mask: jnp.ndarray
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-exposure LS fit of sky-component weights on sky-only pixels.
+
+    The Iraclis/aXe background treatment: instead of a per-column
+    median, fit each exposure's background as a weighted sum of
+    component FRAMES (constant + zodi/earthshine master sky + the
+    He 1.083 um airglow image + dark) on the off-trace pixels, then
+    subtract the fitted model over the WHOLE frame — extrapolating the
+    components' spatial structure into the trace rows, which a
+    row-median cannot do.
+
+    Args:
+      nets_e: (n_exp, S, S) background-inclusive net frames (electrons;
+        any common unit — the weights absorb level x exptime).
+      comps: (K, S, S) component patterns.
+      sky_mask: (S, S) 1 = sky-only pixel (0 = trace/contaminated).
+
+    Returns (weights (n_exp, K), model (n_exp, S, S)). One robust
+    iteration: pixels whose first-pass residual exceeds 5x the masked
+    MAD (cosmic-ray survivors, unmasked stars) are dropped and the fit
+    repeated. The normal equations are computed at precision=HIGHEST
+    (the smooth components are near-collinear with the constant — the
+    TPU's bf16 matmul-input rounding destroys exactly this class of
+    solve; CLAUDE.md) with a relative Tikhonov floor.
+    """
+    y = jnp.asarray(nets_e, jnp.float32)
+    n_exp, S, _ = y.shape
+    A = jnp.asarray(comps, jnp.float32).reshape(comps.shape[0], -1)
+    m0 = jnp.asarray(sky_mask, jnp.float32).ravel()
+    yf = y.reshape(n_exp, -1)
+
+    def solve(m, yi):
+        with jax.default_matmul_precision("highest"):
+            Am = A * m[None, :]
+            G = Am @ A.T
+            b = Am @ yi
+        G = G + 1e-6 * jnp.diag(jnp.diag(G)) + 1e-12 * jnp.eye(G.shape[0])
+        return jnp.linalg.solve(G, b)
+
+    def one(yi):
+        w = solve(m0, yi)
+        r = yi - w @ A
+        # masked MAD of the first-pass residuals
+        med = jnp.sum(r * m0) / jnp.maximum(jnp.sum(m0), 1.0)
+        mad = (jnp.sum(jnp.abs(r - med) * m0)
+               / jnp.maximum(jnp.sum(m0), 1.0))
+        m1 = m0 * (jnp.abs(r - med) < 5.0 * jnp.maximum(mad, 1e-3))
+        w = solve(m1, yi)
+        return w, (w @ A).reshape(S, S)
+
+    return jax.vmap(one)(yf)
+
+
 def scan_direction_factor(white: jnp.ndarray, oot: jnp.ndarray,
                           reverse: jnp.ndarray) -> jnp.ndarray:
     """Per-exposure divisor removing the upstream/downstream offset.

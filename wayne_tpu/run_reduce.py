@@ -90,7 +90,8 @@ def extract_from_files(paths: list[str], gain: float,
                        estimator: str = "cds", use_dq: bool = True,
                        extract: str = "box", read_noise_e: float = 12.0,
                        windows: tuple | None = None,
-                       nlin: dict | None = None):
+                       nlin: dict | None = None,
+                       sky_components: dict | None = None):
     """Host-side spectral extraction from ima files.
 
     ``extract='optimal'`` replaces the box sum with Horne (1986)
@@ -345,8 +346,39 @@ def extract_from_files(paths: list[str], gain: float,
                 f"(rows {y_window} of {S}) — the scan fills the frame; "
                 "pass explicit --bg-rows (with --rows/--cols)")
 
-    bg = np.median(nets[:, bg_rows[0]: bg_rows[1], :], axis=1)  # per-col sky
-    nets = nets - bg[:, None, :]
+    sky_fit = None
+    if sky_components is not None:
+        # Iraclis/aXe-style background: fit per-exposure weights of the
+        # component FRAMES (constant + master sky + He airglow + dark)
+        # on every off-trace pixel and subtract the model over the
+        # whole frame — the components' spatial structure extrapolates
+        # into the trace rows, which a row median cannot do. One
+        # robust-clip iteration protects against unmasked stars / CR
+        # survivors (reduction.fit_sky_model).
+        from wayne_tpu.reduction import fit_sky_model
+
+        gap = 12
+        mask = np.ones((S, S), np.float32)
+        mask[max(y_window[0] - gap, 0): min(y_window[1] + gap, S), :] = 0.0
+        frames = np.asarray(sky_components["frames"], np.float32)
+        w, model = fit_sky_model(jnp.asarray(nets, jnp.float32),
+                                 jnp.asarray(frames), jnp.asarray(mask))
+        w = np.asarray(w)
+        nets = nets - np.asarray(model)
+        names = list(sky_components["names"])
+        sky_fit = {
+            "components": names,
+            "mean_weights": [round(float(v), 4) for v in w.mean(axis=0)],
+            "weights_per_exposure": {
+                n: [round(float(v), 4) for v in w[:, k]]
+                for k, n in enumerate(names)},
+        }
+        print("sky-component fit: " + ", ".join(
+            f"{n}={w[:, k].mean():.3g}" for k, n in enumerate(names)))
+    else:
+        bg = np.median(nets[:, bg_rows[0]: bg_rows[1], :],
+                       axis=1)                             # per-col sky
+        nets = nets - bg[:, None, :]
     if extract == "optimal":
         from wayne_tpu.reduction import (
             optimal_extract, read_noise_var_e2, spatial_profile)
@@ -360,7 +392,7 @@ def extract_from_files(paths: list[str], gain: float,
     else:
         spectra = nets[:, y_window[0]: y_window[1], :].sum(axis=1)  # (n_exp, S)
     return (spectra, mids, (y_window, x_window, bg_rows),
-            np.asarray(scan_angs))
+            np.asarray(scan_angs), sky_fit)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -430,6 +462,14 @@ def main(argv: list[str] | None = None) -> int:
                              "channel depth fits too — survives what "
                              "the ramp model cannot represent (starspot "
                              "crossings, residual cosmic rays)")
+    parser.add_argument("--sky-fit", action="store_true",
+                        help="Iraclis/aXe-style background: fit "
+                             "per-exposure weights of the calibration "
+                             "sky COMPONENT frames (constant + master "
+                             "sky + He airglow + dark) on the off-trace "
+                             "pixels and subtract the model over the "
+                             "whole frame, instead of the per-column "
+                             "row-median; weights land in reduced.json")
     parser.add_argument("--mcmc", type=int, nargs="?", const=1500,
                         default=0, metavar="N_STEPS",
                         help="also sample posterior depths on device "
@@ -521,11 +561,31 @@ def main(argv: list[str] | None = None) -> int:
                                if cfg.noise.bias else None),
                     "gain_map": (grism.tables.gain_map
                                  if cfg.noise.gain_variations else None)}
-    spectra, mids, (yw, xw, bg), scan_angs = extract_from_files(
+    sky_components = None
+    if args.sky_fit:
+        # component frames from the same calibration set the simulation
+        # used (real-calibration YAML blocks load real frames here)
+        # Structure components are fitted MEAN-REMOVED (frame - 1): the
+        # mean-1 sky/He frames are otherwise collinear with the
+        # constant and the per-component weights degenerate (the model
+        # stays exact but the reported levels wander). With (frame - 1)
+        # columns, "constant" is the total mean background and each
+        # structure weight is exactly that component's level x exptime.
+        names = ["constant", "master_sky"]
+        frames = [np.ones((cfg.subarray, cfg.subarray), np.float32),
+                  np.asarray(grism.tables.sky_frame, np.float32) - 1.0]
+        if grism.tables.sky_he_frame is not None:
+            names.append("he_airglow")
+            frames.append(np.asarray(grism.tables.sky_he_frame,
+                                     np.float32) - 1.0)
+        names.append("dark")
+        frames.append(np.asarray(grism.tables.dark_map, np.float32))
+        sky_components = {"names": names, "frames": np.stack(frames)}
+    spectra, mids, (yw, xw, bg), scan_angs, sky_fit = extract_from_files(
         paths, gain, args.estimator, use_dq=not args.no_dq,
         extract=args.extract,
         read_noise_e=float(grism.tables.read_noise_e),
-        windows=windows, nlin=nlin)
+        windows=windows, nlin=nlin, sky_components=sky_components)
     label = "explicit" if windows is not None else "auto"
     print(f"{label} windows: rows {yw}, cols {xw}, background rows {bg}")
 
@@ -988,6 +1048,7 @@ def main(argv: list[str] | None = None) -> int:
         "nlincorr": nlin is not None,
         **({"scan_direction_offsets": scan_dir_offsets}
            if scan_dir_offsets is not None else {}),
+        **({"sky_fit": sky_fit} if sky_fit is not None else {}),
         "aligned": bool(args.align),
         **({"x_shifts_px": [round(float(s), 4) for s in shifts]}
            if shifts is not None else {}),
