@@ -66,6 +66,33 @@ def test_sharded_ensemble_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-3)
 
 
+def test_sharded_ensemble_carries_he_airglow_leaf():
+    """The optional sky_he_level Scene leaf rides MC ensembles and the
+    2D mesh like any per-exposure leaf: an ensemble with the He
+    component on yields a brighter background than one without, and
+    the sharded run matches the leaf's per-exposure series."""
+    import dataclasses
+
+    mesh = make_mesh(jax.devices())
+    n_mc, n_exp = mesh.shape["mc"], mesh.shape["exp"]
+    visit = _visit(n_exp)
+    he = jnp.linspace(2.0, 0.0, n_exp, dtype=jnp.float32)
+    visit_he = dataclasses.replace(visit, sky_he_level=he)
+    noise_off = dataclasses.replace(
+        CFG, noise=dataclasses.replace(NoiseFlags.none(), sky=True))
+    s0 = np.asarray(simulate_ensemble_spectra(
+        shard_scenes(mc_scenes(visit, n_mc, seed=7), mesh),
+        TABLES, noise_off, mesh))
+    s1 = np.asarray(simulate_ensemble_spectra(
+        shard_scenes(mc_scenes(visit_he, n_mc, seed=7), mesh),
+        TABLES, noise_off, mesh))
+    extra = (s1 - s0)[0].sum(axis=1)               # (n_exp,) extra e-
+    # linear in the per-exposure He level (noise-free): ratios match
+    assert extra[0] > 0 and extra[-1] == 0.0
+    np.testing.assert_allclose(extra / extra[0], np.asarray(he) / 2.0,
+                               atol=1e-3)
+
+
 def test_ensemble_realisations_differ_only_by_noise():
     mesh = make_mesh(jax.devices())
     n_mc, n_exp = mesh.shape["mc"], mesh.shape["exp"]
