@@ -96,16 +96,19 @@ def test_good_diff_masks_from_dq_bits():
     dq[2, 1, 1] = 256           # saturated in the last read only
     dq[:, 2, 2] = 16            # hot pixel: every read flagged
     dq[1, 3, 3] = 128           # reference pixel: NOT a bad bit
+    dq[:, 0, 3] = 4             # dead pixel: static class, every read
+    dq[:, 3, 0] = 512           # IR blob: static class, every read
     good = np.asarray(good_diff_masks_from_dq(jnp.asarray(dq)))
     # CR: only the transition interval is bad; the later diff cancels it
     assert not good[0, 0, 0] and good[1, 0, 0]
     # saturation invalidates any diff touching the saturated read
     assert good[0, 1, 1] and not good[1, 1, 1]
-    # hot: everything bad
+    # static classes (hot/dead/blob): everything bad
     assert not good[:, 2, 2].any()
+    assert not good[:, 0, 3].any() and not good[:, 3, 0].any()
     # reference bit ignored
     assert good[:, 3, 3].all() and good[:, 0, 1].all()
-    assert DQ_BAD_BITS == 8192 | 256 | 16
+    assert DQ_BAD_BITS == 8192 | 256 | 16 | 4 | 512
 
 
 def _simulate_cr_visit(seed=0, boost=30.0):

@@ -283,6 +283,12 @@ class Tables:
     gain_map: jnp.ndarray      # (S, S) e-/DN
     dark_map: jnp.ndarray      # (S, S) e-/s
     bias_map: jnp.ndarray      # (S, S) zeroth-read pedestal, e-
+    qe_map: jnp.ndarray        # (S, S) relative QE: 1 nominal, 0 dead
+    #                            (DQ 4) pixels, ~1-blob_atten inside IR
+    #                            blobs (DQ 512); multiplies the SOURCE
+    #                            response plane only — the master sky
+    #                            frame is an as-detected product that
+    #                            already carries the detector imprint
     # --- scalars ---------------------------------------------------------
     nonlin_coeffs: jnp.ndarray  # (3, S, S) per-pixel cubic planes (c1, c2, c3)
     # --- optional contaminating beams (0th / 2nd order) ------------------
@@ -357,6 +363,9 @@ def synthetic_tables(
     cr_mean_e: float = 1000.0,
     ipc_alpha: float = 0.015,
     bias_drift_e: float = 3.0,
+    dead_frac: float = 0.0,
+    n_blobs: int = 0,
+    blob_atten: float = 0.12,
     dtype=jnp.float32,
 ) -> Tables:
     """Build a complete synthetic Tables pytree.
@@ -364,6 +373,15 @@ def synthetic_tables(
     All pixel-level structure (flat, gain, dark maps) is generated from a
     fixed-seed NumPy RNG so the calibration is deterministic across runs —
     it plays the role of the reference's on-disk FITS products.
+
+    ``dead_frac`` / ``n_blobs`` populate the relative-QE plane with the
+    two static WFC3 IR defect classes beyond hot pixels: dead pixels
+    (zero response, DQ bit 4) and IR blobs — circular patches of reduced
+    throughput from particulates on the Channel Select Mechanism mirror
+    (WFC3 ISR 2010-06; flagged DQ 512 in real pipelines and excluded
+    from extraction). Both default OFF (``qe_map`` = ones). The defect
+    RNG stream is independent of the other detector planes, so enabling
+    them leaves the flat/gain/dark structure bit-identical.
     """
     if grism not in _GRISM_DEFAULTS:
         raise ValueError(f"unknown grism {grism!r}; have {GRISM_NAMES}")
@@ -447,6 +465,24 @@ def synthetic_tables(
         active[:, :b] = 0.0
         active[:, -b:] = 0.0
 
+    # Relative-QE defect plane: dead pixels + IR blobs (docstring above).
+    # Separate fixed-seed stream: toggling defects must not re-deal the
+    # flat/gain/dark draws that the oracle-diff tests pin.
+    qe = np.ones((S, S), np.float64)
+    if dead_frac > 0.0 or n_blobs > 0:
+        rng_qe = np.random.RandomState(calib_seed + 101)
+        if dead_frac > 0.0:
+            qe[rng_qe.rand(S, S) < dead_frac] = 0.0
+        for _ in range(int(n_blobs)):
+            cx, cy = rng_qe.uniform(0.08 * S, 0.92 * S, 2)
+            radius = rng_qe.uniform(3.0, max(6.0, S / 30.0))
+            depth = blob_atten * rng_qe.uniform(0.6, 1.0)
+            r2 = ((xx - cx) ** 2 + (yy - cy) ** 2) / radius ** 2
+            # Flat-cored, sharp-edged dip (real blobs are round with
+            # fairly uniform cores and soft ~few-px edges).
+            qe *= 1.0 - depth * np.exp(-r2 ** 2)
+        qe = np.clip(qe, 0.0, None)
+
     read_times = sample_sequence_times(samp_seq, nsamp, subarray)
 
     f = lambda a: jnp.asarray(a, dtype=dtype)
@@ -459,6 +495,7 @@ def synthetic_tables(
         sky_he_frame=f(sky_he), active_mask=f(active),
         gain_map=f(gain_map),
         dark_map=f(dark_map), bias_map=f(bias_map),
+        qe_map=f(qe),
         nonlin_coeffs=f(nonlin_coeffs),
         beam0_dx=f(g["beam0_dx"]), beam0_rel=f(g["beam0_rel"]),
         beam2_rel=f(g["beam2_rel"]),
@@ -671,6 +708,34 @@ def with_loaded_nonlin(tables: Tables, path: str) -> Tables:
     return dataclasses.replace(
         tables, nonlin_coeffs=jnp.asarray(
             load_nonlin_cube_fits(path, subarray), tables.nonlin_coeffs.dtype))
+
+
+def with_loaded_qe(tables: Tables, path: str) -> Tables:
+    """Override the synthetic relative-QE defect plane with a real one.
+
+    Accepts either a float plane (relative QE: 1 nominal, 0 dead,
+    fractional inside blobs) or an integer DQ-bit plane like the STScI
+    bad-pixel tables (bit 4 = dead -> QE 0; bit 512 = blob -> QE 0.88,
+    the synthetic default attenuation — real blob depths are not
+    published per blob, only the mask is). Full-frame planes are cut to
+    the subarray like every other calibration product.
+    """
+    from wayne_tpu.io.fits import read_fits
+
+    hdus = read_fits(path)
+    plane = next(d for _, d in hdus if d is not None and d.ndim == 2)
+    plane = np.asarray(plane)
+    if np.issubdtype(plane.dtype, np.integer):
+        bits = plane.astype(np.int64)
+        qe = np.ones(plane.shape, np.float64)
+        qe[(bits & 512) != 0] = 0.88
+        qe[(bits & 4) != 0] = 0.0
+    else:
+        qe = np.clip(np.asarray(plane, np.float64), 0.0, None)
+    subarray = tables.flat_coeffs.shape[-1]
+    qe = _subarray_cutout(qe, subarray)
+    return dataclasses.replace(
+        tables, qe_map=jnp.asarray(qe, tables.qe_map.dtype))
 
 
 def with_loaded_grism(tables: Tables, conf_path: str | None = None,

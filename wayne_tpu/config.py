@@ -316,6 +316,8 @@ class CalibrationConfig:
     sky_he_file: str = ""       # He 1.083 um airglow frame FITS (STScI
     #                             ships it as a separate sky component)
     nonlin_file: str = ""       # per-pixel non-linearity cube FITS (c1..c3)
+    qe_file: str = ""           # relative-QE / bad-pixel plane FITS (float
+    #                             QE plane, or int DQ bits 4=dead 512=blob)
     sequence_file: str = ""     # exact sample-sequence timing JSON
 
     def any_set(self) -> bool:
@@ -348,6 +350,10 @@ class ObservationConfig:
     seed: int = 0
     sky_level: float = 1.2              # mean sky rate through grism (e-/s/px)
     cosmic_rate: float = 11.0           # CR events / s / cm^2
+    dead_pixel_frac: float = 0.0        # synthetic dead-pixel (DQ 4) fraction
+    n_blobs: int = 0                    # synthetic IR blobs (DQ 512) in the
+    #                                     subarray (calibration.synthetic_tables)
+    blob_attenuation: float = 0.12      # peak blob throughput loss
     star: StarConfig = field(default_factory=StarConfig)
     planet: PlanetConfig = field(default_factory=PlanetConfig)
     trends: TrendConfig = field(default_factory=TrendConfig)
@@ -518,6 +524,9 @@ _REF_KEY_ALIASES: dict[str, tuple[str | None, str]] = {
     "sky_rate": (None, "sky_level"),
     "sky_level": (None, "sky_level"),
     "cosmic_rate": (None, "cosmic_rate"),
+    "dead_pixel_frac": (None, "dead_pixel_frac"),
+    "n_blobs": (None, "n_blobs"),
+    "blob_attenuation": (None, "blob_attenuation"),
     "outdir": (None, "outdir"),
     "save_location": (None, "outdir"),
     # star block

@@ -198,23 +198,35 @@ DQ_COSMIC_RAY = 8192   # WFC3 DQ bit for cosmic-ray hits
 DQ_SATURATED = 256     # WFC3 DQ bit for full-well saturation
 DQ_HOT_PIXEL = 16      # WFC3 DQ bit for hot pixels
 DQ_REF_PIXEL = 128     # WFC3 IR DQ bit for (bad) reference pixels
+DQ_DEAD = 4            # WFC3 DQ bit for dead / bad detector pixels
+DQ_BLOB = 512          # WFC3 IR DQ bit for blobs (CSM-mirror particulates)
 
 
 def static_dq_plane(dark_map: np.ndarray, active_mask: np.ndarray,
+                    qe_map: np.ndarray | None = None,
                     hot_threshold_e_s: float = 0.4) -> np.ndarray:
-    """Static detector DQ mask: hot pixels (bit 16) + reference pixels
-    (bit 128, full-frame border). Applied to every read — these are
-    calibration-known detector properties, like the bad-pixel tables
-    calwf3 folds into real ima DQ planes.
+    """Static detector DQ mask: hot pixels (bit 16), reference pixels
+    (bit 128, full-frame border), dead pixels (bit 4) and IR blobs
+    (bit 512) from the relative-QE plane. Applied to every read — these
+    are calibration-known detector properties, like the bad-pixel
+    tables calwf3 folds into real ima DQ planes.
 
     The synthetic calibration plants hot pixels at 20-200x the nominal
     dark rate (calibration.synthetic_tables); the 0.4 e-/s threshold
     sits an order of magnitude above the normal-pixel distribution.
+    Dead = QE < 5%; blob = QE < 98% and not dead (nominal pixels sit at
+    exactly 1 in both the synthetic and loaded QE planes).
     """
     dq = np.where(np.asarray(dark_map) > hot_threshold_e_s,
                   DQ_HOT_PIXEL, 0).astype(np.int16)
-    dq |= np.where(np.asarray(active_mask) < 0.5, DQ_REF_PIXEL, 0
-                   ).astype(np.int16)
+    active = np.asarray(active_mask) >= 0.5
+    dq |= np.where(~active, DQ_REF_PIXEL, 0).astype(np.int16)
+    if qe_map is not None:
+        qe = np.asarray(qe_map)
+        dead = active & (qe < 0.05)
+        dq |= np.where(dead, DQ_DEAD, 0).astype(np.int16)
+        dq |= np.where(active & (qe < 0.98) & ~dead, DQ_BLOB, 0
+                       ).astype(np.int16)
     return dq
 
 

@@ -96,7 +96,10 @@ def make_calibrated_grism(cfg) -> Grism:
     calib = cfg.calibration
     grism = make_grism(cfg.grism, subarray=cfg.subarray,
                        n_lambda=cfg.n_lambda, samp_seq=cfg.samp_seq,
-                       nsamp=cfg.nsamp)
+                       nsamp=cfg.nsamp,
+                       dead_frac=getattr(cfg, "dead_pixel_frac", 0.0),
+                       n_blobs=getattr(cfg, "n_blobs", 0),
+                       blob_atten=getattr(cfg, "blob_attenuation", 0.12))
     if calib.any_set():
         tables = cal.with_loaded_grism(
             grism.tables,
@@ -107,5 +110,7 @@ def make_calibrated_grism(cfg) -> Grism:
             sky_he_path=calib.sky_he_file or None)
         if calib.nonlin_file:
             tables = cal.with_loaded_nonlin(tables, calib.nonlin_file)
+        if calib.qe_file:
+            tables = cal.with_loaded_qe(tables, calib.qe_file)
         grism.tables = tables
     return grism

@@ -683,7 +683,7 @@ class Observation:
             saturated_frac=np.asarray(res.saturated_frac))
 
     def _detector_planes(self):
-        """Calibration-known detector DQ (hot + reference pixels) and
+        """Calibration-known detector DQ (hot/dead/blob/reference px) and
         the bias/gain planes the default ERR model propagates through
         (per-pixel maps when the corresponding noise flag wrote that
         structure into SCI; docs/API.md 'ERR model'). Cached — shared
@@ -694,7 +694,8 @@ class Observation:
 
             self._static_dq = static_dq_plane(
                 np.asarray(self.tables.dark_map),
-                np.asarray(self.tables.active_mask))
+                np.asarray(self.tables.active_mask),
+                np.asarray(self.tables.qe_map))
             if not self._static_dq.any():
                 self._static_dq = None
             self._bias_pedestal_e = (

@@ -305,6 +305,12 @@ def simulate_exposure(scene: Scene, tables: Tables,
     # reference-pixel mask (outer 5 px of the full frame are blind).
     flatp = flat_plane(tables, tp) if flags.flat else None
     response = tables.active_mask if flatp is None else flatp * tables.active_mask
+    # Static QE defects (dead pixels, IR blobs — calibration.Tables.qe_map):
+    # attenuate the SOURCE photon response only. The master sky frame is an
+    # as-detected product (carries the detector imprint already) and dark
+    # current is generated inside the pixel, not behind the optics. ones()
+    # by default — XLA folds the multiply into the same fusion for free.
+    response = response * tables.qe_map
     gain_div = tables.gain_map if flags.gain_variations else tables.gain
     read_times = tables.read_times                           # (NR,)
 

@@ -210,6 +210,14 @@ def simulate_ensemble_spectra(scenes: Scene, tables: Tables,
     the per-pixel cubic non-linearity before extraction when the run
     simulates it (calwf3 NLINCORR; no-op with non_linearity off) —
     spectra come back in linearized ELECTRONS instead of DN then.
+
+    Static QE defects (dead pixels / IR blobs on Tables.qe_map) need no
+    repair HERE by construction: a static defect is a fixed per-column
+    attenuation of every exposure alike, so it cancels exactly in the
+    normalised light curves / depth ratios downstream (like the static
+    flat and gain structure — reduction.py "ratios" note). The
+    file-level reducer (run_reduce) still excludes/repairs them via the
+    DQ planes for users consuming absolute spectra.
     """
     nlincorr = nlincorr and cfg.noise.non_linearity
     # key on the FULL tree structure + leaf ranks (CLAUDE.md cache

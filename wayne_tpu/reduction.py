@@ -62,13 +62,17 @@ class ReducedVisit:
 
 
 # DQ bits consumed by the repair (io.ima conventions): cosmic ray
-# (8192), saturation (256), hot pixel (16). Reference pixels (128) are
-# excluded from the REPAIR on purpose — they carry no signal and sit
-# outside every extraction window — but ref_pixel_correct consumes them
-# as the per-read bias monitor (the calwf3 BLEVCORR role).
+# (8192), saturation (256), and the static classes — hot pixel (16),
+# dead pixel (4), IR blob (512) — whose every interval is bad.
+# Reference pixels (128) are excluded from the REPAIR on purpose — they
+# carry no signal and sit outside every extraction window — but
+# ref_pixel_correct consumes them as the per-read bias monitor (the
+# calwf3 BLEVCORR role).
 DQ_COSMIC_RAY, DQ_SATURATED, DQ_HOT_PIXEL = 8192, 256, 16
 DQ_REF_PIXEL = 128
-DQ_BAD_BITS = DQ_COSMIC_RAY | DQ_SATURATED | DQ_HOT_PIXEL
+DQ_DEAD, DQ_BLOB = 4, 512
+DQ_STATIC_BAD = DQ_HOT_PIXEL | DQ_DEAD | DQ_BLOB
+DQ_BAD_BITS = DQ_COSMIC_RAY | DQ_SATURATED | DQ_STATIC_BAD
 
 
 def cr_bad_diff_masks(cr_pos: jnp.ndarray, cr_count: jnp.ndarray,
@@ -103,7 +107,9 @@ def good_diff_masks_from_dq(dq: jnp.ndarray) -> jnp.ndarray:
         cumulative convention — negligible at physical CR rates.)
       - saturation (256): a read pinned at full well measures nothing;
         any diff touching a saturated read is bad.
-      - hot pixels (16, static): every diff is bad (dark-dominated).
+      - static classes (hot 16, dead 4, blob 512): every diff is bad
+        (dark-dominated, zero-response, or attenuated by an amount the
+        calibration only bounds — real pipelines exclude all three).
 
     Args:
       dq: (..., NR, S, S) int DQ planes in time order (read_ima).
@@ -113,8 +119,8 @@ def good_diff_masks_from_dq(dq: jnp.ndarray) -> jnp.ndarray:
     a, b = dq[..., :-1, :, :], dq[..., 1:, :, :]
     cr_bad = ((a & DQ_COSMIC_RAY) != 0) ^ ((b & DQ_COSMIC_RAY) != 0)
     sat_bad = ((a | b) & DQ_SATURATED) != 0
-    hot_bad = ((a | b) & DQ_HOT_PIXEL) != 0
-    return ~(cr_bad | sat_bad | hot_bad)
+    static_bad = ((a | b) & DQ_STATIC_BAD) != 0
+    return ~(cr_bad | sat_bad | static_bad)
 
 
 def ref_pixel_correct(reads: jnp.ndarray, ref_mask: jnp.ndarray,
