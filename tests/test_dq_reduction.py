@@ -108,7 +108,7 @@ def test_good_diff_masks_from_dq_bits():
     assert not good[:, 0, 3].any() and not good[:, 3, 0].any()
     # reference bit ignored
     assert good[:, 3, 3].all() and good[:, 0, 1].all()
-    assert DQ_BAD_BITS == 8192 | 256 | 16 | 4 | 512
+    assert DQ_BAD_BITS == 8192 | 256 | 16 | 4 | 512 | 32
 
 
 def _simulate_cr_visit(seed=0, boost=30.0):

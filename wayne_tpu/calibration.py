@@ -316,6 +316,15 @@ class Tables:
     #                            fit its scale per exposure). Scaled by
     #                            the optional Scene.sky_he_level leaf;
     #                            None = component absent.
+    rts_amp: jnp.ndarray | None = None  # (S, S) unstable-pixel (RTS /
+    #                            popcorn) toggle amplitude: each exposure
+    #                            the source response of an unstable pixel
+    #                            is scaled by (1 +- rts_amp), state drawn
+    #                            from the exposure key (DQ 32; unlike the
+    #                            static classes this does NOT cancel in
+    #                            light-curve ratios). None = population
+    #                            absent (pytree-invisible, zero hot-path
+    #                            cost).
 
 
 def subarray_corner(subarray: int) -> tuple[int, int]:
@@ -366,6 +375,8 @@ def synthetic_tables(
     dead_frac: float = 0.0,
     n_blobs: int = 0,
     blob_atten: float = 0.12,
+    rts_frac: float = 0.0,
+    rts_amplitude: float = 0.08,
     dtype=jnp.float32,
 ) -> Tables:
     """Build a complete synthetic Tables pytree.
@@ -483,6 +494,15 @@ def synthetic_tables(
             qe *= 1.0 - depth * np.exp(-r2 ** 2)
         qe = np.clip(qe, 0.0, None)
 
+    # Unstable (RTS) pixel population: per-pixel toggle amplitudes, own
+    # fixed-seed stream (same independence rule as the QE defects).
+    rts = None
+    if rts_frac > 0.0:
+        rng_rts = np.random.RandomState(calib_seed + 211)
+        rts = np.where(rng_rts.rand(S, S) < rts_frac,
+                       rts_amplitude * rng_rts.uniform(0.25, 1.0, (S, S)),
+                       0.0)
+
     read_times = sample_sequence_times(samp_seq, nsamp, subarray)
 
     f = lambda a: jnp.asarray(a, dtype=dtype)
@@ -514,6 +534,7 @@ def synthetic_tables(
         # pixels / autocorrelation; McCullough 2008, WFC3 ISR 2008-26).
         # Beyond the reference, which does not model IPC.
         ipc_alpha=f(ipc_alpha),
+        rts_amp=None if rts is None else f(rts),
         subarray_corner=f(np.asarray(subarray_corner(subarray), dtype=np.float64)),
     )
 

@@ -354,6 +354,11 @@ class ObservationConfig:
     n_blobs: int = 0                    # synthetic IR blobs (DQ 512) in the
     #                                     subarray (calibration.synthetic_tables)
     blob_attenuation: float = 0.12      # peak blob throughput loss
+    unstable_pixel_frac: float = 0.0    # unstable RTS pixels (DQ 32): the
+    #                                     response toggles (1 +- amp) per
+    #                                     exposure — does NOT cancel in
+    #                                     light-curve ratios
+    rts_amplitude: float = 0.08         # max RTS toggle amplitude
     star: StarConfig = field(default_factory=StarConfig)
     planet: PlanetConfig = field(default_factory=PlanetConfig)
     trends: TrendConfig = field(default_factory=TrendConfig)
@@ -527,6 +532,8 @@ _REF_KEY_ALIASES: dict[str, tuple[str | None, str]] = {
     "dead_pixel_frac": (None, "dead_pixel_frac"),
     "n_blobs": (None, "n_blobs"),
     "blob_attenuation": (None, "blob_attenuation"),
+    "unstable_pixel_frac": (None, "unstable_pixel_frac"),
+    "rts_amplitude": (None, "rts_amplitude"),
     "outdir": (None, "outdir"),
     "save_location": (None, "outdir"),
     # star block

@@ -200,14 +200,17 @@ DQ_HOT_PIXEL = 16      # WFC3 DQ bit for hot pixels
 DQ_REF_PIXEL = 128     # WFC3 IR DQ bit for (bad) reference pixels
 DQ_DEAD = 4            # WFC3 DQ bit for dead / bad detector pixels
 DQ_BLOB = 512          # WFC3 IR DQ bit for blobs (CSM-mirror particulates)
+DQ_UNSTABLE = 32       # WFC3 IR DQ bit for unstable (RTS/popcorn) pixels
 
 
 def static_dq_plane(dark_map: np.ndarray, active_mask: np.ndarray,
                     qe_map: np.ndarray | None = None,
-                    hot_threshold_e_s: float = 0.4) -> np.ndarray:
+                    hot_threshold_e_s: float = 0.4,
+                    rts_amp: np.ndarray | None = None) -> np.ndarray:
     """Static detector DQ mask: hot pixels (bit 16), reference pixels
-    (bit 128, full-frame border), dead pixels (bit 4) and IR blobs
-    (bit 512) from the relative-QE plane. Applied to every read — these
+    (bit 128, full-frame border), dead pixels (bit 4), IR blobs
+    (bit 512) from the relative-QE plane, and unstable RTS pixels
+    (bit 32, from Tables.rts_amp). Applied to every read — these
     are calibration-known detector properties, like the bad-pixel
     tables calwf3 folds into real ima DQ planes.
 
@@ -226,6 +229,9 @@ def static_dq_plane(dark_map: np.ndarray, active_mask: np.ndarray,
         dead = active & (qe < 0.05)
         dq |= np.where(dead, DQ_DEAD, 0).astype(np.int16)
         dq |= np.where(active & (qe < 0.98) & ~dead, DQ_BLOB, 0
+                       ).astype(np.int16)
+    if rts_amp is not None:
+        dq |= np.where(active & (np.asarray(rts_amp) > 0), DQ_UNSTABLE, 0
                        ).astype(np.int16)
     return dq
 

@@ -99,7 +99,9 @@ def make_calibrated_grism(cfg) -> Grism:
                        nsamp=cfg.nsamp,
                        dead_frac=getattr(cfg, "dead_pixel_frac", 0.0),
                        n_blobs=getattr(cfg, "n_blobs", 0),
-                       blob_atten=getattr(cfg, "blob_attenuation", 0.12))
+                       blob_atten=getattr(cfg, "blob_attenuation", 0.12),
+                       rts_frac=getattr(cfg, "unstable_pixel_frac", 0.0),
+                       rts_amplitude=getattr(cfg, "rts_amplitude", 0.08))
     if calib.any_set():
         tables = cal.with_loaded_grism(
             grism.tables,

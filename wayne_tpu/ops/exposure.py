@@ -311,6 +311,17 @@ def simulate_exposure(scene: Scene, tables: Tables,
     # current is generated inside the pixel, not behind the optics. ones()
     # by default — XLA folds the multiply into the same fusion for free.
     response = response * tables.qe_map
+    if tables.rts_amp is not None:
+        # Unstable (RTS) pixels: one high/low state per exposure per
+        # pixel, a pure function of the exposure key (fold_in constant
+        # 1321 — its own branch of the counter-based stream, so adding
+        # the population never re-deals any other noise draw). Gated by
+        # pytree STRUCTURE (None = absent): default programs compile
+        # without the draw entirely.
+        st = jax.random.bernoulli(
+            jax.random.fold_in(scene.key, 1321), 0.5, response.shape)
+        response = response * (1.0 + tables.rts_amp
+                               * jnp.where(st, 1.0, -1.0).astype(dtype))
     gain_div = tables.gain_map if flags.gain_variations else tables.gain
     read_times = tables.read_times                           # (NR,)
 

@@ -63,15 +63,16 @@ class ReducedVisit:
 
 # DQ bits consumed by the repair (io.ima conventions): cosmic ray
 # (8192), saturation (256), and the static classes — hot pixel (16),
-# dead pixel (4), IR blob (512) — whose every interval is bad.
+# dead pixel (4), IR blob (512), unstable pixel (32) — whose every
+# interval is bad.
 # Reference pixels (128) are excluded from the REPAIR on purpose — they
 # carry no signal and sit outside every extraction window — but
 # ref_pixel_correct consumes them as the per-read bias monitor (the
 # calwf3 BLEVCORR role).
 DQ_COSMIC_RAY, DQ_SATURATED, DQ_HOT_PIXEL = 8192, 256, 16
 DQ_REF_PIXEL = 128
-DQ_DEAD, DQ_BLOB = 4, 512
-DQ_STATIC_BAD = DQ_HOT_PIXEL | DQ_DEAD | DQ_BLOB
+DQ_DEAD, DQ_BLOB, DQ_UNSTABLE = 4, 512, 32
+DQ_STATIC_BAD = DQ_HOT_PIXEL | DQ_DEAD | DQ_BLOB | DQ_UNSTABLE
 DQ_BAD_BITS = DQ_COSMIC_RAY | DQ_SATURATED | DQ_STATIC_BAD
 
 
@@ -107,9 +108,10 @@ def good_diff_masks_from_dq(dq: jnp.ndarray) -> jnp.ndarray:
         cumulative convention — negligible at physical CR rates.)
       - saturation (256): a read pinned at full well measures nothing;
         any diff touching a saturated read is bad.
-      - static classes (hot 16, dead 4, blob 512): every diff is bad
-        (dark-dominated, zero-response, or attenuated by an amount the
-        calibration only bounds — real pipelines exclude all three).
+      - static classes (hot 16, dead 4, blob 512, unstable 32): every
+        diff is bad (dark-dominated, zero-response, attenuated by an
+        amount the calibration only bounds, or toggling between levels
+        — real pipelines exclude all four).
 
     Args:
       dq: (..., NR, S, S) int DQ planes in time order (read_ima).
