@@ -167,8 +167,10 @@ def test_run_reduce_cli_optimal(tmp_path):
         assert rep["extraction"] == mode
         for c in rep["channels"]:
             # sigma cap FIRST: a sigma-scaled tolerance alone lets a
-            # noise-only fit (sigma ~ 1e7) pass trivially
-            assert c["rp_sigma"] < 0.06, (mode, c)
+            # noise-only fit (sigma ~ 1e7) pass trivially (0.1: the
+            # faint bluest channel reports ~0.065 now that fit_depths
+            # carries the OOT-baseline + red-noise terms)
+            assert c["rp_sigma"] < 0.1, (mode, c)
             assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"],
                                                      0.01), (mode, c)
         sig[mode] = np.mean([c["rp_sigma"] for c in rep["channels"]])

@@ -31,6 +31,21 @@ charge-trap ramp (ops/recte.py trap maps attached to the Scenes) and
 reduces with the same joint ramp fit — the physically-generated
 systematic must detrend out just like the parametric one.
 
+Every depth-fitting ensemble additionally gates ERROR-BAR CALIBRATION:
+the pipeline's reported per-channel sigma against the realised ensemble
+scatter. Complete-model paths (main, eclipse, phase curve) gate the
+ratio two-sided into [0.7, 1.5] plus a 68% empirical-coverage
+cross-check; detrended paths whose sigma legitimately includes
+unmodelled-systematic residual power (divide-white under SSV+drift,
+parametric/RECTE ramp fits, staring, scan-direction) gate
+OVERCONFIDENCE only (ratio <= 1.5) — conservative is correct there.
+This is the uncertainty half of "recover within error bars": bias
+gates alone pass with arbitrarily wrong sigmas. fit_depths carries the
+OOT-normalisation variance term and the Pont+2006 red-noise beta
+scaling this validated (reduction.fit_depths ``baseline_var`` /
+``red_noise``); tests/test_sigma_calibration.py holds the estimators
+at unit scale.
+
 Usage: python tools/validate_recovery.py [--n-mc 32] [--cpu]
 """
 
@@ -64,7 +79,8 @@ def main() -> None:
     from wayne_tpu.config import ExposureStatic, NoiseFlags
     from wayne_tpu.ops.exposure import simulate_exposure
     from wayne_tpu.reduction import (
-        common_mode_correct, cr_bad_diff_masks, fit_depths, fit_white_ramp,
+        cr_bad_diff_masks, divide_white_fit_depths, fit_depths,
+        fit_white_ramp,
         ramp_detrend, reduce_visit)
     from wayne_tpu.scene import example_scene
 
@@ -156,22 +172,22 @@ def main() -> None:
                 # frames are identical by construction; simulating them
                 # twice doubled the ensemble wall-clock and the flaky-
                 # compile count)
-                chan_dw = common_mode_correct(red.white_lc, chan, mid,
-                                              base.orbit, base.ld,
-                                              jnp.float32(0.155))
-                rp_dw, _ = fit_depths(chan_dw, mid, base.orbit,
-                                      base.ld, jnp.float32(0.155))
+                rp_dw, sig_dw = divide_white_fit_depths(
+                    red.white_lc, chan, mid, base.orbit, base.ld,
+                    jnp.float32(0.155))
                 wfit = fit_white_ramp(red.white_lc, mid, base.orbit,
                                       base.ld, jnp.float32(0.155))
                 chan_rd = ramp_detrend(chan, wfit, mid, base.orbit)
-                rp_rd, _ = fit_depths(chan_rd, mid, base.orbit,
-                                      base.ld, jnp.float32(0.155))
-                return rp_dw, rp_rd, red.channel_cols, wfit.rp
+                rp_rd, sig_rd = fit_depths(chan_rd, mid, base.orbit,
+                                           base.ld, jnp.float32(0.155))
+                return (rp_dw, sig_dw, rp_rd, sig_rd,
+                        red.channel_cols, wfit.rp)
             white_rp = jnp.float32(jnp.nan)
             if detrend == "divide-white":
-                chan = common_mode_correct(red.white_lc, chan, mid,
-                                           base.orbit, base.ld,
-                                           jnp.float32(0.155))
+                rp_hat, rp_sig = divide_white_fit_depths(
+                    red.white_lc, chan, mid, base.orbit, base.ld,
+                    jnp.float32(0.155))
+                return rp_hat, rp_sig, red.channel_cols, white_rp
             elif detrend == "ramp":
                 wfit = fit_white_ramp(red.white_lc, mid, base.orbit,
                                       base.ld, jnp.float32(0.155))
@@ -218,6 +234,39 @@ def main() -> None:
     reduction_sys = rp_ref - rp_true
     ok_sys = bool(np.all(np.abs(reduction_sys) < 3e-3))
 
+    # --- error-bar calibration (per channel) ---------------------------
+    # The pipeline's REPORTED sigma must match the REALISED ensemble
+    # scatter channel by channel, or every downstream consumer of
+    # rp_sigma is mis-calibrated. fit_depths' sigma includes the
+    # OOT-baseline-normalisation term (reduction.fit_depths
+    # baseline_var) — validated here end-to-end through the full noise
+    # chain. NOTE channel 8 (the reddest) is intrinsically ~6x noisier
+    # than its siblings: it straddles the G141 red sensitivity cutoff
+    # (only ~10 of 29 lambda bins carry flux, 23-54x less channel flux,
+    # while read+sky noise per column is constant), so its scatter AND
+    # its reported sigma are both large — the RATIO is what must be ~1.
+    # Two gate shapes (docs/REDUCTION.md "Error-bar calibration"):
+    # - complete-model paths (main, eclipse, phase): two-sided
+    #   [0.7, 1.5] — the sigma must MATCH the scatter;
+    # - detrended paths with unmodelled residual structure (divide-white
+    #   under SSV+drift, parametric/RECTE ramp fits, narrow-window
+    #   staring, per-direction normalisation): sigma legitimately
+    #   includes constant systematic-residual power (the chi2-inflation
+    #   convention) and is therefore deliberately CONSERVATIVE — gate
+    #   overconfidence only (ratio <= 1.5), never "too safe".
+    def sigma_calibration(scat, sig_mean, n, lo=0.7, hi=1.5):
+        ratio = scat / np.maximum(sig_mean, 1e-12)
+        return ([round(float(v), 3) for v in np.atleast_1d(ratio)],
+                bool(np.all((ratio >= lo) & (ratio <= hi))))
+
+    sigma_chan = rp_sigs.mean(axis=0)
+    cal_ratio, ok_sigma_cal = sigma_calibration(scatter, sigma_chan,
+                                                args.n_mc)
+    # empirical 68% coverage of |rp - noise-free ref| by the reported
+    # per-realisation sigma (informational cross-check on the ratio)
+    coverage = float(np.mean(np.abs(rp_hats - rp_ref[None, :]) < rp_sigs))
+    ok_coverage = bool(0.55 <= coverage <= 0.80)
+
     # --- systematics-on ensemble, reduced like a real pipeline ---------
     # Full time-domain systematics (sinusoidal + random-walk SSV, orbit
     # hook, visit slope) plus the noise chain; the reduction divides the
@@ -234,7 +283,11 @@ def main() -> None:
         # no-bias gates below prove it does (tests/test_bias_drift.py
         # holds the same at unit scale)
         bias_drift=True)
-    n_sys = max(args.n_mc // 2, 8)
+    # full n_mc (not n_mc//2): the per-channel sigma-calibration ratio
+    # gates need the scatter estimated to ~13% (SE = 1/sqrt(2(n-1))),
+    # or a perfectly calibrated channel trips the [0.7, 1.5] bound by
+    # chance; loop count only — no recompiles.
+    n_sys = max(args.n_mc, 8)
     # ONE simulate+reduce pass per realisation feeds both reductions
     # (divide-white AND the Iraclis-style parametric ramp fit): the
     # frames are identical by construction, so simulating them per
@@ -254,11 +307,13 @@ def main() -> None:
     clean_out = [run_clean(m) for m in range(n_sys)]
     wall_sys = time.time() - t0
     rp_sys = np.stack([np.asarray(o[0]) for o in sys_out])
-    rp_ramp = np.stack([np.asarray(o[1]) for o in sys_out])
-    white_ramp = np.array([float(o[3]) for o in sys_out])
+    sig_sys = np.stack([np.asarray(o[1]) for o in sys_out])
+    rp_ramp = np.stack([np.asarray(o[2]) for o in sys_out])
+    sig_ramp_ch = np.stack([np.asarray(o[3]) for o in sys_out])
+    white_ramp = np.array([float(o[5]) for o in sys_out])
     rp_clean = np.stack([np.asarray(o[0]) for o in clean_out])
-    rp_ramp_clean = np.stack([np.asarray(o[1]) for o in clean_out])
-    white_ramp_clean = np.array([float(o[3]) for o in clean_out])
+    rp_ramp_clean = np.stack([np.asarray(o[2]) for o in clean_out])
+    white_ramp_clean = np.array([float(o[5]) for o in clean_out])
     wall_ramp = wall_sys      # shared pass: one simulation, two reductions
     dev = rp_sys - rp_clean                  # noise effect, walk held fixed
     mean_sys = rp_sys.mean(axis=0)
@@ -275,6 +330,14 @@ def main() -> None:
                                 < np.maximum(3.0 * sem_ramp, 1e-4)))
     resid_ramp = rp_ramp_clean.mean(axis=0) - rp_true
     ok_ramp_resid = bool(np.all(np.abs(resid_ramp) < 3e-3))
+    # sigma calibration on the paired noise deviations (the clean run
+    # shares realisation m's RW-SSV draw, so dev isolates exactly the
+    # stochastic scatter the reported sigma claims to measure)
+    cal_ratio_sys, ok_sigma_sys = sigma_calibration(
+        dev.std(axis=0, ddof=1), sig_sys.mean(axis=0), n_sys, lo=0.0)
+    cal_ratio_ramp, ok_sigma_ramp = sigma_calibration(
+        dev_ramp.std(axis=0, ddof=1), sig_ramp_ch.mean(axis=0), n_sys,
+        lo=0.0)
     # absolute white depth: within the channel-depth envelope of the
     # flux-weighted injected value (rp_true's mean is a fair proxy)
     white_err = abs(float(white_ramp.mean()) - float(rp_true.mean()))
@@ -325,7 +388,7 @@ def main() -> None:
     rp_drift_al, shifts_fit = make_run_drift(clean_drift, True)(0)
     rp_drift_al = np.asarray(rp_drift_al)
     shifts_fit = np.asarray(shifts_fit)
-    n_drift = max(args.n_mc // 2, 8)
+    n_drift = max(args.n_mc // 2, 8)   # not sigma-gated (see below)
     run_drift = make_run_drift(cfg, True)
     t0 = time.time()
     rp_drifts = np.stack(
@@ -370,11 +433,12 @@ def main() -> None:
         base_visit=visit_recte)(0)
     rp_recte_ref = np.asarray(out_recte_ref[0])
     white_recte_ref = float(out_recte_ref[3])
-    n_recte = max(args.n_mc // 2, 8)
+    n_recte = max(args.n_mc, 8)
     t0 = time.time()
     recte_out = [run_recte(m) for m in range(n_recte)]
     wall_recte = time.time() - t0
     rp_rectes = np.stack([np.asarray(o[0]) for o in recte_out])
+    sig_rectes = np.stack([np.asarray(o[1]) for o in recte_out])
     white_rectes = np.array([float(o[3]) for o in recte_out])
     bias_recte = rp_rectes.mean(axis=0) - rp_recte_ref
     sem_recte = rp_rectes.std(axis=0, ddof=1) / np.sqrt(n_recte)
@@ -391,6 +455,9 @@ def main() -> None:
     ok_recte_raw = raw_recte_err > 2e-3
     ok_recte_white = bool(
         abs(float(white_rectes.mean()) - float(rp_true.mean())) < 3e-3)
+    cal_ratio_recte, ok_sigma_recte = sigma_calibration(
+        rp_rectes.std(axis=0, ddof=1), sig_rectes.mean(axis=0), n_recte,
+        lo=0.0)
 
     # --- eclipse-mode ensemble: emission-contrast recovery -------------
     # A secondary-eclipse visit (exposures spanning the occultation) with
@@ -436,13 +503,15 @@ def main() -> None:
 
         return run
 
-    n_ecl = max(args.n_mc // 2, 8)
+    n_ecl = max(args.n_mc, 8)
     run_ecl = make_run_ecl(cfg_ecl)
     fp_ref = np.asarray(make_run_ecl(dataclasses.replace(
         cfg_ecl, noise=NoiseFlags.none()))(0)[0])
     t0 = time.time()
-    fp_hats = np.stack([np.asarray(run_ecl(m)[0]) for m in range(n_ecl)])
+    ecl_out = [run_ecl(m) for m in range(n_ecl)]
     wall_ecl = time.time() - t0
+    fp_hats = np.stack([np.asarray(o[0]) for o in ecl_out])
+    fp_sigs = np.stack([np.asarray(o[1]) for o in ecl_out])
     bias_ecl = fp_hats.mean(axis=0) - fp_ref
     sem_ecl = fp_hats.std(axis=0, ddof=1) / np.sqrt(n_ecl)
     ok_ecl_noise = bool(np.all(np.abs(bias_ecl)
@@ -452,6 +521,8 @@ def main() -> None:
     # dominated by the low-flux band-edge channels.
     resid_ecl = fp_ref - fp_inj
     ok_ecl_sys = bool(np.all(np.abs(resid_ecl) < 1e-3))
+    cal_ratio_ecl, ok_sigma_ecl = sigma_calibration(
+        fp_hats.std(axis=0, ddof=1), fp_sigs.mean(axis=0), n_ecl)
 
     # --- staring-mode ensemble (BASELINE config 2 class) ----------------
     # No scan: the spectrum stays on the trace rows, so the extraction
@@ -483,7 +554,7 @@ def main() -> None:
         cfg, scan=False,
         noise=dataclasses.replace(flags, bias_drift=True))
     y_star = (48, 76)            # trace rows +- PSF tails, no scan smear
-    n_star = max(args.n_mc // 2, 8)
+    n_star = max(args.n_mc, 8)
     peak_e = float(jnp.max(sim_reads(
         jax.tree_util.tree_map(lambda x: x[0], visit_star),
         dataclasses.replace(cfg_star, noise=NoiseFlags.none()))[0][-1])
@@ -514,12 +585,10 @@ def main() -> None:
                                y_window=y_star, x_window=x_window,
                                bg_rows=bg_rows, n_chan=N_CHAN,
                                good_diffs=good)
-            chan = common_mode_correct(red.white_lc, red.channel_lc, mid,
-                                       base.orbit, base.ld,
-                                       jnp.float32(0.155))
-            rp_hat, _ = fit_depths(chan, mid, base.orbit, base.ld,
-                                   jnp.float32(0.155))
-            return rp_hat
+            rp_hat, rp_sig = divide_white_fit_depths(
+                red.white_lc, red.channel_lc, mid, base.orbit, base.ld,
+                jnp.float32(0.155))
+            return rp_hat, rp_sig
 
         return run
 
@@ -528,16 +597,21 @@ def main() -> None:
     # (they are scene data, not noise flags): the comparison isolates
     # what the stochastic chain adds on top of the environment.
     rp_star_ref = np.asarray(make_run_star(dataclasses.replace(
-        cfg_star, noise=NoiseFlags.none()))(0))
+        cfg_star, noise=NoiseFlags.none()))(0)[0])
     t0 = time.time()
-    rp_stars = np.stack([np.asarray(run_star(m)) for m in range(n_star)])
+    star_out = [run_star(m) for m in range(n_star)]
     wall_star = time.time() - t0
+    rp_stars = np.stack([np.asarray(o[0]) for o in star_out])
+    sig_stars = np.stack([np.asarray(o[1]) for o in star_out])
     bias_star = rp_stars.mean(axis=0) - rp_star_ref
     sem_star = rp_stars.std(axis=0, ddof=1) / np.sqrt(n_star)
     ok_star_noise = bool(np.all(np.abs(bias_star)
                                 < np.maximum(3.0 * sem_star, 1e-4)))
     resid_star = rp_star_ref - rp_true
     ok_star_sys = bool(np.all(np.abs(resid_star) < 3e-3))
+    cal_ratio_star, ok_sigma_star = sigma_calibration(
+        rp_stars.std(axis=0, ddof=1), sig_stars.mean(axis=0), n_star,
+        lo=0.0)
 
     # --- forward/reverse scan-direction ensemble -----------------------
     # Real scan programs alternate direction; the two directions see
@@ -618,15 +692,19 @@ def main() -> None:
                          < max(0.1 * abs(off_raw), 5e-4))
     resid_fr = rp_fr_ref - rp_true
     ok_fr_sys = bool(np.all(np.abs(resid_fr) < 3e-3))
-    n_fr = max(args.n_mc // 2, 8)
+    n_fr = max(args.n_mc, 8)
     run_fr = make_run_fr(cfg, True)
     t0 = time.time()
-    rp_frs = np.stack([np.asarray(run_fr(m)[0]) for m in range(n_fr)])
+    fr_out = [run_fr(m) for m in range(n_fr)]
     wall_fr = time.time() - t0
+    rp_frs = np.stack([np.asarray(o[0]) for o in fr_out])
+    sig_frs = np.stack([np.asarray(o[1]) for o in fr_out])
     bias_fr = rp_frs.mean(axis=0) - rp_fr_ref
     sem_fr = rp_frs.std(axis=0, ddof=1) / np.sqrt(n_fr)
     ok_fr_noise = bool(np.all(np.abs(bias_fr)
                               < np.maximum(3.0 * sem_fr, 1e-4)))
+    cal_ratio_fr, ok_sigma_fr = sigma_calibration(
+        rp_frs.std(axis=0, ddof=1), sig_frs.mean(axis=0), n_fr, lo=0.0)
 
     # --- thermal phase-curve ensemble -----------------------------------
     # A full-orbit visit with the planet's dayside contrast modulated by
@@ -681,7 +759,7 @@ def main() -> None:
     ok_ph_fp = bool(abs(ref_ph[0] - fp_ph) < 1e-3)
     ok_ph_amp = bool(abs(ref_ph[1] - amp_ph) < 0.15)
     ok_ph_off = bool(abs(ref_ph[2] - off_ph) < 0.15)
-    n_ph = max(args.n_mc // 2, 8)
+    n_ph = max(args.n_mc, 8)
     t0 = time.time()
     ph_out = np.array([[float(a) for a in run_ph(m)]
                        for m in range(n_ph)])
@@ -693,6 +771,9 @@ def main() -> None:
     sem_ph_amp = ph_out[:, 1].std(ddof=1) / np.sqrt(n_ph)
     ok_ph_amp_noise = bool(abs(bias_ph_amp)
                            < max(3.0 * sem_ph_amp, 0.02))
+    cal_ratio_ph, ok_sigma_ph = sigma_calibration(
+        np.array([ph_out[:, 0].std(ddof=1)]),
+        np.array([ph_out[:, 3].mean()]), n_ph)
 
     out = {
         "n_mc": args.n_mc, "n_exp": N_EXP, "n_chan": N_CHAN,
@@ -704,9 +785,20 @@ def main() -> None:
         "noise_induced_bias": [round(float(v), 6) for v in noise_bias],
         "reduction_systematic": [round(float(v), 6) for v in reduction_sys],
         "rp_scatter": [round(float(v), 6) for v in scatter],
+        "reported_sigma": [round(float(v), 6) for v in sigma_chan],
         "reported_sigma_median": round(float(np.median(rp_sigs)), 6),
+        "sigma_calibration_ratio": cal_ratio,
+        "sigma_coverage_1sigma": round(coverage, 3),
+        "channel8_note": "reddest channel straddles the G141 red "
+                         "sensitivity cutoff (23-54x less flux, "
+                         "constant read+sky noise per column): ~6x "
+                         "noisier AND ~6x larger reported sigma — the "
+                         "calibration ratio is what is gated "
+                         "(docs/REDUCTION.md)",
         "noise_unbiased_within_3sem": ok_noise,
         "reduction_systematic_below_3e-3": ok_sys,
+        "sigma_calibrated_0.7_1.5": ok_sigma_cal,
+        "sigma_coverage_in_0.55_0.80": ok_coverage,
         "with_systematics": {
             "n_mc": n_sys, "wallclock_s": round(wall_sys, 1),
             "flags": "poisson+read+sky+dark+cosmic_rays+nonlin+bias(NLINCORR)"
@@ -717,8 +809,12 @@ def main() -> None:
             "noise_induced_bias": [round(float(v), 6) for v in bias_sys],
             "divide_white_residual": [round(float(v), 6)
                                       for v in resid_sys],
+            "reported_sigma": [round(float(v), 6)
+                               for v in sig_sys.mean(axis=0)],
+            "sigma_calibration_ratio": cal_ratio_sys,
             "noise_unbiased_within_3sem": ok_sys_noise,
             "divide_white_residual_below_3e-3": ok_divide_white,
+            "sigma_not_overconfident_max_1.5": ok_sigma_sys,
         },
         "with_systematics_ramp_fit": {
             "n_mc": n_sys, "wallclock_s": round(wall_ramp, 1),
@@ -735,9 +831,13 @@ def main() -> None:
             "white_rp_recovered_mean": round(float(white_ramp.mean()), 6),
             "white_rp_noise_free": round(float(white_ramp_clean.mean()), 6),
             "white_rp_injected_proxy": round(float(rp_true.mean()), 6),
+            "reported_sigma": [round(float(v), 6)
+                               for v in sig_ramp_ch.mean(axis=0)],
+            "sigma_calibration_ratio": cal_ratio_ramp,
             "noise_unbiased_within_3sem": ok_ramp_noise,
             "parametric_residual_below_3e-3": ok_ramp_resid,
             "white_rp_within_3e-3": ok_ramp_white,
+            "sigma_not_overconfident_max_1.5": ok_sigma_ramp,
         },
         "with_pointing_drift": {
             "n_mc": n_drift, "wallclock_s": round(wall_drift, 1),
@@ -751,6 +851,10 @@ def main() -> None:
             "noise_induced_bias": [round(float(v), 6) for v in bias_drift],
             "noise_unbiased_within_3sem": ok_drift_noise,
             "aligned_systematic_within_envelope": ok_drift_sys,
+            "sigma_note": "not sigma-gated: shift_detrend removes a "
+                          "fitted centroid regressor from each channel "
+                          "curve, absorbing noise degrees of freedom "
+                          "the per-channel sigma cannot see",
         },
         "with_recte": {
             "n_mc": n_recte, "wallclock_s": round(wall_recte, 1),
@@ -767,9 +871,13 @@ def main() -> None:
                                        for v in resid_recte],
             "white_rp_recovered_mean": round(float(white_rectes.mean()), 6),
             "white_rp_noise_free": round(white_recte_ref, 6),
+            "reported_sigma": [round(float(v), 6)
+                               for v in sig_rectes.mean(axis=0)],
+            "sigma_calibration_ratio": cal_ratio_recte,
             "noise_unbiased_within_3sem": ok_recte_noise,
             "physical_ramp_residual_below_3e-3": ok_recte_resid,
             "white_rp_within_3e-3": ok_recte_white,
+            "sigma_not_overconfident_max_1.5": ok_sigma_recte,
         },
         "eclipse_mode": {
             "n_mc": n_ecl, "wallclock_s": round(wall_ecl, 1),
@@ -779,8 +887,12 @@ def main() -> None:
                                   for v in fp_hats.mean(axis=0)],
             "noise_induced_bias": [round(float(v), 7) for v in bias_ecl],
             "recovery_systematic": [round(float(v), 7) for v in resid_ecl],
+            "reported_sigma": [round(float(v), 7)
+                               for v in fp_sigs.mean(axis=0)],
+            "sigma_calibration_ratio": cal_ratio_ecl,
             "noise_unbiased_within_3sem": ok_ecl_noise,
             "systematic_below_1e-3": ok_ecl_sys,
+            "sigma_calibrated_0.7_1.5": ok_sigma_ecl,
         },
         "staring_mode": {
             "n_mc": n_star, "wallclock_s": round(wall_star, 1),
@@ -793,8 +905,12 @@ def main() -> None:
             "noise_induced_bias": [round(float(v), 6) for v in bias_star],
             "recovery_systematic": [round(float(v), 6)
                                     for v in resid_star],
+            "reported_sigma": [round(float(v), 6)
+                               for v in sig_stars.mean(axis=0)],
+            "sigma_calibration_ratio": cal_ratio_star,
             "noise_unbiased_within_3sem": ok_star_noise,
             "recovery_systematic_below_3e-3": ok_star_sys,
+            "sigma_not_overconfident_max_1.5": ok_sigma_star,
         },
         "scan_direction": {
             "n_mc": n_fr, "wallclock_s": round(wall_fr, 1),
@@ -822,8 +938,12 @@ def main() -> None:
                                   for v in rp_frs.mean(axis=0)],
             "noise_induced_bias": [round(float(v), 6) for v in bias_fr],
             "recovery_systematic": [round(float(v), 6) for v in resid_fr],
+            "reported_sigma": [round(float(v), 6)
+                               for v in sig_frs.mean(axis=0)],
+            "sigma_calibration_ratio": cal_ratio_fr,
             "noise_unbiased_within_3sem": ok_fr_noise,
             "recovery_systematic_below_3e-3": ok_fr_sys,
+            "sigma_not_overconfident_max_1.5": ok_sigma_fr,
         },
         "phase_curve_mode": {
             "n_mc": n_ph, "wallclock_s": round(wall_ph, 1),
@@ -839,11 +959,13 @@ def main() -> None:
             "fp_noise_bias": round(float(bias_ph), 7),
             "fp_reported_sigma_median": round(
                 float(np.median(ph_out[:, 3])), 7),
+            "fp_sigma_calibration_ratio": cal_ratio_ph[0],
             "fp_recovery_within_1e-3": ok_ph_fp,
             "amp_recovery_within_0.15": ok_ph_amp,
             "offset_recovery_within_0.15rad": ok_ph_off,
             "fp_noise_unbiased_within_3sem": ok_ph_noise,
             "amp_noise_unbiased_within_3sem": ok_ph_amp_noise,
+            "fp_sigma_calibrated_0.7_1.5": ok_sigma_ph,
         },
     }
     ok = (ok_noise and ok_sys and ok_sys_noise and ok_divide_white
@@ -856,7 +978,10 @@ def main() -> None:
           and ok_fr_present and ok_fr_removed and ok_fr_noise
           and ok_fr_sys
           and ok_ph_fp and ok_ph_amp and ok_ph_off and ok_ph_noise
-          and ok_ph_amp_noise)
+          and ok_ph_amp_noise
+          and ok_sigma_cal and ok_coverage and ok_sigma_sys
+          and ok_sigma_ramp and ok_sigma_recte and ok_sigma_ecl
+          and ok_sigma_star and ok_sigma_fr and ok_sigma_ph)
     with open(os.path.join(REPO, "VALIDATION.json"), "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))

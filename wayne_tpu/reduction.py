@@ -1417,11 +1417,13 @@ def fit_phase_curve(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                     chi2=chi2)
 
 
-@partial(jax.jit, static_argnames=("n_quad", "n_newton"))
+@partial(jax.jit, static_argnames=("n_quad", "n_newton",
+                                   "return_white_sigma"))
 def common_mode_correct(white_lc: jnp.ndarray, channel_lc: jnp.ndarray,
                         exp_mid_s: jnp.ndarray, orbit: OrbitParams,
                         ld: jnp.ndarray, rp_init: jnp.ndarray,
-                        n_quad: int = 32, n_newton: int = 12) -> jnp.ndarray:
+                        n_quad: int = 32, n_newton: int = 12,
+                        return_white_sigma: bool = False) -> jnp.ndarray:
     """Divide white-light systematics out of the channel curves.
 
     The standard WFC3 trick: instrument systematics (hook ramps,
@@ -1430,15 +1432,57 @@ def common_mode_correct(white_lc: jnp.ndarray, channel_lc: jnp.ndarray,
     common-mode systematic template; dividing it out of each channel
     leaves (almost) pure per-channel transits.
 
-    Returns corrected channel light curves (n_exp, n_chan).
+    Returns corrected channel light curves (n_exp, n_chan); with
+    ``return_white_sigma=True``, also the white fit's depth sigma —
+    the COMMON-MODE error every downstream channel depth inherits 1:1
+    (see divide_white_fit_depths), which per-channel residuals cannot
+    see: the white depth error deforms the template by exactly the
+    transit shape, so each channel's own rp fit absorbs it silently.
     """
-    rp_white, _ = fit_depths(white_lc[:, None], exp_mid_s, orbit, ld,
-                             rp_init, n_quad, n_newton)
+    rp_white, sig_white = fit_depths(white_lc[:, None], exp_mid_s, orbit,
+                                     ld, rp_init, n_quad, n_newton)
     z, in_front = projected_separation(exp_mid_s, orbit)
     f = transit_depth_curve(z, rp_white[0], ld, n_quad)
     white_model = 1.0 - (1.0 - f) * in_front
     template = white_lc / white_model                 # (n_exp,)
-    return channel_lc / template[:, None]
+    corrected = channel_lc / template[:, None]
+    if return_white_sigma:
+        return corrected, sig_white[0]
+    return corrected
+
+
+def divide_white_fit_depths(white_lc: jnp.ndarray, channel_lc: jnp.ndarray,
+                            exp_mid_s: jnp.ndarray, orbit: OrbitParams,
+                            ld: jnp.ndarray, rp_init: jnp.ndarray,
+                            n_quad: int = 32, n_newton: int = 12,
+                            weights: jnp.ndarray | None = None
+                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Divide-white + per-channel depth fit with the COMMON-MODE error
+    propagated.
+
+    The divide-white template is built from a transit model at the
+    FITTED white depth; a white-depth error d deforms the template by
+    the transit shape itself, so every corrected channel curve carries
+    a coherent, transit-shaped distortion that each channel's own rp
+    fit absorbs 1:1 — shifting ALL channel depths together while
+    leaving no trace in any channel's residuals. The per-channel
+    curvature sigma is therefore blind to it by construction. Measured
+    (tools/validate_recovery.py staring-mode ensemble, 32 realisations):
+    cross-channel depth-error correlation 0.58, and per-channel
+    scatter/reported-sigma up to 2.5 with the naive sigma vs ~1 once
+    the white-fit sigma is added in quadrature; on RAW (undivided)
+    curves the naive sigma was already calibrated (ratios 0.90-1.22),
+    isolating the divide step as the sole cause.
+
+    Returns (rp_hat (n_chan,), rp_sigma (n_chan,)) with
+    rp_sigma = sqrt(sigma_channel^2 + sigma_white^2).
+    """
+    corrected, sig_white = common_mode_correct(
+        white_lc, channel_lc, exp_mid_s, orbit, ld, rp_init, n_quad,
+        n_newton, return_white_sigma=True)
+    rp, sig = fit_depths(corrected, exp_mid_s, orbit, ld, rp_init,
+                         n_quad, n_newton, weights=weights)
+    return rp, jnp.sqrt(sig**2 + sig_white**2)
 
 
 def orbit_phase(exp_mid_s: jnp.ndarray,
@@ -1968,8 +2012,8 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
         white = norm(white)
         chan = jax.vmap(norm, in_axes=1, out_axes=1)(chan)
         if divide_white:
-            chan = common_mode_correct(white, chan, t, orbit, ld, rp0,
-                                       n_quad, n_newton)
+            return divide_white_fit_depths(white, chan, t, orbit, ld,
+                                           rp0, n_quad, n_newton)
         return fit_depths(chan, t, orbit, ld, rp0, n_quad, n_newton)
 
     rp, sig = jax.vmap(one)(sp)
@@ -1978,11 +2022,42 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
     return rp, sig
 
 
-@partial(jax.jit, static_argnames=("n_quad", "n_newton"))
+def _beta_red(resid: jnp.ndarray, w: jnp.ndarray,
+              n_bin: int) -> jnp.ndarray:
+    """Pont et al. (2006) time-binning red-noise factor on residuals.
+
+    Bins the (time-ordered) residuals into groups of ``n_bin`` and
+    compares the realised binned scatter to the white-noise expectation
+    sigma1/sqrt(n_bin); clipped points (w = 0) contribute zero and
+    shrink their bin's effective size. Returns max(1, ratio) — pure
+    white noise gives ~1 (never deflates), time-correlated noise
+    (amplifier-drift random walks, unremoved systematics) gives the
+    factor by which a per-point-independent sigma underestimates
+    bin-scale (and therefore transit-depth-scale) uncertainty.
+    """
+    n = resid.shape[0]
+    m = n // n_bin
+    r = (resid * w)[: m * n_bin].reshape(m, n_bin)
+    wb = w[: m * n_bin].reshape(m, n_bin)
+    nb = jnp.maximum(wb.sum(axis=1), 1.0)
+    bmean = r.sum(axis=1) / nb
+    mu = bmean.mean()
+    var_binned = jnp.sum((bmean - mu) ** 2) / jnp.maximum(m - 1, 1)
+    sigma1_sq = (jnp.sum(w * resid**2)
+                 / jnp.maximum(jnp.sum(w) - 1.0, 1.0))
+    expect = sigma1_sq / jnp.maximum(nb.mean(), 1.0)
+    return jnp.sqrt(jnp.maximum(var_binned / jnp.maximum(expect, 1e-30),
+                                1.0))
+
+
+@partial(jax.jit, static_argnames=("n_quad", "n_newton", "baseline_var",
+                                   "red_noise"))
 def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                orbit: OrbitParams, ld: jnp.ndarray, rp_init: jnp.ndarray,
                n_quad: int = 32, n_newton: int = 12,
-               weights: jnp.ndarray | None = None
+               weights: jnp.ndarray | None = None,
+               baseline_var: bool = True,
+               red_noise: bool = True
                ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-channel Rp/Rs by Newton iterations on the chi^2 of the real
     transit model (autodiff through the occultation integral).
@@ -1998,8 +2073,40 @@ def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     channel — pass RampFit.weights so exposures the robust white fit
     clipped (spot crossings, residual CRs) are skipped here too.
 
+    ``baseline_var`` (default True): include the out-of-transit
+    BASELINE-NORMALISATION variance in the reported sigma. The transit
+    model here has no free flux scale (it is exactly 1 out of transit),
+    so it assumes the input curves were normalised to their own noisy
+    OOT mean — and that normalisation error maps straight into a depth
+    error the chi^2 curvature cannot see (the curvature treats every
+    point as independent). The omission is NOT small: the true depth
+    scatter is inflated by ~sqrt(1 + N_in_eff/N_oot) over the curvature
+    sigma (measured 1.19x on a 2000-realisation white-noise MC with the
+    standard 48-exposure visit; the ensemble-calibration gates in
+    tools/validate_recovery.py hold scatter/reported-sigma in
+    [0.7, 1.5] per channel). The term added is the delta-method
+    propagation of a multiplicative baseline error eps through the
+    fitted minimum: drp/deps = 2 sum(w m' lc)/h (implicit function
+    theorem on d(chi^2)/drp = 0), var(eps) = noise_var/N_oot. Disable
+    only for curves normalised against an INDEPENDENT baseline (e.g. a
+    noise-free model baseline).
+
+    ``red_noise`` (default True): scale each channel's sigma by the
+    Pont et al. (2006) time-binning beta factor measured on its own
+    residuals (bin size ~ n_exp // 8, the orbit scale for a typical
+    4-5-orbit visit). Curvature sigmas assume INDEPENDENT residuals;
+    time-correlated noise — amplifier-drift random walks, residual
+    unremoved systematics — makes them underestimate the realised depth
+    scatter by up to ~2.6x (measured, staring-mode ensemble with
+    bias_drift on; VALIDATION.json sigma_calibration_ratio history).
+    beta is floored at 1 so pure white noise costs only its estimation
+    fluctuation (~10% mean inflation at 8 bins); this is the standard
+    convention of published transit analyses. Disable to recover the
+    bare curvature+baseline sigma.
+
     Returns (rp_hat (n_chan,), rp_sigma (n_chan,)) where sigma comes from
-    the chi^2 curvature and the per-channel scatter.
+    the chi^2 curvature, the per-channel residual scatter, the
+    OOT-normalisation term, and the red-noise beta scaling.
     """
     z, in_front = projected_separation(exp_mid_s, orbit)
     n_chan = channel_lc.shape[1]
@@ -2008,6 +2115,7 @@ def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
                                (n_chan, 4))
     w = (jnp.ones(channel_lc.shape[0], jnp.float32) if weights is None
          else jnp.asarray(weights, jnp.float32))
+    oot_f = out_of_transit_mask(exp_mid_s, orbit).astype(jnp.float32)
 
     def model(rp, ld_c):
         f = transit_depth_curve(z, rp, ld_c, n_quad)
@@ -2030,8 +2138,21 @@ def fit_depths(channel_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
         resid = model(rp, ld_c) - lc
         noise_var = (jnp.sum(w * resid**2)
                      / jnp.maximum(jnp.sum(w) - 1.0, 1.0))
-        h = d2(rp, lc, ld_c)
-        sigma = jnp.sqrt(2.0 * noise_var / jnp.maximum(h, 1e-12))
+        h = jnp.maximum(d2(rp, lc, ld_c), 1e-12)
+        var_rp = 2.0 * noise_var / h
+        if baseline_var:
+            # OOT-normalisation term (see docstring): a relative
+            # baseline error eps rescales the whole curve; the fitted
+            # minimum shifts by drp/deps * eps with
+            # drp/deps = 2 sum(w m' lc) / h.
+            mprime = jax.jacfwd(lambda r: model(r, ld_c))(rp)
+            drp_deps = 2.0 * jnp.sum(w * mprime * lc) / h
+            n_oot = jnp.maximum(jnp.sum(w * oot_f), 1.0)
+            var_rp = var_rp + drp_deps**2 * noise_var / n_oot
+        sigma = jnp.sqrt(var_rp)
+        if red_noise:
+            sigma = sigma * _beta_red(resid, w,
+                                      max(channel_lc.shape[0] // 8, 2))
         return rp, sigma
 
     rp0 = jnp.broadcast_to(rp_init, (n_chan,))

@@ -880,9 +880,15 @@ def main(argv: list[str] | None = None) -> int:
             for i in range(int(pf.fp.shape[0]))]
         value_key, sigma_key = "fp_over_fs", "fp_sigma"
     else:
+        sigma_white_dw = None
         if detrend == "divide-white":
-            chan_j = common_mode_correct(jnp.asarray(white, jnp.float32),
-                                         chan_j, t, orbit, ld, rp0)
+            # keep the white fit's depth sigma: the template is a model
+            # at the FITTED white depth, so its error shifts every
+            # channel depth coherently and invisibly to per-channel
+            # residuals (reduction.divide_white_fit_depths rationale)
+            chan_j, sigma_white_dw = common_mode_correct(
+                jnp.asarray(white, jnp.float32), chan_j, t, orbit, ld,
+                rp0, return_white_sigma=True)
         elif detrend == "ramp":
             from wayne_tpu.reduction import fit_white_ramp, ramp_detrend
 
@@ -969,6 +975,8 @@ def main(argv: list[str] | None = None) -> int:
                   f"{white_fit_report['rate_scale_fitted']:.2f}")
         rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld_chan, rp0,
                                     weights=depth_weights)
+        if sigma_white_dw is not None:
+            rp_sig = jnp.sqrt(rp_sig**2 + sigma_white_dw**2)
         value_key, sigma_key = "rp_over_rs", "rp_sigma"
 
     white_post_report, chan_post = None, None
@@ -1002,6 +1010,10 @@ def main(argv: list[str] | None = None) -> int:
             "depth_plus": round(float(wpost.rp_plus), 7),
             "depth_minus": round(float(wpost.rp_minus), 7),
             "acceptance": round(float(wpost.acceptance), 3),
+            # convergence: worst split R-hat / smallest ESS over all
+            # sampled dims (mcmc.chain_diagnostics)
+            "rhat_max": round(float(np.max(np.asarray(wpost.rhat))), 4),
+            "ess_min": round(float(np.min(np.asarray(wpost.ess))), 1),
         }
         if args.fit_geometry:
             samp = np.asarray(wpost.samples)
@@ -1065,7 +1077,11 @@ def main(argv: list[str] | None = None) -> int:
                  f"{mcmc_prefix}_mcmc_plus":
                      round(float(chan_post.rp_plus[i]), 7),
                  f"{mcmc_prefix}_mcmc_minus":
-                     round(float(chan_post.rp_minus[i]), 7)}
+                     round(float(chan_post.rp_minus[i]), 7),
+                 f"{mcmc_prefix}_mcmc_rhat":
+                     round(float(chan_post.rhat[i]), 4),
+                 f"{mcmc_prefix}_mcmc_ess":
+                     round(float(chan_post.ess[i]), 1)}
                 if chan_post is not None else {})}
             for i in range(args.n_chan)],
         "white_lc": [round(float(v), 6) for v in white],
