@@ -39,6 +39,51 @@ def test_ensemble_sampler_recovers_gaussian():
                                atol=0.05)
 
 
+def test_chain_diagnostics_sane_and_catches_nonconvergence():
+    """chain_diagnostics: near-iid chains give R-hat ~ 1 and a large
+    ESS below the raw draw count; a deliberately non-stationary chain
+    (two walker populations around different means, never mixing) is
+    flagged by split R-hat >> 1."""
+    from wayne_tpu.mcmc import chain_diagnostics
+
+    rng = np.random.default_rng(5)
+    # near-iid: pure white noise "chains"
+    iid = jnp.asarray(rng.standard_normal((800, 16, 3)), jnp.float32)
+    d = chain_diagnostics(iid)
+    rhat, ess = np.asarray(d.rhat), np.asarray(d.ess)
+    assert np.all(np.abs(rhat - 1.0) < 0.02), rhat
+    assert np.all((ess > 0.25 * 800 * 16) & (ess <= 800 * 16 * 1.5)), ess
+
+    # AR(1) with phi=0.9: ESS must be far below the draw count
+    n = 2000
+    ar = np.zeros((n, 8, 1), np.float32)
+    eps = rng.standard_normal((n, 8, 1)).astype(np.float32)
+    for i in range(1, n):
+        ar[i] = 0.9 * ar[i - 1] + eps[i]
+    d_ar = chain_diagnostics(jnp.asarray(ar))
+    # theory: ACT = (1+phi)/(1-phi) = 19 -> ESS ~ n*m/19
+    ess_ar = float(d_ar.ess[0])
+    assert 0.3 * n * 8 / 19 < ess_ar < 3.0 * n * 8 / 19, ess_ar
+
+    # stuck modes: half the walkers at +3, half at -3 (never mix);
+    # per-walker halves agree, but the SPLIT convention still sees the
+    # between-chain spread -> rhat >> 1... here walkers differ, so
+    # between-chain variance is huge relative to within.
+    stuck = 0.1 * rng.standard_normal((800, 16, 1)).astype(np.float32)
+    stuck[:, :8] += 3.0
+    stuck[:, 8:] -= 3.0
+    d_bad = chain_diagnostics(jnp.asarray(stuck))
+    assert float(d_bad.rhat[0]) > 2.0, float(d_bad.rhat[0])
+
+    # slow common drift (burn-in leaking into the kept chain): each
+    # walker's first and second half disagree -> split R-hat flags it
+    drift = (0.1 * rng.standard_normal((800, 16, 1)).astype(np.float32)
+             + np.linspace(0.0, 1.0, 800)[:, None, None].astype(
+                 np.float32))
+    d_drift = chain_diagnostics(jnp.asarray(drift))
+    assert float(d_drift.rhat[0]) > 1.5, float(d_drift.rhat[0])
+
+
 def test_ensemble_sampler_respects_support():
     """-inf log-prob regions are never entered (flat prior truncation)."""
     def log_prob(x):
@@ -63,7 +108,7 @@ def test_white_posterior_recovers_depth():
           + sigma * rng.standard_normal(t.size).astype(np.float32))
     post = sample_white_posterior(
         jnp.asarray(lc), jnp.asarray(t), base.orbit, base.ld, 0.15,
-        jax.random.PRNGKey(4), n_steps=1500, n_burn=400)
+        jax.random.PRNGKey(4), n_steps=3000, n_burn=1000)
     med = float(post.rp_median)
     width = 0.5 * (float(post.rp_minus) + float(post.rp_plus))
     assert 0.1 < float(post.acceptance) < 0.95
@@ -74,6 +119,11 @@ def test_white_posterior_recovers_depth():
     # the noise scale is sampled too: exp(median log_sigma) ~ sigma
     ls = np.median(np.asarray(post.samples[:, 6]))
     assert abs(np.exp(ls) / sigma - 1.0) < 0.5
+    # convergence diagnostics gated, not just recorded: the depth chain
+    # must be well-mixed and carry real information
+    assert float(post.rhat[1]) < 1.05, float(post.rhat[1])
+    assert float(post.ess[1]) > 300.0, float(post.ess[1])
+    assert float(np.max(np.asarray(post.rhat))) < 1.3
 
 
 def test_channel_posteriors_vmapped():
@@ -96,7 +146,7 @@ def test_channel_posteriors_vmapped():
         for rp in rp_chan], axis=1)
     post = sample_channel_posteriors(
         jnp.asarray(chans), jnp.asarray(t), base.orbit, base.ld, 0.158,
-        jax.random.PRNGKey(7), n_steps=1200, n_burn=300)
+        jax.random.PRNGKey(7), n_steps=2400, n_burn=600)
     med = np.asarray(post.rp_median)
     width = 0.5 * (np.asarray(post.rp_minus) + np.asarray(post.rp_plus))
     acc = np.asarray(post.acceptance)
@@ -104,6 +154,45 @@ def test_channel_posteriors_vmapped():
     assert np.all(np.abs(med - rp_chan) < 4.0 * np.maximum(width, 1e-4)), (
         med, rp_chan, width)
     assert np.all((width > 1e-5) & (width < 5e-3)), width
+    # every channel's depth chain converged with real sample counts
+    assert np.all(np.asarray(post.rhat) < 1.05), np.asarray(post.rhat)
+    assert np.all(np.asarray(post.ess) > 200.0), np.asarray(post.ess)
+
+
+def test_posterior_width_matches_lm_sigma():
+    """Uncertainty-estimate cross-validation at unit scale (the
+    ensemble-scale three-way tie lives in tools/uncertainty_triangle.py
+    / UNCERTAINTY.json): on the same clean white-noise channel curves,
+    the MCMC posterior width and the LM/curvature sigma from fit_depths
+    estimate the SAME quantity and must agree to ~20% per channel.
+    (red_noise/baseline_var off: the noise here is white and the curves
+    are not OOT-normalised, so the bare curvature sigma is the exact
+    reference point.)"""
+    from wayne_tpu.mcmc import sample_channel_posteriors
+    from wayne_tpu.ops.kepler import projected_separation
+    from wayne_tpu.ops.transit import transit_depth_curve
+    from wayne_tpu.reduction import fit_depths
+
+    base = example_scene(64)
+    t, _, _ = _orbit_times()
+    rng = np.random.default_rng(17)
+    rp_chan = np.array([0.156, 0.158, 0.160, 0.162], np.float32)
+    z, in_front = projected_separation(jnp.asarray(t), base.orbit)
+    chans = np.stack([
+        np.asarray((1.0 - (1.0 - transit_depth_curve(z, jnp.float32(rp),
+                                                     base.ld, 32))
+                    * in_front))
+        + 4e-4 * rng.standard_normal(t.size).astype(np.float32)
+        for rp in rp_chan], axis=1)
+    post = sample_channel_posteriors(
+        jnp.asarray(chans), jnp.asarray(t), base.orbit, base.ld, 0.158,
+        jax.random.PRNGKey(29), n_steps=2000, n_burn=500)
+    width = 0.5 * (np.asarray(post.rp_minus) + np.asarray(post.rp_plus))
+    _, sig = fit_depths(jnp.asarray(chans), jnp.asarray(t), base.orbit,
+                        base.ld, jnp.float32(0.158),
+                        baseline_var=False, red_noise=False)
+    ratio = width / np.asarray(sig)
+    assert np.all((ratio > 0.75) & (ratio < 1.3)), ratio
 
 
 def test_white_posterior_with_geometry():

@@ -46,6 +46,71 @@ class EnsembleChain:
     acceptance: jnp.ndarray    # scalar mean acceptance fraction
 
 
+@_register
+@dataclass
+class ChainDiagnostics:
+    """Convergence diagnostics from chain_diagnostics (per dimension)."""
+
+    rhat: jnp.ndarray          # (ndim,) split-chain Gelman-Rubin R-hat
+    ess: jnp.ndarray           # (ndim,) effective sample size
+
+
+@jax.jit
+def chain_diagnostics(samples: jnp.ndarray) -> ChainDiagnostics:
+    """Split-chain R-hat and effective sample size, fully on device.
+
+    ``samples`` is the post-burn-in (n_steps, n_walkers, ndim) chain
+    tensor. Each walker's trace is split in half (Gelman et al. BDA3 /
+    Vehtari et al. 2021 "split" convention: 2*n_walkers chains of
+    n_steps//2 draws), so a sampler whose halves disagree — still
+    drifting, or stuck in distinct modes — fails even when the walkers
+    agree with each other at every instant.
+
+    R-hat: sqrt(((n-1)/n * W + B/n) / W) with W the mean within-chain
+    variance and B the between-chain variance of the chain means
+    (times n). Converged chains sit below ~1.05.
+
+    ESS: Geyer initial-positive-sequence estimate on the multi-chain
+    autocorrelation rho_t = 1 - (W - mean_c acf_c(t)) / var_plus,
+    computed via FFT in one batched pass and truncated at the first
+    negative even/odd pair with a branch-free cumulative mask
+    (acceptance-as-arithmetic, like the sampler itself). Walker-ensemble
+    moves correlate successive steps, so ESS is the honest sample count
+    behind any quoted percentile — acceptance alone (the round-3-only
+    diagnostic) says nothing about that.
+    """
+    n, m, d = samples.shape
+    half = n // 2
+    # split each walker chain: (half, 2m, d) chains
+    chains = jnp.concatenate([samples[:half], samples[half: 2 * half]],
+                             axis=1)
+    chains = chains.astype(jnp.float32)
+    mean_c = chains.mean(axis=0)                       # (2m, d)
+    var_c = chains.var(axis=0, ddof=1)                 # (2m, d)
+    w_var = var_c.mean(axis=0)                         # (d,)
+    b_var = half * mean_c.var(axis=0, ddof=1)          # (d,)
+    var_plus = (half - 1) / half * w_var + b_var / half
+    rhat = jnp.sqrt(var_plus / jnp.maximum(w_var, 1e-30))
+
+    # batched FFT autocovariance per chain (2m, d) x half lags
+    x = (chains - mean_c[None]).transpose(1, 2, 0)     # (2m, d, half)
+    nfft = 2 * half
+    f = jnp.fft.rfft(x, n=nfft, axis=-1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=-1)[..., :half]
+    acov = acov / half                                 # biased acov
+    acf = acov.mean(axis=0)                            # (d, half)
+    rho = 1.0 - (w_var[:, None] - acf) / var_plus[:, None]
+    rho = rho.at[:, 0].set(1.0)
+    # Geyer pairs: P_k = rho_{2k} + rho_{2k+1}; keep while positive
+    n_pair = half // 2
+    pairs = rho[:, : 2 * n_pair].reshape(d, n_pair, 2).sum(axis=-1)
+    keep = jnp.cumprod((pairs > 0.0).astype(jnp.float32), axis=1)
+    tau = -1.0 + 2.0 * jnp.sum(pairs * keep, axis=1)   # integrated ACT
+    tau = jnp.maximum(tau, 1.0)
+    ess = (2 * m * half) / tau
+    return ChainDiagnostics(rhat=rhat, ess=ess)
+
+
 @partial(jax.jit, static_argnames=("log_prob", "n_steps", "thin"))
 def ensemble_sample(log_prob: Callable[[jnp.ndarray], jnp.ndarray],
                     init: jnp.ndarray, key: jnp.ndarray,
@@ -145,6 +210,8 @@ class WhitePosterior:
     #                              log_tau[, dt0_s, sma_rs, cos_i],
     #                              log_sigma)
     acceptance: jnp.ndarray
+    rhat: jnp.ndarray            # (ndim,) split R-hat (chain_diagnostics)
+    ess: jnp.ndarray             # (ndim,) effective sample size
 
 
 @partial(jax.jit, static_argnames=("n_steps", "n_walkers", "n_burn",
@@ -272,12 +339,14 @@ def sample_white_posterior(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
     init = jnp.clip(init, lo + 1e-5, hi - 1e-5)
 
     chain = ensemble_sample(log_prob, init, k_run, n_steps)
+    diag = chain_diagnostics(chain.samples[n_burn:])
     kept = chain.samples[n_burn:].reshape(-1, ndim)
     q16, q50, q84 = jnp.percentile(kept[:, 1],
                                    jnp.array([16.0, 50.0, 84.0]))
     return WhitePosterior(rp_median=q50, rp_minus=q50 - q16,
                           rp_plus=q84 - q50, samples=kept,
-                          acceptance=chain.acceptance)
+                          acceptance=chain.acceptance,
+                          rhat=diag.rhat, ess=diag.ess)
 
 
 @_register
@@ -289,6 +358,8 @@ class ChannelPosteriors:
     rp_minus: jnp.ndarray      # (n_chan,) median - 16th percentile
     rp_plus: jnp.ndarray       # (n_chan,) 84th percentile - median
     acceptance: jnp.ndarray    # (n_chan,)
+    rhat: jnp.ndarray          # (n_chan,) split R-hat of the rp chain
+    ess: jnp.ndarray           # (n_chan,) rp effective sample size
 
 
 @partial(jax.jit, static_argnames=("n_steps", "n_walkers", "n_burn",
@@ -371,12 +442,16 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
             k_init, (n_walkers, 3))
         init = jnp.clip(init, lo + 1e-5, hi - 1e-5)
         chain = ensemble_sample(log_prob, init, k_run, n_steps)
+        diag = chain_diagnostics(chain.samples[n_burn:])
         kept = chain.samples[n_burn:, :, 1].reshape(-1)
         q16, q50, q84 = jnp.percentile(kept,
                                        jnp.array([16.0, 50.0, 84.0]))
-        return q50, q50 - q16, q84 - q50, chain.acceptance
+        return (q50, q50 - q16, q84 - q50, chain.acceptance,
+                diag.rhat[1], diag.ess[1])
 
     keys = jax.random.split(jnp.asarray(key), n_chan)
-    med, minus, plus, acc = jax.vmap(one)(lcs, rp0, ld_chan, keys)
+    med, minus, plus, acc, rhat, ess = jax.vmap(one)(lcs, rp0, ld_chan,
+                                                     keys)
     return ChannelPosteriors(rp_median=med, rp_minus=minus,
-                             rp_plus=plus, acceptance=acc)
+                             rp_plus=plus, acceptance=acc,
+                             rhat=rhat, ess=ess)
