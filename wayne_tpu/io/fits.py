@@ -23,8 +23,8 @@ BLOCK = 2880
 CARD = 80
 
 _BITPIX = {np.dtype(">i2"): 16, np.dtype(">i4"): 32, np.dtype(">f4"): -32,
-           np.dtype(">f8"): -64}
-_DTYPES = {16: ">i2", 32: ">i4", -32: ">f4", -64: ">f8", 8: "u1"}
+           np.dtype(">f8"): -64, np.dtype(">i8"): 64}
+_DTYPES = {16: ">i2", 32: ">i4", -32: ">f4", -64: ">f8", 8: "u1", 64: ">i8"}
 
 
 def _fmt_value(value: Any) -> str:
@@ -162,13 +162,69 @@ def write_fits(path: str, hdus: list[FitsHDU]) -> None:
             fh.write(hdu.to_bytes(primary=(i == 0)))
 
 
+def _parse_string(body: str) -> tuple[str, bool]:
+    """Parse a quoted FITS string value. Returns (value, had_ampersand)
+    with the OGIP long-string continuation ampersand stripped (the
+    caller decides whether a CONTINUE card actually follows)."""
+    s = body.lstrip()[1:]
+    # FITS escapes a quote inside a string as '' — scan for the
+    # first single (unpaired) closing quote.
+    out = []
+    j = 0
+    while j < len(s):
+        if s[j] == "'":
+            if j + 1 < len(s) and s[j + 1] == "'":
+                out.append("'")
+                j += 2
+                continue
+            break
+        out.append(s[j])
+        j += 1
+    v = "".join(out).rstrip()
+    if v.endswith("&"):
+        return v[:-1], True
+    return v, False
+
+
+def _parse_value(body: str) -> tuple[Any, bool]:
+    """Parse a card's value body -> (value, string_continues)."""
+    if body.lstrip().startswith("'"):
+        return _parse_string(body)
+    v = body.split("/")[0].strip()
+    if v == "T":
+        return True, False
+    if v == "F":
+        return False, False
+    try:
+        return int(v), False
+    except ValueError:
+        pass
+    try:
+        return float(v), False
+    except ValueError:
+        return v, False
+
+
 def _parse_header(raw: bytes, start: int = 0) -> tuple[dict[str, Any], int]:
     """Parse header cards from ``raw`` at ``start``; returns
     (header, bytes consumed). Takes the whole buffer plus an offset so
     callers never slice-copy the remaining file per HDU (a 64 MB ima
-    has ~80 HDUs — tail copies made reads O(N^2))."""
+    has ~80 HDUs — tail copies made reads O(N^2)).
+
+    Tolerates the quirks real MAST/astropy products carry beyond what
+    this module writes (support matrix in docs/API.md):
+
+    - blank cards anywhere, including before END, and non-standard
+      NUL-padded header blocks (NULs treated as spaces);
+    - OGIP long-string values: a string ending in ``&`` is continued by
+      following ``CONTINUE`` cards, joined transparently;
+    - ESO ``HIERARCH`` cards (``HIERARCH A B C = v``), stored under the
+      full ``"HIERARCH A B C"`` key;
+    - COMMENT/HISTORY cards are skipped (they carry no value syntax).
+    """
     header: dict[str, Any] = {}
     pos = start
+    last_string_key: str | None = None
     while True:
         block = raw[pos: pos + BLOCK]
         if len(block) < BLOCK:
@@ -177,50 +233,67 @@ def _parse_header(raw: bytes, start: int = 0) -> tuple[dict[str, Any], int]:
         done = False
         for i in range(0, BLOCK, CARD):
             c = block[i: i + CARD].decode("ascii", errors="replace")
+            c = c.replace("\x00", " ")       # NUL-padded header blocks
             key = c[:8].strip()
             if key == "END":
                 done = True
                 break
+            if key == "CONTINUE":
+                # OGIP long-string continuation: append to the pending
+                # string value (only strings can continue).
+                if last_string_key is not None:
+                    more, cont = _parse_string(c[8:])
+                    header[last_string_key] += more
+                    if not cont:
+                        last_string_key = None
+                continue
+            if key == "HIERARCH" or (key and c[8:10] != "= "
+                                     and "=" in c and key not in
+                                     ("COMMENT", "HISTORY")):
+                # ESO HIERARCH convention: keyword tokens up to the
+                # first '=', value after it.
+                body = c[8:] if key == "HIERARCH" else c
+                name, _, rest = body.partition("=")
+                name = name.strip()
+                if not name or not rest.strip():
+                    continue
+                full = (f"HIERARCH {name}" if key == "HIERARCH"
+                        else name)
+                value, cont = _parse_value(rest)
+                header[full] = value
+                last_string_key = full if cont else None
+                continue
             if not key or c[8:10] != "= ":
                 continue
-            body = c[10:]
-            if body.lstrip().startswith("'"):
-                s = body.lstrip()[1:]
-                # FITS escapes a quote inside a string as '' — scan for the
-                # first single (unpaired) closing quote.
-                out = []
-                j = 0
-                while j < len(s):
-                    if s[j] == "'":
-                        if j + 1 < len(s) and s[j + 1] == "'":
-                            out.append("'")
-                            j += 2
-                            continue
-                        break
-                    out.append(s[j])
-                    j += 1
-                header[key] = "".join(out).rstrip()
-            else:
-                v = body.split("/")[0].strip()
-                if v == "T":
-                    header[key] = True
-                elif v == "F":
-                    header[key] = False
-                else:
-                    try:
-                        header[key] = int(v)
-                    except ValueError:
-                        try:
-                            header[key] = float(v)
-                        except ValueError:
-                            header[key] = v
+            value, cont = _parse_value(c[10:])
+            header[key] = value
+            last_string_key = key if cont else None
         if done:
             break
     return header, pos - start
 
 
 def read_fits(path: str) -> list[tuple[dict[str, Any], np.ndarray | None]]:
-    """Read all HDUs: list of (header, data) with data in native byte order."""
+    """Read all HDUs: list of (header, data) with data in native byte order.
+
+    Hardened for foreign (MAST/astropy-written) files, not just this
+    module's own output:
+
+    - **BSCALE/BZERO** scaling is APPLIED: stored integers come back as
+      physical values (``BSCALE*stored + BZERO``). The common unsigned
+      conventions (BITPIX 16 / BZERO 32768, BITPIX 32 / BZERO 2^31)
+      return exact unsigned integer arrays; anything else returns
+      float64. The scaling keys are reset to identity in the returned
+      header so downstream consumers never double-apply them.
+    - **Table extensions** (BINTABLE/TABLE, e.g. the association or
+      catalog HDUs real products append) are SKIPPED — their header is
+      returned with ``data=None`` and the data section, including the
+      PCOUNT heap, is stepped over so subsequent image HDUs stay
+      aligned. Tile-compressed images (fpack ZIMAGE BINTABLEs) are
+      therefore also skipped, not decompressed — run funpack first.
+    - The data-section size follows the standard formula
+      ``|BITPIX|/8 * GCOUNT * (PCOUNT + prod(NAXIS*))``.
+    """
     with open(path, "rb") as fh:
         raw = fh.read()
     out: list[tuple[dict[str, Any], np.ndarray | None]] = []
@@ -229,15 +302,35 @@ def read_fits(path: str) -> list[tuple[dict[str, Any], np.ndarray | None]]:
         header, used = _parse_header(raw, pos)
         pos += used
         naxis = int(header.get("NAXIS", 0))
+        xtension = str(header.get("XTENSION", "")).strip().upper()
+        is_table = xtension in ("BINTABLE", "TABLE", "A3DTABLE")
         data = None
         if naxis > 0:
             shape = tuple(int(header[f"NAXIS{i}"]) for i in range(naxis, 0, -1))
-            dtype = np.dtype(_DTYPES[int(header["BITPIX"])])
+            bitpix = int(header["BITPIX"])
+            itemsize = abs(bitpix) // 8
             count = int(np.prod(shape))
-            nbytes = count * dtype.itemsize
-            data = np.frombuffer(raw, dtype=dtype, count=count,
-                                 offset=pos).reshape(shape)
-            data = data.astype(data.dtype.newbyteorder("="))
+            pcount = int(header.get("PCOUNT", 0))
+            gcount = int(header.get("GCOUNT", 1))
+            nbytes = itemsize * gcount * (pcount + count)
+            if not is_table and count > 0:
+                dtype = np.dtype(_DTYPES[bitpix])
+                data = np.frombuffer(raw, dtype=dtype, count=count,
+                                     offset=pos).reshape(shape)
+                data = data.astype(data.dtype.newbyteorder("="))
+                bscale = header.get("BSCALE", 1)
+                bzero = header.get("BZERO", 0)
+                if (bscale, bzero) != (1, 0):
+                    if bitpix == 16 and bscale == 1 and bzero == 32768:
+                        data = (data.astype(np.int32) + 32768
+                                ).astype(np.uint16)
+                    elif bitpix == 32 and bscale == 1 and bzero == 2**31:
+                        data = (data.astype(np.int64) + 2**31
+                                ).astype(np.uint32)
+                    else:
+                        data = (np.float64(bscale) * data
+                                + np.float64(bzero))
+                    header["BSCALE"], header["BZERO"] = 1, 0
             pos += nbytes + ((-nbytes) % BLOCK)
         out.append((header, data))
     return out
