@@ -56,7 +56,7 @@ def test_static_dq_bits_for_defects():
                               dead_frac=1e-3, n_blobs=2)
     qe = np.asarray(tables.qe_map)
     dq = static_dq_plane(np.asarray(tables.dark_map),
-                         np.asarray(tables.active_mask), qe)
+                         np.asarray(tables.active_mask), qe_map=qe)
     dead = (dq & DQ_DEAD) != 0
     blob = (dq & DQ_BLOB) != 0
     np.testing.assert_array_equal(dead, qe < 0.05)
@@ -139,7 +139,7 @@ def test_closed_loop_defects_repaired_spectra_match_clean():
     mid = jnp.asarray(starts + exptime / 2.0, jnp.float32)
 
     dq = static_dq_plane(np.asarray(tables.dark_map),
-                         np.asarray(tables.active_mask), qe)
+                         np.asarray(tables.active_mask), qe_map=qe)
     dq_stack = np.broadcast_to(dq, (n_exp, NSAMP + 1, S, S))
     good = good_diff_masks_from_dq(jnp.asarray(dq_stack))
 

@@ -740,7 +740,19 @@ def with_loaded_qe(tables: Tables, path: str) -> Tables:
     the synthetic default attenuation — real blob depths are not
     published per blob, only the mask is). Full-frame planes are cut to
     the subarray like every other calibration product.
+
+    Float planes are validated as RELATIVE QE: the DQ consumer
+    (io.ima.static_dq_plane) flags blob at QE < 0.98 and dead at
+    QE < 0.05, so an ABSOLUTE plane (median ~0.8-0.9 for HgCdTe) would
+    silently flag essentially the whole detector and the reducer would
+    then mask every interval of every pixel. A plane whose median is
+    off 1 by more than 5% is renormalised by its median (with a
+    warning); one that would still flag > 5% of pixels draws a warning
+    so a mistaken file is visible instead of silently masking the
+    frame.
     """
+    import warnings
+
     from wayne_tpu.io.fits import read_fits
 
     hdus = read_fits(path)
@@ -753,6 +765,25 @@ def with_loaded_qe(tables: Tables, path: str) -> Tables:
         qe[(bits & 4) != 0] = 0.0
     else:
         qe = np.clip(np.asarray(plane, np.float64), 0.0, None)
+        med = float(np.median(qe))
+        if med <= 0.0:
+            raise ValueError(
+                f"QE plane {path!r} has non-positive median ({med:g}) — "
+                "not a usable relative-QE or DQ-bit plane")
+        if not 0.95 <= med <= 1.05:
+            warnings.warn(
+                f"QE plane {path!r} has median {med:.3f}; treating it as "
+                "an absolute plane and renormalising by the median so "
+                "nominal pixels sit at ~1 (static_dq_plane flags "
+                "QE < 0.98 as blob)", stacklevel=2)
+            qe = qe / med
+        frac_flagged = float((qe < 0.98).mean())
+        if frac_flagged > 0.05:
+            warnings.warn(
+                f"QE plane {path!r}: {frac_flagged:.1%} of pixels sit "
+                "below the 0.98 blob-flag threshold — the DQ-aware "
+                "reduction will mask all of them; check the plane is "
+                "relative QE (1 = nominal)", stacklevel=2)
     subarray = tables.flat_coeffs.shape[-1]
     qe = _subarray_cutout(qe, subarray)
     return dataclasses.replace(

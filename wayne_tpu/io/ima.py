@@ -203,7 +203,7 @@ DQ_BLOB = 512          # WFC3 IR DQ bit for blobs (CSM-mirror particulates)
 DQ_UNSTABLE = 32       # WFC3 IR DQ bit for unstable (RTS/popcorn) pixels
 
 
-def static_dq_plane(dark_map: np.ndarray, active_mask: np.ndarray,
+def static_dq_plane(dark_map: np.ndarray, active_mask: np.ndarray, *,
                     qe_map: np.ndarray | None = None,
                     hot_threshold_e_s: float = 0.4,
                     rts_amp: np.ndarray | None = None) -> np.ndarray:
@@ -214,11 +214,22 @@ def static_dq_plane(dark_map: np.ndarray, active_mask: np.ndarray,
     are calibration-known detector properties, like the bad-pixel
     tables calwf3 folds into real ima DQ planes.
 
+    Everything after ``active_mask`` is KEYWORD-ONLY: ``qe_map`` was
+    inserted ahead of ``hot_threshold_e_s`` in round 3, and a caller
+    passing a threshold positionally would silently have it read as a
+    QE plane (a scalar < 0.05 broadcasts to "every pixel dead").
+
     The synthetic calibration plants hot pixels at 20-200x the nominal
     dark rate (calibration.synthetic_tables); the 0.4 e-/s threshold
     sits an order of magnitude above the normal-pixel distribution.
     Dead = QE < 5%; blob = QE < 98% and not dead (nominal pixels sit at
-    exactly 1 in both the synthetic and loaded QE planes).
+    exactly 1 in both the synthetic and loaded QE planes). Blob SKIRT
+    pixels with < 2% attenuation (QE in (0.98, 1), the Gaussian edge of
+    the synthetic blobs) are attenuated but NOT flagged — the same
+    flagging floor real bad-pixel tables have; static attenuation
+    cancels in normalised light curves either way, and absolute-
+    spectrum consumers carry the documented < 2% edge bias
+    (docs/CALIBRATION.md).
     """
     dq = np.where(np.asarray(dark_map) > hot_threshold_e_s,
                   DQ_HOT_PIXEL, 0).astype(np.int16)

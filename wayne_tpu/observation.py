@@ -695,7 +695,7 @@ class Observation:
             self._static_dq = static_dq_plane(
                 np.asarray(self.tables.dark_map),
                 np.asarray(self.tables.active_mask),
-                np.asarray(self.tables.qe_map),
+                qe_map=np.asarray(self.tables.qe_map),
                 rts_amp=(None if self.tables.rts_amp is None
                          else np.asarray(self.tables.rts_amp)))
             if not self._static_dq.any():

@@ -218,7 +218,28 @@ def simulate_ensemble_spectra(scenes: Scene, tables: Tables,
     flat and gain structure — reduction.py "ratios" note). The
     file-level reducer (run_reduce) still excludes/repairs them via the
     DQ planes for users consuming absolute spectra.
+
+    UNSTABLE (RTS) pixels do NOT enjoy that cancellation: Tables.rts_amp
+    modulates the affected pixels by a per-exposure random telegraph
+    state (simulate_exposure applies it unconditionally), so the
+    corruption is time-VARYING and survives every normalisation/ratio —
+    and this raw-spectra path has no DQ exclusion seam. The function
+    warns when rts_amp is active; consumers who need unbiased
+    depths from an RTS-afflicted detector should reduce through
+    run_reduce/reduce_visit (whose DQ-aware masks exclude DQ-32 pixels)
+    or zero the flagged columns out of the spectra with
+    io.ima.static_dq_plane before fitting.
     """
+    if tables.rts_amp is not None and bool(jnp.any(tables.rts_amp > 0)):
+        import warnings
+
+        warnings.warn(
+            "simulate_ensemble_spectra: Tables.rts_amp is active — RTS "
+            "(unstable-pixel) corruption is time-varying and does NOT "
+            "cancel in normalised light curves; these full-frame column "
+            "sums carry it unrepaired (reduce via run_reduce's DQ-aware "
+            "path, or mask DQ-32 columns, for unbiased depths)",
+            stacklevel=2)
     nlincorr = nlincorr and cfg.noise.non_linearity
     # key on the FULL tree structure + leaf ranks (CLAUDE.md cache
     # invariant): rank tuples alone collide for structures that differ
