@@ -120,7 +120,13 @@ def main() -> None:
         best = min(best, time.time() - t0)
     results["1_staring_ideal_single"] = {
         "wallclock_s": round(best, 5),
-        "exposures_per_sec": round(1 / best, 1), "compile_s": round(compile1, 1)}
+        "exposures_per_sec": round(1 / best, 1), "compile_s": round(compile1, 1),
+        "caveat": "single blocking dispatch on a TUNNELED TPU: "
+                  "wall-clock is dominated by the ~20-30 ms host<->device "
+                  "RTT, not device compute (PERF.md xprof split) — "
+                  "compare visit-scale rows for architecture numbers; "
+                  "compile_s is the flaky remote compile service, not "
+                  "the program"}
     log(f"config1 single ideal exposure: {best * 1e3:.2f} ms")
 
     # 2: staring transit visit, poisson + read noise
