@@ -465,6 +465,10 @@ def simulate_exposure(scene: Scene, tables: Tables,
             tables.read_noise_e, tables.full_well_e,
             tables.gain, tables.ipc_alpha]).astype(jnp.float32)
         nl_coeffs = tables.nonlin_coeffs.astype(jnp.float32)
+        # Kernel contract: the gain operand is the RECIPROCAL plane —
+        # inverted ONCE per exposure here so the VPU-bound kernels
+        # multiply instead of dividing per pixel per read.
+        inv_gain_map = 1.0 / tables.gain_map.astype(jnp.float32)
         raw_key = scene.key
         if raw_key.dtype != jnp.uint32:
             raw_key = jax.random.key_data(raw_key)
@@ -475,22 +479,30 @@ def simulate_exposure(scene: Scene, tables: Tables,
         exp_seed = raw_key.reshape(-1)[-1].astype(jnp.int32)
         exp_seed_hi = raw_key.reshape(-1)[0].astype(jnp.int32)
 
-    use_fused = use_pallas and band and S <= 512 and cfg.fused_reads
+    use_fused = use_pallas and band and cfg.fused_reads
+    fused_tiles = 1
     if use_fused:
-        # Non-v5e TPU generations compile-probe the single-launch kernel
-        # instead of trusting the v5e-measured VMEM behaviour; a failed
-        # probe falls back to the per-read kernels below.
-        from wayne_tpu.ops.pallas_readout import fused_whole_exposure_supported
-        use_fused = fused_whole_exposure_supported(
-            S, band, cfg.nsamp + 1, cfg.max_cr_per_read)
+        # S <= 512 runs the measured single-block layout; larger frames
+        # column-tile the kernel so each tile's charge stays VMEM-
+        # resident across its read sweep (same HBM bytes, working set
+        # shrunk by col_tiles — ops/pallas_readout._kernel_exposure).
+        # Column tiling cannot apply IPC (tile seams).
+        from wayne_tpu.ops.pallas_readout import (
+            fused_exposure_col_tiles, fused_whole_exposure_supported)
+        fused_tiles = fused_exposure_col_tiles(S)
+        use_fused = (fused_tiles >= 1
+                     and not (fused_tiles > 1 and flags.ipc)
+                     and fused_whole_exposure_supported(
+                         S, band, cfg.nsamp + 1, cfg.max_cr_per_read))
     if use_fused:
         # Whole-exposure fused path: compute every read's expected signal
         # band (vmap over reads — no sequential dependency), then run ALL
         # reads in ONE kernel launch with the cumulative charge resident
         # in VMEM (ops/pallas_readout._kernel_exposure). Removes the
         # per-read HBM round-trips of the cum frame and 15 kernel
-        # launches per exposure. (S > 512 falls back to the per-read
-        # kernels: the full-frame working set exceeds VMEM.)
+        # launches per exposure. S > 512 column-tiles the launch
+        # (fused_tiles > 1) so each tile's charge still never leaves
+        # VMEM; IPC at those sizes falls back to the per-read kernels.
         rw = rw_all if rw_all is not None else jnp.ones((cfg.nsamp, K), dtype)
         ks = jnp.arange(cfg.nsamp)
         t_as = read_times[:-1]
@@ -538,11 +550,12 @@ def simulate_exposure(scene: Scene, tables: Tables,
             jnp.stack([exp_seed, jnp.int32(0), exp_seed_hi]),
             y0s_all, dts_all, bands_all, jnp.zeros((S, S), jnp.float32),
             bg_rate.astype(jnp.float32), tables.bias_map,
-            tables.gain_map, nl_coeffs, crp_all, crq_all, pallas_consts,
+            inv_gain_map, nl_coeffs, crp_all, crq_all, pallas_consts,
             poisson=flags.poisson, read_noise=flags.read_noise,
             non_linearity=flags.non_linearity, bias=flags.bias,
             scalar_gain=not flags.gain_variations,
-            with_cr=flags.cosmic_rays, bg_poisson=has_bg, ipc=flags.ipc)
+            with_cr=flags.cosmic_rays, bg_poisson=has_bg, ipc=flags.ipc,
+            col_tiles=fused_tiles)
         sat = jnp.mean((cum >= tables.full_well_e).astype(dtype))
         reads_dn = reads_dn.astype(dtype)
         if flags.bias_drift:
@@ -587,7 +600,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
             # full-frame staging arrays in the XLA graph at all.
             cum_e, dn = fused_read_step_banded(
                 seed2, y0.reshape(1), cum_e, frame, bg_rate * dt,
-                tables.bias_map, tables.gain_map, nl_coeffs, cr_pos, cr_q,
+                tables.bias_map, inv_gain_map, nl_coeffs, cr_pos, cr_q,
                 pallas_consts, poisson=flags.poisson,
                 read_noise=flags.read_noise,
                 non_linearity=flags.non_linearity, bias=flags.bias,
@@ -605,7 +618,7 @@ def simulate_exposure(scene: Scene, tables: Tables,
                 add = add.at[cr_pos[0], cr_pos[1]].add(cr_q)
             cum_e, dn = fused_read_step(
                 seed2, cum_e, add, bg_rate * dt, tables.bias_map,
-                tables.gain_map, nl_coeffs, pallas_consts,
+                inv_gain_map, nl_coeffs, pallas_consts,
                 poisson=flags.poisson,
                 read_noise=flags.read_noise,
                 non_linearity=flags.non_linearity, bias=flags.bias,

@@ -17,6 +17,13 @@ Grid: row tiles of TILE rows x S cols. Each tile seeds the PRNG with
 (seed, read index, tile index) so draws are independent and reproducible.
 Randomness differs bit-wise from the XLA path (different generator), but
 the distributions are identical — validated statistically in tests.
+
+CONTRACT: every kernel's ``gain_map`` operand is the RECIPROCAL gain
+plane (1/gain per pixel). The kernels are VPU-bound at full frame, and
+a vector divide per pixel per read is a measurable slice of the whole
+exposure; the caller inverts the plane once per exposure instead
+(ops/exposure.py). The scalar-gain path divides once per step in
+scalar registers (consts[2] stays the plain gain).
 """
 
 from __future__ import annotations
@@ -49,34 +56,44 @@ def _poisson_tile(lam, z):
     """Three-regime Poisson given normal z (see ops/random.py).
 
     The exact inverse-transform regime is gated by a runtime branch that
-    is skipped entirely when the whole tile sits in the Cornish-Fisher
-    regime (sky-dominated backgrounds: lam ~ 12 >> 3). Its uniform is
-    drawn INSIDE the branch, so skipped tiles pay for neither the loop
-    nor the draw; PRNG state consumption then depends on the
-    (deterministic, data-dependent) branch, which keeps
-    per-(seed, inputs) reproducibility.
+    is skipped entirely when every POSITIVE lam in the tile sits in the
+    Cornish-Fisher regime (sky-dominated backgrounds: lam ~ 12 >> 3).
+    lam == 0 is handled exactly in the Gauss path (Poisson(0) = 0 by a
+    where, not by the sampler), so the 5-px reference-pixel border —
+    whose zero rates otherwise force the exact branch into EVERY column
+    tile of EVERY read — no longer triggers it: at full frame that
+    branch (exp + a 12-step loop per pixel) was a measurable slice of
+    the whole VPU-bound kernel. The branch's uniform is drawn INSIDE
+    it, so skipped tiles pay for neither the loop nor the draw; PRNG
+    state consumption then depends on the (deterministic,
+    data-dependent) branch, which keeps per-(seed, inputs)
+    reproducibility.
     """
+    pos = lam > 0.0
     skew = jnp.where(lam < _T_GAUSS, (z * z - 1.0) / 6.0, 0.0)
     gauss = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z + skew), 0.0)
+    gauss = jnp.where(pos, gauss, 0.0)         # Poisson(0) = 0, exactly
 
     def small_branch(_):
         u = _uniform(lam.shape)
         lam_c = jnp.minimum(lam, _T_EXACT)
         p0 = jnp.exp(-lam_c)
 
-        def body(j, carry):
-            p, cum, k = carry
-            cum_new = cum + p
-            k = k + (u > cum_new).astype(jnp.float32)
-            p = p * lam_c / (j + 1.0)
-            return (p, cum_new, k)
+        # Unrolled with the 1/(j+1) factorial inverses folded to
+        # compile-time constants: the fori_loop form issued a vector
+        # DIVIDE per step per pixel (j was traced), and at full frame
+        # (16 reads x 1024^2) those divides were a measurable slice of
+        # the whole exposure kernel.
+        p, cum, k = p0, jnp.zeros_like(lam), jnp.zeros_like(lam)
+        for j in range(_J_STEPS):
+            cum = cum + p
+            k = k + (u > cum).astype(jnp.float32)
+            p = p * lam_c * (1.0 / (j + 1.0))
+        k_small = k
+        return jnp.where(pos & (lam < _T_EXACT), k_small, gauss)
 
-        _, _, k_small = jax.lax.fori_loop(
-            0, _J_STEPS, body,
-            (p0, jnp.zeros_like(lam), jnp.zeros_like(lam)))
-        return jnp.where(lam < _T_EXACT, k_small, gauss)
-
-    return jax.lax.cond(jnp.min(lam) < _T_EXACT, small_branch,
+    min_pos = jnp.min(jnp.where(pos, lam, jnp.inf))
+    return jax.lax.cond(min_pos < _T_EXACT, small_branch,
                         lambda _: gauss, None)
 
 
@@ -94,9 +111,14 @@ def _ipc_couple(sig, a):
     return sig * (1.0 - 4.0 * a) + a * (up + down + left + right)
 
 
-def _nonlin(sig, nl_ref, fw):
-    """Per-pixel cubic deficit: sig * (1 - (c1 q + c2 q^2 + c3 q^3))."""
-    q = sig / fw
+def _nonlin(sig, nl_ref, inv_fw):
+    """Per-pixel cubic deficit: sig * (1 - (c1 q + c2 q^2 + c3 q^3)).
+
+    Takes 1/full_well (a scalar reciprocal computed once per kernel
+    step): q = sig * inv_fw avoids a VECTOR divide per pixel per read —
+    the full-frame kernel is VPU-bound, and divides are multi-op there.
+    """
+    q = sig * inv_fw
     c1, c2, c3 = nl_ref[0], nl_ref[1], nl_ref[2]
     return sig * (1.0 - ((c3 * q + c2) * q + c1) * q)
 
@@ -132,15 +154,18 @@ def _kernel(seed_ref, cum_ref, add_ref, bg_ref, bias_ref, gain_ref, nl_ref,
 
     rn = consts_ref[0]
     fw = consts_ref[1]
-    g0 = consts_ref[2]
     sig = cum
     if non_linearity:
-        sig = _nonlin(jnp.minimum(sig, fw), nl_ref, fw)
+        sig = _nonlin(jnp.minimum(sig, fw), nl_ref, 1.0 / fw)
     if bias:
         sig = sig + bias_ref[:]
     if read_noise:
         sig = sig + rn * z_rn
-    dn_ref[:] = sig / (g0 if scalar_gain else gain_ref[:])
+    # gain_ref carries the RECIPROCAL gain plane (see module docstring):
+    # scalar reciprocals fold once per step, and the map case multiplies
+    # instead of issuing a vector divide per pixel per read.
+    dn_ref[:] = sig * ((1.0 / consts_ref[2]) if scalar_gain
+                       else gain_ref[:])
 
 
 def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
@@ -188,24 +213,24 @@ def _kernel_banded(seed_ref, y0_ref, cum_ref, band_ref, bg_ref, bias_ref,
 
     rn = consts_ref[0]
     fw = consts_ref[1]
-    g0 = consts_ref[2]
     sig = cum_out_ref[:]
     if non_linearity:
-        sig = _nonlin(jnp.minimum(sig, fw), nl_ref, fw)
+        sig = _nonlin(jnp.minimum(sig, fw), nl_ref, 1.0 / fw)
     if ipc:
         sig = _ipc_couple(sig, consts_ref[3])
     if bias:
         sig = sig + bias_ref[:]
     if read_noise:
         sig = sig + rn * z_rn
-    dn_ref[:] = sig / (g0 if scalar_gain else gain_ref[:])
+    dn_ref[:] = sig * ((1.0 / consts_ref[2]) if scalar_gain
+                       else gain_ref[:])
 
 
 def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
                      bg_rate_ref, bias_ref, gain_ref, nl_ref, cr_pos_ref,
                      cr_q_ref, consts_ref, dn_ref, cum_out_ref, cum_ref, *,
                      poisson, read_noise, non_linearity, bias, scalar_gain,
-                     with_cr, bg_poisson=True, ipc=False):
+                     with_cr, bg_poisson=True, ipc=False, tiled=False):
     """Multi-read fused readout: grid step k emits one read.
 
     The TPU Pallas grid is sequential per core, so the accumulated charge
@@ -219,9 +244,25 @@ def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
     zero band, zero CR charge): Poisson(0) = 0 in every regime.
     seed_ref[1] carries the global read offset so chunked calls draw
     disjoint streams.
+
+    ``tiled``: grid is (col_tiles, NR) — read index innermost, so each
+    column tile's accumulated charge persists in the (S, TILE) scratch
+    across its whole read sweep (re-initialised at k == 0 per tile).
+    Every ref sees only its tile's column slice; CR hits are matched
+    against GLOBAL column ids (tile offset + local iota) so each hit
+    lands in exactly one tile. Total HBM traffic is unchanged versus
+    the untiled kernel (every map/band byte still streams exactly
+    once); only the VMEM working set shrinks by col_tiles — what makes
+    full-frame 1024^2 (and 2048^2) fit the ~16 MB VMEM budget.
+    IPC is NOT supported tiled (column coupling would miscouple at tile
+    seams); callers fall back to the per-read path for ipc=True.
     """
-    k = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + (seed_ref[1] + k) * 100003, seed_ref[2])
+    if tiled:
+        t, k = pl.program_id(0), pl.program_id(1)
+    else:
+        t, k = 0, pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + (seed_ref[1] + k) * 100003
+                    + t * 131071, seed_ref[2])
     shape = cum_ref.shape
     W = bands_ref.shape[1]
 
@@ -255,7 +296,10 @@ def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
     cum_ref[pl.ds(y0, W), :] += band
     if with_cr:
         n_cr = cr_pos_ref.shape[2]
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, shape[1]), 1)
+        # GLOBAL column ids: tiled kernels see a column slice, and a CR
+        # hit must land in exactly the tile whose slice holds its x.
+        col_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, shape[1]), 1)
+                   + t * shape[1])
 
         def hit(i, _):
             y, x = cr_pos_ref[k, 0, i], cr_pos_ref[k, 1, i]
@@ -268,17 +312,17 @@ def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
 
     rn = consts_ref[0]
     fw = consts_ref[1]
-    g0 = consts_ref[2]
     sig = cum_ref[...]
     if non_linearity:
-        sig = _nonlin(jnp.minimum(sig, fw), nl_ref, fw)
+        sig = _nonlin(jnp.minimum(sig, fw), nl_ref, 1.0 / fw)
     if ipc:
         sig = _ipc_couple(sig, consts_ref[3])
     if bias:
         sig = sig + bias_ref[...]
     if read_noise:
         sig = sig + rn * z_rn
-    dn_ref[0] = sig / (g0 if scalar_gain else gain_ref[...])
+    dn_ref[0] = sig * ((1.0 / consts_ref[2]) if scalar_gain
+                       else gain_ref[...])
     cum_out_ref[...] = cum_ref[...]
 
 
@@ -292,7 +336,7 @@ MAX_READS_PER_CALL = 16
 
 @functools.partial(jax.jit, static_argnames=(
     "poisson", "read_noise", "non_linearity", "bias", "scalar_gain",
-    "with_cr", "bg_poisson", "ipc", "interpret"))
+    "with_cr", "bg_poisson", "ipc", "col_tiles", "interpret"))
 def fused_exposure_readout(
         seed2: jnp.ndarray, y0s: jnp.ndarray, dts: jnp.ndarray,
         bands: jnp.ndarray, cum_init: jnp.ndarray, bg_rate: jnp.ndarray,
@@ -301,7 +345,7 @@ def fused_exposure_readout(
         poisson: bool = True, read_noise: bool = True,
         non_linearity: bool = True, bias: bool = True,
         scalar_gain: bool = False, with_cr: bool = True,
-        bg_poisson: bool = True, ipc: bool = False,
+        bg_poisson: bool = True, ipc: bool = False, col_tiles: int = 1,
         interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Up to MAX_READS_PER_CALL reads in one kernel launch.
 
@@ -320,6 +364,13 @@ def fused_exposure_readout(
         (zeroed beyond the actual count).
       consts: (4,) f32 (read_noise_e, full_well_e, gain, ipc_alpha);
         a length-3 array is accepted when ipc=False.
+      col_tiles: split the frame into this many column tiles, each
+        sweeping all reads with its charge resident in VMEM (grid
+        (col_tiles, NR), read index innermost). 1 = the measured
+        single-block layout (S <= 512); S > 512 needs
+        col_tiles >= (S/512)^2 to keep the working set inside VMEM.
+        Total HBM bytes are identical for every value. Requires
+        ipc=False when > 1 (tile seams) and S % (128 * col_tiles) == 0.
 
     Returns:
       (reads_dn (NR, S, S) in time order, final cum_e (S, S)).
@@ -329,33 +380,53 @@ def fused_exposure_readout(
     if nr > MAX_READS_PER_CALL:
         raise ValueError(f"at most {MAX_READS_PER_CALL} reads per call")
     W = bands.shape[1]
-    const2 = lambda *_: (0, 0)
-    full = pl.BlockSpec((S, S), const2, memory_space=pltpu.VMEM)
+    tiled = col_tiles > 1
+    if tiled and ipc:
+        raise ValueError("col_tiles > 1 cannot apply IPC (tile seams)")
+    if tiled and (S % col_tiles or (S // col_tiles) % 128):
+        raise ValueError(f"col_tiles={col_tiles} must cut S={S} into "
+                         "lane-aligned (multiple-of-128) column tiles")
+    T = S // col_tiles
+    if tiled:
+        tmap = lambda t, k, *_: (0, t)
+        full = pl.BlockSpec((S, T), tmap, memory_space=pltpu.VMEM)
+        band_spec = pl.BlockSpec((1, W, T), lambda t, k, *_: (k, 0, t),
+                                 memory_space=pltpu.VMEM)
+        nl_spec = pl.BlockSpec((3, S, T), lambda t, k, *_: (0, 0, t),
+                               memory_space=pltpu.VMEM)
+        dn_spec = pl.BlockSpec((1, S, T), lambda t, k, *_: (k, 0, t),
+                               memory_space=pltpu.VMEM)
+        grid = (col_tiles, nr)
+    else:
+        const2 = lambda *_: (0, 0)
+        full = pl.BlockSpec((S, S), const2, memory_space=pltpu.VMEM)
+        band_spec = pl.BlockSpec((1, W, S), lambda k, *_: (k, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        nl_spec = pl.BlockSpec((3, S, S), lambda *_: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dn_spec = pl.BlockSpec((1, S, S), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM)
+        grid = (nr,)
     kernel = functools.partial(
         _kernel_exposure, poisson=poisson, read_noise=read_noise,
         non_linearity=non_linearity, bias=bias, scalar_gain=scalar_gain,
-        with_cr=with_cr, bg_poisson=bg_poisson, ipc=ipc)
+        with_cr=with_cr, bg_poisson=bg_poisson, ipc=ipc, tiled=tiled)
     dn, cum = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nr,),
+            grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # y0s
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # dts
-                pl.BlockSpec((1, W, S), lambda k, *_: (k, 0, 0),
-                             memory_space=pltpu.VMEM),
+                band_spec,
                 full, full, full, full,
-                pl.BlockSpec((3, S, S), lambda *_: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                nl_spec,
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # cr_pos (full)
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # cr_q (full)
                 pl.BlockSpec(memory_space=pltpu.SMEM)],  # consts
-            out_specs=[
-                pl.BlockSpec((1, S, S), lambda k, *_: (k, 0, 0),
-                             memory_space=pltpu.VMEM),
-                full],
-            scratch_shapes=[pltpu.VMEM((S, S), jnp.float32)],
+            out_specs=[dn_spec, full],
+            scratch_shapes=[pltpu.VMEM((S, T), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((nr, S, S), jnp.float32),
                    jax.ShapeDtypeStruct((S, S), jnp.float32)],
@@ -374,8 +445,9 @@ _V5E_KINDS = ("v5 lite", "v5e", "v5litepod")
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_probe(S: int, W: int, nr: int, n_cr: int, kind: str) -> bool:
-    if any(k in kind.lower() for k in _V5E_KINDS):
+def _fused_probe(S: int, W: int, nr: int, n_cr: int, col_tiles: int,
+                 kind: str) -> bool:
+    if col_tiles == 1 and any(k in kind.lower() for k in _V5E_KINDS):
         return True                       # measured configuration
     try:
         f32 = jnp.float32
@@ -385,24 +457,50 @@ def _fused_probe(S: int, W: int, nr: int, n_cr: int, kind: str) -> bool:
             sh((nr, W, S), f32), sh((S, S), f32), sh((S, S), f32),
             sh((S, S), f32), sh((S, S), f32), sh((3, S, S), f32),
             sh((nr, 2, n_cr), jnp.int32), sh((nr, n_cr), f32),
-            sh((4,), f32)).compile()
+            sh((4,), f32), col_tiles=col_tiles).compile()
         return True
     except Exception:
         return False
+
+
+def fused_exposure_col_tiles(S: int) -> int:
+    """Column-tile count for the whole-exposure kernel above 512^2:
+    the widest lane-aligned (multiple-of-128) tile width dividing S
+    with S * tile <= 512 * 256 — e.g. 1024 -> 8 tiles of 128 columns.
+    1 below 512 (the measured single-block layout); 0 marks frames the
+    tiling cannot cut into lane-aligned columns.
+
+    The budget is EMPIRICAL, not the 512^2 single-block bytes: on v5e
+    the remote Mosaic compile crashes (helper subprocess exit 1, no
+    diagnostic) for (1024, 256) blocks even though their total VMEM
+    matches the working 512^2 layout, while (1024, 128) compiles and
+    runs — probed via fused_whole_exposure_supported either way, so a
+    backend where wider tiles work only pays the probe."""
+    if S <= 512:
+        return 1
+    best = 0
+    for tile in range(128, S + 1, 128):
+        if S % tile == 0 and S * tile <= 512 * 256:
+            best = tile
+    return S // best if best else 0
 
 
 def fused_whole_exposure_supported(S: int, W: int, nr: int,
                                    n_cr: int) -> bool:
     """True when the single-launch whole-exposure kernel compiles on the
     current backend at this frame shape (cached per shape + device kind;
-    trusted without a probe on v5e where it was A/B-measured)."""
+    trusted without a probe on v5e where it was A/B-measured). Frames
+    above 512^2 probe the column-tiled layout (fused_exposure_col_tiles)."""
+    ct = fused_exposure_col_tiles(S)
+    if ct == 0:
+        return False
     try:
         kind = jax.devices()[0].device_kind
     except Exception:
         kind = "unknown"
     if jax.default_backend() != "tpu":
         return True      # interpret-mode / CPU tests exercise it directly
-    return _fused_probe(S, W, nr, n_cr, kind)
+    return _fused_probe(S, W, nr, n_cr, ct, kind)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -424,7 +522,8 @@ def fused_read_step(seed2: jnp.ndarray, cum_e: jnp.ndarray,
       cum_e: (S, S) accumulated charge before this interval.
       add_frame: (S, S) already-sampled signal band + cosmic rays.
       bg_lam: (S, S) expected background electrons this interval.
-      bias_map, gain_map: (S, S) detector maps.
+      bias_map: (S, S) detector map; gain_map: (S, S) RECIPROCAL gain
+        plane (module-docstring contract).
       nl_coeffs: (3, S, S) per-pixel cubic non-linearity planes (c1, c2, c3).
       consts: (3,) f32 — (read_noise_e, full_well_e, gain_scalar).
 
