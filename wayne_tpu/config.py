@@ -301,6 +301,37 @@ class RecteConfig:
 
 
 @dataclass
+class ProgramConfig:
+    """Multi-visit observing program (YAML ``program:`` block).
+
+    Beyond the reference (which simulates one visit per run): the same
+    target observed over ``num_visits`` visits — the standard HST
+    transit-program design (e.g. WASP-43 b's repeated GO-13467 visits)
+    — with the cross-visit physics the single-visit model cannot carry:
+
+    - persistence/trap state threads across visit boundaries
+      (``carry_persistence``): each visit's deepest per-pixel fluence
+      becomes the next visit's prior-stimulus map
+      (PersistenceConfig.prior_fluence_file seam), so visit N opens
+      with the afterglow of visit N-1;
+    - per-visit ephemeris drift (``t0_drift_s_per_visit``): the TRUE
+      transit times walk away from the assumed linear ephemeris by
+      this many seconds per visit while the reduction still assumes
+      the YAML t0 — the systematic a multi-visit fit must detect.
+    """
+
+    num_visits: int = 1
+    visit_start_mjds: tuple | None = None  # explicit per-visit starts;
+    #                                        None -> spacing below
+    visit_spacing_days: float = 0.0        # 0 -> the nearest whole
+    #                                        number of planet periods
+    #                                        >= 1 day (next transits)
+    carry_persistence: bool = True         # thread fluence across visits
+    #                                        (needs persistence: enabled)
+    t0_drift_s_per_visit: float = 0.0      # true-ephemeris drift
+
+
+@dataclass
 class CalibrationConfig:
     """Optional real STScI calibration products (YAML ``calibration:``
     block). Empty paths keep the synthetic tables; each given file
@@ -368,6 +399,7 @@ class ObservationConfig:
     persistence: PersistenceConfig = field(
         default_factory=PersistenceConfig)
     recte: RecteConfig = field(default_factory=RecteConfig)
+    program: ProgramConfig = field(default_factory=ProgramConfig)
     n_lambda: int = 512
     n_sub: int = 0           # 0 -> auto from SSV period (see auto_n_sub)
     sample_rate_s: float = 0.0  # reference 'sample_rate': seconds per
@@ -751,6 +783,27 @@ def config_from_dict(params: Mapping[str, Any]) -> ObservationConfig:
         else:
             cfg.recte = dataclasses.replace(
                 cfg.recte, enabled=_coerce(rec, True))
+
+    # program: a mapping of ProgramConfig fields (multi-visit runs;
+    # run_program consumes it, run_visit simulates visit 0 only)
+    prog = flat.pop("program", None)
+    if prog is not None:
+        if not isinstance(prog, Mapping):
+            raise ValueError("'program' must be a mapping of "
+                             "ProgramConfig fields")
+        prog_fields = {f.name for f in dataclasses.fields(ProgramConfig)}
+        unknown = set(prog) - prog_fields
+        if unknown:
+            raise ValueError(
+                f"unknown program keys {sorted(unknown)}; "
+                f"allowed: {sorted(prog_fields)}")
+        kv = {}
+        for k, v in prog.items():
+            if k == "visit_start_mjds":
+                kv[k] = None if v is None else tuple(float(x) for x in v)
+            else:
+                kv[k] = _coerce(v, getattr(cfg.program, k))
+        cfg.program = dataclasses.replace(cfg.program, **kv)
 
     calib_fields = {f.name for f in dataclasses.fields(CalibrationConfig)}
     unknown_cal = set(calib_kv) - calib_fields
