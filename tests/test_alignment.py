@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wayne_tpu.calibration import synthetic_tables
 from wayne_tpu.config import ExposureStatic, NoiseFlags
@@ -107,6 +108,7 @@ def test_dispersion_centroid_affine_in_shift():
     assert np.abs(resid).max() < 1e-3, resid          # affine to <0.001 px
 
 
+@pytest.mark.slow
 def test_reduce_visit_align_closes_drift_loop():
     """Noise-free scanned visit with a 0.5 px linear pointing drift:
     align=True recovers the drift series and cuts the channel-depth

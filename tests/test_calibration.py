@@ -6,6 +6,7 @@ from wayne_tpu.calibration import (
     load_axe_conf, load_sensitivity_ascii, synthetic_tables, with_loaded_grism,
 )
 from wayne_tpu.io.fits import FitsHDU, write_fits
+import pytest
 
 
 def test_axe_conf_parsing(tmp_path):
@@ -166,6 +167,7 @@ def test_reference_pixel_border():
     assert last[512, 512] > 0.1            # interior: sky+dark present
 
 
+@pytest.mark.slow
 def test_full_real_calibration_visit(tmp_path):
     """SURVEY §9 rehearsal: a COMPLETE set of STScI-format calibration
     files (aXe conf, sensitivity ASCII, flat cube, master sky, nonlin

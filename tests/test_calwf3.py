@@ -13,6 +13,7 @@ import yaml
 
 from wayne_tpu.config import load_yaml
 from wayne_tpu.observation import Observation
+import pytest
 
 BASE = {"grism": "G141", "subarray": 128, "NSAMP": 4,
         "SAMPSEQ": "SPARS10", "scan": True, "x_ref": 30.0,
@@ -33,6 +34,7 @@ def _generate(tmp_path, name, noise):
     return ppath, outdir, paths
 
 
+@pytest.mark.slow
 def test_flt_recovers_clean_rate(tmp_path):
     from wayne_tpu.calwf3 import read_flt
     from wayne_tpu.io.ima import read_ima

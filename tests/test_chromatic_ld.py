@@ -9,6 +9,7 @@ a band-mean fit maps the LD error into an Rp/Rs tilt at the band edges.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wayne_tpu.ops.kepler import projected_separation
 from wayne_tpu.ops.transit import transit_depth_curve
@@ -37,6 +38,7 @@ def _channel_curves(t, orbit, ld_chan):
     return np.stack(cols, axis=1)
 
 
+@pytest.mark.slow
 def test_fit_depths_per_channel_ld_exact_mean_ld_biased():
     base = example_scene(64)
     t, _, _ = _orbit_times()
@@ -60,6 +62,7 @@ def test_fit_depths_per_channel_ld_exact_mean_ld_biased():
     assert d[0] * d[-1] < 0.0, d
 
 
+@pytest.mark.slow
 def test_run_reduce_cli_chromatic_ld(tmp_path):
     """File-level loop with an ld_file: the simulator injects per-λ LD,
     run_reduce rebuilds per-channel coefficients from the same table and

@@ -19,6 +19,7 @@ def test_cli_example_flag():
     assert "grism: G141" in r.stdout and "planet:" in r.stdout
 
 
+@pytest.mark.slow
 def test_cli_full_visit(tmp_path):
     import yaml
     pars = {
@@ -80,6 +81,7 @@ def test_run_dataset_cli(tmp_path):
                       "--recover", "0", "--cpu"])
 
 
+@pytest.mark.slow
 def test_cli_quicklook_reads_files_back(tmp_path):
     """--quicklook builds its PNGs from the files just written instead
     of re-simulating the visit on device (which doubled wall-clock)."""
@@ -100,6 +102,7 @@ def test_cli_quicklook_reads_files_back(tmp_path):
     assert (tmp_path / "out" / "visit_lightcurve.png").exists()
 
 
+@pytest.mark.slow
 def test_cli_all_devices(tmp_path):
     """--all-devices shards the visit over the virtual CPU mesh in a
     subprocess and writes the same number of files."""
@@ -158,6 +161,7 @@ def test_reduce_cli_argument_validation(tmp_path):
         reduce_main(["-d", out, "-p", str(p), "--cpu", "--n-chan", "0"])
 
 
+@pytest.mark.slow
 def test_run_retrieve_cli(tmp_path):
     """Forward-model retrieval CLI: generate a small noisy visit, then
     fit its transmission spectrum THROUGH the simulator from the files

@@ -4,6 +4,7 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
 import yaml
 
 from wayne_tpu.compat import ExposureGenerator, run
@@ -50,6 +51,7 @@ def test_grism_instance_geometry_and_seedless_rng():
                                   np.asarray(d.reads_dn))
 
 
+@pytest.mark.slow
 def test_run_parameter_file():
     pars = {
         "observation": dict(grism="G141", subarray=128, NSAMP=3,

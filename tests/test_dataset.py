@@ -253,6 +253,7 @@ class TestEclipseSweep:
 
 
 class TestRecoveredLabels:
+    @pytest.mark.slow
     def test_recovered_depths_track_injected_sweep(self):
         """generate_dataset(recover=...) attaches on-device fitted
         depths per realisation that track the swept injection. Needs a
@@ -308,6 +309,7 @@ class TestRecoveredLabels:
         assert np.all(np.diff(means) > 0), means
 
 
+@pytest.mark.slow
 def test_spectra_to_depths_subtract_bg_removes_dilution():
     """Ensemble spectra are FULL-FRAME column sums: unsubtracted sky
     background B dilutes the normalised dip by F/(F+B), biasing depths
@@ -397,13 +399,14 @@ def test_scan_direction_factor_guards():
     np.testing.assert_allclose(np.asarray(corr), 1.0)
 
 
+@pytest.mark.slow
 def test_spectra_to_depths_matches_reduce_visit_path():
     """The dataset-QA fitter on reduce_visit's own extracted spectra
     reproduces the reduce_visit -> divide-white -> fit_depths chain
     exactly (same binning, normalisation and fits)."""
     import dataclasses
 
-    from wayne_tpu.reduction import (common_mode_correct, fit_depths,
+    from wayne_tpu.reduction import (divide_white_fit_depths,
                                      reduce_visit, spectra_to_depths)
 
     S2, NL2, n_exp = 128, 64, 16
@@ -432,10 +435,12 @@ def test_spectra_to_depths_matches_reduce_visit_path():
     red = reduce_visit(out.reads_dn, tables.gain, mid, base.orbit,
                        y_window=(20, 75), x_window=xw,
                        bg_rows=(100, 126), n_chan=n_chan)
-    chan = common_mode_correct(red.white_lc, red.channel_lc, mid,
-                               base.orbit, base.ld, jnp.float32(0.15))
-    rp_ref, sig_ref = fit_depths(chan, mid, base.orbit, base.ld,
-                                 jnp.float32(0.15))
+    # the divide-white chain including the white fit's common-mode
+    # sigma in quadrature (reduction.divide_white_fit_depths) — what
+    # spectra_to_depths(divide_white=True) runs internally
+    rp_ref, sig_ref = divide_white_fit_depths(
+        red.white_lc, red.channel_lc, mid, base.orbit, base.ld,
+        jnp.float32(0.15))
     rp_qa, sig_qa = spectra_to_depths(red.spectra_e, mid, base.orbit,
                                       base.ld, 0.15, x_window=xw,
                                       n_chan=n_chan)

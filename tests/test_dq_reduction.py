@@ -13,6 +13,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wayne_tpu.calibration import synthetic_tables
 from wayne_tpu.config import ExposureStatic, NoiseFlags
@@ -207,6 +208,7 @@ def test_ensemble_extraction_is_dq_aware():
     assert resid.max() < 0.02 * no_cr.max() + 50.0, resid.max()
 
 
+@pytest.mark.slow
 def test_run_reduce_cli_dq_repair(tmp_path):
     """File-level CR loop: a visit with strong cosmic rays reduces to
     the injected depth through the DQ planes; --no-dq on the same files

@@ -328,6 +328,7 @@ class TestReverseScan:
 
 
 class TestSSVAgainstOracle:
+    @pytest.mark.slow
     def test_ssv_scan_matches_fine_oracle(self):
         # The kernel uses EXACT per-segment SSV means; the oracle applies
         # the raw sinusoid at ~0.03 px steps. Pixel-level agreement here

@@ -223,6 +223,7 @@ def _doctor_ima_to_raw_style(path: str) -> None:
         fh.write(b"".join(out))
 
 
+@pytest.mark.slow
 def test_run_reduce_consumes_raw_style_files(tmp_path):
     """End to end: simulate a visit, doctor every ima into a raw-style
     unsigned-int16 file with an embedded association table, and reduce

@@ -16,6 +16,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 import yaml
 
 from wayne_tpu.config import config_from_dict
@@ -43,6 +44,7 @@ def _tiny_full_systematics_params() -> dict:
     return params
 
 
+@pytest.mark.slow
 def test_everything_on_generate_then_reduce(tmp_path):
     from wayne_tpu.io.ima import read_ima
     from wayne_tpu.observation import Observation

@@ -9,6 +9,7 @@ posterior median ~ truth, width consistent with the LM curvature.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wayne_tpu.mcmc import ensemble_sample, sample_white_posterior
 from wayne_tpu.scene import example_scene
@@ -95,6 +96,7 @@ def test_ensemble_sampler_respects_support():
     assert float(jnp.min(chain.samples)) > 0.0
 
 
+@pytest.mark.slow
 def test_white_posterior_recovers_depth():
     base = example_scene(64)
     trends = TrendParams.create(hook_amp=0.003, hook_tau_s=300.0,
@@ -126,6 +128,7 @@ def test_white_posterior_recovers_depth():
     assert float(np.max(np.asarray(post.rhat))) < 1.3
 
 
+@pytest.mark.slow
 def test_channel_posteriors_vmapped():
     """All channels sampled in one program: medians track the injected
     per-channel depths, widths are finite and sane."""
@@ -159,6 +162,7 @@ def test_channel_posteriors_vmapped():
     assert np.all(np.asarray(post.ess) > 200.0), np.asarray(post.ess)
 
 
+@pytest.mark.slow
 def test_posterior_width_matches_lm_sigma():
     """Uncertainty-estimate cross-validation at unit scale (the
     ensemble-scale three-way tie lives in tools/uncertainty_triangle.py
@@ -195,6 +199,7 @@ def test_posterior_width_matches_lm_sigma():
     assert np.all((ratio > 0.75) & (ratio < 1.3)), ratio
 
 
+@pytest.mark.slow
 def test_white_posterior_with_geometry():
     """Joint (depth, systematics, ephemeris) posterior: a perturbed-t0
     dataset's posterior covers the true shift, and the geometry
@@ -229,6 +234,7 @@ def test_white_posterior_with_geometry():
     assert 0.1 < float(post.acceptance) < 0.95
 
 
+@pytest.mark.slow
 def test_white_posterior_t0_window_covers_stale_ephemeris():
     """A catalog t0 stale by MORE than the default 600 s seeding window
     is recoverable by widening t0_window_s: the LM t0 grid AND the flat
@@ -294,6 +300,7 @@ def test_white_posterior_eclipse_mode():
     assert 0.1 < float(post.acceptance) < 0.95
 
 
+@pytest.mark.slow
 def test_posterior_weights_exclude_clipped_outliers():
     """weights= (the --clip-sigma keep mask) must gate the MCMC
     likelihood: a masked outlier exposure cannot drag the posterior

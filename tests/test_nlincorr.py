@@ -20,6 +20,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import yaml
 
 from wayne_tpu.calibration import synthetic_tables
@@ -84,6 +85,7 @@ def _reduce(outdir, ppath, extra=()):
     return rep, np.array([c["rp_over_rs"] for c in rep["channels"]])
 
 
+@pytest.mark.slow
 def test_nlincorr_closed_loop(tmp_path):
     from wayne_tpu.config import load_yaml
     from wayne_tpu.io.ima import read_ima

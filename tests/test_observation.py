@@ -142,6 +142,7 @@ class TestScenes:
             Observation(small_cfg(scan=False))    # trace at 72-126: fine
         assert not caplog.records
 
+    @pytest.mark.slow
     def test_explicit_start_times_reproduced_in_headers(self):
         """exp_start_times as a LIST schedules those exact MJDs: the
         plan, the orbit inference, and the written EXPSTART keywords all

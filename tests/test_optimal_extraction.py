@@ -8,6 +8,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wayne_tpu.calibration import synthetic_tables
 from wayne_tpu.config import ExposureStatic, NoiseFlags
@@ -83,6 +84,7 @@ def test_read_noise_var_e2():
     assert ramp < 2.0 * 144.0 / 2.9          # ~3x variance win at NR=16
 
 
+@pytest.mark.slow
 def test_reduce_visit_optimal_recovers_depths():
     """The jitted pipeline with optimal=True closes the depth loop on a
     noisy scanned visit and does not inflate the white-light scatter."""
@@ -128,6 +130,7 @@ def test_reduce_visit_optimal_recovers_depths():
     assert s_o < 1.15 * s_b, (s_o, s_b)
 
 
+@pytest.mark.slow
 def test_run_reduce_cli_optimal(tmp_path):
     """--extract optimal on a faint, read-noise-limited staring visit:
     recovers the depth and beats box extraction's fit uncertainty."""

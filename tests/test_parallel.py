@@ -40,6 +40,7 @@ def test_mesh_factorisation():
     assert mesh.shape["mc"] > 1 and mesh.shape["exp"] > 1
 
 
+@pytest.mark.slow
 def test_sharded_ensemble_matches_single_device():
     mesh = make_mesh(jax.devices())
     n_mc, n_exp = mesh.shape["mc"] * 2, mesh.shape["exp"] * 2
@@ -166,6 +167,7 @@ def test_sharded_eclipse_ensemble_matches_single_device():
     np.testing.assert_allclose(ratio, 1.0 + 3e-3 * 0.75, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_generate_sharded_matches_single_device(tmp_path):
     """Observation.generate(mesh=...) shards the exposure axis over all
     8 virtual devices and writes ima files identical to the

@@ -312,6 +312,7 @@ class TestConfig:
             config_from_dict({"persistence": {"amplitdue": 1.0}})
 
 
+@pytest.mark.slow
 def test_observation_generate_with_persistence(tmp_path):
     """End-to-end: the YAML flag flows through Observation.generate —
     exposure 0 is untouched when the direct-image stimulus is off,

@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wayne_tpu.ops.kepler import orbital_phase_angle, projected_separation
 from wayne_tpu.ops.transit import eclipse_visibility, transit_light_curve
@@ -136,6 +137,7 @@ def test_phase_curve_simulator_loop():
     assert abs(float(fit.offset_rad) - off) < 0.3, float(fit.offset_rad)
 
 
+@pytest.mark.slow
 def test_run_reduce_cli_phase_mode(tmp_path):
     """File-level loop: simulate a full-orbit phase-curve visit, reduce
     with --mode phase, recover the dayside contrast and modulation."""

@@ -13,6 +13,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import yaml
 
 from wayne_tpu.config import config_from_dict
@@ -143,3 +144,56 @@ def test_run_program_cli_and_resume(tmp_path):
                     "--cpu"])
     assert rc == 0
     assert [p.stat().st_mtime_ns for p in first] == mtimes
+
+
+@pytest.mark.slow
+def test_program_ephemeris_drift_recovered(tmp_path):
+    """The point of multi-visit programs: the injected true-ephemeris
+    drift is recovered from the per-visit fitted transit times measured
+    against the stale assumed ephemeris (tools/program_ephemeris.py)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.program_ephemeris import measure_program_ephemeris
+
+    # Coverage matters (CLAUDE.md invariant): t0 sits ~9700 s into the
+    # visit so INGRESS falls in one orbit's visibility window and
+    # EGRESS in the next — the same 5-orbit/90-s-cadence shape
+    # tests/test_ramp_fit.py::test_fit_white_ramp_geometry validates
+    # for the free-geometry fit. (A continuous gap-free schedule or
+    # one-contact coverage leaves t0 degenerate and the fit diverges.)
+    t0 = 56000.0
+    # SPARS10/NSAMP=4 (~31 s exposures) + J=9.5 + scan 2.0 px/s:
+    # enough photons that the per-visit fitted-t0 noise sits well
+    # under the injected 120 s/visit walk (RAPID 2.7 s exposures
+    # measured ~130 s rms), and the faster scan keeps the peak at 21%%
+    # of full well (the ETC flags 139%% saturation at 0.3 px/s — a
+    # clipped transit walks the t0 fit to its grid bound)
+    params = {"grism": "G141", "subarray": 128, "NSAMP": 4,
+              "SAMPSEQ": "SPARS10", "scan": True, "scan_speed": 2.0,
+              "x_ref": 30.0, "y_ref": 40.0, "num_orbits": 5,
+              "exposures_per_orbit": 30, "exposure_overhead_s": 60.0,
+              "mag_J": 9.5, "n_lambda": 48, "n_sub": 2,
+              "start_mjd": t0 - 9700.0 / 86400.0, "t0": t0,
+              "period": 0.813475,
+              "sma_over_rs": 4.855, "inclination": 82.1,
+              "rp_over_rs": 0.1595, "seed": 11,
+              "noise": {"read_noise": True, "sky": True, "dark": True},
+              "program": {"num_visits": 3, "visit_spacing_days": 0.0,
+                          "carry_persistence": False,
+                          "t0_drift_s_per_visit": 120.0}}
+    ppath = tmp_path / "prog.yml"
+    ppath.write_text(yaml.safe_dump(params))
+    from wayne_tpu.config import load_yaml
+
+    out = tmp_path / "prog"
+    Program(load_yaml(str(ppath))).generate(
+        str(out), chunk=8, progress=lambda s: None)
+    eph = measure_program_ephemeris(str(out), str(ppath), n_chan=4,
+                                    cpu=True)
+    # per-visit fitted offsets track the injected 0/120/240 s walk
+    fitted = np.array(eph["per_visit_t0_offset_s"])
+    injected = np.array(eph["per_visit_injected_offset_s"])
+    np.testing.assert_allclose(injected, [0.0, 120.0, 240.0], atol=0.5)
+    assert np.all(np.abs(fitted - injected) < 60.0), (fitted, injected)
+    assert abs(eph["drift_s_per_visit_fitted"] - 120.0) < 45.0, eph

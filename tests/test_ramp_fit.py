@@ -13,6 +13,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wayne_tpu.ops.transit import transit_depth_curve
 from wayne_tpu.ops.kepler import projected_separation
@@ -118,6 +119,7 @@ def test_ramp_detrend_recovers_channel_depths():
     np.testing.assert_allclose(np.asarray(rp_hat), rp_chan, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_ramp_fit_closes_simulator_loop():
     """End to end: simulate an orbit-structured visit with the hook+slope
     trend ON plus photon/read noise, reduce it, and recover the injected
@@ -180,6 +182,7 @@ def test_ramp_fit_closes_simulator_loop():
     assert np.all(np.abs(rp_hat - RP_W) < tol), (rp_hat, rp_sig)
 
 
+@pytest.mark.slow
 def test_run_reduce_cli_detrend_ramp(tmp_path):
     """File-level loop with --detrend ramp: generate a visit (hook+slope
     on by default), reduce it with the joint parametric fit, and recover
@@ -225,6 +228,7 @@ def test_run_reduce_cli_detrend_ramp(tmp_path):
         assert abs(c["rp_mcmc_median"] - 0.14) < max(5.0 * cw, 5e-3), c
 
 
+@pytest.mark.slow
 def test_fit_white_ramp_geometry():
     """fit_geometry frees (t0, a/Rs, cos i): data generated with a
     perturbed ephemeris must be recovered from the catalog starting
@@ -300,6 +304,7 @@ def test_fit_white_ramp_eclipse_mode():
     assert np.abs(ratio / ratio.mean() - 1.0).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_fit_white_ramp_robust_clip():
     """clip_sigma survives model-unrepresentable outliers (a starspot
     crossing bump + a CR spike): the clipped fit recovers the unbiased

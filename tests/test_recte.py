@@ -177,6 +177,7 @@ def test_kernel_thinning_reproduces_deficit_exactly():
     assert diff_e[0].sum() < diff_e[3].sum() <= 0.0
 
 
+@pytest.mark.slow
 def test_closed_loop_depth_recovery_under_recte():
     """Simulate -> reduce closed loop with the RECTE ramp ON: the
     standard analysis chain (white ramp fit -> parametric detrend ->
@@ -268,6 +269,7 @@ class TestFitWhiteRecte:
                 jax.random.PRNGKey(seed), lc.shape)
         return lc, mids, base, texp, rate
 
+    @pytest.mark.slow
     def test_recovers_depth_and_trap_state(self):
         from wayne_tpu.reduction import fit_white_recte
 
@@ -313,6 +315,7 @@ class TestFitWhiteRecte:
         assert resid[:5].std() < 5e-4
 
 
+@pytest.mark.slow
 def test_run_reduce_cli_recte_detrend(tmp_path):
     """File-level loop with the PHYSICAL model on both sides: simulate
     with recte: true (parametric hook off so the trap ramp is the only
@@ -377,6 +380,7 @@ class TestConfig:
             config_from_dict({"recte": {"tua_f": 300.0}})
 
 
+@pytest.mark.slow
 def test_observation_hook_ramps_white_light():
     """End-to-end through Observation: with recte on (parametric hook
     off) the deterministic white-light curve ramps upward through the

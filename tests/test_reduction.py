@@ -15,6 +15,7 @@ from wayne_tpu.config import ExposureStatic, NoiseFlags
 from wayne_tpu.ops.visit import simulate_visit
 from wayne_tpu.reduction import fit_depths, reduce_visit
 from wayne_tpu.scene import example_scene
+import pytest
 
 S, NL, NSAMP = 128, 64, 4
 N_EXP = 40
@@ -296,6 +297,7 @@ def test_fit_sky_model_unit():
     assert np.abs(np.asarray(model_mr) - truth).max() < 0.2
 
 
+@pytest.mark.slow
 def test_run_reduce_sky_fit_components(tmp_path):
     """--sky-fit closed loop: a visit with sky + He airglow + dark on is
     reduced with the component-frame background model; depths stay
@@ -401,6 +403,7 @@ def test_fit_eclipse_depths_ignores_transit_epochs():
                                atol=5e-6)
 
 
+@pytest.mark.slow
 def test_run_reduce_eclipse_mode(tmp_path):
     """Eclipse visits round-trip: simulate with eclipse_depth, reduce
     with --mode eclipse, recover the injected Fp/Fs per channel."""

@@ -118,6 +118,7 @@ def test_retrieval_noise_free_exact():
     assert res.n_iter >= 1 and np.isfinite(res.chi2)
 
 
+@pytest.mark.slow
 def test_retrieval_with_noise_within_errors():
     flags = dataclasses.replace(
         NoiseFlags.none(), poisson=True, read_noise=True, sky=True,
@@ -134,6 +135,7 @@ def test_retrieval_with_noise_within_errors():
                                                   res.rp_sigma)
 
 
+@pytest.mark.slow
 def test_retrieval_fit_ramp_recovers_nuisances():
     """Joint depth + ramp fit: the visit trend is absorbed by its own
     physical parameters, not leaked into the depths."""
@@ -175,6 +177,7 @@ def _alternate(scenes, tables, reverse_offset=0.0):
         stellar_flux=scenes.stellar_flux * jnp.asarray(fac)[:, None])
 
 
+@pytest.mark.slow
 def test_retrieval_fit_scan_offset():
     """Data carry a +0.8% reverse-scan flux offset the model scenes do
     NOT know about; fit_scan_offset recovers it as one achromatic
@@ -252,6 +255,7 @@ def test_retrieval_eclipse_mode():
            x_window=X_WINDOW, n_chan=N_CHAN, rp_init=1e-3, mode="eclipse")
 
 
+@pytest.mark.slow
 def test_retrieval_models_companion_contamination():
     """Flagship zero-model-mismatch case: a contaminating companion
     spectrum overlaps the target's. Because the retrieval forward IS the

@@ -20,6 +20,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wayne_tpu.calibration import synthetic_tables
 from wayne_tpu.config import ExposureStatic, NoiseFlags, config_from_dict
@@ -92,6 +93,7 @@ def test_rts_toggles_response_per_exposure():
     assert (again[py, px] > ref[py, px]) == states[0]
 
 
+@pytest.mark.slow
 def test_closed_loop_rts_requires_dq_masking():
     """The point of DQ 32: unstable pixels in the window corrupt naive
     depths (time-varying -> does NOT cancel in ratios), and the

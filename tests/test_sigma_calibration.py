@@ -61,6 +61,7 @@ def _mc_curves(model, oot, normalise):
     return jnp.asarray(lc, jnp.float32)
 
 
+@pytest.mark.slow
 def test_fit_depths_sigma_calibrated_on_normalised_curves(visit_model):
     """The production path: curves OOT-normalised, baseline_var on
     (red_noise off — the noise here IS white, so the exact-calibration
@@ -82,6 +83,7 @@ def test_fit_depths_sigma_calibrated_on_normalised_curves(visit_model):
     assert abs(rp.mean() - RP_TRUE) < 3.0 * SIG_PT
 
 
+@pytest.mark.slow
 def test_fit_depths_sigma_calibrated_without_normalisation(visit_model):
     """Independent-noise case: baseline_var=False is exact."""
     base, mid, oot, model = visit_model
@@ -94,6 +96,7 @@ def test_fit_depths_sigma_calibrated_without_normalisation(visit_model):
     assert 0.92 < ratio.mean() < 1.10, ratio
 
 
+@pytest.mark.slow
 def test_baseline_var_term_is_material(visit_model):
     """Dropping the normalisation term under-reports sigma by >10% —
     i.e. the term is load-bearing, not cosmetic — and the TRUE scatter
@@ -116,6 +119,7 @@ def test_baseline_var_term_is_material(visit_model):
     assert 0.92 < ratio_on < 1.10    # ... corrected sigma is calibrated
 
 
+@pytest.mark.slow
 def test_red_noise_beta_catches_correlated_noise(visit_model):
     """The Pont+2006 beta scaling (red_noise=True, the default):
 
@@ -155,6 +159,7 @@ def test_red_noise_beta_catches_correlated_noise(visit_model):
     assert sig_beta.mean() > 1.4 * sig_bare.mean()
 
 
+@pytest.mark.slow
 def test_divide_white_common_mode_sigma(visit_model):
     """Divide-white must propagate the white fit's depth sigma.
 

@@ -234,6 +234,7 @@ class TestExposureIntegration:
 
 
 class TestRetrievalClosedLoop:
+    @pytest.mark.slow
     def test_spotted_star_retrieval_unbiased(self):
         """Forward-model retrieval THROUGH a spotted star.
 
@@ -365,6 +366,7 @@ class TestYamlPath:
 
 
 class TestCliClipSigma:
+    @pytest.mark.slow
     def test_run_reduce_clips_spot_crossing(self, tmp_path):
         """File-level loop: a spotted visit's crossing bump biases the
         ramp-fit depths; --clip-sigma masks the bumped exposures (the
