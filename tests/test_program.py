@@ -197,3 +197,54 @@ def test_program_ephemeris_drift_recovered(tmp_path):
     np.testing.assert_allclose(injected, [0.0, 120.0, 240.0], atol=0.5)
     assert np.all(np.abs(fitted - injected) < 60.0), (fitted, injected)
     assert abs(eph["drift_s_per_visit_fitted"] - 120.0) < 45.0, eph
+
+
+@pytest.mark.slow
+def test_joint_retrieval_shared_spectrum_and_drift(tmp_path):
+    """run_retrieve --program: one shared Rp/Rs spectrum fitted jointly
+    across a 2-visit program through the forward model, with per-visit
+    t0 offsets recovering the injected ephemeris drift. (Geometry is
+    FIXED at the model's values here, so dt0 is identified even from
+    modest coverage — unlike the free-geometry ramp fit.)"""
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.run_retrieve import main as retrieve_main
+
+    t0 = 56000.0
+    offsets_min = [-70, -60, -50, -40, -30, -20, -10, 0, 10, 20, 30,
+                   40, 50, 60, 70]
+    times = [t0 + m / 1440.0 for m in offsets_min]
+    wl = None
+    params = {"grism": "G141", "subarray": 128, "NSAMP": 3,
+              "SAMPSEQ": "SPARS10", "scan": True, "scan_speed": 1.0,
+              "x_ref": 30.0, "y_ref": 30.0,
+              "exp_start_times": times, "start_mjd": times[0],
+              "n_lambda": 48, "n_sub": 2, "t0": t0,
+              "period": 0.813475, "sma_over_rs": 4.855,
+              "inclination": 82.1, "rp_over_rs": 0.1595, "seed": 21,
+              "noise": {"read_noise": True, "sky": True, "dark": True},
+              "program": {"num_visits": 2, "visit_spacing_days": 0.0,
+                          "carry_persistence": False,
+                          "t0_drift_s_per_visit": 180.0}}
+    ppath = tmp_path / "prog.yml"
+    ppath.write_text(yaml.safe_dump(params))
+    out = tmp_path / "prog"
+    Program(load_yaml(str(ppath))).generate(
+        str(out), chunk=5, progress=lambda s: None)
+
+    rc = retrieve_main(["-d", str(out), "-p", str(ppath), "--program",
+                        "--cpu", "--n-chan", "4", "--chunk", "3",
+                        "--n-lm", "8"])
+    assert rc == 0
+    rep = json.loads((out / "retrieved_joint.json").read_text())
+    assert rep["n_visits"] == 2
+    t0s = np.array(rep["t0_offsets_s"])
+    # visit 1 at the assumed ephemeris, visit 2 walked 180 s
+    assert abs(t0s[0]) < 30.0, t0s
+    assert abs(t0s[1] - 180.0) < 30.0, t0s
+    assert abs(rep["drift_s_per_visit_fitted"] - 180.0) < 30.0
+    # the SHARED spectrum lands on the injected flat 0.1595
+    rp = np.array([c["rp_over_rs"] for c in rep["channels"]])
+    sig = np.array([c["rp_sigma"] for c in rep["channels"]])
+    assert np.all(np.abs(rp - 0.1595) < np.maximum(5 * sig, 0.004)), (
+        rp, sig)
+    assert np.all((sig > 0) & (sig < 0.01)), sig

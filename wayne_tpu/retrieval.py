@@ -385,3 +385,208 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
         ramp_sigma=(sig[n_rp: n_rp + 2].copy() if fit_ramp else None),
         scan_offset=(float(theta[-1]) if fit_scan_offset else None),
         scan_offset_sigma=(float(sig[-1]) if fit_scan_offset else None))
+
+
+@dataclass
+class JointRetrievalResult:
+    """Joint multi-visit forward-model retrieval output."""
+
+    rp: np.ndarray           # (n_chan,) SHARED fitted Rp/Rs spectrum
+    rp_sigma: np.ndarray     # (n_chan,)
+    t0_offsets_s: np.ndarray | None        # (n_visits,) fitted per-visit
+    #                                        mid-transit offsets from the
+    #                                        assumed linear ephemeris
+    t0_offsets_sigma_s: np.ndarray | None
+    ramp: np.ndarray | None                # (n_visits, 2) [slope/s, hook]
+    ramp_sigma: np.ndarray | None
+    chi2: float
+    n_points: int
+    n_iter: int
+
+
+def retrieve_transmission_joint(
+        spectra_list: list, scenes_list: list, tables: Tables,
+        cfg: ExposureStatic, *, x_window: tuple[int, int],
+        n_chan: int = 8, rp_init: float | np.ndarray = 0.12,
+        estimator: str = "cds",
+        y_window: tuple[int, int] | None = None,
+        fit_t0: bool = True, fit_ramp: bool = False,
+        n_lm: int = 12, chunk: int = 2) -> JointRetrievalResult:
+    """Fit ONE transmission spectrum jointly across N visits, with
+    per-visit nuisances, through the full forward model.
+
+    The multi-visit analysis the reference's single-visit scope cannot
+    express (wayne_tpu.program generates the data side): all visits
+    share the per-channel Rp/Rs vector — the physical spectrum does not
+    change between epochs — while each visit carries its own
+
+    - mid-transit offset ``dt0_v`` from the assumed linear ephemeris
+      (``fit_t0``, default on): the joint fit IS the transit-timing
+      measurement, so a drifting true ephemeris (program
+      ``t0_drift_s_per_visit``) shows up directly in
+      ``t0_offsets_s`` while sharing every photon with the spectrum
+      estimate;
+    - optional ``[visit_slope, hook_amp]`` trend pair (``fit_ramp``).
+
+    Implementation notes (TPU): one jitted residual+Jacobian program is
+    traced for the per-visit parameter block ``[rp, own nuisances]``
+    and reused across visits (same Scene structure); the global
+    Jacobian is assembled block-sparse on the host — a visit's
+    residuals have exactly zero derivative against another visit's
+    nuisances, so tangent count stays at the single-visit level. The
+    tiny LM normal-equation solve stays in float64 NumPy (CLAUDE.md
+    bf16 hazard).
+
+    Every visit must share ``cfg``/``tables`` (same instrument mode)
+    and the channel window convention; transit mode only.
+    """
+    n_vis = len(spectra_list)
+    if n_vis != len(scenes_list) or n_vis == 0:
+        raise ValueError("need equally many spectra and scenes, >= 1")
+    cfg_m = deterministic_cfg(cfg)
+    edges = _channel_edges(x_window, n_chan)
+    n_rp = n_chan
+    n_nuis = (1 if fit_t0 else 0) + (2 if fit_ramp else 0)
+    if fit_ramp and not cfg.noise.visit_trend:
+        raise ValueError("fit_ramp requires cfg.noise.visit_trend")
+
+    exptime = float(tables.read_times[-1])
+    per_visit = []
+    for sp, sc in zip(spectra_list, scenes_list):
+        sp = jnp.asarray(sp, jnp.float32)
+        n_exp = sp.shape[0]
+        if n_exp != jax.tree_util.tree_leaves(sc)[0].shape[0]:
+            raise ValueError("spectra/scenes exposure mismatch")
+        idx_np, in_win_np = bin_channel_map(sc, tables, x_window, n_chan)
+        orbit0 = jax.tree_util.tree_map(lambda x: x[0], sc.orbit)
+        mid = sc.exp_start_s + 0.5 * exptime
+        oot = out_of_transit_mask(mid, orbit0).astype(jnp.float32)
+        if float(oot.sum()) < 2:
+            raise ValueError("a visit has < 2 out-of-transit exposures")
+        data_chan = _normalise_oot(_bin_channels(sp, edges), oot)
+        n_oot = jnp.maximum(oot.sum(), 2.0)
+        mean = (data_chan * oot[:, None]).sum(0) / n_oot
+        var = (((data_chan - mean[None, :]) ** 2) * oot[:, None]
+               ).sum(0) / (n_oot - 1.0)
+        sigma_j = jnp.sqrt(jnp.maximum(var, 1e-12))
+        per_visit.append(dict(
+            scenes_m=deterministic_scenes(sc), data_chan=data_chan,
+            oot=oot, sigma=sigma_j, idx=jnp.asarray(idx_np),
+            in_win=jnp.asarray(in_win_np, jnp.float32),
+            rp_fixed=sc.rp_over_rs[0], n_exp=n_exp))
+
+    def resid_v(theta_v, scenes_m, data_chan, oot, sigma_j, idx, in_win,
+                rp_fixed):
+        theta_v = theta_v.astype(jnp.float32)
+        n_exp = data_chan.shape[0]
+        rp_bin = (in_win * theta_v[:n_rp][idx]
+                  + (1.0 - in_win) * rp_fixed)
+        sc = dataclasses.replace(
+            scenes_m, rp_over_rs=jnp.broadcast_to(
+                rp_bin[None], (n_exp, rp_bin.size)))
+        k = n_rp
+        if fit_t0:
+            orb = dataclasses.replace(
+                sc.orbit, t0_s=sc.orbit.t0_s + theta_v[k])
+            sc = dataclasses.replace(sc, orbit=orb)
+            k += 1
+        if fit_ramp:
+            tr = dataclasses.replace(
+                sc.trends,
+                visit_slope_per_s=jnp.broadcast_to(
+                    theta_v[k], sc.trends.visit_slope_per_s.shape),
+                hook_amp=jnp.broadcast_to(
+                    theta_v[k + 1], sc.trends.hook_amp.shape))
+            sc = dataclasses.replace(sc, trends=tr)
+        model = forward_spectra(sc, tables, cfg_m, chunk, estimator,
+                                y_window)
+        model_chan = _normalise_oot(_bin_channels(model, edges), oot)
+        return ((model_chan - data_chan) / sigma_j[None, :]).ravel()
+
+    val_jac = jax.jit(lambda tv, *a: (resid_v(tv, *a),
+                                      jax.jacfwd(resid_v)(tv, *a)))
+    resid_only = jax.jit(resid_v)
+
+    theta0 = np.full(n_rp, float(np.mean(rp_init)), np.float64)
+    if np.ndim(rp_init) == 1:
+        theta0[:] = np.asarray(rp_init, np.float64)
+    nuis0 = []
+    for sc in scenes_list:
+        if fit_t0:
+            nuis0.append(0.0)
+        if fit_ramp:
+            tr = sc.trends
+            nuis0 += [float(np.asarray(tr.visit_slope_per_s).ravel()[0]),
+                      float(np.asarray(tr.hook_amp).ravel()[0])]
+    theta = np.concatenate([theta0, np.asarray(nuis0, np.float64)]) \
+        if nuis0 else theta0.copy()
+    n_par = theta.size
+
+    def split(th, v):
+        base = n_rp + v * n_nuis
+        return np.concatenate([th[:n_rp], th[base: base + n_nuis]])
+
+    def visit_args(v):
+        pv = per_visit[v]
+        return (pv["scenes_m"], pv["data_chan"], pv["oot"], pv["sigma"],
+                pv["idx"], pv["in_win"], pv["rp_fixed"])
+
+    def full_resid(th):
+        return np.concatenate([
+            np.asarray(resid_only(jnp.asarray(split(th, v)),
+                                  *visit_args(v)), np.float64)
+            for v in range(n_vis)])
+
+    def full_val_jac(th):
+        rs, Js = [], []
+        for v in range(n_vis):
+            r_v, J_v = val_jac(jnp.asarray(split(th, v)), *visit_args(v))
+            r_v = np.asarray(r_v, np.float64)
+            J_v = np.asarray(J_v, np.float64)
+            Jg = np.zeros((r_v.size, n_par))
+            Jg[:, :n_rp] = J_v[:, :n_rp]
+            base = n_rp + v * n_nuis
+            Jg[:, base: base + n_nuis] = J_v[:, n_rp:]
+            rs.append(r_v)
+            Js.append(Jg)
+        return np.concatenate(rs), np.concatenate(Js, axis=0)
+
+    r, J = full_val_jac(theta)
+    chi2 = float(r @ r)
+    lam, n_iter = 1e-3, 0
+    for _ in range(n_lm):
+        n_iter += 1
+        JtJ = J.T @ J
+        g = J.T @ r
+        step = np.linalg.solve(JtJ + lam * np.diag(np.diag(JtJ))
+                               + 1e-12 * np.eye(n_par), g)
+        cand = theta - step
+        r_c = full_resid(cand)
+        chi2_c = float(r_c @ r_c)
+        if chi2_c < chi2:
+            rel = np.max(np.abs(step) / np.maximum(np.abs(theta), 1e-8))
+            theta, chi2 = cand, chi2_c
+            lam = max(lam * 0.3, 1e-7)
+            r, J = full_val_jac(theta)
+            if rel < 1e-7:
+                break
+        else:
+            lam *= 10.0
+            if lam > 1e6:
+                break
+
+    cov = np.linalg.pinv(J.T @ J)
+    sig = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    t0s = t0sig = ramp = ramp_sig = None
+    if fit_t0:
+        pos = n_rp + np.arange(n_vis) * n_nuis
+        t0s, t0sig = theta[pos].copy(), sig[pos].copy()
+    if fit_ramp:
+        off = n_rp + (1 if fit_t0 else 0)
+        pos = off + np.arange(n_vis)[:, None] * n_nuis + np.arange(2)
+        ramp, ramp_sig = theta[pos].copy(), sig[pos].copy()
+    return JointRetrievalResult(
+        rp=theta[:n_rp].copy(), rp_sigma=sig[:n_rp].copy(),
+        t0_offsets_s=t0s, t0_offsets_sigma_s=t0sig,
+        ramp=ramp, ramp_sigma=ramp_sig,
+        chi2=chi2, n_points=int(r.size), n_iter=n_iter)

@@ -68,6 +68,127 @@ def raw_column_sums(paths: list[str], estimator: str,
     return np.stack(spectra), np.asarray(starts)
 
 
+def _main_program(args, cfg) -> int:
+    """--program: joint retrieval across a run_program output."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from wayne_tpu.calibration import sequence_tables_scope
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.ops.dispersion import trace_params, wl_to_x, x_to_wl
+    from wayne_tpu.program import visit_config, visit_start_mjds
+    from wayne_tpu.reduction import _channel_edges
+    from wayne_tpu.retrieval import retrieve_transmission_joint
+
+    if args.mode != "transit":
+        raise SystemExit("--program supports --mode transit only")
+    summary_path = os.path.join(args.visit_dir, "program_summary.json")
+    if not os.path.exists(summary_path):
+        raise SystemExit(f"{summary_path} not found — is -d a "
+                         "run_program output directory?")
+    summary = json.load(open(summary_path))
+    # the MODEL must carry the ASSUMED linear ephemeris (drift zeroed):
+    # the fitted per-visit t0 offsets ARE the drift measurement
+    cfg_assumed = dataclasses.replace(
+        cfg, program=dataclasses.replace(cfg.program,
+                                         t0_drift_s_per_visit=0.0))
+    starts = visit_start_mjds(cfg_assumed)
+    y_window = _range(args.rows, "--rows") if args.rows else None
+
+    spectra_list, scenes_list = [], []
+    tables = static = None
+    for i, entry in enumerate(summary["visits"]):
+        vdir = os.path.join(args.visit_dir, entry["dir"])
+        paths = sorted(glob.glob(os.path.join(vdir, "*_ima.fits")))
+        if not paths:
+            raise SystemExit(f"no *_ima.fits files in {vdir!r}")
+        vcfg = visit_config(cfg_assumed, i, starts)
+        with sequence_tables_scope(vcfg.calibration.sequence_file):
+            obs = Observation(vcfg)
+            obs._ensure_persistence()
+            obs._ensure_recte()
+        spectra, starts_mjd = raw_column_sums(paths, args.estimator,
+                                              y_window)
+        plan_mjd = np.asarray(obs.plan.exp_start_mjd(), np.float64)
+        idx = np.argmin(np.abs(plan_mjd[None, :] - starts_mjd[:, None]),
+                        axis=1)
+        dt_s = np.abs(plan_mjd[idx] - starts_mjd) * 86400.0
+        if len(set(idx.tolist())) != idx.size or dt_s.max() > 1.0:
+            raise SystemExit(
+                f"{entry['dir']}: ima EXPSTARTs do not match the visit "
+                f"plan (worst offset {dt_s.max():.1f} s) — wrong YAML?")
+        scenes_list.append(jax.tree_util.tree_map(
+            lambda x: x[jnp.asarray(idx)], obs.scenes))
+        spectra_list.append(jnp.asarray(spectra, jnp.float32))
+        tables, static = obs.tables, obs.static
+
+    S = int(spectra_list[0].shape[1])
+    if args.cols:
+        x_window = _range(args.cols, "--cols")
+    else:
+        tp0 = trace_params(tables, scenes_list[0].x_ref[0],
+                           scenes_list[0].y_ref[0])
+        xs = np.asarray(wl_to_x(tables.wl_edges, tp0))
+        x_window = (int(max(np.floor(xs.min()) - 3, 0)),
+                    int(min(np.ceil(xs.max()) + 4, S)))
+    n_vis = len(spectra_list)
+    print(f"joint retrieval over {n_vis} visits "
+          f"({sum(int(s.shape[0]) for s in spectra_list)} exposures), "
+          f"channels over cols {x_window}; shared Rp/Rs + per-visit t0"
+          f"{' + ramp' if args.fit_ramp else ''}")
+
+    res = retrieve_transmission_joint(
+        spectra_list, scenes_list, tables, static,
+        x_window=x_window, n_chan=args.n_chan,
+        rp_init=float(cfg.planet.rp_over_rs or 0.1),
+        estimator=args.estimator, y_window=y_window,
+        fit_t0=True, fit_ramp=args.fit_ramp,
+        n_lm=args.n_lm, chunk=args.chunk)
+
+    tp0 = trace_params(tables, scenes_list[0].x_ref[0],
+                       scenes_list[0].y_ref[0])
+    edges = np.asarray(_channel_edges(x_window, args.n_chan))
+    wl_edges = np.asarray(x_to_wl(jnp.asarray(edges, jnp.float32), tp0))
+    drift = None
+    if n_vis > 1:
+        drift = float(np.polyfit(np.arange(n_vis),
+                                 res.t0_offsets_s, 1)[0])
+    report = {
+        "method": "joint_forward_model_retrieval",
+        "n_visits": n_vis,
+        "chi2": round(res.chi2, 3),
+        "n_points": res.n_points,
+        "lm_iterations": res.n_iter,
+        "t0_offsets_s": [round(float(v), 2) for v in res.t0_offsets_s],
+        "t0_offsets_sigma_s": [round(float(v), 2)
+                               for v in res.t0_offsets_sigma_s],
+        **({"drift_s_per_visit_fitted": round(drift, 2)}
+           if drift is not None else {}),
+        **({"visit_trend_fits": [
+            {"slope_per_day": round(float(r0) * 86400.0, 6),
+             "hook_amp": round(float(r1), 6)}
+            for r0, r1 in res.ramp]} if res.ramp is not None else {}),
+        "channels": [
+            {"wl_lo_um": round(float(wl_edges[i]), 4),
+             "wl_hi_um": round(float(wl_edges[i + 1]), 4),
+             "rp_over_rs": round(float(res.rp[i]), 7),
+             "rp_sigma": round(float(res.rp_sigma[i]), 7)}
+            for i in range(args.n_chan)],
+    }
+    out = args.output or os.path.join(args.visit_dir,
+                                      "retrieved_joint.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(f"joint Rp/Rs: {res.rp.min():.6g}..{res.rp.max():.6g}; "
+          f"t0 offsets {report['t0_offsets_s']} s"
+          + (f" (drift {report['drift_s_per_visit_fitted']:+.1f} "
+             "s/visit)" if drift is not None else "")
+          + f" -> {out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="wayne_tpu.run_retrieve",
@@ -102,6 +223,16 @@ def main(argv: list[str] | None = None) -> int:
                              "(upstream/downstream effect) as one "
                              "achromatic nuisance; needs a forward/"
                              "reverse alternating visit")
+    parser.add_argument("--program", action="store_true",
+                        help="-d is a run_program output directory "
+                             "(visit_00/ ... + program_summary.json): "
+                             "fit ONE shared transmission spectrum "
+                             "jointly across all visits, with a free "
+                             "per-visit mid-transit offset against the "
+                             "ASSUMED ephemeris (the transit-timing "
+                             "measurement) and optional per-visit "
+                             "--fit-ramp nuisances; writes "
+                             "<dir>/retrieved_joint.json")
     parser.add_argument("--n-lm", type=int, default=10)
     parser.add_argument("--chunk", type=int, default=2,
                         help="exposures per forward-pass chunk (jacfwd "
@@ -125,6 +256,8 @@ def main(argv: list[str] | None = None) -> int:
     from wayne_tpu.retrieval import retrieve_transmission
 
     cfg = load_yaml(args.parameter_file)
+    if args.program:
+        return _main_program(args, cfg)
     paths = sorted(glob.glob(os.path.join(args.visit_dir, "*_ima.fits")))
     if not paths:
         raise SystemExit(f"no *_ima.fits files in {args.visit_dir!r}")
