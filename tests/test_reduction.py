@@ -557,3 +557,48 @@ def test_run_reduce_ramp_estimator(tmp_path):
     assert rep["estimator"] == "ramp"
     for c in rep["channels"]:
         assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c
+
+
+@pytest.mark.slow
+def test_run_reduce_wl_range_clip(tmp_path):
+    """--wl-range clips the channel band in WAVELENGTH via the trace
+    solution (the published-convention cut against sensitivity-cliff
+    edge bins): channels stay inside the range, depths still recover,
+    and a range with no overlap fails loudly."""
+    import json
+
+    import yaml
+
+    from wayne_tpu.config import load_yaml
+    from wayne_tpu.observation import Observation
+    from wayne_tpu.run_reduce import main as reduce_main
+
+    pars = {"grism": "G141", "subarray": 128, "NSAMP": 4,
+            "SAMPSEQ": "SPARS10", "scan": True, "x_ref": 30.0,
+            "y_ref": 40.0, "num_orbits": 3, "exposures_per_orbit": 6,
+            "n_lambda": 64, "n_sub": 4, "rp_over_rs": 0.14,
+            "start_mjd": 55999.93, "t0": 56000.0, "period": 0.813475,
+            "sma_over_rs": 4.855, "inclination": 82.1, "seed": 5}
+    ppath = tmp_path / "pars.yml"
+    ppath.write_text(yaml.safe_dump(pars))
+    outdir = tmp_path / "visit"
+    Observation(load_yaml(str(ppath))).generate(
+        str(outdir), chunk=6, progress=lambda s: None)
+
+    rc = reduce_main(["-d", str(outdir), "-p", str(ppath), "--cpu",
+                      "--n-chan", "4", "--wl-range", "1.125:1.65",
+                      "-o", str(outdir / "red.json")])
+    assert rc == 0
+    rep = json.loads((outdir / "red.json").read_text())
+    for c in rep["channels"]:
+        assert 1.10 <= c["wl_lo_um"] <= 1.66, c
+        assert 1.10 <= c["wl_hi_um"] <= 1.66, c
+        assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"],
+                                                 0.01), c
+    # a range with no overlap fails loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="wl-range"):
+        reduce_main(["-d", str(outdir), "-p", str(ppath), "--cpu",
+                     "--n-chan", "4", "--wl-range", "2.0:2.5",
+                     "-o", str(outdir / "red2.json")])

@@ -489,6 +489,13 @@ def main(argv: list[str] | None = None) -> int:
                         help="extraction rows (overrides auto-detection;"
                              " must be given together with --cols and "
                              "--bg-rows)")
+    parser.add_argument("--wl-range", default=None, metavar="LO:HI",
+                        help="clip the channel band to this WAVELENGTH "
+                             "range in microns (e.g. 1.125:1.65, the "
+                             "published G141 convention) — the "
+                             "sensitivity-cliff edge bins are honestly "
+                             "~6x noisier; intersects the illuminated/"
+                             "--cols window via the trace solution")
     parser.add_argument("--cols", default=None, metavar="X0:X1",
                         help="dispersion columns carrying signal")
     parser.add_argument("--bg-rows", default=None, metavar="B0:B1",
@@ -677,8 +684,36 @@ def main(argv: list[str] | None = None) -> int:
               f"y_ref={yref_used:.3f} (YAML: {cfg.x_ref:.3f}, "
               f"{cfg.y_ref:.3f}) — anchoring the wavelength solution")
     tp = grism.get_trace(xref_used, yref_used)
-    from wayne_tpu.ops.dispersion import x_to_wl
+    from wayne_tpu.ops.dispersion import wl_to_x, x_to_wl
 
+    if args.wl_range:
+        # Clip the channel band to a WAVELENGTH range (e.g. 1.125:1.65,
+        # the published convention for G141): the sensitivity-cliff
+        # edge bins are honestly ~6x noisier (docs/REDUCTION.md
+        # "Error-bar calibration") and real analyses exclude them.
+        try:
+            lo_um, hi_um = sorted(float(v)
+                                  for v in args.wl_range.split(":"))
+        except ValueError:
+            raise SystemExit("--wl-range must look like LO:HI in "
+                             f"microns, got {args.wl_range!r}")
+        if not 0.0 < lo_um < hi_um:
+            raise SystemExit(f"--wl-range {args.wl_range!r} is not an "
+                             "increasing positive range")
+        xs = np.asarray(wl_to_x(jnp.asarray([lo_um, hi_um], jnp.float32),
+                                tp))
+        clip = (int(np.floor(xs.min())), int(np.ceil(xs.max())) + 1)
+        new_xw = (max(xw[0], clip[0]), min(xw[1], clip[1]))
+        if new_xw[1] - new_xw[0] < max(args.n_chan, 2):
+            raise SystemExit(
+                f"--wl-range {args.wl_range} um maps to columns {clip} "
+                f"— fewer than {max(args.n_chan, 2)} columns overlap "
+                f"the illuminated window {xw}")
+        if new_xw != xw:
+            print(f"wavelength clip {lo_um:.3f}-{hi_um:.3f} um: columns "
+                  f"{xw} -> {new_xw}")
+            xw = new_xw
+            edges = np.asarray(_channel_edges(xw, args.n_chan))
     wl_edges = np.asarray(x_to_wl(jnp.asarray(edges, jnp.float32), tp))
 
     # White-light limb darkening from the rows INSIDE the illuminated
