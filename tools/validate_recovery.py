@@ -775,6 +775,93 @@ def main() -> None:
         np.array([ph_out[:, 0].std(ddof=1)]),
         np.array([ph_out[:, 3].mean()]), n_ph)
 
+    # --- G102 closed-loop ensemble (the second grism end to end) -------
+    # Same visit shape and noise chain as the main ensemble, but the
+    # blue grism's own synthetic calibration (trace/dispersion polys,
+    # sensitivity, sky): proves depth recovery and sigma calibration are
+    # not G141-specific. x_ref=20 keeps the G102 +1st order (columns
+    # ~90-238 at 256^2) fully on the subarray.
+    tables_g2 = synthetic_tables("G102", subarray=S, n_lambda=NL,
+                                 samp_seq="SPARS25", nsamp=NSAMP)
+    base_g2 = example_scene(NL, scan_speed=0.5)
+    wl_g2 = np.asarray(tables_g2.wl_centers)
+    rp_inj_g2 = 0.1595 + 0.003 * np.sin(8.0 * wl_g2)
+    base_g2 = dataclasses.replace(
+        base_g2, x_ref=jnp.float32(20.0), y_ref=jnp.float32(60.0),
+        rp_over_rs=jnp.asarray(rp_inj_g2, jnp.float32),
+        trends=dataclasses.replace(base_g2.trends,
+                                   ssv_rw_amp=jnp.float32(0.005)))
+    visit_g2 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (N_EXP,) + x.shape), base_g2)
+    visit_g2 = dataclasses.replace(
+        visit_g2, exp_start_s=jnp.asarray(starts, jnp.float32))
+    xw_g2 = (92, 236)
+
+    def make_run_g2(local_cfg):
+        @jax.jit
+        def run(m):
+            keys = jax.vmap(lambda e: jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(314), m), e)
+            )(jnp.arange(N_EXP))
+            scenes = dataclasses.replace(visit_g2, key=keys)
+
+            def sim(s):
+                res = simulate_exposure(s, tables_g2, local_cfg)
+                reads = res.reads_dn
+                if local_cfg.noise.non_linearity:
+                    from wayne_tpu.reduction import linearize_reads
+
+                    reads = linearize_reads(
+                        reads, tables_g2.nonlin_coeffs,
+                        tables_g2.full_well_e, tables_g2.gain,
+                        bias_e=(tables_g2.bias_map
+                                if local_cfg.noise.bias else None)
+                    ) / tables_g2.gain
+                return reads, res.cr_pos, res.cr_count
+
+            reads, cr_pos, cr_count = jax.lax.map(sim, scenes)
+            good = None
+            if local_cfg.noise.cosmic_rays:
+                good = jax.vmap(lambda p, c: ~cr_bad_diff_masks(
+                    p, c, S))(cr_pos, cr_count)
+            red = reduce_visit(reads, tables_g2.gain, mid, base_g2.orbit,
+                               y_window=y_window, x_window=xw_g2,
+                               bg_rows=bg_rows, n_chan=N_CHAN,
+                               good_diffs=good)
+            return divide_white_fit_depths(
+                red.white_lc, red.channel_lc, mid, base_g2.orbit,
+                base_g2.ld, jnp.float32(0.155))
+
+        return run
+
+    run_g2 = make_run_g2(cfg)
+    rp_g2_ref = np.asarray(make_run_g2(dataclasses.replace(
+        cfg, noise=NoiseFlags.none()))(0)[0])
+    n_g2 = max(args.n_mc, 8)
+    t0 = time.time()
+    g2_out = [run_g2(m) for m in range(n_g2)]
+    wall_g2 = time.time() - t0
+    rp_g2 = np.stack([np.asarray(o[0]) for o in g2_out])
+    sig_g2 = np.stack([np.asarray(o[1]) for o in g2_out])
+    bias_g2 = rp_g2.mean(axis=0) - rp_g2_ref
+    sem_g2 = rp_g2.std(axis=0, ddof=1) / np.sqrt(n_g2)
+    ok_g2_noise = bool(np.all(np.abs(bias_g2)
+                              < np.maximum(3.0 * sem_g2, 1e-4)))
+    # injected per-channel truth (same convention as the G141 rp_true:
+    # unweighted mean of the injected spectrum's bins in each channel)
+    from wayne_tpu.reduction import _channel_edges as _ch_edges
+
+    tp_g2 = trace_params(tables_g2, base_g2.x_ref, base_g2.y_ref)
+    xc_g2 = np.asarray(wl_to_x(tables_g2.wl_centers, tp_g2))
+    edges_g2 = np.asarray(_ch_edges(xw_g2, N_CHAN))
+    rp_true_g2 = np.array([
+        rp_inj_g2[(xc_g2 >= lo) & (xc_g2 < hi)].mean()
+        for lo, hi in zip(edges_g2[:-1], edges_g2[1:])])
+    resid_g2 = rp_g2_ref - rp_true_g2
+    ok_g2_sys = bool(np.all(np.abs(resid_g2) < 3e-3))
+    cal_ratio_g2, ok_sigma_g2 = sigma_calibration(
+        rp_g2.std(axis=0, ddof=1), sig_g2.mean(axis=0), n_g2, lo=0.0)
+
     out = {
         "n_mc": args.n_mc, "n_exp": N_EXP, "n_chan": N_CHAN,
         "flags": "poisson+read+sky+dark+cosmic_rays(DQ-repaired)+nonlin+bias(NLINCORR)",
@@ -967,6 +1054,26 @@ def main() -> None:
             "amp_noise_unbiased_within_3sem": ok_ph_amp_noise,
             "fp_sigma_calibrated_0.7_1.5": ok_sigma_ph,
         },
+        "g102_mode": {
+            "n_mc": n_g2, "wallclock_s": round(wall_g2, 1),
+            "flags": "full noise chain incl. CR repair; G102 synthetic "
+                     "calibration (own trace/dispersion/sensitivity/"
+                     "sky), divide-white reduction",
+            "rp_injected": [round(float(v), 6) for v in rp_true_g2],
+            "rp_noise_free_recovery": [round(float(v), 6)
+                                       for v in rp_g2_ref],
+            "rp_recovered_mean": [round(float(v), 6)
+                                  for v in rp_g2.mean(axis=0)],
+            "noise_induced_bias": [round(float(v), 6) for v in bias_g2],
+            "recovery_systematic": [round(float(v), 6)
+                                    for v in resid_g2],
+            "reported_sigma": [round(float(v), 6)
+                               for v in sig_g2.mean(axis=0)],
+            "sigma_calibration_ratio": cal_ratio_g2,
+            "noise_unbiased_within_3sem": ok_g2_noise,
+            "recovery_systematic_below_3e-3": ok_g2_sys,
+            "sigma_not_overconfident_max_1.5": ok_sigma_g2,
+        },
     }
     ok = (ok_noise and ok_sys and ok_sys_noise and ok_divide_white
           and ok_ramp_noise and ok_ramp_resid and ok_ramp_white
@@ -981,7 +1088,8 @@ def main() -> None:
           and ok_ph_amp_noise
           and ok_sigma_cal and ok_coverage and ok_sigma_sys
           and ok_sigma_ramp and ok_sigma_recte and ok_sigma_ecl
-          and ok_sigma_star and ok_sigma_fr and ok_sigma_ph)
+          and ok_sigma_star and ok_sigma_fr and ok_sigma_ph
+          and ok_g2_noise and ok_g2_sys and ok_sigma_g2)
     with open(os.path.join(REPO, "VALIDATION.json"), "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))
