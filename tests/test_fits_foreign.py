@@ -268,3 +268,53 @@ def test_run_reduce_consumes_raw_style_files(tmp_path):
     assert rep["n_exposures"] == 12
     for c in rep["channels"]:
         assert abs(c["rp_over_rs"] - 0.14) < max(5 * c["rp_sigma"], 4e-3), c
+
+
+def test_literal_trailing_ampersand_preserved(tmp_path):
+    """A string value ending in '&' with NO following CONTINUE card is
+    literal data (OGIP strips the '&' only when a CONTINUE follows) —
+    the reader must not eat the last character."""
+    cards = [
+        _rawcard("SIMPLE  =                    T"),
+        _rawcard("BITPIX  =                    8"),
+        _rawcard("NAXIS   =                    0"),
+        _rawcard("FILTER  = 'F160W&  '"),
+        _rawcard("LONGVAL = 'part one &'"),
+        _rawcard("CONTINUE  'part two&'"),
+        _rawcard("AFTER   =                    7"),
+    ]
+    p = tmp_path / "amp.fits"
+    p.write_bytes(_header_bytes(cards))
+    hdr, _ = read_fits(str(p))[0]
+    assert hdr["FILTER"] == "F160W&"
+    # the joined long string: first '&' consumed (CONTINUE followed),
+    # the dangling one on the last CONTINUE piece is literal
+    assert hdr["LONGVAL"] == "part one part two&"
+    assert hdr["AFTER"] == 7
+
+
+def test_unsigned_and_hierarch_write_roundtrip(tmp_path):
+    """What the hardened reader RETURNS must go back out: uint16/uint32
+    arrays (written via the signed+BZERO convention) and
+    'HIERARCH ...' keys (written as long-keyword cards)."""
+    from wayne_tpu.io.fits import FitsHDU, write_fits
+
+    rng = np.random.default_rng(3)
+    u16 = rng.integers(0, 65536, (8, 9), dtype=np.uint16)
+    u32 = rng.integers(0, 2**32, (4, 5), dtype=np.uint32)
+    hdr = {"HIERARCH ESO DET CHIP GAIN": 2.5,
+           "HIERARCH ESO DET NAME": "chip1",
+           "PLAIN": 11}
+    p = tmp_path / "u.fits"
+    write_fits(str(p), [FitsHDU(data=u16, header=hdr),
+                        FitsHDU(name="U32", data=u32)])
+    hdus = read_fits(str(p))
+    h0, d0 = hdus[0]
+    np.testing.assert_array_equal(d0, u16)
+    assert d0.dtype == np.uint16
+    assert h0["HIERARCH ESO DET CHIP GAIN"] == 2.5
+    assert h0["HIERARCH ESO DET NAME"] == "chip1"
+    assert h0["PLAIN"] == 11
+    h1, d1 = hdus[1]
+    np.testing.assert_array_equal(d1, u32)
+    assert d1.dtype == np.uint32

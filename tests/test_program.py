@@ -222,8 +222,13 @@ def test_joint_retrieval_shared_spectrum_and_drift(tmp_path):
               "period": 0.813475, "sma_over_rs": 4.855,
               "inclination": 82.1, "rp_over_rs": 0.1595, "seed": 21,
               "noise": {"read_noise": True, "sky": True, "dark": True},
+              # persistence carried across the visit boundary: the
+              # retrieval model must thread visit 1's afterglow or the
+              # unmodelled first-orbit ramp biases rp and dt0
+              "persistence": {"amplitude_e_s": 20.0, "x0_e": 2000.0,
+                              "dx_e": 1000.0, "direct_image": False},
               "program": {"num_visits": 2, "visit_spacing_days": 0.0,
-                          "carry_persistence": False,
+                          "carry_persistence": True,
                           "t0_drift_s_per_visit": 180.0}}
     ppath = tmp_path / "prog.yml"
     ppath.write_text(yaml.safe_dump(params))

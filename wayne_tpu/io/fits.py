@@ -45,7 +45,21 @@ def _fmt_value(value: Any) -> str:
 
 
 def card(key: str, value: Any = None, comment: str = "") -> bytes:
-    """Format one 80-byte header card."""
+    """Format one 80-byte header card.
+
+    Keys beginning ``"HIERARCH "`` (the reader's storage form for ESO
+    long keywords) round-trip in the HIERARCH convention
+    (``HIERARCH A B C = value``) instead of being truncated to 8
+    characters — copying a foreign header into a derived product must
+    not collapse every long keyword into one mangled card.
+    """
+    if key.upper().startswith("HIERARCH "):
+        name = key[len("HIERARCH "):].strip()
+        v = _fmt_value(value)
+        body = f"HIERARCH {name} = {v}"
+        if comment:
+            body += f" / {comment}"
+        return f"{body:<80s}"[:80].encode("ascii")
     key = key.upper()[:8]
     if value is None and not comment:
         return f"{key:<80s}".encode("ascii")
@@ -87,8 +101,24 @@ class FitsHDU:
     def to_bytes(self, primary: bool) -> bytes:
         cards: list[bytes] = []
         data = self.data
+        scale_cards: list[bytes] = []
         if data is not None:
             data = np.ascontiguousarray(data)
+            # FITS has no unsigned BITPIX: write u2/u4 the standard way
+            # (signed storage + BZERO offset), so arrays the READER
+            # returned for BZERO-convention files round-trip instead of
+            # raising KeyError on the unsigned dtype.
+            if data.dtype == np.uint16:
+                data = (data.astype(np.int32) - 32768).astype(np.int16)
+                scale_cards = [card("BSCALE", 1),
+                               card("BZERO", 32768,
+                                    "unsigned 16-bit convention")]
+            elif data.dtype == np.uint32:
+                data = (data.astype(np.int64)
+                        - 2147483648).astype(np.int32)
+                scale_cards = [card("BSCALE", 1),
+                               card("BZERO", 2147483648,
+                                    "unsigned 32-bit convention")]
             be = data.dtype.newbyteorder(">")
             data = data.astype(be, copy=False)
             bitpix = _BITPIX[np.dtype(be)]
@@ -113,7 +143,10 @@ class FitsHDU:
             cards.append(card("EXTEND", True, "file contains extensions"))
             if self.name:
                 cards.append(card("EXTNAME", self.name))
+        cards.extend(scale_cards)
         for key, value in self.header.items():
+            if scale_cards and key in ("BSCALE", "BZERO"):
+                continue        # the data-derived convention wins
             cards.append(card(key, value, self.comments.get(key, "")))
         cards.append(card("END"))
         out = _pad(b"".join(cards))
@@ -225,6 +258,18 @@ def _parse_header(raw: bytes, start: int = 0) -> tuple[dict[str, Any], int]:
     header: dict[str, Any] = {}
     pos = start
     last_string_key: str | None = None
+
+    def flush_amp():
+        # A string ended in '&' but the NEXT card is not CONTINUE: per
+        # OGIP the '&' is only a continuation marker when a CONTINUE
+        # card actually follows — otherwise it is literal data and must
+        # be restored (values like 'F160W&' would otherwise silently
+        # lose their last character).
+        nonlocal last_string_key
+        if last_string_key is not None:
+            header[last_string_key] += "&"
+            last_string_key = None
+
     while True:
         block = raw[pos: pos + BLOCK]
         if len(block) < BLOCK:
@@ -235,6 +280,8 @@ def _parse_header(raw: bytes, start: int = 0) -> tuple[dict[str, Any], int]:
             c = block[i: i + CARD].decode("ascii", errors="replace")
             c = c.replace("\x00", " ")       # NUL-padded header blocks
             key = c[:8].strip()
+            if key != "CONTINUE":
+                flush_amp()
             if key == "END":
                 done = True
                 break

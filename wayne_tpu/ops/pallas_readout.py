@@ -253,7 +253,9 @@ def _kernel_exposure(seed_ref, y0s_ref, dts_ref, bands_ref, cum_init_ref,
     lands in exactly one tile. Total HBM traffic is unchanged versus
     the untiled kernel (every map/band byte still streams exactly
     once); only the VMEM working set shrinks by col_tiles — what makes
-    full-frame 1024^2 (and 2048^2) fit the ~16 MB VMEM budget.
+    full-frame 1024^2 fit the ~16 MB VMEM budget (2048^2 would need
+    sub-128-lane tiles: fused_exposure_col_tiles returns 0 there and
+    the per-read kernels take over).
     IPC is NOT supported tiled (column coupling would miscouple at tile
     seams); callers fall back to the per-read path for ipc=True.
     """

@@ -123,12 +123,15 @@ class Program:
         os.makedirs(outdir, exist_ok=True)
         all_paths: list[list[str]] = []
         summary = {"visits": []}
-        for i, vdir in enumerate(self.visit_dirs(outdir)):
+        vdirs = self.visit_dirs(outdir)
+        for i, vdir in enumerate(vdirs):
             vcfg = visit_config(self.cfg, i, self.starts)
             if self.carry and i > 0:
-                prev = self.visit_dirs(outdir)[i - 1]
+                # visit i-1's iteration always wrote these this run
+                prev = vdirs[i - 1]
                 carry_map = os.path.join(prev, self.CARRY_FILE)
-                meta = json.load(open(os.path.join(prev, self.CARRY_META)))
+                meta = json.load(open(os.path.join(prev,
+                                                   self.CARRY_META)))
                 # prior end on THIS visit's clock (negative: before it)
                 prior_end_s = ((meta["end_mjd"] - vcfg.start_mjd)
                                * SECONDS_PER_DAY)
@@ -151,7 +154,9 @@ class Program:
                      "true_t0_mjd": float(vcfg.planet.t0_mjd),
                      "n_written": len(paths)}
             if self.carry:
-                entry["carry"] = self._save_carry(obs, vdir, chunk)
+                entry["carry"] = self._save_carry(
+                    obs, vdir, chunk,
+                    reuse=resume and len(paths) == 0)
             summary["visits"].append(entry)
         summary["assumed_t0_mjd"] = float(self.cfg.planet.t0_mjd)
         summary["t0_drift_s_per_visit"] = float(
@@ -160,10 +165,23 @@ class Program:
             json.dump(summary, fh, indent=2)
         return all_paths
 
-    def _save_carry(self, obs, vdir: str, chunk: int) -> dict:
+    def _save_carry(self, obs, vdir: str, chunk: int,
+                    reuse: bool = False) -> dict:
         """Write the visit's carried stimulus: per-pixel max fluence
-        (noise-free stack — what filled the traps) + its end epoch."""
+        (noise-free stack — what filled the traps) + its end epoch.
+
+        ``reuse``: a fully-resumed visit (no files written) whose carry
+        products already exist skips the fluence recomputation — the
+        stimulus is a deterministic function of the config, so the
+        on-disk copy is exact, and a no-op program resume stays O(1)
+        instead of paying one noise-free visit simulation per visit.
+        """
         import jax.numpy as jnp
+
+        meta_path = os.path.join(vdir, self.CARRY_META)
+        if (reuse and os.path.exists(meta_path)
+                and os.path.exists(os.path.join(vdir, self.CARRY_FILE))):
+            return json.load(open(meta_path))
 
         stack = obs._visit_fluence(chunk)              # (N, S, S)
         carried = np.asarray(jnp.max(stack, axis=0), np.float32)

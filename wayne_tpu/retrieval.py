@@ -411,6 +411,7 @@ def retrieve_transmission_joint(
         estimator: str = "cds",
         y_window: tuple[int, int] | None = None,
         fit_t0: bool = True, fit_ramp: bool = False,
+        t0_window_s: float = 1800.0,
         n_lm: int = 12, chunk: int = 2) -> JointRetrievalResult:
     """Fit ONE transmission spectrum jointly across N visits, with
     per-visit nuisances, through the full forward model.
@@ -425,7 +426,10 @@ def retrieve_transmission_joint(
       measurement, so a drifting true ephemeris (program
       ``t0_drift_s_per_visit``) shows up directly in
       ``t0_offsets_s`` while sharing every photon with the spectrum
-      estimate;
+      estimate. chi2(t0) is NONCONVEX (CLAUDE.md): each visit's dt0
+      is grid-seeded over ±``t0_window_s`` before LM refines — a cold
+      start at 0 has ~zero gradient once the true transit has walked
+      past the ingress scale and would silently return dt0 ≈ 0;
     - optional ``[visit_slope, hook_amp]`` trend pair (``fit_ramp``).
 
     Implementation notes (TPU): one jitted residual+Jacobian program is
@@ -464,11 +468,20 @@ def retrieve_transmission_joint(
         if float(oot.sum()) < 2:
             raise ValueError("a visit has < 2 out-of-transit exposures")
         data_chan = _normalise_oot(_bin_channels(sp, edges), oot)
-        n_oot = jnp.maximum(oot.sum(), 2.0)
-        mean = (data_chan * oot[:, None]).sum(0) / n_oot
-        var = (((data_chan - mean[None, :]) ** 2) * oot[:, None]
-               ).sum(0) / (n_oot - 1.0)
-        sigma_j = jnp.sqrt(jnp.maximum(var, 1e-12))
+        # Per-channel noise from FIRST DIFFERENCES of the
+        # out-of-transit points (std(diff)/sqrt(2)): immune to smooth
+        # baseline structure — a carried-persistence afterglow ramp in
+        # visit N's first orbit is REAL signal both the data and the
+        # model share, and folding it into a plain OOT scatter inflated
+        # sigma ~30x (deflating chi2 and every curvature error with it)
+        dn_np = np.asarray(data_chan)
+        oot_np = np.asarray(oot) > 0.5
+        if oot_np.sum() >= 3:
+            diffs = np.diff(dn_np[oot_np, :], axis=0)
+            sig_np = diffs.std(axis=0, ddof=1) / np.sqrt(2.0)
+        else:
+            sig_np = dn_np[oot_np, :].std(axis=0, ddof=1)
+        sigma_j = jnp.asarray(np.maximum(sig_np, 1e-6), jnp.float32)
         per_visit.append(dict(
             scenes_m=deterministic_scenes(sc), data_chan=data_chan,
             oot=oot, sigma=sigma_j, idx=jnp.asarray(idx_np),
@@ -522,14 +535,34 @@ def retrieve_transmission_joint(
         if nuis0 else theta0.copy()
     n_par = theta.size
 
-    def split(th, v):
-        base = n_rp + v * n_nuis
-        return np.concatenate([th[:n_rp], th[base: base + n_nuis]])
-
     def visit_args(v):
         pv = per_visit[v]
         return (pv["scenes_m"], pv["data_chan"], pv["oot"], pv["sigma"],
                 pv["idx"], pv["in_win"], pv["rp_fixed"])
+
+    if fit_t0 and t0_window_s > 0:
+        # Grid-seed each visit's dt0 (chi2(t0) is nonconvex; a cold
+        # start at 0 sees ~zero gradient once the true transit has
+        # walked outside the model transit's support). One forward
+        # pass per node per visit at the initial spectrum.
+        nodes = np.linspace(-t0_window_s, t0_window_s, 7)
+        for v in range(n_vis):
+            base_idx = n_rp + v * n_nuis
+            best_dt0, best_c = 0.0, np.inf
+            for dt0 in nodes:
+                tv = np.concatenate([theta[:n_rp],
+                                     theta[base_idx: base_idx + n_nuis]])
+                tv[n_rp] = dt0
+                r_n = np.asarray(resid_only(jnp.asarray(tv),
+                                            *visit_args(v)), np.float64)
+                c = float(r_n @ r_n)
+                if c < best_c:
+                    best_dt0, best_c = float(dt0), c
+            theta[base_idx] = best_dt0
+
+    def split(th, v):
+        base = n_rp + v * n_nuis
+        return np.concatenate([th[:n_rp], th[base: base + n_nuis]])
 
     def full_resid(th):
         return np.concatenate([
@@ -575,7 +608,13 @@ def retrieve_transmission_joint(
             if lam > 1e6:
                 break
 
-    cov = np.linalg.pinv(J.T @ J)
+    # Residual-rescaled covariance (the fit_depths convention): the
+    # per-channel sigma_j prior is only an OOT-based estimate, and with
+    # carried-persistence ramps in the baseline it can sit far above
+    # the realised residual scatter — chi2/dof rescaling makes the
+    # reported errors track the residuals whatever the prior was.
+    dof = max(r.size - n_par, 1)
+    cov = np.linalg.pinv(J.T @ J) * (chi2 / dof)
     sig = np.sqrt(np.maximum(np.diag(cov), 0.0))
     t0s = t0sig = ramp = ramp_sig = None
     if fit_t0:

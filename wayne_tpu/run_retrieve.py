@@ -105,6 +105,32 @@ def _main_program(args, cfg) -> int:
         if not paths:
             raise SystemExit(f"no *_ima.fits files in {vdir!r}")
         vcfg = visit_config(cfg_assumed, i, starts)
+        if (i > 0 and cfg.persistence.enabled
+                and cfg.program.carry_persistence):
+            # the data opened with visit i-1's afterglow (run_program
+            # threaded the carried fluence into the simulation) — the
+            # model must carry the SAME prior stimulus or the
+            # unmodelled first-orbit ramp biases rp and dt0
+            from wayne_tpu.program import SECONDS_PER_DAY, Program
+
+            prev = os.path.join(args.visit_dir,
+                                summary["visits"][i - 1]["dir"])
+            carry_map = os.path.join(prev, Program.CARRY_FILE)
+            meta_path = os.path.join(prev, Program.CARRY_META)
+            if not (os.path.exists(carry_map)
+                    and os.path.exists(meta_path)):
+                raise SystemExit(
+                    f"{prev} lacks {Program.CARRY_FILE}: this program "
+                    "was generated with carry_persistence but the "
+                    "carried-fluence products are missing — re-run "
+                    "run_program (resume recomputes them)")
+            meta = json.load(open(meta_path))
+            vcfg = dataclasses.replace(
+                vcfg, persistence=dataclasses.replace(
+                    vcfg.persistence, prior_fluence_file=carry_map,
+                    prior_end_s=float(
+                        (meta["end_mjd"] - vcfg.start_mjd)
+                        * SECONDS_PER_DAY)))
         with sequence_tables_scope(vcfg.calibration.sequence_file):
             obs = Observation(vcfg)
             obs._ensure_persistence()
