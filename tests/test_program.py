@@ -197,6 +197,15 @@ def test_program_ephemeris_drift_recovered(tmp_path):
     np.testing.assert_allclose(injected, [0.0, 120.0, 240.0], atol=0.5)
     assert np.all(np.abs(fitted - injected) < 60.0), (fitted, injected)
     assert abs(eph["drift_s_per_visit_fitted"] - 120.0) < 45.0, eph
+    # the program-level combined spectrum: depths recover the injected
+    # flat 0.1595 and the visits agree with each other (repeatability)
+    comb = eph["combined_spectrum"]
+    rp_c = np.array([c["rp_over_rs"] for c in comb])
+    sig_c = np.array([c["rp_sigma"] for c in comb])
+    assert np.all(np.abs(rp_c - 0.1595) < np.maximum(5 * sig_c, 0.005)), (
+        rp_c, sig_c)
+    assert np.all(np.array([c["repeatability_chi2_per_dof"]
+                            for c in comb]) < 6.0), comb
 
 
 @pytest.mark.slow
