@@ -113,7 +113,7 @@ def main() -> None:
         post = sample_channel_posteriors(
             red.channel_lc, mid, base.orbit, base.ld, jnp.float32(0.155),
             jax.random.fold_in(jax.random.PRNGKey(888), m),
-            n_steps=3000, n_burn=1000)
+            n_steps=4000, n_burn=1200)
         width = 0.5 * (post.rp_minus + post.rp_plus)
         return (rp_hat, rp_sig, post.rp_median, width, post.rhat,
                 post.ess, post.acceptance)
