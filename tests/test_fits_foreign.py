@@ -318,3 +318,49 @@ def test_unsigned_and_hierarch_write_roundtrip(tmp_path):
     h1, d1 = hdus[1]
     np.testing.assert_array_equal(d1, u32)
     assert d1.dtype == np.uint32
+
+
+def test_free_text_annotation_card_not_parsed_as_key(tmp_path):
+    """A nonstandard free-text card that merely CONTAINS '=' (vendor
+    prose annotations) must not be parsed into a junk header key that
+    could pollute headers copied into derived products; a genuine
+    HIERARCH-style card without the literal prefix still parses."""
+    raw = _header_bytes([
+        _rawcard("SIMPLE  =                    T"),
+        _rawcard("BITPIX  =                    8"),
+        _rawcard("NAXIS   =                    0"),
+        _rawcard("NOTE    vendor says gain=2 here"),      # prose with '='
+        _rawcard("Processed by pipeline v=1.2 (beta)"),   # prose with '='
+        _rawcard("ESO TEL AIRM START = 1.58"),            # implicit HIERARCH
+        _rawcard("GOOD    =                    5"),
+    ])
+    p = tmp_path / "annot.fits"
+    p.write_bytes(raw)
+    hdr = read_fits(str(p))[0][0]
+    assert hdr["GOOD"] == 5
+    assert hdr["ESO TEL AIRM START"] == 1.58
+    # neither prose card produced a key (no key containing 'vendor'/'v')
+    assert not any("vendor" in k or "pipeline" in k for k in hdr)
+    assert "NOTE    vendor says gain" not in hdr
+
+
+def test_hierarch_card_overflow_warns_or_raises():
+    """A HIERARCH body over 80 bytes must never silently lose value
+    bytes: string values truncate WITH a warning (syntax preserved),
+    numeric cards whose keyword alone overflows raise."""
+    from wayne_tpu.io.fits import card
+
+    name = "HIERARCH ESO " + " ".join(["LONGTOK"] * 6)
+    with pytest.warns(UserWarning, match="truncated"):
+        c = card(name, "v" * 60)
+    assert len(c) == 80
+    text = c.decode("ascii")
+    # the truncated value still closes its quote
+    assert text.rstrip().endswith("'") and text.count("'") == 2
+    # numeric value, absurdly long keyword: loud error, not corruption
+    too_long = "HIERARCH " + " ".join(["TOK"] * 25)
+    with pytest.raises(ValueError, match="80-byte"):
+        card(too_long, 12345)
+    # in-budget HIERARCH cards are unaffected
+    ok = card("HIERARCH ESO DET GAIN", 2.5, "e-/DN")
+    assert len(ok) == 80 and b"2.5" in ok

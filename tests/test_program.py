@@ -262,3 +262,36 @@ def test_joint_retrieval_shared_spectrum_and_drift(tmp_path):
     assert np.all(np.abs(rp - 0.1595) < np.maximum(5 * sig, 0.004)), (
         rp, sig)
     assert np.all((sig > 0) & (sig < 0.01)), sig
+
+
+def test_carry_reuse_rejects_stale_config(tmp_path):
+    """Resuming a program after editing the YAML must not feed visit N
+    a stale prior-fluence map: the carry meta is stamped with a config
+    fingerprint and recomputed on mismatch (advisor round-4 finding)."""
+    params = _base_params(
+        program={"num_visits": 2, "visit_spacing_days": 0.0},
+        persistence={"amplitude_e_s": 50.0, "x0_e": 600.0,
+                     "dx_e": 300.0, "direct_image": False})
+    out = tmp_path / "prog"
+    prog = Program(config_from_dict(params))
+    prog.generate(str(out), chunk=4, progress=lambda s: None)
+    meta_p = out / "visit_00" / Program.CARRY_META
+    npy_p = out / "visit_00" / Program.CARRY_FILE
+    sha0 = json.loads(meta_p.read_text())["config_sha"]
+    m0 = npy_p.stat().st_mtime_ns
+
+    # same config, full resume: carry reused untouched
+    prog.generate(str(out), chunk=4, progress=lambda s: None)
+    assert npy_p.stat().st_mtime_ns == m0
+    assert json.loads(meta_p.read_text())["config_sha"] == sha0
+
+    # edited persistence params, resume into the same outdir: the
+    # visits rewrite nothing (FITS files exist) but the carry products
+    # must be recomputed, not trusted
+    params2 = dict(params)
+    params2["persistence"] = dict(params["persistence"],
+                                  amplitude_e_s=80.0)
+    Program(config_from_dict(params2)).generate(
+        str(out), chunk=4, progress=lambda s: None)
+    assert npy_p.stat().st_mtime_ns != m0
+    assert json.loads(meta_p.read_text())["config_sha"] != sha0

@@ -14,6 +14,8 @@ implementation and fallback.
 
 from __future__ import annotations
 
+import re
+import warnings
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -21,6 +23,13 @@ import numpy as np
 
 BLOCK = 2880
 CARD = 80
+
+# Keyword-path shape a HIERARCH-style card's name may take (uppercase
+# tokens of keyword characters separated by spaces, the ESO convention).
+# The reader's fallback branch uses this to tell a genuine long-keyword
+# card from a free-text vendor annotation that merely CONTAINS '=' —
+# parsing the latter would pollute copied headers with junk keys.
+_HIER_NAME_RE = re.compile(r"[A-Z0-9_.\-]+(?:\s+[A-Z0-9_.\-]+)*")
 
 _BITPIX = {np.dtype(">i2"): 16, np.dtype(">i4"): 32, np.dtype(">f4"): -32,
            np.dtype(">f8"): -64, np.dtype(">i8"): 64}
@@ -57,9 +66,27 @@ def card(key: str, value: Any = None, comment: str = "") -> bytes:
         name = key[len("HIERARCH "):].strip()
         v = _fmt_value(value)
         body = f"HIERARCH {name} = {v}"
-        if comment:
+        if comment and len(body) + 3 + len(comment) <= 80:
             body += f" / {comment}"
-        return f"{body:<80s}"[:80].encode("ascii")
+        if len(body) > 80:
+            # Never silently lose value bytes off the card end: shrink a
+            # STRING value (syntax-preserving, like the 8-char-key path
+            # above) with a warning; a card that still overflows has a
+            # keyword name too long to represent — error, don't corrupt.
+            if v.startswith("'"):
+                room = 80 - (len(f"HIERARCH {name} = ") + 2)
+                inner = v[1:-1][:max(room, 0)]
+                if inner.count("'") % 2:      # never split an escaped ''
+                    inner = inner[:-1]
+                body = f"HIERARCH {name} = '{inner}'"
+                warnings.warn(
+                    f"HIERARCH card {name!r}: string value truncated to "
+                    "fit the 80-byte card", stacklevel=2)
+            if len(body) > 80:
+                raise ValueError(
+                    f"HIERARCH keyword {name!r} + value do not fit an "
+                    f"80-byte card ({len(body)} bytes)")
+        return f"{body:<80s}".encode("ascii")
     key = key.upper()[:8]
     if value is None and not comment:
         return f"{key:<80s}".encode("ascii")
@@ -303,6 +330,12 @@ def _parse_header(raw: bytes, start: int = 0) -> tuple[dict[str, Any], int]:
                 name, _, rest = body.partition("=")
                 name = name.strip()
                 if not name or not rest.strip():
+                    continue
+                if (key != "HIERARCH"
+                        and not _HIER_NAME_RE.fullmatch(name)):
+                    # free-text annotation card that merely contains
+                    # '=' (vendor comments, lowercase prose): not a
+                    # key=value card — skip rather than invent a key
                     continue
                 full = (f"HIERARCH {name}" if key == "HIERARCH"
                         else name)

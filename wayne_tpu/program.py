@@ -30,6 +30,7 @@ reducible and retrievable with every existing tool, visit by visit.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import os
 from typing import Callable
@@ -175,13 +176,22 @@ class Program:
         stimulus is a deterministic function of the config, so the
         on-disk copy is exact, and a no-op program resume stays O(1)
         instead of paying one noise-free visit simulation per visit.
+        The on-disk copy is only trusted when its stamped config
+        fingerprint matches this visit's config: editing the YAML and
+        resuming into the same outdir must not feed visit N a stale
+        prior-fluence map.
         """
         import jax.numpy as jnp
 
+        # ObservationConfig is a plain nested dataclass of scalars/
+        # strings/tuples, so repr() is a deterministic serialisation.
+        cfg_sha = hashlib.sha256(repr(obs.cfg).encode()).hexdigest()[:16]
         meta_path = os.path.join(vdir, self.CARRY_META)
         if (reuse and os.path.exists(meta_path)
                 and os.path.exists(os.path.join(vdir, self.CARRY_FILE))):
-            return json.load(open(meta_path))
+            meta = json.load(open(meta_path))
+            if meta.get("config_sha") == cfg_sha:
+                return meta
 
         stack = obs._visit_fluence(chunk)              # (N, S, S)
         carried = np.asarray(jnp.max(stack, axis=0), np.float32)
@@ -191,7 +201,8 @@ class Program:
         np.save(os.path.join(vdir, self.CARRY_FILE), carried)
         meta = {"end_mjd": end_mjd,
                 "peak_fluence_e": float(carried.max()),
-                "mean_fluence_e": float(carried.mean())}
+                "mean_fluence_e": float(carried.mean()),
+                "config_sha": cfg_sha}
         with open(os.path.join(vdir, self.CARRY_META), "w") as fh:
             json.dump(meta, fh, indent=2)
         return meta
