@@ -293,3 +293,20 @@ def test_retrieval_models_companion_contamination():
     err_biased = np.abs(biased.rp - truth)
     assert np.all(err_biased > 0.5 * expect_bias), (biased.rp, truth)
     assert np.all(err_biased > 5.0 * np.abs(exact.rp - truth))
+
+
+def test_retrieval_reuses_compiled_program():
+    """Ensemble affordability: a second retrieval of the same shape
+    must hit the module-level jit cache, not re-trace the jacfwd
+    program (CLAUDE.md per-realisation-closure rule)."""
+    from wayne_tpu.retrieval import _lm_val_jac
+
+    cfg, tables, scenes, _ = _visit(NoiseFlags.none())
+    obs = _observe(cfg, tables, scenes)
+    kw = dict(x_window=X_WINDOW, n_chan=N_CHAN, rp_init=0.15, chunk=8,
+              n_lm=2, sigma=np.full(N_CHAN, 1e-4))
+    retrieve_transmission(obs, scenes, tables, cfg, **kw)
+    n0 = _lm_val_jac._cache_size()
+    assert n0 >= 1
+    retrieve_transmission(obs, scenes, tables, cfg, **kw)
+    assert _lm_val_jac._cache_size() == n0

@@ -176,6 +176,84 @@ def _normalise_oot(chan: jnp.ndarray, oot: jnp.ndarray) -> jnp.ndarray:
     return chan / base[None, :]
 
 
+@partial(jax.jit, static_argnames=("cfg", "chunk", "estimator", "y_window",
+                                   "n_rp", "eclipse", "fit_t0", "fit_ramp",
+                                   "fit_scan_offset", "with_jac"))
+def _lm_val_jac(theta, scenes_m, tables, data_chan, oot, sigma_j, idx,
+                in_win, d_fixed, rev_mask, edges, *, cfg, chunk, estimator,
+                y_window, n_rp, eclipse, fit_t0, fit_ramp,
+                fit_scan_offset, with_jac):
+    """Residuals (and with ``with_jac`` the jacfwd Jacobian) of one
+    visit's forward-model fit, as ONE module-level jitted program.
+
+    Hoisted out of retrieve_transmission / retrieve_transmission_joint
+    so repeated retrievals — the sigma-calibration ensembles call the
+    fit once per realisation — hit jax.jit's cache instead of
+    re-tracing the whole jacfwd program per call (CLAUDE.md: never
+    build jax.jit(closure) inside a per-realisation loop; measured as
+    one ~40 s retrace per realisation on the remote TPU compiler).
+    Statics pin the program structure; everything data-like is traced.
+
+    theta layout: [depths (n_rp)] (+ [dt0_s] if fit_t0)
+    (+ [visit_slope_per_s, hook_amp] if fit_ramp)
+    (+ [scan_offset] if fit_scan_offset). ``d_fixed`` is the (NL,)
+    out-of-window spectrum the fit holds fixed (rp_over_rs in transit
+    mode, fp_over_fs in eclipse mode); ``rev_mask`` is traced but dead
+    unless fit_scan_offset.
+    """
+
+    def resid(th):
+        th = th.astype(jnp.float32)
+        n_exp = data_chan.shape[0]
+        d_chan = th[:n_rp]
+        if eclipse:
+            fp_bin = in_win * d_chan[idx] + (1.0 - in_win) * d_fixed
+            sc = dataclasses.replace(
+                scenes_m, fp_over_fs=jnp.broadcast_to(
+                    fp_bin[None], (n_exp, fp_bin.size)))
+        else:
+            rp_bin = in_win * d_chan[idx] + (1.0 - in_win) * d_fixed
+            sc = dataclasses.replace(
+                scenes_m, rp_over_rs=jnp.broadcast_to(
+                    rp_bin[None], (n_exp, rp_bin.size)))
+        k = n_rp
+        if fit_t0:
+            orb = dataclasses.replace(
+                sc.orbit, t0_s=sc.orbit.t0_s + th[k])
+            sc = dataclasses.replace(sc, orbit=orb)
+            k += 1
+        if fit_ramp:
+            tr = dataclasses.replace(
+                sc.trends,
+                visit_slope_per_s=jnp.broadcast_to(
+                    th[k], sc.trends.visit_slope_per_s.shape),
+                hook_amp=jnp.broadcast_to(
+                    th[k + 1], sc.trends.hook_amp.shape))
+            sc = dataclasses.replace(sc, trends=tr)
+            k += 2
+        if fit_scan_offset:
+            # achromatic source-flux scale on reverse exposures — the
+            # same mechanism Observation uses to SIMULATE the offset,
+            # so the nuisance has zero model mismatch; companions are
+            # scanned sources and scale identically
+            fac = 1.0 + th[k] * rev_mask                 # (n_exp,)
+            sc = dataclasses.replace(
+                sc, stellar_flux=sc.stellar_flux * fac[:, None],
+                companions=(None if sc.companions is None else
+                            dataclasses.replace(
+                                sc.companions,
+                                flux=sc.companions.flux
+                                * fac[:, None, None])))
+        model = forward_spectra(sc, tables, cfg, chunk, estimator,
+                                y_window)
+        model_chan = _normalise_oot(_bin_channels(model, edges), oot)
+        return ((model_chan - data_chan) / sigma_j[None, :]).ravel()
+
+    if with_jac:
+        return resid(theta), jax.jacfwd(resid)(theta)
+    return resid(theta)
+
+
 def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
                           tables: Tables, cfg: ExposureStatic, *,
                           x_window: tuple[int, int], n_chan: int = 8,
@@ -293,7 +371,7 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
         theta0 = np.concatenate([theta0, [
             float(np.asarray(t0.visit_slope_per_s).ravel()[0]),
             float(np.asarray(t0.hook_amp).ravel()[0])]])
-    rev_mask = None
+    rev_mask = jnp.zeros((n_exp,), jnp.float32)   # dead unless fitted
     if fit_scan_offset:
         rev_np = np.asarray(scenes.scan_speed) < 0
         if rev_np.all() or not rev_np.any():
@@ -303,49 +381,20 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
         rev_mask = jnp.asarray(rev_np, jnp.float32)
         theta0 = np.concatenate([theta0, [0.0]])
 
-    def build_scenes(theta: jnp.ndarray) -> Scene:
-        d_chan = theta[:n_rp]
-        if eclipse:
-            fp_bin = in_win * d_chan[idx] + (1.0 - in_win) * fp_fixed
-            sc = dataclasses.replace(
-                scenes_m, fp_over_fs=jnp.broadcast_to(
-                    fp_bin[None], (n_exp, fp_bin.size)))
-        else:
-            rp_bin = in_win * d_chan[idx] + (1.0 - in_win) * rp_fixed
-            sc = dataclasses.replace(
-                scenes_m, rp_over_rs=jnp.broadcast_to(
-                    rp_bin[None], (n_exp, rp_bin.size)))
-        if fit_ramp:
-            tr = dataclasses.replace(
-                sc.trends,
-                visit_slope_per_s=jnp.broadcast_to(
-                    theta[n_rp], sc.trends.visit_slope_per_s.shape),
-                hook_amp=jnp.broadcast_to(
-                    theta[n_rp + 1], sc.trends.hook_amp.shape))
-            sc = dataclasses.replace(sc, trends=tr)
-        if fit_scan_offset:
-            # achromatic source-flux scale on reverse exposures — the
-            # same mechanism Observation uses to SIMULATE the offset,
-            # so the nuisance has zero model mismatch; companions are
-            # scanned sources and scale identically
-            fac = 1.0 + theta[-1] * rev_mask                 # (n_exp,)
-            sc = dataclasses.replace(
-                sc, stellar_flux=sc.stellar_flux * fac[:, None],
-                companions=(None if sc.companions is None else
-                            dataclasses.replace(
-                                sc.companions,
-                                flux=sc.companions.flux
-                                * fac[:, None, None])))
-        return sc
+    # One cached module-level program (no per-call jit closures): the
+    # traced operands + static program shape route through _lm_val_jac.
+    traced = (scenes_m, tables, data_chan, oot, sigma_j, idx, in_win,
+              fp_fixed if eclipse else rp_fixed, rev_mask, edges)
+    statics = dict(cfg=cfg_m, chunk=chunk, estimator=estimator,
+                   y_window=y_window, n_rp=n_rp, eclipse=eclipse,
+                   fit_t0=False, fit_ramp=fit_ramp,
+                   fit_scan_offset=fit_scan_offset)
 
-    def resid(theta: jnp.ndarray) -> jnp.ndarray:
-        model = forward_spectra(build_scenes(theta.astype(jnp.float32)),
-                                tables, cfg_m, chunk, estimator, y_window)
-        model_chan = _normalise_oot(_bin_channels(model, edges), oot)
-        return ((model_chan - data_chan) / sigma_j[None, :]).ravel()
+    def val_jac(th):
+        return _lm_val_jac(th, *traced, with_jac=True, **statics)
 
-    val_jac = jax.jit(lambda th: (resid(th), jax.jacfwd(resid)(th)))
-    resid_only = jax.jit(resid)
+    def resid_only(th):
+        return _lm_val_jac(th, *traced, with_jac=False, **statics)
 
     theta = theta0.copy()
     r, J = (np.asarray(a, np.float64) for a in val_jac(jnp.asarray(theta)))
@@ -488,37 +537,19 @@ def retrieve_transmission_joint(
             in_win=jnp.asarray(in_win_np, jnp.float32),
             rp_fixed=sc.rp_over_rs[0], n_exp=n_exp))
 
-    def resid_v(theta_v, scenes_m, data_chan, oot, sigma_j, idx, in_win,
-                rp_fixed):
-        theta_v = theta_v.astype(jnp.float32)
-        n_exp = data_chan.shape[0]
-        rp_bin = (in_win * theta_v[:n_rp][idx]
-                  + (1.0 - in_win) * rp_fixed)
-        sc = dataclasses.replace(
-            scenes_m, rp_over_rs=jnp.broadcast_to(
-                rp_bin[None], (n_exp, rp_bin.size)))
-        k = n_rp
-        if fit_t0:
-            orb = dataclasses.replace(
-                sc.orbit, t0_s=sc.orbit.t0_s + theta_v[k])
-            sc = dataclasses.replace(sc, orbit=orb)
-            k += 1
-        if fit_ramp:
-            tr = dataclasses.replace(
-                sc.trends,
-                visit_slope_per_s=jnp.broadcast_to(
-                    theta_v[k], sc.trends.visit_slope_per_s.shape),
-                hook_amp=jnp.broadcast_to(
-                    theta_v[k + 1], sc.trends.hook_amp.shape))
-            sc = dataclasses.replace(sc, trends=tr)
-        model = forward_spectra(sc, tables, cfg_m, chunk, estimator,
-                                y_window)
-        model_chan = _normalise_oot(_bin_channels(model, edges), oot)
-        return ((model_chan - data_chan) / sigma_j[None, :]).ravel()
+    # Shared module-level jitted program (same cache as the single-visit
+    # retrieval): one trace serves every visit AND every ensemble
+    # realisation of the same shape.
+    statics = dict(cfg=cfg_m, chunk=chunk, estimator=estimator,
+                   y_window=y_window, n_rp=n_rp, eclipse=False,
+                   fit_t0=fit_t0, fit_ramp=fit_ramp,
+                   fit_scan_offset=False)
 
-    val_jac = jax.jit(lambda tv, *a: (resid_v(tv, *a),
-                                      jax.jacfwd(resid_v)(tv, *a)))
-    resid_only = jax.jit(resid_v)
+    def val_jac(tv, *a):
+        return _lm_val_jac(tv, *a, with_jac=True, **statics)
+
+    def resid_only(tv, *a):
+        return _lm_val_jac(tv, *a, with_jac=False, **statics)
 
     theta0 = np.full(n_rp, float(np.mean(rp_init)), np.float64)
     if np.ndim(rp_init) == 1:
@@ -537,8 +568,10 @@ def retrieve_transmission_joint(
 
     def visit_args(v):
         pv = per_visit[v]
-        return (pv["scenes_m"], pv["data_chan"], pv["oot"], pv["sigma"],
-                pv["idx"], pv["in_win"], pv["rp_fixed"])
+        rev0 = jnp.zeros((pv["n_exp"],), jnp.float32)
+        return (pv["scenes_m"], tables, pv["data_chan"], pv["oot"],
+                pv["sigma"], pv["idx"], pv["in_win"], pv["rp_fixed"],
+                rev0, edges)
 
     if fit_t0 and t0_window_s > 0:
         # Grid-seed each visit's dt0 (chi2(t0) is nonconvex; a cold
