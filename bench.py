@@ -192,6 +192,32 @@ def main() -> None:
     log(f"[bench] generate(): {n_gen} ima files in {gen_wall:.2f}s "
         f"({n_gen / gen_wall:.2f} exp/s incl. FITS, "
         f"{out_bytes / 1e9:.2f} GB; device->host link {link_mb_s:.0f} MB/s)")
+    # Same-process A/B closing the round-4 question ("0.70 vs 1.76
+    # exp/s — tunnel or pipeline?"): predict generate()'s ceiling from
+    # the bytes it must ship at the JUST-measured link rate, and run the
+    # same sub-visit with products REDUCED ON DEVICE (config-5 class:
+    # only (n_exp, S) spectra cross the link). If measured generate()
+    # tracks the link-bound prediction while the on-device row runs at
+    # kernel speed, the link is the bottleneck by data, not prose.
+    bytes_per_exp = out_bytes / max(n_gen, 1)
+    link_bound_exp_s = link_mb_s * 1e6 / max(bytes_per_exp, 1.0)
+    sc2, n_red = pad_scenes(
+        jax.device_put(obs2.scenes), CHUNK)
+
+    @jax.jit
+    def visit_spectra(s):
+        reads = simulate_visit(s, obs2.tables, obs2.static, CHUNK).reads_dn
+        return (reads[:, -1] - reads[:, 0]).sum(axis=1)
+
+    visit_spectra(sc2).block_until_ready()
+    t0 = time.time()
+    np.asarray(visit_spectra(sc2))
+    red_wall = time.time() - t0
+    red_exp_s = n_red / red_wall
+    log(f"[bench] A/B same process: generate f32 {n_gen / gen_wall:.2f} "
+        f"exp/s (link-bound prediction {link_bound_exp_s:.2f} at "
+        f"{bytes_per_exp / 1e6:.1f} MB/exp), uint16 "
+        f"{n_q / gen_wall_q:.2f}, on-device-reduced {red_exp_s:.1f}")
 
     vs_baseline = None
     baseline_path = os.path.join(REPO, "BASELINE_CPU.json")
@@ -222,6 +248,15 @@ def main() -> None:
         "generate_n_exposures": n_gen,
         "generate_quantized_exp_per_s": round(n_q / gen_wall_q, 2),
         "device_to_host_mb_s": round(link_mb_s, 1),
+        "generate_bytes_per_exp": int(bytes_per_exp),
+        "generate_link_bound_exp_per_s": round(link_bound_exp_s, 2),
+        "ondevice_reduced_exp_per_s": round(red_exp_s, 1),
+        "ab_note": ("same-process A/B: if generate_exp_per_s tracks "
+                    "generate_link_bound_exp_per_s (bytes/exp at the "
+                    "just-measured link rate) while the on-device-"
+                    "reduced row runs at kernel speed, any "
+                    "round-over-round generate() swing is the tunnel, "
+                    "not the pipeline"),
         "generate_note": ("generate() is bounded by this machine's "
                           "tunneled device->host link (see "
                           "device_to_host_mb_s); kernel metric is the "

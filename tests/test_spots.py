@@ -447,3 +447,85 @@ class TestCliClipSigma:
         with pytest.raises(SystemExit, match="clip-sigma"):
             reduce_main(["-d", str(outdir), "-p", str(ppath), "--cpu",
                          "--detrend", "ramp", "--clip-sigma", "0.5"])
+
+
+class TestFitSpots:
+    @pytest.mark.slow
+    def test_fit_spot_scale_closed_loop(self):
+        """fit_spots: one deficit scale fitted THROUGH the simulator
+        from a spot-blind start recovers s = 1 on data generated with
+        the Scene's spots at full strength (rotating star), and the
+        depths stay unbiased. s is identified by the crossing bump +
+        the chromatic unocculted dilution jointly."""
+        from wayne_tpu.calibration import synthetic_tables
+        from wayne_tpu.config import ExposureStatic, NoiseFlags
+        from wayne_tpu.ops.visit import simulate_visit
+        from wayne_tpu.retrieval import (bin_channel_map,
+                                         retrieve_transmission)
+        from wayne_tpu.scene import example_scene
+
+        S, NL, n_exp, n_chan = 128, 48, 18, 4
+        xw = (72, 126)
+        cfg = ExposureStatic(subarray=S, n_lambda=NL, n_sub=2, nsamp=3,
+                             samp_seq="SPARS10", scan=True,
+                             noise=NoiseFlags.none(), band_px=48)
+        tables = synthetic_tables("G141", subarray=S, n_lambda=NL,
+                                  samp_seq="SPARS10", nsamp=3)
+        base = example_scene(NL, scan_speed=0.6)
+        wl = np.asarray(tables.wl_centers)
+        rp = 0.1595 + 0.004 * np.sin(9.0 * wl)
+        base = dataclasses.replace(
+            base, x_ref=jnp.float32(30.0), y_ref=jnp.float32(30.0),
+            rp_over_rs=jnp.asarray(rp, jnp.float32))
+        b = 4.855 * np.cos(np.deg2rad(82.1))
+        contrast = np.stack(
+            [0.4 + 0.2 * (wl - wl.min()) / np.ptp(wl),
+             np.full(NL, 0.6)]).astype(np.float32)
+        spots = SpotParams.create(
+            [np.arcsin(b), -0.5], [0.0, 0.4], [0.22, 0.12], contrast,
+            rot_omega=2 * np.pi / (10 * 86400.0))
+        scenes = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n_exp,) + x.shape),
+            base)
+        scenes = dataclasses.replace(
+            scenes,
+            exp_start_s=jnp.asarray(
+                np.linspace(0.0, 4.0 * 3600.0, n_exp), jnp.float32),
+            key=jax.vmap(lambda i: jax.random.fold_in(
+                jax.random.PRNGKey(3), i))(jnp.arange(n_exp)),
+            spots=jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (n_exp,) + x.shape),
+                spots))
+        out = simulate_visit(scenes, tables, cfg, chunk=6)
+        obs = (out.reads_dn[:, -1] - out.reads_dn[:, 0]).sum(axis=1)
+        idx, in_win = bin_channel_map(scenes, tables, xw, n_chan)
+        truth = np.array([rp[in_win & (idx == c)].mean()
+                          for c in range(n_chan)])
+        res = retrieve_transmission(
+            obs, scenes, tables, cfg, x_window=xw, n_chan=n_chan,
+            rp_init=0.15, fit_spots=True, chunk=6, n_lm=12,
+            sigma=np.full(n_chan, 1e-4))
+        assert abs(res.spot_scale - 1.0) < 0.01, res.spot_scale
+        assert res.spot_scale_sigma > 0
+        assert np.all(np.abs(res.rp - truth) < 5e-4), (res.rp, truth)
+
+    def test_fit_spots_requires_spots(self):
+        from wayne_tpu.calibration import synthetic_tables
+        from wayne_tpu.config import ExposureStatic, NoiseFlags
+        from wayne_tpu.retrieval import retrieve_transmission
+        from wayne_tpu.scene import example_scene
+
+        cfg = ExposureStatic(subarray=64, n_lambda=24, n_sub=2, nsamp=2,
+                             samp_seq="RAPID", scan=True,
+                             noise=NoiseFlags.none())
+        tables = synthetic_tables("G141", subarray=64, n_lambda=24,
+                                  samp_seq="RAPID", nsamp=2)
+        base = example_scene(24, scan_speed=0.4)
+        scenes = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (4,) + x.shape), base)
+        scenes = dataclasses.replace(
+            scenes, exp_start_s=jnp.linspace(0.0, 400.0, 4))
+        with pytest.raises(ValueError, match="fit_spots"):
+            retrieve_transmission(
+                jnp.ones((4, 64), jnp.float32), scenes, tables, cfg,
+                x_window=(20, 60), n_chan=2, fit_spots=True)

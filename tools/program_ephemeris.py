@@ -48,7 +48,7 @@ def measure_program_ephemeris(program_dir: str, parameter_file: str,
                                           "program_summary.json")))
     visits = summary["visits"]
     offsets = []
-    chans, chan_sigs, wl_ranges = [], [], None
+    chans, chan_sigs, chan_ok, wl_ranges = [], [], [], None
     for v in visits:
         vdir = os.path.join(program_dir, v["dir"])
         red_path = os.path.join(vdir, "reduced_ephemeris.json")
@@ -65,6 +65,8 @@ def measure_program_ephemeris(program_dir: str, parameter_file: str,
         offsets.append(float(geo["t0_offset_s"]))
         chans.append([c["rp_over_rs"] for c in red["channels"]])
         chan_sigs.append([c["rp_sigma"] for c in red["channels"]])
+        chan_ok.append([bool(c.get("constrained", True))
+                        for c in red["channels"]])
         wl_ranges = [(c["wl_lo_um"], c["wl_hi_um"])
                      for c in red["channels"]]
     idx = np.arange(len(offsets), dtype=float)
@@ -98,6 +100,9 @@ def measure_program_ephemeris(program_dir: str, parameter_file: str,
             {"wl_lo_um": wl_ranges[j][0], "wl_hi_um": wl_ranges[j][1],
              "rp_over_rs": round(float(rp_comb[j]), 7),
              "rp_sigma": round(float(sig_comb[j]), 7),
+             # a combined channel is only trustworthy if EVERY visit's
+             # fit constrained it (per-visit reduced.json flag)
+             "constrained": bool(np.all(np.asarray(chan_ok)[:, j])),
              "repeatability_chi2_per_dof": round(
                  float(chi2_rep[j]) / dof_rep, 3)}
             for j in range(rp.shape[1])],

@@ -128,7 +128,12 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
     divide-white, autodiff depth fits — reduction.spectra_to_depths,
     vmapped over realisations) and ``recovered_rp`` /
     ``recovered_rp_sigma`` (chunk_mc, n_chan) are stored alongside the
-    spectra. Required keys: ``exp_mid_s`` (n_exp,), ``orbit``
+    spectra, plus the sigma decomposition
+    (``recovered_rp_sigma_rel`` (chunk_mc, n_chan): channel-to-channel
+    shape error; ``recovered_rp_sigma_common`` (chunk_mc,): the
+    coherent divide-white common-mode term — Cov = diag(rel^2) +
+    common^2 * ones) and ``recovered_constrained`` (chunk_mc, n_chan)
+    quality flags (reduction.constrained_mask). Required keys: ``exp_mid_s`` (n_exp,), ``orbit``
     (OrbitParams), ``ld`` (4,), ``rp0``, ``x_window`` (lo, hi).
     Optional: ``n_chan`` (8), ``divide_white`` (True), ``subtract_bg``
     (True — the ensemble spectra are full-frame column sums, so the
@@ -189,7 +194,10 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         }
     expected_keys = {"spectra_e"}
     if recover is not None:
-        expected_keys |= {"recovered_rp", "recovered_rp_sigma"}
+        expected_keys |= {"recovered_rp", "recovered_rp_sigma",
+                          "recovered_rp_sigma_rel",
+                          "recovered_rp_sigma_common",
+                          "recovered_constrained"}
     if labels:
         expected_keys |= {f"label_{k}" for k in labels}
     manifest_path = os.path.join(outdir, "manifest.json")
@@ -244,8 +252,22 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
         spectra = np.asarray(dev_spectra)     # blocks on transfer only
         payload = {"spectra_e": spectra}
         if dev_recovered is not None:
-            payload["recovered_rp"] = np.asarray(dev_recovered[0])
-            payload["recovered_rp_sigma"] = np.asarray(dev_recovered[1])
+            from wayne_tpu.reduction import constrained_mask
+
+            rp_rec = np.asarray(dev_recovered[0])
+            sig_rec = np.asarray(dev_recovered[1])
+            payload["recovered_rp"] = rp_rec
+            payload["recovered_rp_sigma"] = sig_rec
+            # shape vs common-mode split (divide-white rank-1
+            # covariance; see reduction.divide_white_fit_depths) and
+            # the per-channel quality flag — consumers must not have
+            # to infer a dead channel from an absurd sigma
+            payload["recovered_rp_sigma_rel"] = np.asarray(
+                dev_recovered[2])
+            payload["recovered_rp_sigma_common"] = np.broadcast_to(
+                np.asarray(dev_recovered[3]), (rp_rec.shape[0],)).copy()
+            payload["recovered_constrained"] = np.asarray(
+                constrained_mask(rp_rec, sig_rec))
         if labels:
             for k, v in labels.items():
                 payload[f"label_{k}"] = np.asarray(v)[c0: c0 + chunk_mc]
@@ -307,7 +329,9 @@ def generate_dataset(visit_scenes: Scene, tables: Tables, cfg: ExposureStatic,
                 subtract_bg=bool(recover.get("subtract_bg", True)),
                 # forward/reverse visits: per-direction OOT baselines
                 # remove the upstream/downstream offset
-                scan_dir=recover.get("scan_dir"))
+                scan_dir=recover.get("scan_dir"),
+                # sigma decomposition (rel vs common-mode) rides along
+                sigma_components=True)
         try:
             spectra.copy_to_host_async()
         except Exception:  # pragma: no cover - backend-dependent

@@ -1455,10 +1455,11 @@ def divide_white_fit_depths(white_lc: jnp.ndarray, channel_lc: jnp.ndarray,
                             exp_mid_s: jnp.ndarray, orbit: OrbitParams,
                             ld: jnp.ndarray, rp_init: jnp.ndarray,
                             n_quad: int = 32, n_newton: int = 12,
-                            weights: jnp.ndarray | None = None
-                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                            weights: jnp.ndarray | None = None,
+                            return_components: bool = False
+                            ) -> tuple[jnp.ndarray, ...]:
     """Divide-white + per-channel depth fit with the COMMON-MODE error
-    propagated.
+    propagated — and, on request, decomposed.
 
     The divide-white template is built from a transit model at the
     FITTED white depth; a white-depth error d deforms the template by
@@ -1474,15 +1475,37 @@ def divide_white_fit_depths(white_lc: jnp.ndarray, channel_lc: jnp.ndarray,
     curves the naive sigma was already calibrated (ratios 0.90-1.22),
     isolating the divide step as the sole cause.
 
+    The two terms answer DIFFERENT questions, so both are exposed:
+    ``sigma_rel`` (the per-channel fit sigma) is the error on
+    channel-to-channel SHAPE — what transmission-spectroscopy inference
+    actually uses, because the common term shifts every channel
+    together and cancels in differences; ``sigma_common`` (the white
+    fit's depth sigma, one number for all channels) is the coherent
+    absolute-level error. The full covariance of the returned depths is
+    rank-1-plus-diagonal::
+
+        Cov = diag(sigma_rel**2) + sigma_common**2 * ones((n,n))
+
+    Consumers doing relative (shape) inference should use sigma_rel and
+    drop the common term; absolute-depth consumers need the quadrature
+    total. Returning only the total made relative error bars ~5-7x
+    conservative in the systematics ensembles (VALIDATION.json round-4
+    ratios 0.135-0.28).
+
     Returns (rp_hat (n_chan,), rp_sigma (n_chan,)) with
-    rp_sigma = sqrt(sigma_channel^2 + sigma_white^2).
+    rp_sigma = sqrt(sigma_rel^2 + sigma_common^2); with
+    ``return_components=True``, (rp_hat, rp_sigma, rp_sigma_rel,
+    sigma_common) where sigma_common is a scalar.
     """
     corrected, sig_white = common_mode_correct(
         white_lc, channel_lc, exp_mid_s, orbit, ld, rp_init, n_quad,
         n_newton, return_white_sigma=True)
     rp, sig = fit_depths(corrected, exp_mid_s, orbit, ld, rp_init,
                          n_quad, n_newton, weights=weights)
-    return rp, jnp.sqrt(sig**2 + sig_white**2)
+    total = jnp.sqrt(sig**2 + sig_white**2)
+    if return_components:
+        return rp, total, sig, sig_white
+    return rp, total
 
 
 def orbit_phase(exp_mid_s: jnp.ndarray,
@@ -1937,7 +1960,8 @@ def fit_white_recte(white_lc: jnp.ndarray, exp_mid_s: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("x_window", "n_chan", "divide_white",
-                                   "subtract_bg", "n_quad", "n_newton"))
+                                   "subtract_bg", "n_quad", "n_newton",
+                                   "sigma_components"))
 def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
                       orbit: OrbitParams, ld: jnp.ndarray,
                       rp_init: jnp.ndarray | float, *,
@@ -1945,8 +1969,9 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
                       divide_white: bool = True,
                       subtract_bg: bool = False, n_quad: int = 32,
                       n_newton: int = 12,
-                      scan_dir: jnp.ndarray | None = None
-                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                      scan_dir: jnp.ndarray | None = None,
+                      sigma_components: bool = False
+                      ) -> tuple[jnp.ndarray, ...]:
     """Batched extracted spectra -> fitted channel depths (dataset QA).
 
     Bins extracted spectra into channels, normalises against the
@@ -1976,6 +2001,12 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
     by its own out-of-transit baseline (scan_direction_factor), so the
     achromatic upstream/downstream offset (trends.reverse_flux_offset)
     does not bias the fits. Shared across realisations.
+
+    ``sigma_components``: also return the sigma decomposition
+    (rp, sigma_total, sigma_rel, sigma_common) per realisation — the
+    divide-white common-mode split (divide_white_fit_depths
+    ``return_components``); without divide_white, sigma_rel equals the
+    total and sigma_common is 0.
     """
     sp = jnp.asarray(spectra_e, jnp.float32)
     squeeze = sp.ndim == 2
@@ -2012,14 +2043,56 @@ def spectra_to_depths(spectra_e: jnp.ndarray, exp_mid_s: jnp.ndarray,
         white = norm(white)
         chan = jax.vmap(norm, in_axes=1, out_axes=1)(chan)
         if divide_white:
-            return divide_white_fit_depths(white, chan, t, orbit, ld,
-                                           rp0, n_quad, n_newton)
-        return fit_depths(chan, t, orbit, ld, rp0, n_quad, n_newton)
+            return divide_white_fit_depths(
+                white, chan, t, orbit, ld, rp0, n_quad, n_newton,
+                return_components=sigma_components)
+        rp, sig = fit_depths(chan, t, orbit, ld, rp0, n_quad, n_newton)
+        if sigma_components:
+            return rp, sig, sig, jnp.float32(0.0)
+        return rp, sig
 
-    rp, sig = jax.vmap(one)(sp)
+    out = jax.vmap(one)(sp)
     if squeeze:
-        return rp[0], sig[0]
-    return rp, sig
+        out = tuple(o[0] for o in out)
+    return out
+
+
+def constrained_mask(depth: jnp.ndarray, sigma: jnp.ndarray, *,
+                     sigma_floor: float = 0.05,
+                     bounds: tuple[float, float] | None = (0.0105, 0.495)
+                     ) -> jnp.ndarray:
+    """Per-channel quality flag: which fitted depths actually carry
+    information.
+
+    A channel with essentially no in-window flux (band edges past the
+    grism sensitivity cutoff, a --wl-range that clips into dead
+    columns) still returns a number: the fit curvature sits at the
+    numerical floor, the reported sigma explodes (the staring-mode
+    red-edge channel reports sigma ~3e8) and/or the Newton walk pins at
+    its clip bound. Validation handles this honestly (the
+    "unconstrained" clause in tools/validate_recovery.py), but products
+    must too — a consumer should not have to infer "unusable" from an
+    absurd sigma. False where the fit is effectively unconstrained:
+
+    - non-finite depth or sigma, or
+    - ``sigma >= sigma_floor`` (default 0.05: no planet-scale
+      constraint at all — healthy WFC3 channels sit at 1e-4..1e-3), or
+    - depth pinned within the fitter's clip range edges (``bounds``;
+      fit_depths clips Rp/Rs to [0.01, 0.5] — pass None for unclipped
+      linear fitters like fit_eclipse_depths).
+
+    Consumers: run_reduce emits ``constrained`` per channel (and
+    suggests --wl-range), dataset recovered labels carry it, retrieval
+    results flag it. Scale ``sigma_floor`` to the quantity: 0.05 for
+    Rp/Rs, ~0.02 for Fp/Fs contrasts.
+    """
+    depth = jnp.asarray(depth)
+    sigma = jnp.asarray(sigma)
+    ok = (jnp.isfinite(depth) & jnp.isfinite(sigma)
+          & (sigma < sigma_floor))
+    if bounds is not None:
+        ok = ok & (depth > bounds[0]) & (depth < bounds[1])
+    return ok
 
 
 def _beta_red(resid: jnp.ndarray, w: jnp.ndarray,

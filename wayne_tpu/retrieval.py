@@ -62,6 +62,13 @@ class RetrievalResult:
     ramp_sigma: np.ndarray | None
     scan_offset: float | None = None        # fitted reverse-scan flux
     scan_offset_sigma: float | None = None  # offset if fit_scan_offset
+    spot_scale: float | None = None         # fitted spot-deficit scale
+    #                           (fit_spots): 0 = immaculate star, 1 =
+    #                           the Scene's spots at full strength
+    spot_scale_sigma: float | None = None
+    constrained: np.ndarray | None = None   # (n_chan,) quality flag
+    #                           (reduction.constrained_mask): False for
+    #                           channels the data cannot constrain
 
 
 def deterministic_cfg(cfg: ExposureStatic) -> ExposureStatic:
@@ -178,11 +185,12 @@ def _normalise_oot(chan: jnp.ndarray, oot: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "estimator", "y_window",
                                    "n_rp", "eclipse", "fit_t0", "fit_ramp",
-                                   "fit_scan_offset", "with_jac"))
+                                   "fit_scan_offset", "fit_spots",
+                                   "with_jac"))
 def _lm_val_jac(theta, scenes_m, tables, data_chan, oot, sigma_j, idx,
                 in_win, d_fixed, rev_mask, edges, *, cfg, chunk, estimator,
                 y_window, n_rp, eclipse, fit_t0, fit_ramp,
-                fit_scan_offset, with_jac):
+                fit_scan_offset, fit_spots=False, with_jac):
     """Residuals (and with ``with_jac`` the jacfwd Jacobian) of one
     visit's forward-model fit, as ONE module-level jitted program.
 
@@ -196,7 +204,11 @@ def _lm_val_jac(theta, scenes_m, tables, data_chan, oot, sigma_j, idx,
 
     theta layout: [depths (n_rp)] (+ [dt0_s] if fit_t0)
     (+ [visit_slope_per_s, hook_amp] if fit_ramp)
-    (+ [scan_offset] if fit_scan_offset). ``d_fixed`` is the (NL,)
+    (+ [scan_offset] if fit_scan_offset) (+ [spot_scale] if
+    fit_spots — one scale on the Scene's spot deficit, contrast ->
+    1 - s*(1 - contrast0): s=0 is an immaculate star, s=1 the Scene's
+    spots at full strength; the chromatic deficit PROFILE and the
+    spot geometry come from the Scene). ``d_fixed`` is the (NL,)
     out-of-window spectrum the fit holds fixed (rp_over_rs in transit
     mode, fp_over_fs in eclipse mode); ``rev_mask`` is traced but dead
     unless fit_scan_offset.
@@ -244,6 +256,16 @@ def _lm_val_jac(theta, scenes_m, tables, data_chan, oot, sigma_j, idx,
                                 sc.companions,
                                 flux=sc.companions.flux
                                 * fac[:, None, None])))
+            k += 1
+        if fit_spots:
+            # one scale on the Scene's spot deficit: contrast ->
+            # 1 - s*(1 - contrast0). The geometry/chromatic profile
+            # come from the Scene; s is fitted THROUGH the simulator
+            # (crossing bump + unocculted dilution both respond).
+            sp = sc.spots
+            contrast = 1.0 - th[k] * (1.0 - sp.contrast)
+            sc = dataclasses.replace(
+                sc, spots=dataclasses.replace(sp, contrast=contrast))
         model = forward_spectra(sc, tables, cfg, chunk, estimator,
                                 y_window)
         model_chan = _normalise_oot(_bin_channels(model, edges), oot)
@@ -254,6 +276,62 @@ def _lm_val_jac(theta, scenes_m, tables, data_chan, oot, sigma_j, idx,
     return resid(theta)
 
 
+def _channel_chi_scale(r: np.ndarray, n_exp: int, n_chan: int,
+                       n_par: int) -> np.ndarray:
+    """Per-channel residual-rms rescale factors for the reported sigma.
+
+    The per-channel noise prior sigma_j is estimated from only the
+    ~N_oot out-of-transit points, so it carries ~1/sqrt(2 N_oot)
+    sampling error per channel (±21% at N_oot=12) — and a channel
+    whose prior drew low reports a too-small rp_sigma while its
+    realised scatter is unchanged (the retrieval-mode ensemble caught
+    exactly this: single-channel ratios to 1.9 with a GLOBAL chi2/dof
+    rescale, which cannot fix a per-channel weighting error). The cure
+    is the per-channel reduced chi2: each channel's parameters scale by
+    the rms of that channel's own standardised residuals over ALL
+    n_exp points. dof per channel: n_exp minus its depth parameter,
+    minus its share of the shared nuisances, minus the OOT baseline
+    normalisation it consumed.
+    """
+    res = r.reshape(n_exp, n_chan)
+    dof_c = max(n_exp - 2.0 - (n_par - n_chan) / n_chan, 1.0)
+    return np.sqrt(np.maximum((res**2).sum(axis=0) / dof_c, 1e-12))
+
+
+def _baseline_var_extra(J: np.ndarray, A: np.ndarray,
+                        blocks: list) -> np.ndarray:
+    """OOT-normalisation variance of the fitted parameters.
+
+    The observed channel curves are normalised by their own noisy
+    out-of-transit means (_normalise_oot); that per-channel relative
+    baseline error eps_c rescales the whole curve coherently, which the
+    residual-based curvature cannot see — the exact analogue of
+    reduction.fit_depths' ``baseline_var`` term (measured there: true
+    scatter inflated ~sqrt(1 + N_in_eff/N_oot); here the retrieval-mode
+    ensemble measured ratios up to ~2.3 and 1-sigma coverage 0.50
+    before this term). Delta method: a perturbation eps_c moves the
+    minimiser by -A Jᵀ (∂r/∂eps_c) eps_c with ∂r/∂eps_c =
+    data_chan[:, c]/sigma_c on channel-c rows, var(eps_c) =
+    sigma_c²/N_oot. ``blocks`` is [(row0, data_chan (n_exp, n_chan)
+    np, n_oot, sigma (n_chan,) np, scale (n_chan,) np), ...] — one
+    entry per visit; residual rows are laid out (exposure, channel)
+    row-major from ``row0``; ``scale`` is the per-channel residual-rms
+    correction (_channel_chi_scale) so var(eps_c) uses the REALISED
+    noise, not the OOT prior. Returns the extra VARIANCE per parameter.
+    """
+    extra = np.zeros(A.shape[0])
+    JT = J.T
+    for row0, data_chan, n_oot, sigma, scale in blocks:
+        n_exp, n_chan = data_chan.shape
+        for c in range(n_chan):
+            u = np.zeros(J.shape[0])
+            u[row0 + c: row0 + n_exp * n_chan: n_chan] = (
+                data_chan[:, c] / sigma[c])
+            v = A @ (JT @ u)
+            extra += v**2 * ((sigma[c] * scale[c])**2 / max(n_oot, 1.0))
+    return extra
+
+
 def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
                           tables: Tables, cfg: ExposureStatic, *,
                           x_window: tuple[int, int], n_chan: int = 8,
@@ -262,6 +340,7 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
                           y_window: tuple[int, int] | None = None,
                           fit_ramp: bool = False,
                           fit_scan_offset: bool = False,
+                          fit_spots: bool = False,
                           mode: str = "transit",
                           n_lm: int = 10, chunk: int = 2,
                           sigma: np.ndarray | None = None
@@ -296,6 +375,13 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
         whatever the YAML simulated, so the fitted value is the
         offset of the DATA relative to the YAML (0 when the YAML
         matches the data).
+      fit_spots: additionally fit one spot-deficit scale s (contrast
+        -> 1 - s*(1 - contrast0)): the Scene supplies the spot
+        geometry and chromatic deficit profile, the data pull the
+        amplitude from a spot-blind s = 0 start. The crossing bump
+        AND the unocculted chromatic dilution both inform s because
+        the fit runs through the simulator (ops/spots.py). Requires
+        scenes.spots.
       mode: "transit" fits the per-channel Rp/Rs transmission
         spectrum; "eclipse" fits the per-channel Fp/Fs dayside
         emission spectrum (requires cfg.eclipse and secondary-eclipse
@@ -314,6 +400,10 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
                          f"has {n_scenes}")
     if fit_ramp and not cfg.noise.visit_trend:
         raise ValueError("fit_ramp requires cfg.noise.visit_trend")
+    if fit_spots and scenes.spots is None:
+        raise ValueError("fit_spots requires scenes.spots (the Scene "
+                         "must carry a SpotParams set whose deficit "
+                         "the scale multiplies)")
     if mode not in ("transit", "eclipse"):
         raise ValueError(f"mode must be 'transit' or 'eclipse', got {mode!r}")
     eclipse = mode == "eclipse"
@@ -380,6 +470,10 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
                 "visit (scenes.scan_speed carries only one sign)")
         rev_mask = jnp.asarray(rev_np, jnp.float32)
         theta0 = np.concatenate([theta0, [0.0]])
+    if fit_spots:
+        # start spot-blind (s = 0): the fit demonstrates the DATA pull
+        # the deficit up to the Scene's amplitude
+        theta0 = np.concatenate([theta0, [0.0]])
 
     # One cached module-level program (no per-call jit closures): the
     # traced operands + static program shape route through _lm_val_jac.
@@ -388,7 +482,7 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
     statics = dict(cfg=cfg_m, chunk=chunk, estimator=estimator,
                    y_window=y_window, n_rp=n_rp, eclipse=eclipse,
                    fit_t0=False, fit_ramp=fit_ramp,
-                   fit_scan_offset=fit_scan_offset)
+                   fit_scan_offset=fit_scan_offset, fit_spots=fit_spots)
 
     def val_jac(th):
         return _lm_val_jac(th, *traced, with_jac=True, **statics)
@@ -423,17 +517,47 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
                 break
 
     # Curvature errors at the solution (raw map — no clipping inside
-    # the differentiated quantities; CLAUDE.md delta-method rule).
-    JtJ = J.T @ J
-    cov = np.linalg.pinv(JtJ)
-    sig = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    # the differentiated quantities; CLAUDE.md delta-method rule),
+    # PER-CHANNEL residual-rescaled (_channel_chi_scale: the OOT-only
+    # sigma_j prior carries ±21% sampling error per channel, which a
+    # global chi2/dof cannot fix) and carrying the OOT-normalisation
+    # term (_baseline_var_extra). The retrieval_mode calibration
+    # ensemble (tools/validate_recovery.py) gates the result.
+    A = np.linalg.pinv(J.T @ J)
+    scale_c = _channel_chi_scale(r, n_exp, n_rp, theta.size)
+    extra = _baseline_var_extra(
+        J, A, [(0, np.asarray(data_chan, np.float64), float(oot.sum()),
+                np.asarray(sigma_j, np.float64), scale_c)])
+    sig = np.sqrt(np.maximum(np.diag(A), 0.0))
+    sig[:n_rp] *= scale_c
+    if theta.size > n_rp:
+        sig[n_rp:] *= np.sqrt(chi2 / max(r.size - theta.size, 1))
+    sig = np.sqrt(sig**2 + extra)
+    from wayne_tpu.reduction import constrained_mask
+
+    ok = np.asarray(constrained_mask(
+        theta[:n_rp], sig[:n_rp],
+        # Fp/Fs contrasts: smaller scale, no Newton clip range
+        **(dict(sigma_floor=0.02, bounds=None) if eclipse else {})))
+    k = n_rp
+    ramp = ramp_sig = None
+    if fit_ramp:
+        ramp, ramp_sig = theta[k: k + 2].copy(), sig[k: k + 2].copy()
+        k += 2
+    scan_off = scan_off_sig = None
+    if fit_scan_offset:
+        scan_off, scan_off_sig = float(theta[k]), float(sig[k])
+        k += 1
+    spot_s = spot_s_sig = None
+    if fit_spots:
+        spot_s, spot_s_sig = float(theta[k]), float(sig[k])
     return RetrievalResult(
         rp=theta[:n_rp].copy(), rp_sigma=sig[:n_rp].copy(),
         chi2=chi2, n_points=int(r.size), n_iter=n_iter,
-        ramp=(theta[n_rp: n_rp + 2].copy() if fit_ramp else None),
-        ramp_sigma=(sig[n_rp: n_rp + 2].copy() if fit_ramp else None),
-        scan_offset=(float(theta[-1]) if fit_scan_offset else None),
-        scan_offset_sigma=(float(sig[-1]) if fit_scan_offset else None))
+        ramp=ramp, ramp_sigma=ramp_sig,
+        scan_offset=scan_off, scan_offset_sigma=scan_off_sig,
+        spot_scale=spot_s, spot_scale_sigma=spot_s_sig,
+        constrained=ok)
 
 
 @dataclass
@@ -451,6 +575,8 @@ class JointRetrievalResult:
     chi2: float
     n_points: int
     n_iter: int
+    constrained: np.ndarray | None = None  # (n_chan,) quality flag
+    #                           (reduction.constrained_mask)
 
 
 def retrieve_transmission_joint(
@@ -641,14 +767,38 @@ def retrieve_transmission_joint(
             if lam > 1e6:
                 break
 
-    # Residual-rescaled covariance (the fit_depths convention): the
-    # per-channel sigma_j prior is only an OOT-based estimate, and with
+    # Residual-rescaled covariance (the fit_depths convention), per
+    # channel: the per-channel sigma_j prior is only an OOT-based
+    # estimate with ±1/sqrt(2 N_oot) sampling error — and with
     # carried-persistence ramps in the baseline it can sit far above
-    # the realised residual scatter — chi2/dof rescaling makes the
-    # reported errors track the residuals whatever the prior was.
-    dof = max(r.size - n_par, 1)
-    cov = np.linalg.pinv(J.T @ J) * (chi2 / dof)
-    sig = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    # the realised residual scatter. _channel_chi_scale makes each
+    # channel's reported sigma track ITS OWN realised residuals
+    # (pooled across visits for the shared spectrum); per-visit
+    # nuisances (dt0, trends) rescale by their visit's global reduced
+    # chi. Plus the OOT-normalisation term (each visit's channel
+    # baselines are independent noisy means; _baseline_var_extra).
+    A = np.linalg.pinv(J.T @ J)
+    sig = np.sqrt(np.maximum(np.diag(A), 0.0))
+    blocks, row0 = [], 0
+    scale_sq = np.zeros(n_rp)
+    vis_scale = []
+    for pv in per_visit:
+        dn = np.asarray(pv["data_chan"], np.float64)
+        r_v = r[row0: row0 + dn.size]
+        sc_v = _channel_chi_scale(r_v, dn.shape[0], n_rp,
+                                  n_rp + n_nuis)
+        scale_sq += sc_v**2 / n_vis
+        dof_v = max(dn.size - n_rp - n_nuis, 1)
+        vis_scale.append(float(np.sqrt((r_v**2).sum() / dof_v)))
+        blocks.append((row0, dn, float(pv["oot"].sum()),
+                       np.asarray(pv["sigma"], np.float64), sc_v))
+        row0 += dn.size
+    extra = _baseline_var_extra(J, A, blocks)
+    sig[:n_rp] *= np.sqrt(scale_sq)
+    for v in range(n_vis):
+        base = n_rp + v * n_nuis
+        sig[base: base + n_nuis] *= vis_scale[v]
+    sig = np.sqrt(sig**2 + extra)
     t0s = t0sig = ramp = ramp_sig = None
     if fit_t0:
         pos = n_rp + np.arange(n_vis) * n_nuis
@@ -657,8 +807,12 @@ def retrieve_transmission_joint(
         off = n_rp + (1 if fit_t0 else 0)
         pos = off + np.arange(n_vis)[:, None] * n_nuis + np.arange(2)
         ramp, ramp_sig = theta[pos].copy(), sig[pos].copy()
+    from wayne_tpu.reduction import constrained_mask
+
+    ok = np.asarray(constrained_mask(theta[:n_rp], sig[:n_rp]))
     return JointRetrievalResult(
         rp=theta[:n_rp].copy(), rp_sigma=sig[:n_rp].copy(),
         t0_offsets_s=t0s, t0_offsets_sigma_s=t0sig,
         ramp=ramp, ramp_sigma=ramp_sig,
-        chi2=chi2, n_points=int(r.size), n_iter=n_iter)
+        chi2=chi2, n_points=int(r.size), n_iter=n_iter,
+        constrained=ok)

@@ -804,6 +804,8 @@ def main(argv: list[str] | None = None) -> int:
                          "eclipse/phase visits cannot constrain it)")
     white_fit_report = None
     t0_ref_shift_s = 0.0   # fitted-ephemeris offset vs the YAML zero point
+    rp_sig_rel = None      # divide-white shape-error component
+    sigma_white_dw = None  # divide-white common-mode (white-fit) sigma
     if args.mode == "eclipse":
         from wayne_tpu.ops.kepler import projected_separation
         from wayne_tpu.ops.transit import eclipse_visibility
@@ -915,7 +917,6 @@ def main(argv: list[str] | None = None) -> int:
             for i in range(int(pf.fp.shape[0]))]
         value_key, sigma_key = "fp_over_fs", "fp_sigma"
     else:
-        sigma_white_dw = None
         if detrend == "divide-white":
             # keep the white fit's depth sigma: the template is a model
             # at the FITTED white depth, so its error shifts every
@@ -1011,6 +1012,12 @@ def main(argv: list[str] | None = None) -> int:
         rp_hat, rp_sig = fit_depths(chan_j, t, orbit, ld_chan, rp0,
                                     weights=depth_weights)
         if sigma_white_dw is not None:
+            # decomposition kept: sigma_rel is the channel-to-channel
+            # SHAPE error (what transmission spectroscopy uses — the
+            # common term shifts all channels together and cancels in
+            # differences); the quadrature total is the absolute error.
+            # Cov = diag(rel^2) + common^2 * ones (docs/REDUCTION.md).
+            rp_sig_rel = rp_sig
             rp_sig = jnp.sqrt(rp_sig**2 + sigma_white_dw**2)
         value_key, sigma_key = "rp_over_rs", "rp_sigma"
 
@@ -1074,6 +1081,23 @@ def main(argv: list[str] | None = None) -> int:
     mcmc_prefix = "fp" if args.mode == "eclipse" else "rp"
     if args.mode != "phase":
         phase_extra = None
+    # Per-channel quality flag: a dead channel (no in-window flux,
+    # curvature at the numerical floor) must be MARKED unusable, not
+    # left for the consumer to infer from an absurd sigma.
+    from wayne_tpu.reduction import constrained_mask
+
+    if args.mode == "transit":
+        constrained = constrained_mask(rp_hat, rp_sig)
+    else:   # Fp/Fs contrasts: smaller scale, linear (unclipped) fits
+        constrained = constrained_mask(rp_hat, rp_sig,
+                                       sigma_floor=0.02, bounds=None)
+    constrained = np.asarray(constrained)
+    if not constrained.all():
+        bad = np.flatnonzero(~constrained).tolist()
+        print(f"warning: channel(s) {bad} are unconstrained (no "
+              "in-window flux or sigma above the floor) — flagged "
+              "constrained: false; consider --wl-range to clip the "
+              "band edges")
     report = {
         "n_exposures": len(paths),
         "grism": cfg.grism,
@@ -1101,11 +1125,16 @@ def main(argv: list[str] | None = None) -> int:
            if shifts is not None else {}),
         **({"white_posterior": white_post_report}
            if white_post_report is not None else {}),
+        **({"rp_sigma_common": round(float(sigma_white_dw), 6)}
+           if sigma_white_dw is not None else {}),
         "channels": [
             {"wl_lo_um": round(float(wl_edges[i]), 4),
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
              value_key: round(float(rp_hat[i]), 6),
              sigma_key: round(float(rp_sig[i]), 6),
+             **({"rp_sigma_rel": round(float(rp_sig_rel[i]), 6)}
+                if rp_sig_rel is not None else {}),
+             "constrained": bool(constrained[i]),
              **(phase_extra[i] if phase_extra is not None else {}),
              **({f"{mcmc_prefix}_mcmc_median":
                      round(float(chan_post.rp_median[i]), 7),

@@ -200,7 +200,8 @@ def _main_program(args, cfg) -> int:
             {"wl_lo_um": round(float(wl_edges[i]), 4),
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
              "rp_over_rs": round(float(res.rp[i]), 7),
-             "rp_sigma": round(float(res.rp_sigma[i]), 7)}
+             "rp_sigma": round(float(res.rp_sigma[i]), 7),
+             "constrained": bool(res.constrained[i])}
             for i in range(args.n_chan)],
     }
     out = args.output or os.path.join(args.visit_dir,
@@ -249,6 +250,11 @@ def main(argv: list[str] | None = None) -> int:
                              "(upstream/downstream effect) as one "
                              "achromatic nuisance; needs a forward/"
                              "reverse alternating visit")
+    parser.add_argument("--fit-spots", action="store_true",
+                        help="jointly fit one spot-deficit scale "
+                             "(contrast -> 1 - s*(1 - contrast0)) "
+                             "through the simulator's starspot physics; "
+                             "needs a spots: block in the YAML")
     parser.add_argument("--program", action="store_true",
                         help="-d is a run_program output directory "
                              "(visit_00/ ... + program_summary.json): "
@@ -344,6 +350,7 @@ def main(argv: list[str] | None = None) -> int:
         x_window=x_window, n_chan=args.n_chan, rp_init=d0,
         estimator=args.estimator, y_window=y_window, mode=args.mode,
         fit_ramp=args.fit_ramp, fit_scan_offset=args.fit_scan_offset,
+        fit_spots=args.fit_spots,
         n_lm=args.n_lm, chunk=args.chunk)
 
     tp0 = trace_params(tables, scenes.x_ref[0], scenes.y_ref[0])
@@ -351,7 +358,8 @@ def main(argv: list[str] | None = None) -> int:
     wl_edges = np.asarray(x_to_wl(jnp.asarray(edges, jnp.float32), tp0))
     dof = max(res.n_points - res.rp.size
               - (2 if args.fit_ramp else 0)
-              - (1 if args.fit_scan_offset else 0), 1)
+              - (1 if args.fit_scan_offset else 0)
+              - (1 if args.fit_spots else 0), 1)
     dkey = "fp_over_fs" if args.mode == "eclipse" else "rp_over_rs"
     skey = "fp_sigma" if args.mode == "eclipse" else "rp_sigma"
     report = {
@@ -377,11 +385,16 @@ def main(argv: list[str] | None = None) -> int:
             "reverse_flux_offset_sigma": round(res.scan_offset_sigma,
                                                6)}}
            if res.scan_offset is not None else {}),
+        **({"spot_fit": {
+            "spot_deficit_scale": round(res.spot_scale, 4),
+            "spot_deficit_scale_sigma": round(res.spot_scale_sigma, 4)}}
+           if res.spot_scale is not None else {}),
         "channels": [
             {"wl_lo_um": round(float(wl_edges[i]), 4),
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
              dkey: round(float(res.rp[i]), 7),
-             skey: round(float(res.rp_sigma[i]), 7)}
+             skey: round(float(res.rp_sigma[i]), 7),
+             "constrained": bool(res.constrained[i])}
             for i in range(args.n_chan)],
     }
     out = args.output or os.path.join(args.visit_dir, "retrieved.json")
