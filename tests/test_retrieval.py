@@ -310,3 +310,58 @@ def test_retrieval_reuses_compiled_program():
     assert n0 >= 1
     retrieve_transmission(obs, scenes, tables, cfg, **kw)
     assert _lm_val_jac._cache_size() == n0
+
+
+@pytest.mark.slow
+def test_joint_retrieval_eclipse_mode():
+    """Joint multi-visit retrieval in ECLIPSE mode: one SHARED Fp/Fs
+    dayside spectrum across two secondary-eclipse visits, with visit
+    2's true eclipse time walked +120 s against the assumed ephemeris
+    — the fitted per-visit dt0 is the eclipse-timing measurement."""
+    from wayne_tpu.ops.kepler import OrbitParams
+    from wayne_tpu.retrieval import retrieve_transmission_joint
+
+    cfg, tables, scenes, _ = _visit(NoiseFlags.none())
+    cfg = dataclasses.replace(cfg, eclipse=True)
+    wl = np.asarray(tables.wl_centers)
+    fp = 1.5e-3 + 4e-4 * np.sin(7.0 * wl)
+    per = 0.813475 * 86400.0
+    orbit = OrbitParams.create(period_s=per,
+                               t0_s=2.0 * 3600.0 - per / 2.0,
+                               sma_rs=4.855, inc_rad=np.deg2rad(82.1))
+    base = dataclasses.replace(
+        scenes,
+        fp_over_fs=jnp.broadcast_to(
+            jnp.asarray(fp, jnp.float32)[None], (N_EXP, NL)),
+        orbit=jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (N_EXP,) + x.shape),
+            orbit))
+
+    def shifted(dt0_s, seed):
+        orb = jax.tree_util.tree_map(lambda x: x, base.orbit)
+        orb = dataclasses.replace(orb, t0_s=orb.t0_s + dt0_s)
+        keys = jax.vmap(lambda i: jax.random.fold_in(
+            jax.random.PRNGKey(seed), i))(jnp.arange(N_EXP))
+        return dataclasses.replace(base, orbit=orb, key=keys)
+
+    sp_a = _observe(cfg, tables, shifted(0.0, 5))
+    sp_b = _observe(cfg, tables, shifted(120.0, 6))     # true walked
+    # the MODEL assumes the stale ephemeris for both visits
+    res = retrieve_transmission_joint(
+        [sp_a, sp_b], [shifted(0.0, 5), shifted(0.0, 6)], tables, cfg,
+        x_window=X_WINDOW, n_chan=N_CHAN, rp_init=1e-3,
+        mode="eclipse", fit_t0=True, t0_window_s=300.0,
+        chunk=6, n_lm=10)
+    truth = _true_chan(fp, tables, base, X_WINDOW, N_CHAN)
+    assert np.all(np.abs(res.rp - truth) < 3e-4), (res.rp, truth)
+    assert abs(res.t0_offsets_s[0]) < 30.0, res.t0_offsets_s
+    assert abs(res.t0_offsets_s[1] - 120.0) < 30.0, res.t0_offsets_s
+    assert np.all(res.t0_offsets_sigma_s > 0)
+    assert np.all(res.constrained)
+    # eclipse-free visits fail loudly in joint mode too
+    cfg_t, tables_t, scenes_t, _ = _visit(NoiseFlags.none())
+    with pytest.raises(ValueError, match="eclipse"):
+        retrieve_transmission_joint(
+            [sp_a], [scenes_t], tables_t,
+            dataclasses.replace(cfg_t, eclipse=True),
+            x_window=X_WINDOW, n_chan=N_CHAN, mode="eclipse")

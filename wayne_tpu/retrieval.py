@@ -562,9 +562,13 @@ def retrieve_transmission(spectra_obs: jnp.ndarray, scenes: Scene,
 
 @dataclass
 class JointRetrievalResult:
-    """Joint multi-visit forward-model retrieval output."""
+    """Joint multi-visit forward-model retrieval output.
 
-    rp: np.ndarray           # (n_chan,) SHARED fitted Rp/Rs spectrum
+    ``rp``/``rp_sigma`` hold the SHARED fitted per-channel depth:
+    Rp/Rs in transit mode, Fp/Fs in eclipse mode.
+    """
+
+    rp: np.ndarray           # (n_chan,) SHARED fitted spectrum
     rp_sigma: np.ndarray     # (n_chan,)
     t0_offsets_s: np.ndarray | None        # (n_visits,) fitted per-visit
     #                                        mid-transit offsets from the
@@ -586,7 +590,7 @@ def retrieve_transmission_joint(
         estimator: str = "cds",
         y_window: tuple[int, int] | None = None,
         fit_t0: bool = True, fit_ramp: bool = False,
-        t0_window_s: float = 1800.0,
+        t0_window_s: float = 1800.0, mode: str = "transit",
         n_lm: int = 12, chunk: int = 2) -> JointRetrievalResult:
     """Fit ONE transmission spectrum jointly across N visits, with
     per-visit nuisances, through the full forward model.
@@ -617,11 +621,22 @@ def retrieve_transmission_joint(
     bf16 hazard).
 
     Every visit must share ``cfg``/``tables`` (same instrument mode)
-    and the channel window convention; transit mode only.
+    and the channel window convention. ``mode="eclipse"`` fits one
+    SHARED per-channel Fp/Fs dayside spectrum across N
+    secondary-eclipse visits instead (requires ``cfg.eclipse`` and
+    occultation coverage in every visit; the Scene's ``rp_over_rs``
+    stays fixed as the occulting geometry, and ``dt0_v`` becomes the
+    per-visit eclipse-timing offset).
     """
     n_vis = len(spectra_list)
     if n_vis != len(scenes_list) or n_vis == 0:
         raise ValueError("need equally many spectra and scenes, >= 1")
+    if mode not in ("transit", "eclipse"):
+        raise ValueError(f"mode must be 'transit' or 'eclipse', got {mode!r}")
+    eclipse = mode == "eclipse"
+    if eclipse and not cfg.eclipse:
+        raise ValueError("mode='eclipse' needs a cfg with eclipse=True "
+                         "(the visit must model planet dayside light)")
     cfg_m = deterministic_cfg(cfg)
     edges = _channel_edges(x_window, n_chan)
     n_rp = n_chan
@@ -642,6 +657,20 @@ def retrieve_transmission_joint(
         oot = out_of_transit_mask(mid, orbit0).astype(jnp.float32)
         if float(oot.sum()) < 2:
             raise ValueError("a visit has < 2 out-of-transit exposures")
+        if eclipse:
+            # without occultation coverage Fp/Fs is exactly degenerate
+            # with the per-channel normalisation — fail loudly
+            from wayne_tpu.ops.kepler import projected_separation
+            from wayne_tpu.ops.transit import eclipse_visibility
+
+            z_t, infr_t = projected_separation(mid, orbit0)
+            vis = eclipse_visibility(z_t, infr_t,
+                                     jnp.mean(sc.rp_over_rs[0]))
+            if float(jnp.max(vis) - jnp.min(vis)) < 0.1:
+                raise ValueError("a visit has no secondary-eclipse "
+                                 "coverage (planet visibility barely "
+                                 "changes) — Fp/Fs cannot be separated "
+                                 "from the baseline")
         data_chan = _normalise_oot(_bin_channels(sp, edges), oot)
         # Per-channel noise from FIRST DIFFERENCES of the
         # out-of-transit points (std(diff)/sqrt(2)): immune to smooth
@@ -661,13 +690,14 @@ def retrieve_transmission_joint(
             scenes_m=deterministic_scenes(sc), data_chan=data_chan,
             oot=oot, sigma=sigma_j, idx=jnp.asarray(idx_np),
             in_win=jnp.asarray(in_win_np, jnp.float32),
-            rp_fixed=sc.rp_over_rs[0], n_exp=n_exp))
+            rp_fixed=(sc.fp_over_fs[0] if eclipse
+                      else sc.rp_over_rs[0]), n_exp=n_exp))
 
     # Shared module-level jitted program (same cache as the single-visit
     # retrieval): one trace serves every visit AND every ensemble
     # realisation of the same shape.
     statics = dict(cfg=cfg_m, chunk=chunk, estimator=estimator,
-                   y_window=y_window, n_rp=n_rp, eclipse=False,
+                   y_window=y_window, n_rp=n_rp, eclipse=eclipse,
                    fit_t0=fit_t0, fit_ramp=fit_ramp,
                    fit_scan_offset=False)
 
@@ -809,7 +839,9 @@ def retrieve_transmission_joint(
         ramp, ramp_sig = theta[pos].copy(), sig[pos].copy()
     from wayne_tpu.reduction import constrained_mask
 
-    ok = np.asarray(constrained_mask(theta[:n_rp], sig[:n_rp]))
+    ok = np.asarray(constrained_mask(
+        theta[:n_rp], sig[:n_rp],
+        **(dict(sigma_floor=0.02, bounds=None) if eclipse else {})))
     return JointRetrievalResult(
         rp=theta[:n_rp].copy(), rp_sigma=sig[:n_rp].copy(),
         t0_offsets_s=t0s, t0_offsets_sigma_s=t0sig,

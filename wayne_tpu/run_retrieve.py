@@ -160,17 +160,20 @@ def _main_program(args, cfg) -> int:
         x_window = (int(max(np.floor(xs.min()) - 3, 0)),
                     int(min(np.ceil(xs.max()) + 4, S)))
     n_vis = len(spectra_list)
+    eclipse = args.mode == "eclipse"
+    label = "Fp/Fs" if eclipse else "Rp/Rs"
     print(f"joint retrieval over {n_vis} visits "
           f"({sum(int(s.shape[0]) for s in spectra_list)} exposures), "
-          f"channels over cols {x_window}; shared Rp/Rs + per-visit t0"
-          f"{' + ramp' if args.fit_ramp else ''}")
+          f"channels over cols {x_window}; shared {label} + per-visit "
+          f"t0{' + ramp' if args.fit_ramp else ''}")
 
     res = retrieve_transmission_joint(
         spectra_list, scenes_list, tables, static,
         x_window=x_window, n_chan=args.n_chan,
-        rp_init=float(cfg.planet.rp_over_rs or 0.1),
+        rp_init=(1e-3 if eclipse
+                 else float(cfg.planet.rp_over_rs or 0.1)),
         estimator=args.estimator, y_window=y_window,
-        fit_t0=True, fit_ramp=args.fit_ramp,
+        fit_t0=True, fit_ramp=args.fit_ramp, mode=args.mode,
         n_lm=args.n_lm, chunk=args.chunk)
 
     tp0 = trace_params(tables, scenes_list[0].x_ref[0],
@@ -183,6 +186,7 @@ def _main_program(args, cfg) -> int:
                                  res.t0_offsets_s, 1)[0])
     report = {
         "method": "joint_forward_model_retrieval",
+        "mode": args.mode,
         "n_visits": n_vis,
         "chi2": round(res.chi2, 3),
         "n_points": res.n_points,
@@ -199,8 +203,10 @@ def _main_program(args, cfg) -> int:
         "channels": [
             {"wl_lo_um": round(float(wl_edges[i]), 4),
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
-             "rp_over_rs": round(float(res.rp[i]), 7),
-             "rp_sigma": round(float(res.rp_sigma[i]), 7),
+             ("fp_over_fs" if eclipse else "rp_over_rs"):
+                 round(float(res.rp[i]), 7),
+             ("fp_sigma" if eclipse else "rp_sigma"):
+                 round(float(res.rp_sigma[i]), 7),
              "constrained": bool(res.constrained[i])}
             for i in range(args.n_chan)],
     }
@@ -208,7 +214,7 @@ def _main_program(args, cfg) -> int:
                                       "retrieved_joint.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
-    print(f"joint Rp/Rs: {res.rp.min():.6g}..{res.rp.max():.6g}; "
+    print(f"joint {label}: {res.rp.min():.6g}..{res.rp.max():.6g}; "
           f"t0 offsets {report['t0_offsets_s']} s"
           + (f" (drift {report['drift_s_per_visit_fitted']:+.1f} "
              "s/visit)" if drift is not None else "")
