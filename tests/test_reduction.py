@@ -602,3 +602,34 @@ def test_run_reduce_wl_range_clip(tmp_path):
         reduce_main(["-d", str(outdir), "-p", str(ppath), "--cpu",
                      "--n-chan", "4", "--wl-range", "2.0:2.5",
                      "-o", str(outdir / "red2.json")])
+
+
+def test_amp_offset_correct_recovers_quadrant_offsets():
+    """Per-exposure per-amplifier offsets injected into net frames are
+    removed exactly (median estimator, source box excluded) — the
+    reference-pixel-less-subarray correction (reduction.
+    amp_offset_correct). A source in one quadrant must not bias it."""
+    import dataclasses as _dc
+
+    from wayne_tpu.calibration import quadrant_map
+    from wayne_tpu.reduction import amp_offset_correct
+
+    S = 64
+    rng = np.random.default_rng(3)
+    quad = quadrant_map(S)
+    nets = 0.01 * rng.standard_normal((3, S, S)).astype(np.float32)
+    yw, xw = (10, 30), (8, 56)
+    nets[:, yw[0]: yw[1], xw[0]: xw[1]] += 50.0       # bright source
+    offs = rng.normal(0.0, 2.0, (3, 4)).astype(np.float32)
+    dirty = nets + offs[:, np.asarray(quad)]
+    fixed = np.asarray(amp_offset_correct(
+        jnp.asarray(dirty), quad, yw, xw))
+    # off-source pixels return to the clean frame (median exactness
+    # up to the noise floor of the median estimate)
+    src = np.zeros((S, S), bool)
+    src[yw[0]: yw[1], xw[0]: xw[1]] = True
+    resid = (fixed - nets)[:, ~src]
+    assert np.abs(resid).max() < 5e-3, np.abs(resid).max()
+    # and the SOURCE pixels had their quadrant's offset removed too
+    resid_src = (fixed - nets)[:, src]
+    assert np.abs(resid_src).max() < 5e-3

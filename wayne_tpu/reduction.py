@@ -1111,6 +1111,48 @@ def scan_direction_factor(white: jnp.ndarray, oot: jnp.ndarray,
     return jnp.where(r > 0.0, fac, 1.0)
 
 
+@partial(jax.jit, static_argnames=("y_window", "x_window"))
+def amp_offset_correct(nets: jnp.ndarray, quad_map: jnp.ndarray,
+                       y_window: tuple[int, int],
+                       x_window: tuple[int, int]) -> jnp.ndarray:
+    """Per-exposure per-AMPLIFIER additive-offset removal for
+    reference-pixel-less subarrays.
+
+    The WFC3 IR detector reads through four amplifiers (one per
+    quadrant); each read's amplifier bias wanders by a few electrons
+    (simulated by NoiseFlags.bias_drift). Full frames remove it with
+    the reference-pixel border (ref_pixel_correct); IR SUBARRAYS carry
+    no reference pixels, and because centred subarrays SPAN quadrant
+    boundaries, a background strip in one quadrant cannot see another
+    quadrant's offset — measured: with bg_rows in a different quadrant
+    than the spectrum, the leaked per-exposure offset tripled the
+    realised relative depth scatter over the reported sigma in the
+    divide-white systematics ensemble (the offset is additive, so its
+    normalised imprint is chromatic ∝ 1/F_c). This estimates each
+    quadrant's residual offset per exposure as the MEDIAN of its
+    off-source pixels (the ``y_window`` x ``x_window`` source box
+    excluded) and subtracts the per-quadrant plane. Apply to
+    background-subtracted net frames; a uniform sky residual only
+    shifts all four medians together, which is harmless.
+
+    ``quad_map``: (S, S) int quadrant index per pixel
+    (calibration.quadrant_map). Returns corrected (n_exp, S, S).
+    """
+    S = nets.shape[-1]
+    src = jnp.zeros((S, S), bool).at[
+        y_window[0]: y_window[1], x_window[0]: x_window[1]].set(True)
+
+    def one(net):
+        def q_off(q):
+            sel = (quad_map == q) & ~src
+            return jnp.nanmedian(jnp.where(sel, net, jnp.nan))
+
+        offs = jnp.stack([q_off(q) for q in range(4)])       # (4,)
+        return net - offs[quad_map]
+
+    return jax.vmap(one)(nets)
+
+
 @partial(jax.jit, static_argnames=("y_window", "bg_rows", "n_chan",
                                    "x_window", "optimal", "read_noise_e",
                                    "align"))
@@ -1126,7 +1168,8 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
                  align: bool = False,
                  ld: jnp.ndarray | None = None,
                  rp0: jnp.ndarray | float = 0.155,
-                 scan_dir: jnp.ndarray | None = None) -> ReducedVisit:
+                 scan_dir: jnp.ndarray | None = None,
+                 quad_map: jnp.ndarray | None = None) -> ReducedVisit:
     """Extract white + channel light curves from a visit's raw reads.
 
     Args:
@@ -1162,6 +1205,13 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
         direction is normalised by its own out-of-transit baseline
         BEFORE alignment/detrending, removing the achromatic
         upstream/downstream flux offset (scan_direction_factor).
+      quad_map: optional (S, S) amplifier-quadrant index map
+        (calibration.quadrant_map(S, tables.subarray_corner)) —
+        enables per-exposure per-amplifier offset removal
+        (amp_offset_correct). Strongly recommended whenever
+        bias_drift was simulated: subarrays have no reference pixels
+        and the background rows may sit in a different amplifier than
+        the spectrum.
     """
     def nf(r, c):
         net = net_frame(r, gain, read_times, c)
@@ -1172,6 +1222,8 @@ def reduce_visit(reads_dn: jnp.ndarray, gain: jnp.ndarray,
         nets = jax.vmap(lambda r: nf(r, None))(reads_dn)
     else:
         nets = jax.vmap(nf)(reads_dn, good_diffs)            # (n_exp, S, S)
+    if quad_map is not None:
+        nets = amp_offset_correct(nets, quad_map, y_window, x_window)
     if optimal:
         prof = spatial_profile(jnp.mean(nets, axis=0), y_window)
         floor = read_noise_var_e2(read_noise_e, reads_dn.shape[1],

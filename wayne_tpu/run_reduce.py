@@ -91,7 +91,8 @@ def extract_from_files(paths: list[str], gain: float,
                        extract: str = "box", read_noise_e: float = 12.0,
                        windows: tuple | None = None,
                        nlin: dict | None = None,
-                       sky_components: dict | None = None):
+                       sky_components: dict | None = None,
+                       quad_map: "np.ndarray | None" = None):
     """Host-side spectral extraction from ima files.
 
     ``extract='optimal'`` replaces the box sum with Horne (1986)
@@ -379,6 +380,21 @@ def extract_from_files(paths: list[str], gain: float,
         bg = np.median(nets[:, bg_rows[0]: bg_rows[1], :],
                        axis=1)                             # per-col sky
         nets = nets - bg[:, None, :]
+    if quad_map is not None:
+        # per-exposure per-AMPLIFIER offset removal: IR subarrays carry
+        # no reference pixels and the background rows may sit in a
+        # DIFFERENT amplifier quadrant than the spectrum — the leaked
+        # per-exposure offset is additive, so its normalised imprint is
+        # chromatic (~1/F_c) and biases relative depths
+        # (reduction.amp_offset_correct rationale).
+        src = np.zeros(nets.shape[1:], bool)
+        src[y_window[0]: y_window[1], x_window[0]: x_window[1]] = True
+        qm = np.asarray(quad_map)
+        for q in range(4):
+            sel = (qm == q) & ~src
+            if sel.sum() >= 16:
+                offs = np.median(nets[:, sel], axis=1)     # (n_exp,)
+                nets[:, qm == q] -= offs[:, None]
     if extract == "optimal":
         from wayne_tpu.reduction import (
             optimal_extract, read_noise_var_e2, spatial_profile)
@@ -485,6 +501,13 @@ def main(argv: list[str] | None = None) -> int:
                              "cubic non-linearity inversion; applied by "
                              "default to products whose header says the "
                              "detector chain compressed them)")
+    parser.add_argument("--no-amp-offset", action="store_true",
+                        help="skip the per-exposure per-amplifier "
+                             "offset removal (on by default: subarrays "
+                             "have no reference pixels, and amplifier "
+                             "bias wander in a different quadrant than "
+                             "the background rows leaks a chromatic "
+                             "additive term into the channel curves)")
     parser.add_argument("--rows", default=None, metavar="Y0:Y1",
                         help="extraction rows (overrides auto-detection;"
                              " must be given together with --cols and "
@@ -588,11 +611,16 @@ def main(argv: list[str] | None = None) -> int:
         names.append("dark")
         frames.append(np.asarray(grism.tables.dark_map, np.float32))
         sky_components = {"names": names, "frames": np.stack(frames)}
+    from wayne_tpu.calibration import quadrant_map
+
+    qmap = (None if args.no_amp_offset else np.asarray(quadrant_map(
+        cfg.subarray, grism.tables.subarray_corner)))
     spectra, mids, (yw, xw, bg), scan_angs, sky_fit = extract_from_files(
         paths, gain, args.estimator, use_dq=not args.no_dq,
         extract=args.extract,
         read_noise_e=float(grism.tables.read_noise_e),
-        windows=windows, nlin=nlin, sky_components=sky_components)
+        windows=windows, nlin=nlin, sky_components=sky_components,
+        quad_map=qmap)
     label = "explicit" if windows is not None else "auto"
     print(f"{label} windows: rows {yw}, cols {xw}, background rows {bg}")
 
