@@ -362,3 +362,62 @@ def test_posterior_weights_exclude_clipped_outliers():
     err_no = abs(float(cp_no.rp_median[0]) - rp_true)
     assert err_w < 5e-4, err_w
     assert err_no > 2.0 * err_w, (err_no, err_w)
+
+
+@pytest.mark.slow
+def test_program_posterior_recovers_spectrum_and_ttv():
+    """sample_program_posterior: one shared spectrum + per-visit t0
+    offsets jointly sampled over a 2-visit program's channel curves —
+    the TTV result ships with a posterior, not just an LM sigma.
+    Analytic closed loop: synthetic transit curves with visit 2's true
+    mid-time walked +120 s; gates recovery, credible-interval
+    calibration scale and convergence."""
+    import dataclasses
+
+    from wayne_tpu.mcmc import sample_program_posterior
+    from wayne_tpu.ops.kepler import projected_separation
+    from wayne_tpu.ops.transit import transit_depth_curve
+    from wayne_tpu.reduction import out_of_transit_mask
+    from wayne_tpu.scene import example_scene
+
+    base = example_scene(16)
+    orbit = base.orbit
+    V, n_exp, K = 2, 40, 4
+    rp_true = np.array([0.158, 0.160, 0.162, 0.159], np.float32)
+    dt0_true = np.array([0.0, 120.0], np.float32)
+    sig_pt = 4e-4
+    t = np.broadcast_to(np.linspace(0.0, 4.0 * 3600.0, n_exp),
+                        (V, n_exp)).copy()
+    rng = np.random.default_rng(7)
+    lc = np.zeros((V, n_exp, K), np.float32)
+    for v in range(V):
+        orb = dataclasses.replace(
+            orbit, t0_s=orbit.t0_s + dt0_true[v])
+        z, infr = projected_separation(jnp.asarray(t[v], jnp.float32),
+                                       orb)
+        for c in range(K):
+            f = transit_depth_curve(z, jnp.float32(rp_true[c]),
+                                    base.ld, 32)
+            lc[v, :, c] = (np.asarray(1.0 - (1.0 - f) * infr)
+                           + sig_pt * rng.standard_normal(n_exp))
+    n_oot = np.array([float(np.asarray(out_of_transit_mask(
+        jnp.asarray(t[v], jnp.float32), orbit)).sum())
+        for v in range(V)])
+    post = sample_program_posterior(
+        jnp.asarray(lc), jnp.asarray(t, jnp.float32), orbit, base.ld,
+        jnp.asarray(rp_true + 1e-3), jnp.asarray(dt0_true + 10.0),
+        jnp.full((V, K), sig_pt, jnp.float32), jnp.asarray(n_oot),
+        jax.random.PRNGKey(5), n_steps=5000, n_burn=2000)
+    rp_med = np.asarray(post.rp_median)
+    rp_w = 0.5 * (np.asarray(post.rp_minus) + np.asarray(post.rp_plus))
+    assert np.all(np.abs(rp_med - rp_true) < 4.0 * rp_w), (rp_med,
+                                                           rp_true, rp_w)
+    assert np.all(rp_w > 1e-5) and np.all(rp_w < 3e-3)
+    t0_med = np.asarray(post.t0_median_s)
+    t0_w = 0.5 * (np.asarray(post.t0_minus_s) + np.asarray(post.t0_plus_s))
+    assert np.all(np.abs(t0_med - dt0_true) < 4.0 * np.maximum(t0_w, 2.0)), (
+        t0_med, t0_w)
+    assert np.all(t0_w > 0.5) and np.all(t0_w < 60.0)
+    # converged: worst split R-hat over the physical dims
+    assert float(np.max(np.asarray(post.rhat)[: K + V])) < 1.15
+    assert 0.1 < float(post.acceptance) < 0.9

@@ -247,10 +247,24 @@ def test_joint_retrieval_shared_spectrum_and_drift(tmp_path):
 
     rc = retrieve_main(["-d", str(out), "-p", str(ppath), "--program",
                         "--cpu", "--n-chan", "4", "--chunk", "3",
-                        "--n-lm", "8"])
+                        "--n-lm", "8", "--mcmc", "3000"])
     assert rc == 0
     rep = json.loads((out / "retrieved_joint.json").read_text())
     assert rep["n_visits"] == 2
+    # the TTV ships with a POSTERIOR: per-visit t0 credible intervals
+    # from the joint (spectrum, t0, baselines) Goodman-Weare chain
+    pp = rep["program_posterior"]
+    t0_pcts = np.array(pp["t0_offsets_percentiles_16_50_84_s"])
+    assert t0_pcts.shape == (2, 3)
+    assert abs(t0_pcts[0, 1]) < 40.0, t0_pcts
+    assert abs(t0_pcts[1, 1] - 180.0) < 40.0, t0_pcts
+    widths = 0.5 * (t0_pcts[:, 2] - t0_pcts[:, 0])
+    assert np.all((widths > 0.5) & (widths < 120.0)), t0_pcts
+    assert pp["rhat_max"] < 1.3 and 0.05 < pp["acceptance"] < 0.95
+    rp_pcts = np.array(pp["rp_percentiles_16_50_84"])
+    assert np.all(np.abs(rp_pcts[:, 1] - 0.1595)
+                  < np.maximum(5 * 0.5 * (rp_pcts[:, 2] - rp_pcts[:, 0]),
+                               0.004))
     t0s = np.array(rep["t0_offsets_s"])
     # visit 1 at the assumed ephemeris, visit 2 walked 180 s
     assert abs(t0s[0]) < 30.0, t0s

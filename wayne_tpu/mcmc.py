@@ -455,3 +455,130 @@ def sample_channel_posteriors(channel_lc: jnp.ndarray,
     return ChannelPosteriors(rp_median=med, rp_minus=minus,
                              rp_plus=plus, acceptance=acc,
                              rhat=rhat, ess=ess)
+
+
+@_register
+@dataclass
+class ProgramPosterior:
+    """Joint program posterior (sample_program_posterior)."""
+
+    rp_median: jnp.ndarray       # (n_chan,) shared spectrum medians
+    rp_minus: jnp.ndarray        # median - 16th percentile
+    rp_plus: jnp.ndarray         # 84th - median
+    t0_median_s: jnp.ndarray     # (n_vis,) per-visit mid-time offsets
+    t0_minus_s: jnp.ndarray
+    t0_plus_s: jnp.ndarray
+    samples: jnp.ndarray         # (n_kept * n_walkers, ndim) flattened
+    acceptance: jnp.ndarray
+    rhat: jnp.ndarray            # (ndim,) split R-hat
+    ess: jnp.ndarray             # (ndim,)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_walkers", "n_burn",
+                                   "n_quad", "t0_window_s"))
+def sample_program_posterior(channel_lc: jnp.ndarray,
+                             exp_mid_s: jnp.ndarray,
+                             orbit: OrbitParams, ld: jnp.ndarray,
+                             rp_init: jnp.ndarray,
+                             t0_init_s: jnp.ndarray,
+                             sigma: jnp.ndarray,
+                             n_oot: jnp.ndarray,
+                             key: jnp.ndarray, *,
+                             n_steps: int = 2000,
+                             n_walkers: int = 0, n_burn: int = 500,
+                             n_quad: int = 32,
+                             t0_window_s: float = 1800.0
+                             ) -> ProgramPosterior:
+    """Joint posterior over a multi-visit program: ONE shared
+    per-channel Rp/Rs spectrum + per-visit transit-time offsets.
+
+    The TTV measurement the joint LM retrieval points at
+    (retrieval.retrieve_transmission_joint) ships with a POSTERIOR:
+    theta = [rp (K), dt0_s (V), b (V*K per-visit-channel baselines),
+    log s (global noise rescale)], sampled with the same Goodman-Weare
+    machinery as the single-visit posteriors, one compiled program.
+    The per-(visit, channel) baseline scales carry a Gaussian prior of
+    width sigma_vc/sqrt(N_oot_v) — the OOT-normalisation uncertainty —
+    so marginalising them reproduces fit_depths' baseline_var
+    inflation instead of ignoring it.
+
+    Args:
+      channel_lc: (V, n_exp, K) OOT-normalised channel light curves.
+      exp_mid_s: (V, n_exp) exposure mid-times, each on ITS OWN
+        visit's clock consistent with ``orbit`` (the assumed
+        ephemeris).
+      ld: (4,) shared or (K, 4) per-channel limb darkening.
+      rp_init / t0_init_s: LM solution (seeds the walker ball; chi2(t0)
+        is multimodal so a GOOD seed — grid-refined, as the joint LM
+        provides — is required, the stretch move cannot hop basins).
+      sigma: (V, K) per-point noise of the normalised curves.
+      n_oot: (V,) out-of-transit exposure counts (baseline prior).
+    """
+    import dataclasses as _dc
+
+    lc = jnp.asarray(channel_lc, jnp.float32)
+    V, n_exp, K = lc.shape
+    t = jnp.asarray(exp_mid_s, jnp.float32)
+    sig = jnp.asarray(sigma, jnp.float32)
+    ld = jnp.asarray(ld, jnp.float32)
+    ld_chan = jnp.broadcast_to(ld if ld.ndim == 2 else ld[None, :],
+                               (K, 4))
+    ndim = K + V + V * K + 1
+    if n_walkers == 0:
+        n_walkers = 2 * ndim + (2 * ndim) % 2 + 8
+    if not 0 <= n_burn < n_steps:
+        raise ValueError("n_burn must be < n_steps")
+    b_sig = (sig / jnp.sqrt(jnp.maximum(
+        jnp.asarray(n_oot, jnp.float32), 1.0))[:, None])   # (V, K)
+
+    def log_prob(theta):
+        rp = theta[:K]
+        dt0 = theta[K: K + V]
+        b = theta[K + V: K + V + V * K].reshape(V, K)
+        log_s = theta[-1]
+        inside = (jnp.all((rp > 0.01) & (rp < 0.5))
+                  & jnp.all(jnp.abs(dt0) < 3.0 * t0_window_s)
+                  & jnp.all(jnp.abs(b - 1.0) < 0.05)
+                  & (jnp.abs(log_s) < 2.0))
+        s = jnp.exp(log_s)
+
+        def visit_ll(t_v, lc_v, sig_v, dt0_v, b_v):
+            orb = _dc.replace(orbit, t0_s=orbit.t0_s + dt0_v)
+            z, infr = projected_separation(t_v, orb)
+            f = jax.vmap(lambda r, l: transit_depth_curve(
+                z, r, l, n_quad))(rp, ld_chan)             # (K, n_exp)
+            model = (1.0 - (1.0 - f) * infr[None, :]).T    # (n_exp, K)
+            model = model * b_v[None, :]
+            r = (model - lc_v) / (sig_v[None, :] * s)
+            return -0.5 * jnp.sum(r * r)
+
+        ll = jnp.sum(jax.vmap(visit_ll)(t, lc, sig, dt0, b))
+        ll = ll - (V * n_exp * K) * log_s
+        ll = ll - 0.5 * jnp.sum(((b - 1.0) / b_sig) ** 2)
+        return jnp.where(inside, ll, -jnp.inf)
+
+    center = jnp.concatenate([
+        jnp.clip(jnp.asarray(rp_init, jnp.float32), 0.011, 0.49),
+        jnp.asarray(t0_init_s, jnp.float32),
+        jnp.ones(V * K, jnp.float32), jnp.zeros(1, jnp.float32)])
+    scale = jnp.concatenate([
+        jnp.full((K,), 1e-3, jnp.float32),
+        jnp.full((V,), 5.0, jnp.float32),
+        (0.3 * b_sig).ravel(), jnp.full((1,), 0.05, jnp.float32)])
+    k_init, k_run = jax.random.split(jnp.asarray(key))
+    init = center[None, :] + scale[None, :] * jax.random.normal(
+        k_init, (n_walkers, ndim))
+
+    chain = ensemble_sample(log_prob, init, k_run, n_steps)
+    diag = chain_diagnostics(chain.samples[n_burn:])
+    kept = chain.samples[n_burn:].reshape(-1, ndim)
+    q = jnp.percentile(kept, jnp.array([16.0, 50.0, 84.0]),
+                       axis=0)                              # (3, ndim)
+    return ProgramPosterior(
+        rp_median=q[1, :K], rp_minus=q[1, :K] - q[0, :K],
+        rp_plus=q[2, :K] - q[1, :K],
+        t0_median_s=q[1, K: K + V],
+        t0_minus_s=q[1, K: K + V] - q[0, K: K + V],
+        t0_plus_s=q[2, K: K + V] - q[1, K: K + V],
+        samples=kept, acceptance=chain.acceptance,
+        rhat=diag.rhat, ess=diag.ess)

@@ -581,6 +581,16 @@ class JointRetrievalResult:
     n_iter: int
     constrained: np.ndarray | None = None  # (n_chan,) quality flag
     #                           (reduction.constrained_mask)
+    data_chan: list | None = None   # per-visit (n_exp, n_chan) OOT-
+    #                           normalised observed channel curves
+    model_chan: list | None = None  # per-visit (n_exp, n_chan) forward-
+    #                           model channel curves AT THE SOLUTION —
+    #                           the template run_retrieve's program
+    #                           posterior divides out (instrument
+    #                           structure: persistence afterglow,
+    #                           trends, cross-talk) before sampling the
+    #                           analytic (rp, dt0) geometry around it
+    sigma_chan: list | None = None  # per-visit (n_chan,) noise priors
 
 
 def retrieve_transmission_joint(
@@ -842,9 +852,21 @@ def retrieve_transmission_joint(
     ok = np.asarray(constrained_mask(
         theta[:n_rp], sig[:n_rp],
         **(dict(sigma_floor=0.02, bounds=None) if eclipse else {})))
+    # per-visit observed + model channel curves at the solution
+    # (model = data + standardised residual * sigma)
+    data_l, model_l, sigma_l, row0 = [], [], [], 0
+    for pv in per_visit:
+        dn = np.asarray(pv["data_chan"], np.float64)
+        s_v = np.asarray(pv["sigma"], np.float64)
+        r_v = r[row0: row0 + dn.size].reshape(dn.shape)
+        data_l.append(dn)
+        model_l.append(dn + r_v * s_v[None, :])
+        sigma_l.append(s_v)
+        row0 += dn.size
     return JointRetrievalResult(
         rp=theta[:n_rp].copy(), rp_sigma=sig[:n_rp].copy(),
         t0_offsets_s=t0s, t0_offsets_sigma_s=t0sig,
         ramp=ramp, ramp_sigma=ramp_sig,
         chi2=chi2, n_points=int(r.size), n_iter=n_iter,
-        constrained=ok)
+        constrained=ok, data_chan=data_l, model_chan=model_l,
+        sigma_chan=sigma_l)

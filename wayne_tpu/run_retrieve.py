@@ -82,8 +82,6 @@ def _main_program(args, cfg) -> int:
     from wayne_tpu.reduction import _channel_edges
     from wayne_tpu.retrieval import retrieve_transmission_joint
 
-    if args.mode != "transit":
-        raise SystemExit("--program supports --mode transit only")
     summary_path = os.path.join(args.visit_dir, "program_summary.json")
     if not os.path.exists(summary_path):
         raise SystemExit(f"{summary_path} not found — is -d a "
@@ -184,6 +182,91 @@ def _main_program(args, cfg) -> int:
     if n_vis > 1:
         drift = float(np.polyfit(np.arange(n_vis),
                                  res.t0_offsets_s, 1)[0])
+
+    prog_post = None
+    if args.mcmc:
+        # Joint Goodman-Weare posterior over (shared spectrum,
+        # per-visit t0, per-visit-channel baselines, noise scale) on
+        # the binned channel curves, seeded from the LM solution — the
+        # TTV result ships with credible intervals, not just an LM
+        # sigma (mcmc.sample_program_posterior).
+        if eclipse:
+            raise SystemExit("--mcmc on the program path is wired for "
+                             "transit mode")
+        import dataclasses as _dc
+
+        from wayne_tpu.mcmc import sample_program_posterior
+        from wayne_tpu.ops.kepler import projected_separation
+        from wayne_tpu.ops.transit import transit_depth_curve
+        from wayne_tpu.reduction import out_of_transit_mask
+
+        n_exps = {int(s.shape[0]) for s in spectra_list}
+        if len(n_exps) != 1:
+            raise SystemExit("program posterior needs equal-length "
+                             f"visits (got {sorted(n_exps)})")
+        exptime = float(tables.read_times[-1])
+        orbit0 = jax.tree_util.tree_map(lambda x: x[0],
+                                        scenes_list[0].orbit)
+        # TEMPLATE-CLEANED curves: divide each visit by the forward
+        # model AT THE LM SOLUTION (instrument structure — persistence
+        # afterglow, trends, cross-talk — that the analytic model
+        # cannot express) and re-multiply by the analytic transit at
+        # the same solution, so the sampler explores the (rp, dt0)
+        # GEOMETRY around the fit with everything else held at LM
+        # accuracy. Without this the chain walks off through unmodelled
+        # afterglow ramps (measured: t0 medians at the prior edge on a
+        # carried-persistence program).
+        lcs, mids_all, sigs, n_oots = [], [], [], []
+        ld0 = scenes_list[0].ld[0]
+        for v, sc in enumerate(scenes_list):
+            mid = sc.exp_start_s + 0.5 * exptime
+            orb_v = _dc.replace(
+                orbit0, t0_s=orbit0.t0_s + float(res.t0_offsets_s[v]))
+            z_v, infr_v = projected_separation(mid, orb_v)
+            ana = np.stack([
+                np.asarray(1.0 - (1.0 - transit_depth_curve(
+                    z_v, jnp.float32(res.rp[c]), ld0, 32)) * infr_v)
+                for c in range(args.n_chan)], axis=1)   # (n_exp, K)
+            dn = np.asarray(res.data_chan[v])
+            mdl = np.asarray(res.model_chan[v])
+            lcs.append(dn / np.maximum(mdl, 1e-6) * ana)
+            sigs.append(np.asarray(res.sigma_chan[v]))
+            mids_all.append(np.asarray(mid))
+            oot_np = np.asarray(
+                out_of_transit_mask(mid, orbit0)) > 0.5
+            n_oots.append(float(oot_np.sum()))
+        n_burn = max(0, min(max(args.mcmc // 3, 300),
+                            args.mcmc // 2, args.mcmc - 1))
+        post = sample_program_posterior(
+            jnp.asarray(np.stack(lcs), jnp.float32),
+            jnp.asarray(np.stack(mids_all), jnp.float32),
+            orbit0, scenes_list[0].ld[0],
+            jnp.asarray(res.rp, jnp.float32),
+            jnp.asarray(res.t0_offsets_s, jnp.float32),
+            jnp.asarray(np.stack(sigs), jnp.float32),
+            jnp.asarray(n_oots, jnp.float32),
+            jax.random.PRNGKey(20250820), n_steps=args.mcmc,
+            n_burn=n_burn)
+        prog_post = {
+            "n_steps": args.mcmc, "n_burn": n_burn,
+            "acceptance": round(float(post.acceptance), 3),
+            "rhat_max": round(float(np.max(np.asarray(post.rhat))), 4),
+            "ess_min": round(float(np.min(np.asarray(post.ess))), 1),
+            "t0_offsets_percentiles_16_50_84_s": [
+                [round(float(m - lo), 2), round(float(m), 2),
+                 round(float(m + hi), 2)]
+                for m, lo, hi in zip(post.t0_median_s, post.t0_minus_s,
+                                     post.t0_plus_s)],
+            "rp_percentiles_16_50_84": [
+                [round(float(m - lo), 6), round(float(m), 6),
+                 round(float(m + hi), 6)]
+                for m, lo, hi in zip(post.rp_median, post.rp_minus,
+                                     post.rp_plus)],
+        }
+        print(f"program posterior: t0 = "
+              f"{prog_post['t0_offsets_percentiles_16_50_84_s']} s "
+              f"(acc {prog_post['acceptance']:.2f}, R-hat "
+              f"{prog_post['rhat_max']:.3f})")
     report = {
         "method": "joint_forward_model_retrieval",
         "mode": args.mode,
@@ -196,6 +279,8 @@ def _main_program(args, cfg) -> int:
                                for v in res.t0_offsets_sigma_s],
         **({"drift_s_per_visit_fitted": round(drift, 2)}
            if drift is not None else {}),
+        **({"program_posterior": prog_post}
+           if prog_post is not None else {}),
         **({"visit_trend_fits": [
             {"slope_per_day": round(float(r0) * 86400.0, 6),
              "hook_amp": round(float(r1), 6)}
@@ -271,6 +356,14 @@ def main(argv: list[str] | None = None) -> int:
                              "measurement) and optional per-visit "
                              "--fit-ramp nuisances; writes "
                              "<dir>/retrieved_joint.json")
+    parser.add_argument("--mcmc", type=int, default=0, nargs="?",
+                        const=4000, metavar="N",
+                        help="--program path: joint Goodman-Weare "
+                             "posterior over (shared spectrum, "
+                             "per-visit t0, baselines, noise scale) "
+                             "seeded from the LM fit; N ensemble "
+                             "steps (bare flag: 4000 — the joint "
+                             "chain needs length, ndim ~ K+V+V*K)")
     parser.add_argument("--n-lm", type=int, default=10)
     parser.add_argument("--chunk", type=int, default=2,
                         help="exposures per forward-pass chunk (jacfwd "
