@@ -897,7 +897,7 @@ def main() -> None:
                 "full-well clamp would eat the transit — dim "
                 "stellar_flux further")
 
-        def make_run_star(local_cfg):
+        def make_run_star(local_cfg, xw=x_window):
             @jax.jit
             def run(m):
                 keys = jax.vmap(lambda e: jax.random.fold_in(
@@ -914,7 +914,7 @@ def main() -> None:
                     good = jax.vmap(lambda p, c: ~cr_bad_diff_masks(
                         p, c, S))(cr_pos, cr_count)
                 red = reduce_visit(reads, tables.gain, mid, base.orbit,
-                                   y_window=y_star, x_window=x_window,
+                                   y_window=y_star, x_window=xw,
                                    bg_rows=bg_rows, n_chan=N_CHAN,
                                    good_diffs=good, quad_map=quad)
                 return divide_white_fit_depths(
@@ -946,16 +946,27 @@ def main() -> None:
         ok_star_sys = bool(np.all(np.abs(resid_star) < 3e-3))
         cal_ratio_star, ok_sigma_star = sigma_calibration(
             rp_stars.std(axis=0, ddof=1), sig_stars.mean(axis=0), lo=0.0)
-        # productised quality flag (reduction.constrained_mask): must
-        # fire on the dead red-edge channel (no in-window flux past the
-        # G141 cutoff in the narrow staring window) and on NO healthy
-        # channel — the end-to-end check that products mark what
-        # validation already knew.
+        # productised quality flag (reduction.constrained_mask). The
+        # amp-offset correction HEALED the production window's red-edge
+        # channel (round-4's sigma 3.2e8 was largely the cross-quadrant
+        # amplifier leak corrupting the tiny 5%-flux staring fit; it
+        # now reports an honest wide-but-finite sigma), so the
+        # production-window gate is "flags match reality: all
+        # constrained". Non-vacuity comes from a DEAD-WINDOW probe: the
+        # same noisy visit refitted over a window extended past the
+        # G141 red cutoff (columns to 250 — the reddest channel covers
+        # truly dead columns) must flag ITS red channel and no healthy
+        # one.
         from wayne_tpu.reduction import constrained_mask
 
         ok_ch_star = np.asarray(constrained_mask(
             rp_stars.mean(axis=0), sig_stars.mean(axis=0)))
-        ok_flag_star = bool((~ok_ch_star[-1]) and ok_ch_star[:-1].all())
+        rp_dead, sig_dead = (np.asarray(a) for a in make_run_star(
+            cfg_star, xw=(104, 250))(0)[:2])
+        ok_ch_dead = np.asarray(constrained_mask(rp_dead, sig_dead))
+        ok_flag_star = bool(ok_ch_star.all()
+                            and (~ok_ch_dead[-1])
+                            and ok_ch_dead[:-1].all())
         # relative (shape) gate over the CONSTRAINED channels two-sided
         # — the dead channel's wild scatter must not leak into the mean
         rel_ratio_star = pairwise_rel_ratio(
@@ -988,11 +999,18 @@ def main() -> None:
             "sigma_calibration_ratio": cal_ratio_star,
             "sigma_rel_calibration_ratio": cal_rel_star,
             "constrained_flags": [bool(v) for v in ok_ch_star],
+            "constrained_note": "all production-window channels are "
+                                "genuinely constrained once the "
+                                "amp-offset correction fixes the "
+                                "cross-quadrant leak (round-4 red-edge "
+                                "sigma 3.2e8 -> ~0.03)",
+            "dead_window_flags": [bool(v) for v in ok_ch_dead],
+            "dead_window_sigma": [round(float(v), 6) for v in sig_dead],
             "noise_unbiased_within_3sem": ok_star_noise,
             "recovery_systematic_below_3e-3": ok_star_sys,
             "sigma_not_overconfident_max_1.5": ok_sigma_star,
             "sigma_rel_calibrated_0.7_1.5": ok_rel_star,
-            "constrained_flag_fires_on_dead_channel_only": ok_flag_star,
+            "constrained_flags_match_reality": ok_flag_star,
         }
 
     # --- forward/reverse scan-direction ensemble -----------------------
@@ -1418,7 +1436,16 @@ def main() -> None:
             net = res.reads_dn[:, -1] - res.reads_dn[:, 0]
             return net.sum(axis=1)                   # (n_exp, S)
 
-        cfg_r0 = dataclasses.replace(cfg_r, noise=NoiseFlags.none())
+        # The reference data MUST be the DETERMINISTIC TWIN of the
+        # noisy config (sampling off, sky/dark background KEPT —
+        # retrieval.deterministic_cfg), not NoiseFlags.none(): sky+dark
+        # add ~1% chromatic mean flux, so none() is a DIFFERENT scene
+        # whose fit is biased ~1e-3 in the bluest channel against the
+        # noisy ensemble's mean (measured: E[noisy channel sums] sit
+        # 0.8-1.5% above the none() frames, exactly the background).
+        from wayne_tpu.retrieval import deterministic_cfg as _det_cfg
+
+        cfg_r0 = _det_cfg(cfg_r)
 
         @jax.jit
         def observe_r0(scenes):
@@ -1692,10 +1719,8 @@ def main() -> None:
 
         @jax.jit
         def observe_sp0(scenes):
-            res = simulate_visit(scenes, tables_r,
-                                 dataclasses.replace(
-                                     cfg_r, noise=NoiseFlags.none()),
-                                 chunk=6)
+            # deterministic twin (background kept) — see observe_r0
+            res = simulate_visit(scenes, tables_r, cfg_r0, chunk=6)
             net = res.reads_dn[:, -1] - res.reads_dn[:, 0]
             return net.sum(axis=1)
 
