@@ -78,6 +78,17 @@ def main() -> None:
     # link (~ms RTT per transfer), which is host overhead, not kernel.
     scenes = jax.device_put(scenes)
 
+    import dataclasses as _dc
+
+    def fresh(i: int):
+        # Distinct RNG keys per call: with a warm persistent cache this
+        # backend was observed returning repeated IDENTICAL-input calls
+        # in ~0.1 ms (a result-level cache — measured 2.4e6 "exp/s"),
+        # so every timed invocation must carry fresh inputs. The key
+        # perturbation is one elementwise add; shapes and work are
+        # unchanged.
+        return _dc.replace(scenes, key=scenes.key + jnp.uint32(i))
+
     t0 = time.time()
     out = simulate_visit(scenes, obs.tables, cfg, CHUNK)
     out.reads_dn.block_until_ready()
@@ -85,11 +96,19 @@ def main() -> None:
 
     def measure() -> float:
         best = float("inf")
-        for _ in range(3):
+        for rep in range(3):
+            s_i = fresh(rep + 1)
+            jax.block_until_ready(s_i.key)
             t0 = time.time()
-            out = simulate_visit(scenes, obs.tables, cfg, CHUNK)
+            out = simulate_visit(s_i, obs.tables, cfg, CHUNK)
             out.reads_dn.block_until_ready()
             dt = time.time() - t0
+            if dt < 0.02:
+                # a 5-GB-output visit cannot finish in 20 ms: cached
+                # result, not execution — discard
+                log(f"[bench] visit timing {dt * 1e3:.1f} ms discarded "
+                    "(result-cache hit, not execution)")
+                continue
             best = min(best, dt)
             log(f"[bench] visit {N_EXPOSURES} exposures: {dt:.3f}s "
                 f"({N_EXPOSURES / dt:.1f} exp/s)")
@@ -133,9 +152,11 @@ def main() -> None:
     log(f"[bench] sustained-path warmup: {time.time() - t0:.1f}s")
     R = 6
     sus_wall = float("inf")
-    for _ in range(2):
+    for rep in range(2):
+        batch = [fresh(100 + rep * R + r) for r in range(R)]
+        jax.block_until_ready([b.key for b in batch])
         t0 = time.time()
-        outs = [visit_sum(scenes) for _ in range(R)]
+        outs = [visit_sum(b) for b in batch]
         outs[-1].block_until_ready()
         sus_wall = min(sus_wall, time.time() - t0)
     sustained_exp_per_sec = R * N_EXPOSURES / sus_wall
@@ -199,7 +220,11 @@ def main() -> None:
     # only (n_exp, S) spectra cross the link). If measured generate()
     # tracks the link-bound prediction while the on-device row runs at
     # kernel speed, the link is the bottleneck by data, not prose.
-    bytes_per_exp = out_bytes / max(n_gen, 1)
+    # Link bytes are the DEVICE->HOST read stack ((NR, S, S) f32), not
+    # the (larger) FITS bytes written to disk — the first A/B run
+    # predicted 0.53 exp/s from file size while measuring 1.64, i.e.
+    # the ceiling must be computed from what actually crosses the link.
+    bytes_per_exp = ((obs_cfg.nsamp + 1) * obs_cfg.subarray ** 2 * 4)
     link_bound_exp_s = link_mb_s * 1e6 / max(bytes_per_exp, 1.0)
     sc2, n_red = pad_scenes(
         jax.device_put(obs2.scenes), CHUNK)
@@ -248,7 +273,8 @@ def main() -> None:
         "generate_n_exposures": n_gen,
         "generate_quantized_exp_per_s": round(n_q / gen_wall_q, 2),
         "device_to_host_mb_s": round(link_mb_s, 1),
-        "generate_bytes_per_exp": int(bytes_per_exp),
+        "generate_link_bytes_per_exp": int(bytes_per_exp),
+        "generate_disk_bytes_per_exp": int(out_bytes / max(n_gen, 1)),
         "generate_link_bound_exp_per_s": round(link_bound_exp_s, 2),
         "ondevice_reduced_exp_per_s": round(red_exp_s, 1),
         "ab_note": ("same-process A/B: if generate_exp_per_s tracks "
