@@ -235,9 +235,20 @@ def main() -> None:
         return (reads[:, -1] - reads[:, 0]).sum(axis=1)
 
     visit_spectra(sc2).block_until_ready()
-    t0 = time.time()
-    np.asarray(visit_spectra(sc2))
-    red_wall = time.time() - t0
+    # fresh inputs per timed call + sub-20 ms discard: same
+    # identical-input result-cache hazard as the headline measure()
+    red_wall = float("inf")
+    for rep in range(3):
+        sc2_i = _dc.replace(sc2, key=sc2.key + jnp.uint32(rep + 1))
+        jax.block_until_ready(sc2_i.key)
+        t0 = time.time()
+        np.asarray(visit_spectra(sc2_i))
+        dt = time.time() - t0
+        if dt >= 0.02:
+            red_wall = min(red_wall, dt)
+            break
+        log(f"[bench] on-device timing {dt * 1e3:.1f} ms discarded "
+            "(result-cache hit)")
     red_exp_s = n_red / red_wall
     log(f"[bench] A/B same process: generate f32 {n_gen / gen_wall:.2f} "
         f"exp/s (link-bound prediction {link_bound_exp_s:.2f} at "

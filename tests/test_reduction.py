@@ -633,3 +633,30 @@ def test_amp_offset_correct_recovers_quadrant_offsets():
     # and the SOURCE pixels had their quadrant's offset removed too
     resid_src = (fixed - nets)[:, src]
     assert np.abs(resid_src).max() < 5e-3
+
+
+def test_amp_offset_correct_covered_quadrant_stays_finite():
+    """A quadrant fully covered by the source box has no off-source
+    estimator: it must be left UNCORRECTED (offset 0), never set to
+    nanmedian(all-NaN) = NaN across the whole quadrant."""
+    from wayne_tpu.calibration import quadrant_map
+    from wayne_tpu.reduction import amp_offset_correct
+
+    S = 64
+    quad = np.asarray(quadrant_map(S))
+    rng = np.random.default_rng(2)
+    # background-subtracted-like frames: ~0 off source
+    nets = 0.01 * rng.standard_normal((2, S, S)).astype(np.float32)
+    # source box covering quadrant 0 entirely (rows/cols 0:32)
+    yw, xw = (0, 48), (0, 48)
+    src = np.zeros((S, S), bool)
+    src[yw[0]: yw[1], xw[0]: xw[1]] = True
+    assert ((quad == 0) & ~src).sum() == 0      # the hazard case
+    fixed = np.asarray(amp_offset_correct(
+        jnp.asarray(nets), quad, yw, xw))
+    assert np.isfinite(fixed).all()
+    # covered quadrant passes through UNCHANGED (offset 0); others get
+    # only their ~0 median removed
+    np.testing.assert_array_equal(fixed[:, quad == 0],
+                                  nets[:, quad == 0])
+    np.testing.assert_allclose(fixed, nets, atol=5e-3)

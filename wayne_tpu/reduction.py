@@ -1145,7 +1145,12 @@ def amp_offset_correct(nets: jnp.ndarray, quad_map: jnp.ndarray,
     def one(net):
         def q_off(q):
             sel = (quad_map == q) & ~src
-            return jnp.nanmedian(jnp.where(sel, net, jnp.nan))
+            med = jnp.nanmedian(jnp.where(sel, net, jnp.nan))
+            # a quadrant fully covered by the source box (or absent
+            # from the subarray) has no estimator — leave it at 0
+            # rather than writing nanmedian(all-NaN) = NaN into every
+            # pixel of the quadrant
+            return jnp.where(jnp.sum(sel) >= 16, med, 0.0)
 
         offs = jnp.stack([q_off(q) for q in range(4)])       # (4,)
         return net - offs[quad_map]

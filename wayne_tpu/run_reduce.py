@@ -385,16 +385,16 @@ def extract_from_files(paths: list[str], gain: float,
         # no reference pixels and the background rows may sit in a
         # DIFFERENT amplifier quadrant than the spectrum — the leaked
         # per-exposure offset is additive, so its normalised imprint is
-        # chromatic (~1/F_c) and biases relative depths
-        # (reduction.amp_offset_correct rationale).
-        src = np.zeros(nets.shape[1:], bool)
-        src[y_window[0]: y_window[1], x_window[0]: x_window[1]] = True
-        qm = np.asarray(quad_map)
-        for q in range(4):
-            sel = (qm == q) & ~src
-            if sel.sum() >= 16:
-                offs = np.median(nets[:, sel], axis=1)     # (n_exp,)
-                nets[:, qm == q] -= offs[:, None]
+        # chromatic (~1/F_c) and biases relative depths. ONE algorithm:
+        # the jitted library helper (reduction.amp_offset_correct) is
+        # the implementation of record for both reduce paths.
+        from wayne_tpu.reduction import amp_offset_correct
+
+        import jax.numpy as jnp
+
+        nets = np.asarray(amp_offset_correct(
+            jnp.asarray(nets, jnp.float32), jnp.asarray(quad_map),
+            tuple(y_window), tuple(x_window)))
     if extract == "optimal":
         from wayne_tpu.reduction import (
             optimal_extract, read_noise_var_e2, spatial_profile)
@@ -888,10 +888,19 @@ def main(argv: list[str] | None = None) -> int:
             # Eclipse-aware common mode: the transit-model template would
             # divide the eclipse signal itself out of the channels, so
             # build the template against the fitted white ECLIPSE model.
-            fp_w, _ = fit_eclipse_depths(white_j[:, None], t, orbit, rp0)
+            # The white fit's Fp/Fs error deforms the template by the
+            # visibility shape and shifts every channel coherently —
+            # keep its sigma and add it in quadrature, exactly like the
+            # transit divide-white path (divide_white_fit_depths).
+            fp_w, fp_w_sig = fit_eclipse_depths(white_j[:, None], t,
+                                                orbit, rp0)
+            sigma_white_dw = fp_w_sig[0]
             chan_j = chan_j / (white_j / (1.0 + fp_w[0] * vis))[:, None]
         rp_hat, rp_sig = fit_eclipse_depths(chan_j, t, orbit, rp0,
                                             weights=depth_weights)
+        if sigma_white_dw is not None:
+            rp_sig_rel = rp_sig
+            rp_sig = jnp.sqrt(rp_sig**2 + sigma_white_dw**2)
         value_key, sigma_key = "fp_over_fs", "fp_sigma"
     elif args.mode == "phase":
         from wayne_tpu.ops.kepler import (orbital_phase_angle,
@@ -1153,14 +1162,14 @@ def main(argv: list[str] | None = None) -> int:
            if shifts is not None else {}),
         **({"white_posterior": white_post_report}
            if white_post_report is not None else {}),
-        **({"rp_sigma_common": round(float(sigma_white_dw), 6)}
+        **({f"{sigma_key}_common": round(float(sigma_white_dw), 6)}
            if sigma_white_dw is not None else {}),
         "channels": [
             {"wl_lo_um": round(float(wl_edges[i]), 4),
              "wl_hi_um": round(float(wl_edges[i + 1]), 4),
              value_key: round(float(rp_hat[i]), 6),
              sigma_key: round(float(rp_sig[i]), 6),
-             **({"rp_sigma_rel": round(float(rp_sig_rel[i]), 6)}
+             **({f"{sigma_key}_rel": round(float(rp_sig_rel[i]), 6)}
                 if rp_sig_rel is not None else {}),
              "constrained": bool(constrained[i]),
              **(phase_extra[i] if phase_extra is not None else {}),

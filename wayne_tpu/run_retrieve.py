@@ -82,6 +82,11 @@ def _main_program(args, cfg) -> int:
     from wayne_tpu.reduction import _channel_edges
     from wayne_tpu.retrieval import retrieve_transmission_joint
 
+    if args.mcmc and args.mode == "eclipse":
+        # reject up front: discovering this AFTER the (expensive) joint
+        # LM fit would throw the completed retrieval away
+        raise SystemExit("--mcmc on the program path is wired for "
+                         "transit mode")
     summary_path = os.path.join(args.visit_dir, "program_summary.json")
     if not os.path.exists(summary_path):
         raise SystemExit(f"{summary_path} not found — is -d a "
@@ -190,9 +195,6 @@ def _main_program(args, cfg) -> int:
         # the binned channel curves, seeded from the LM solution — the
         # TTV result ships with credible intervals, not just an LM
         # sigma (mcmc.sample_program_posterior).
-        if eclipse:
-            raise SystemExit("--mcmc on the program path is wired for "
-                             "transit mode")
         import dataclasses as _dc
 
         from wayne_tpu.mcmc import sample_program_posterior
