@@ -79,11 +79,23 @@ def main() -> None:
             out.reads_dn.block_until_ready()
             compile_s = time.time() - t0
             best = float("inf")
-            for _ in range(3):
+            for rep in range(3):
+                # fresh keys per trial + sub-20 ms discard: with a warm
+                # persistent cache this backend serves repeated
+                # IDENTICAL-input calls from a result-level cache in
+                # ~0.1 ms (bench.py measurement-integrity note)
+                s_i = dataclasses.replace(
+                    scenes, key=scenes.key + jnp.uint32(rep + 1))
+                jax.block_until_ready(s_i.key)
                 t0 = time.time()
-                out = simulate_visit(scenes, tab, cfg, chunk)
+                out = simulate_visit(s_i, tab, cfg, chunk)
                 out.reads_dn.block_until_ready()
-                best = min(best, time.time() - t0)
+                dt = time.time() - t0
+                if dt < 0.02:
+                    log(f"{name}: {dt * 1e3:.1f} ms trial discarded "
+                        "(result-cache hit)")
+                    continue
+                best = min(best, dt)
             return best, compile_s
 
         best, compile_s = compile_and_measure()
@@ -183,8 +195,12 @@ def main() -> None:
             sp = simulate_ensemble_spectra(ens, gt, cfg4, mesh)
             sp.block_until_ready()
             compile_s = time.time() - t0
+            # fresh keys for the timed pass (result-cache hazard above)
+            ens_t = dataclasses.replace(
+                ens, key=ens.key + jnp.uint32(1))
+            jax.block_until_ready(ens_t.key)
             t0 = time.time()
-            sp = simulate_ensemble_spectra(ens, gt, cfg4, mesh)
+            sp = simulate_ensemble_spectra(ens_t, gt, cfg4, mesh)
             sp.block_until_ready()
             return time.time() - t0, compile_s
 
