@@ -137,12 +137,3 @@ def main():
 if __name__ == "__main__":
     main()
 
-
-def probe_bg_quadrant():
-    """Mechanism check: same-quadrant background rows should remove the
-    per-amp differential offset the (180, 250) rows cannot see."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    # re-run the 'full' variant with bg rows in the SPECTRUM's quadrant
-    print("see main(); use --bg-quadrant to flip bg_rows", flush=True)

@@ -1412,7 +1412,6 @@ def main() -> None:
             base_r, x_ref=jnp.float32(30.0), y_ref=jnp.float32(30.0),
             rp_over_rs=jnp.asarray(rp_inj_r, jnp.float32))
         starts_r = np.linspace(0.0, 4.0 * 3600.0, N_EXP_R)
-        exptime_r = float(tables_r.read_times[-1])
         visit_r = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (N_EXP_R,) + x.shape),
             base_r)
