@@ -170,7 +170,7 @@ def test_run_reduce_cli_recovers_depth(tmp_path):
     # land on the commanded pointing through the full noise chain
     rc = reduce_main(["-d", str(outdir), "-p", str(ppath),
                       "--n-chan", "4", "--cpu", "--detrend", "none",
-                      "--direct-image", "--save-spectra"])
+                      "--direct-image", "--save-spectra", "--save-lc"])
     assert rc == 0
     rep = json.loads((outdir / "reduced.json").read_text())
     zp = rep["wavelength_zero_point"]
@@ -183,6 +183,14 @@ def test_run_reduce_cli_recovers_depth(tmp_path):
     hdus = {h.get("EXTNAME"): d for h, d in
             read_fits(str(outdir / "spectra.fits"))}
     assert hdus["SPECTRA"].shape == (18, 128)
+
+    # --save-lc exports the fitted (detrended, normalised) channel
+    # curves: n_exp x n_chan, out-of-transit baseline ~1, a real dip
+    # in transit
+    lc = np.asarray(rep["channel_lc"])
+    assert lc.shape == (18, 4)
+    assert abs(np.median(lc) - 1.0) < 0.01
+    assert lc.min() < 0.99
     wl = hdus["WAVELENGTH"]
     assert wl.shape == (128,) and hdus["TIME"].shape == (18,)
 

@@ -534,6 +534,15 @@ def main(argv: list[str] | None = None) -> int:
                              "the column wavelength solution "
                              "(WAVELENGTH um) and exposure mid-times "
                              "(TIME s) as image extensions")
+    parser.add_argument("--save-lc", action="store_true",
+                        help="include the per-channel light curves in "
+                             "the JSON report (channel_lc, n_exp x "
+                             "n_chan): the DETRENDED, normalised curves "
+                             "the depths were fitted on — raw spectra "
+                             "cannot reproduce them without re-running "
+                             "the detrend chain; feed them to external "
+                             "fitters with the report's per-channel "
+                             "sigmas")
     parser.add_argument("--plot", action="store_true",
                         help="also write a quicklook PNG (needs matplotlib)")
     parser.add_argument("--cpu", action="store_true")
@@ -1186,6 +1195,10 @@ def main(argv: list[str] | None = None) -> int:
                 if chan_post is not None else {})}
             for i in range(args.n_chan)],
         "white_lc": [round(float(v), 6) for v in white],
+        **({"channel_lc": [[round(float(chan_j[i, j]), 6)
+                            for j in range(args.n_chan)]
+                           for i in range(len(mids))]}
+           if args.save_lc else {}),
         "mid_times_s": [round(float(v), 2) for v in mids],
     }
     out = args.output or os.path.join(args.visit_dir, "reduced.json")
